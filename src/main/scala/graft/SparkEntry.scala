@@ -1,13 +1,37 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Aggregates the per-module query inventories; every key here has either a
+  * DuckDB oracle (oracleSql) or lives in tests instead (SURVEY §7.5.7). */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's headline output: per-rule usage report incl. never-hit
+    * rules (12 rows by construction). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    domain.Fw.usageReport(spark, "/root/testdata/sf0.001")
+
+  private def modules = Seq(
+    domain.Fw.queries,
+    ops.Relational.queries,
+    ops.Scalars.queries,
+    text.TextOps.queries,
+    sim.Similarity.queries
+  )
+
+  private def oracleModules = Seq(
+    domain.Fw.oracleSql,
+    ops.Relational.oracleSql,
+    ops.Scalars.oracleSql,
+    text.TextOps.oracleSql,
+    sim.Similarity.oracleSql
+  )
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    modules.reduce(_ ++ _)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = oracleModules.reduce(_ ++ _)
 }

@@ -1,0 +1,214 @@
+package graft.domain
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Firewall-ruleset usage analysis — the reference's headline capability
+  * (SURVEY.md §1.1, §2 Part A), recast Spark-first.
+  *
+  * The reference matches each connection-log event against an *ordered*
+  * ruleset with first-match semantics (linear scan per event: CIDR containment
+  * on src/dst, port range, protocol equality), sums hits per rule, and reports
+  * per-rule usage plus the rules that were never hit.
+  *
+  * Spark design: the ruleset is a tiny dimension — broadcast it. CIDR
+  * containment is precomputed into [lo, hi] integer ranges on the rule side so
+  * the match is an equi-join on `acl` (BroadcastHashJoin) with range residuals,
+  * not a theta-only BroadcastNestedLoop. First-match = `min(rule_seq)` per
+  * event (grouped aggregation), which at scale is a partial+final hash
+  * aggregate — the same shape as the reference's mapper/combiner/reducer but
+  * planned by Catalyst. At 100 TB the fact side never shuffles for the match
+  * itself (broadcast), only for the per-rule count aggregation (tiny keyspace).
+  *
+  * No raw firewall logs ship in testdata, so the oracle-checked queries run
+  * over a deterministic in-query derivation from `events` (FIXTURES.md §2);
+  * the raw ASA-text parsing path is in [[LogParse]] and is ScalaTest-covered.
+  */
+object Fw {
+
+  /** One expanded firewall rule. CIDRs are precomputed to inclusive long
+    * ranges; `cidr` strings are carried for the human-readable report. */
+  final case class Rule(
+      acl: String, ruleSeq: Int, action: String, proto: String,
+      srcCidr: String, srcLo: Long, srcHi: Long,
+      dstCidr: String, dstLo: Long, dstHi: Long,
+      portLo: Int, portHi: Int)
+
+  def ipToLong(ip: String): Long =
+    ip.split('.').foldLeft(0L)((acc, o) => acc * 256 + o.toLong)
+
+  private def rule(acl: String, seq: Int, action: String,
+      src: String, dst: String, portLo: Int, portHi: Int): Rule = {
+    def range(cidr: String): (Long, Long) = {
+      val Array(ip, pfx) = cidr.split('/')
+      val lo = ipToLong(ip)
+      (lo, lo + (1L << (32 - pfx.toInt)) - 1)
+    }
+    val (slo, shi) = range(src)
+    val (dlo, dhi) = range(dst)
+    Rule(acl, seq, action, "tcp", src, slo, shi, dst, dlo, dhi, portLo, portHi)
+  }
+
+  /** The fixture ruleset (FIXTURES.md §2): per-ACL specific rules + catch-all
+    * deny, one rule shadowed by an earlier catch-all (must count 0 via
+    * first-match), and one rule on a nonexistent ACL (never matches — keeps
+    * the unused-rules report non-empty). */
+  val ruleset: Seq[Rule] = Seq(
+    rule("acl_0", 10, "permit", "10.0.0.0/8",  "192.168.0.0/24",   80,    80),
+    rule("acl_0", 20, "permit", "10.0.0.0/8",  "192.168.0.0/24",  443,   443),
+    rule("acl_0", 30, "deny",   "10.0.0.0/8",  "192.168.0.0/24",    1, 65535),
+    rule("acl_0", 40, "permit", "10.0.0.0/8",  "192.168.0.0/24",   80,  8443), // shadowed by seq 30
+    rule("acl_1", 10, "permit", "10.0.5.0/24", "192.168.0.0/24",    1, 65535),
+    rule("acl_1", 20, "permit", "10.0.0.0/8",  "192.168.0.0/25",    1,  1023),
+    rule("acl_1", 30, "deny",   "10.0.0.0/8",  "192.168.0.0/24",    1, 65535),
+    rule("acl_2", 10, "permit", "10.0.0.0/8",  "192.168.0.0/24", 8080,  8443),
+    rule("acl_2", 20, "permit", "10.0.0.0/9",  "192.168.0.128/25",  1, 65535),
+    rule("acl_2", 30, "deny",   "10.0.0.0/8",  "192.168.0.0/24",    1, 65535),
+    rule("acl_3", 10, "permit", "10.0.0.0/8",  "192.168.0.0/24",    1, 65535),
+    rule("acl_9", 99, "permit", "10.0.0.0/8",  "192.168.0.0/24",    1, 65535)  // ACL never referenced
+  )
+
+  private val ruleCols = Seq("acl", "rule_seq", "action", "proto",
+    "src_cidr", "src_lo", "src_hi", "dst_cidr", "dst_lo", "dst_hi",
+    "port_lo", "port_hi")
+
+  def rulesDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    ruleset.map(r => (r.acl, r.ruleSeq, r.action, r.proto, r.srcCidr, r.srcLo,
+      r.srcHi, r.dstCidr, r.dstLo, r.dstHi, r.portLo, r.portHi))
+      .toDF(ruleCols: _*)
+  }
+
+  /** The identical ruleset as a SQL VALUES literal — generated from the same
+    * constants so Spark and the DuckDB oracle can never drift. */
+  def rulesSqlCte: String = {
+    val rows = ruleset.map(r =>
+      s"('${r.acl}', ${r.ruleSeq}, '${r.action}', '${r.proto}', " +
+      s"'${r.srcCidr}', ${r.srcLo}, ${r.srcHi}, " +
+      s"'${r.dstCidr}', ${r.dstLo}, ${r.dstHi}, ${r.portLo}, ${r.portHi})")
+      .mkString(", ")
+    s"rules(${ruleCols.mkString(", ")}) AS (SELECT * FROM (VALUES $rows))"
+  }
+
+  /** Deterministic connection-log derivation from `events` (FIXTURES.md §2).
+    * FLOOR before the bigint cast: Spark's double→long cast truncates while
+    * DuckDB's rounds half-even, so the truncation must be explicit. */
+  def fwEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      col("event_id"),
+      col("ts"),
+      (lit(167772160L) + (col("user_id") % 256) * 256 + (col("event_id") % 256))
+        .as("src_ip"),
+      (lit(3232235520L) + (floor(col("value")).cast("long") % 256)).as("dst_ip"),
+      when(col("event_type") === "view", 80)
+        .when(col("event_type") === "click", 443)
+        .when(col("event_type") === "signup", 8443)
+        .when(col("event_type") === "purchase", 8080)
+        .otherwise(22).as("dst_port"),
+      lit("tcp").as("proto"),
+      concat(lit("acl_"), (col("user_id") % 4).cast("string")).as("acl"))
+
+  val fwSqlCte: String =
+    """fw AS (SELECT event_id, ts,
+      |  167772160 + (user_id % 256) * 256 + (event_id % 256) AS src_ip,
+      |  3232235520 + (CAST(FLOOR(value) AS BIGINT) % 256) AS dst_ip,
+      |  CASE event_type WHEN 'view' THEN 80 WHEN 'click' THEN 443
+      |    WHEN 'signup' THEN 8443 WHEN 'purchase' THEN 8080 ELSE 22 END AS dst_port,
+      |  'tcp' AS proto,
+      |  'acl_' || CAST(user_id % 4 AS VARCHAR) AS acl
+      |FROM events)""".stripMargin
+
+  private val matchCondSql =
+    """e.acl = r.acl AND e.proto = r.proto
+      |  AND e.src_ip BETWEEN r.src_lo AND r.src_hi
+      |  AND e.dst_ip BETWEEN r.dst_lo AND r.dst_hi
+      |  AND e.dst_port BETWEEN r.port_lo AND r.port_hi""".stripMargin
+
+  /** All (event, rule) candidate pairs — BroadcastHashJoin keyed on (acl,
+    * proto) with the range predicates as join residuals. */
+  private def candidates(spark: SparkSession, dir: String): DataFrame =
+    fwEvents(spark, dir).alias("e")
+      .join(broadcast(rulesDf(spark)).alias("r"), expr(matchCondSql))
+
+  /** First-match disambiguation: the reference's ordered linear scan ==
+    * min(rule_seq) over the candidate set, grouped per event. Keeps src/ts
+    * via min() (constant within an event's group). */
+  def firstMatch(spark: SparkSession, dir: String): DataFrame =
+    candidates(spark, dir)
+      .groupBy(col("e.event_id").as("event_id"), col("e.acl").as("acl"))
+      .agg(min(col("r.rule_seq")).as("rule_seq"),
+        min(col("e.src_ip")).as("src_ip"),
+        min(col("e.ts")).as("ts"))
+
+  private def hits(spark: SparkSession, dir: String): DataFrame =
+    firstMatch(spark, dir).groupBy("acl", "rule_seq")
+      .agg(count(lit(1)).as("hits"))
+
+  private val firstMatchSqlCte: String =
+    s"""matched AS (
+       |  SELECT e.event_id, e.acl, MIN(r.rule_seq) AS rule_seq,
+       |         MIN(e.src_ip) AS src_ip, MIN(e.ts) AS ts
+       |  FROM fw e JOIN rules r ON $matchCondSql
+       |  GROUP BY e.event_id, e.acl),
+       |hits AS (SELECT acl, rule_seq, COUNT(*) AS hits FROM matched GROUP BY acl, rule_seq)""".stripMargin
+
+  private def withCtes(body: String): String =
+    s"WITH $fwSqlCte, $rulesSqlCte, $firstMatchSqlCte $body"
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fw_parse" -> ((s, d) => fwEvents(s, d).orderBy("event_id")),
+    "fw_first_match" -> ((s, d) =>
+      firstMatch(s, d).select("event_id", "acl", "rule_seq").orderBy("event_id")),
+    "fw_hit_count" -> ((s, d) => hits(s, d).orderBy("acl", "rule_seq")),
+    "fw_unused_rules" -> ((s, d) =>
+      rulesDf(s).join(hits(s, d), Seq("acl", "rule_seq"), "left_anti")
+        .select("acl", "rule_seq", "action", "src_cidr", "dst_cidr")
+        .orderBy("acl", "rule_seq")),
+    "fw_usage_report" -> ((s, d) => usageReport(s, d)),
+    "fw_per_rule_stats" -> ((s, d) =>
+      firstMatch(s, d).groupBy("acl", "rule_seq")
+        .agg(count(lit(1)).as("hits"),
+          countDistinct(col("src_ip")).as("distinct_sources"),
+          min(col("ts")).as("first_seen"),
+          max(col("ts")).as("last_seen"))
+        .orderBy("acl", "rule_seq"))
+  )
+
+  /** The flagship: every configured rule with its hit count (0 if never hit),
+    * busiest first — the reference's final report (SURVEY §7.2). */
+  def usageReport(spark: SparkSession, dir: String): DataFrame =
+    rulesDf(spark)
+      .join(hits(spark, dir), Seq("acl", "rule_seq"), "left_outer")
+      .select(col("acl"), col("rule_seq"), col("action"), col("src_cidr"),
+        col("dst_cidr"), col("port_lo"), col("port_hi"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+      .orderBy(desc("hits"), asc("acl"), asc("rule_seq"))
+
+  def oracleSql: Map[String, String] = Map(
+    "fw_parse" ->
+      s"WITH $fwSqlCte SELECT * FROM fw ORDER BY event_id",
+    "fw_first_match" -> withCtes(
+      "SELECT event_id, acl, rule_seq FROM matched ORDER BY event_id"),
+    "fw_hit_count" -> withCtes(
+      "SELECT acl, rule_seq, hits FROM hits ORDER BY acl, rule_seq"),
+    "fw_unused_rules" -> withCtes(
+      """SELECT r.acl, r.rule_seq, r.action, r.src_cidr, r.dst_cidr
+        |FROM rules r WHERE NOT EXISTS (
+        |  SELECT 1 FROM hits h WHERE h.acl = r.acl AND h.rule_seq = r.rule_seq)
+        |ORDER BY r.acl, r.rule_seq""".stripMargin),
+    "fw_usage_report" -> withCtes(
+      """SELECT r.acl, r.rule_seq, r.action, r.src_cidr, r.dst_cidr,
+        |       r.port_lo, r.port_hi, COALESCE(h.hits, 0) AS hits
+        |FROM rules r LEFT JOIN hits h ON h.acl = r.acl AND h.rule_seq = r.rule_seq
+        |ORDER BY COALESCE(h.hits, 0) DESC, r.acl, r.rule_seq""".stripMargin),
+    "fw_per_rule_stats" -> withCtes(
+      """SELECT acl, rule_seq, COUNT(*) AS hits,
+        |       COUNT(DISTINCT src_ip) AS distinct_sources,
+        |       MIN(ts) AS first_seen, MAX(ts) AS last_seen
+        |FROM matched GROUP BY acl, rule_seq ORDER BY acl, rule_seq""".stripMargin)
+  )
+}

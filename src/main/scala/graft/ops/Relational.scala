@@ -1,0 +1,405 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Relational operator inventory, SURVEY.md §2 Part B2–B7: filters, joins,
+  * aggregations, windows, sort/limit, set ops — each as an oracle-checked
+  * query over the TPC-H-ish tables.
+  *
+  * Determinism discipline (SURVEY §7.5): money/double aggregates go through
+  * DECIMAL(18,4) pre-casts (exact, summation-order-independent — a raw
+  * SUM(double) varies with partitioning); averages are decimal-sum → double →
+  * ÷count (each step IEEE-deterministic and engine-agnostic); every query ends
+  * in a total ORDER BY mirrored verbatim in the oracle SQL.
+  */
+object Relational {
+
+  /** Exact, order-independent money aggregate: SUM(CAST(x AS DECIMAL(18,4))). */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,4)"))
+
+  /** Deterministic average: exact decimal sum, cast to double, divided by
+    * count. Never AVG(double) (partition-order-dependent) and never decimal
+    * division (DuckDB returns DOUBLE for decimal/int, Spark returns decimal). */
+  private def davg(c: Column): Column =
+    dsum(c).cast("double") / count(lit(1))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ------------------------------------------------ B2 filters
+    "filter_compound" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity").between(10, 20)
+          && col("l_returnflag").isin("A", "R")
+          && !(col("l_discount") < 0.02)
+          && col("l_shipdate").isNotNull)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+          "l_returnflag")
+        // (l_orderkey, l_linenumber) is NOT unique in this synthetic data —
+        // order by every output column so the order is total up to exact-
+        // duplicate (interchangeable) rows.
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+          "l_returnflag")),
+
+    "filter_like" -> ((s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_name").like("%bolt%") && col("p_brand").rlike("Brand#1[0-9]"))
+        .select("p_partkey", "p_name", "p_type")
+        .orderBy("p_partkey")),
+
+    // ------------------------------------------------ B3 joins
+    "join_broadcast_inner" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "c_name", "n_name")
+        .orderBy("c_custkey")),
+
+    "join_shuffle_inner" -> ((s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("o_orderkey")),
+
+    "join_left_outer" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_big_orders"),
+          dsum(coalesce(col("o_totalprice"), lit(0))).as("big_total"))
+        .orderBy("c_custkey")),
+
+    "join_full_outer" -> ((s, d) => {
+      val sup = Tables.supplier(s, d).groupBy(col("s_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_suppliers"))
+      val cus = Tables.customer(s, d).filter(col("c_acctbal") > 9000)
+        .groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_rich_customers"))
+      sup.join(cus, Seq("nk"), "full")
+        .select(col("nk"), coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"),
+          coalesce(col("n_rich_customers"), lit(0L)).as("n_rich_customers"))
+        .orderBy("nk")
+    }),
+
+    "join_left_semi" -> ((s, d) =>
+      Tables.part(s, d)
+        .join(Tables.lineitem(s, d).filter(col("l_quantity") >= 49),
+          col("p_partkey") === col("l_partkey"), "left_semi")
+        .select("p_partkey", "p_name", "p_retailprice")
+        .orderBy("p_partkey")),
+
+    // Natural FK anti-joins are empty on this referentially-complete data
+    // (FIXTURES.md §1) — restrict the right side so the result is non-trivial.
+    "join_left_anti" -> ((s, d) =>
+      Tables.part(s, d)
+        .join(Tables.lineitem(s, d)
+            .filter(col("l_shipdate") >= lit("2001-01-01 00:00:00").cast("timestamp")),
+          col("p_partkey") === col("l_partkey"), "left_anti")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")),
+
+    "join_theta_range" -> ((s, d) =>
+      // band join: orders priced within a part-price band — keep the small
+      // side broadcastable (5-row dim) so this plans as BroadcastNestedLoop.
+      Tables.orders(s, d).alias("o")
+        .join(broadcast(Tables.region(s, d)).alias("r"),
+          expr("o.o_totalprice >= 50000.0 * r.r_regionkey AND " +
+               "o.o_totalprice <  50000.0 * (r.r_regionkey + 1)"))
+        .groupBy(col("r.r_regionkey").as("price_band"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o.o_totalprice")).as("band_total"))
+        .orderBy("price_band")),
+
+    "join_cross" -> ((s, d) =>
+      Tables.region(s, d).alias("a").crossJoin(Tables.region(s, d).alias("b"))
+        .select(col("a.r_name").as("name_a"), col("b.r_name").as("name_b"))
+        .orderBy("name_a", "name_b")),
+
+    // as-of join: for each order, the customer's latest event at-or-before a
+    // fixed pivot instant — no native as-of in either engine, so both sides
+    // use the identical max()-per-key formulation (SURVEY B3.9).
+    "join_asof" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("ts") <= lit("2024-01-15 00:00:00").cast("timestamp"))
+        .groupBy(col("user_id"))
+        .agg(max(col("ts")).as("asof_ts"))
+      Tables.customer(s, d).alias("c")
+        .join(ev.alias("e"), col("c_custkey") % 1000 === col("user_id"), "left")
+        .select(col("c_custkey"), col("user_id"), col("asof_ts"))
+        .orderBy("c_custkey")
+    }),
+
+    "join_interval" -> ((s, d) => {
+      // events of the same user within 5 minutes of a purchase event
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("p_event"),
+          col("ts").as("p_ts"))
+      ev.alias("e").join(purchases.alias("p"),
+          col("e.user_id") === col("p_user")
+            && col("e.event_id") =!= col("p_event")
+            && col("e.ts").between(
+              col("p_ts") - expr("INTERVAL 5 MINUTES"),
+              col("p_ts") + expr("INTERVAL 5 MINUTES")))
+        .select(col("p_event"), col("e.event_id").as("nearby_event"),
+          col("e.event_type").as("nearby_type"))
+        .orderBy("p_event", "nearby_event")
+    }),
+
+    // ------------------------------------------------ B4 aggregations
+    "agg_basic" -> ((s, d) =>
+      // TPC-H Q1 pricing summary
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("sum_disc_price"),
+          // triple product of 2-decimal values has 6 decimal digits — casting
+          // the double product at scale 4 hits exact …50 ties where Spark
+          // (HALF_UP) and DuckDB (half-even) disagree. Casting each factor
+          // first makes the decimal product exact: no rounding ever happens.
+          sum(col("l_extendedprice").cast("decimal(12,4)")
+            * (lit(1) - col("l_discount")).cast("decimal(6,4)")
+            * (lit(1) + col("l_tax")).cast("decimal(6,4)")).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "agg_count_distinct" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")),
+
+    "agg_minmax_by" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(max_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey")))
+          .as("best_order"),
+          min_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey")))
+            .as("worst_order"))
+        .orderBy("o_custkey")),
+
+    "agg_collect" -> ((s, d) =>
+      Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(array_join(sort_array(collect_set(col("n_name"))), ",")
+          .as("nations"))
+        .orderBy("r_name")),
+
+    // ------------------------------------------------ B6 sort/limit/topk
+    "sort_global" -> ((s, d) =>
+      Tables.supplier(s, d)
+        .select("s_suppkey", "s_nationkey", "s_acctbal")
+        .orderBy(desc("s_nationkey"), asc("s_acctbal"), asc("s_suppkey"))),
+
+    "topk" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(10)),
+
+    "limit_offset" -> ((s, d) =>
+      Tables.customer(s, d)
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+        .offset(20).limit(10)),
+
+    // ------------------------------------------------ B7 set ops
+    "set_union_all" -> ((s, d) => {
+      val a = Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+      val b = Tables.supplier(s, d).select(col("s_nationkey").as("nk"))
+      a.unionByName(b).groupBy("nk").agg(count(lit(1)).as("n"))
+        .orderBy("nk")
+    }),
+
+    "set_union_distinct" -> ((s, d) => {
+      val a = Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+      val b = Tables.supplier(s, d).select(col("s_nationkey").as("nk"))
+      a.union(b).distinct().orderBy("nk")
+    }),
+
+    "set_intersect" -> ((s, d) => {
+      val a = Tables.customer(s, d).filter(col("c_acctbal") > 5000)
+        .select(col("c_nationkey").as("nk"))
+      val b = Tables.supplier(s, d).filter(col("s_acctbal") > 5000)
+        .select(col("s_nationkey").as("nk"))
+      a.intersect(b).orderBy("nk")
+    }),
+
+    "set_except" -> ((s, d) => {
+      val a = Tables.nation(s, d).select(col("n_nationkey").as("nk"))
+      val b = Tables.customer(s, d).filter(col("c_acctbal") > 9900)
+        .select(col("c_nationkey").as("nk"))
+      a.except(b).orderBy("nk")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "filter_compound" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
+        |FROM lineitem
+        |WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag IN ('A','R')
+        |  AND NOT (l_discount < 0.02) AND l_shipdate IS NOT NULL
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag""".stripMargin,
+
+    "filter_like" ->
+      """SELECT p_partkey, p_name, p_type FROM part
+        |WHERE p_name LIKE '%bolt%' AND regexp_matches(p_brand, 'Brand#1[0-9]')
+        |ORDER BY p_partkey""".stripMargin,
+
+    "join_broadcast_inner" ->
+      """SELECT c_custkey, c_name, n_name
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_shuffle_inner" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey, o_orderpriority
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "join_left_outer" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_big_orders,
+        |  SUM(CAST(COALESCE(o_totalprice, 0) AS DECIMAL(18,4))) AS big_total
+        |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o
+        |  ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "join_full_outer" ->
+      """SELECT COALESCE(s.nk, c.nk) AS nk,
+        |  COALESCE(n_suppliers, 0) AS n_suppliers,
+        |  COALESCE(n_rich_customers, 0) AS n_rich_customers
+        |FROM (SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers FROM supplier GROUP BY 1) s
+        |FULL OUTER JOIN (SELECT c_nationkey AS nk, COUNT(*) AS n_rich_customers
+        |  FROM customer WHERE c_acctbal > 9000 GROUP BY 1) c USING (nk)
+        |ORDER BY nk""".stripMargin,
+
+    "join_left_semi" ->
+      """SELECT p_partkey, p_name, p_retailprice FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_partkey = p_partkey AND l_quantity >= 49)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "join_left_anti" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_partkey = p_partkey AND l_shipdate >= TIMESTAMP '2001-01-01 00:00:00')
+        |ORDER BY p_partkey""".stripMargin,
+
+    "join_theta_range" ->
+      """SELECT r.r_regionkey AS price_band, COUNT(*) AS n_orders,
+        |  SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS band_total
+        |FROM orders o JOIN region r
+        |  ON o.o_totalprice >= 50000.0 * r.r_regionkey
+        | AND o.o_totalprice <  50000.0 * (r.r_regionkey + 1)
+        |GROUP BY 1 ORDER BY price_band""".stripMargin,
+
+    "join_cross" ->
+      """SELECT a.r_name AS name_a, b.r_name AS name_b
+        |FROM region a CROSS JOIN region b
+        |ORDER BY name_a, name_b""".stripMargin,
+
+    "join_asof" ->
+      """SELECT c_custkey, user_id, asof_ts
+        |FROM customer c LEFT JOIN (
+        |  SELECT user_id, MAX(ts) AS asof_ts FROM events
+        |  WHERE ts <= TIMESTAMP '2024-01-15 00:00:00' GROUP BY user_id) e
+        |ON c_custkey % 1000 = e.user_id
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_interval" ->
+      """SELECT p.p_event AS p_event, e.event_id AS nearby_event,
+        |  e.event_type AS nearby_type
+        |FROM events e JOIN (SELECT user_id AS p_user, event_id AS p_event, ts AS p_ts
+        |  FROM events WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.p_user AND e.event_id <> p.p_event
+        | AND e.ts BETWEEN p.p_ts - INTERVAL 5 MINUTE AND p.p_ts + INTERVAL 5 MINUTE
+        |ORDER BY p_event, nearby_event""".stripMargin,
+
+    "agg_basic" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
+        |  SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(6,4)) * CAST(1 + l_tax AS DECIMAL(6,4))) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "agg_count_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "agg_minmax_by" ->
+      // DuckDB 1.0's arg_max can't order by a struct; the window formulation
+      // below has identical first-match-by-(price,key) semantics.
+      """WITH ranked AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rb,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice ASC, o_orderkey ASC) AS rw
+        |  FROM orders)
+        |SELECT o_custkey,
+        |  MAX(CASE WHEN rb = 1 THEN o_orderkey END) AS best_order,
+        |  MAX(CASE WHEN rw = 1 THEN o_orderkey END) AS worst_order
+        |FROM ranked GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "agg_collect" ->
+      """SELECT r_name, array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "sort_global" ->
+      """SELECT s_suppkey, s_nationkey, s_acctbal FROM supplier
+        |ORDER BY s_nationkey DESC, s_acctbal ASC, s_suppkey ASC""".stripMargin,
+
+    "topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "limit_offset" ->
+      """SELECT c_custkey, c_name FROM customer
+        |ORDER BY c_custkey LIMIT 10 OFFSET 20""".stripMargin,
+
+    "set_union_all" ->
+      """SELECT nk, COUNT(*) AS n FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  UNION ALL SELECT s_nationkey FROM supplier)
+        |GROUP BY nk ORDER BY nk""".stripMargin,
+
+    "set_union_distinct" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |UNION SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin,
+
+    "set_intersect" ->
+      """SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 5000
+        |INTERSECT SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000
+        |ORDER BY nk""".stripMargin,
+
+    "set_except" ->
+      """SELECT n_nationkey AS nk FROM nation
+        |EXCEPT SELECT c_nationkey FROM customer WHERE c_acctbal > 9900
+        |ORDER BY nk""".stripMargin
+  )
+}
