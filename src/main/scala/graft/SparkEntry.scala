@@ -14,6 +14,7 @@ object SparkEntry {
   private def modules = Seq(
     domain.Fw.queries,
     ops.Relational.queries,
+    ops.Windows.queries,
     ops.Scalars.queries,
     text.TextOps.queries,
     sim.Similarity.queries
@@ -22,6 +23,7 @@ object SparkEntry {
   private def oracleModules = Seq(
     domain.Fw.oracleSql,
     ops.Relational.oracleSql,
+    ops.Windows.oracleSql,
     ops.Scalars.oracleSql,
     text.TextOps.oracleSql,
     sim.Similarity.oracleSql

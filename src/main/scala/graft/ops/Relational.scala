@@ -191,6 +191,33 @@ object Relational {
             .as("worst_order"))
         .orderBy("o_custkey")),
 
+    "agg_grouping_sets" -> ((s, d) =>
+      // subtotal lattice: rollup → (region, nation), (region), (grand).
+      // Subtotal NULLs are coalesced to a sentinel so null-ordering semantics
+      // (Spark NULLS FIRST vs DuckDB NULLS LAST) never enter the compare.
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("total_bal"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+          coalesce(col("n_name"), lit("ALL")).as("nation"),
+          col("n_customers"), col("total_bal"))
+        .orderBy("region", "nation")),
+
+    "agg_pivot" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = Tables.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      p.select(col("user_id") +: types.map(t =>
+          coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy("user_id")
+    }),
+
     "agg_collect" -> ((s, d) =>
       Tables.nation(s, d)
         .join(broadcast(Tables.region(s, d)),
@@ -364,6 +391,25 @@ object Relational {
         |  MAX(CASE WHEN rb = 1 THEN o_orderkey END) AS best_order,
         |  MAX(CASE WHEN rw = 1 THEN o_orderkey END) AS worst_order
         |FROM ranked GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "agg_grouping_sets" ->
+      """SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
+        |  COUNT(*) AS n_customers,
+        |  SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS total_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY region, nation""".stripMargin,
+
+    "agg_pivot" ->
+      """SELECT user_id,
+        |  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+        |  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+        |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+        |  SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+        |  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "agg_collect" ->
       """SELECT r_name, array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations

@@ -1,9 +1,231 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, MapType, StringType}
 
-/** SURVEY.md §2 B8 scalar-function families — filled in phase P3. */
+import graft.core.Tables
+
+/** Scalar-function families, SURVEY.md §2 B8 — one composite oracle query per
+  * family. Every Spark↔DuckDB function pair below was probed empirically
+  * (SURVEY §7.5.6); known divergences handled in the oracle SQL:
+  *  - DuckDB `^` is power, not xor → `xor(a,b)`;
+  *  - DuckDB ceil/floor(double) return DOUBLE, Spark returns BIGINT → cast;
+  *  - DuckDB date_trunc on timestamp returns DATE for day+ units → cast;
+  *  - DuckDB dayofweek is 0=Sunday, Spark is 1=Sunday → +1;
+  *  - DuckDB regexp_replace is first-match unless 'g' → pass 'g';
+  *  - round() on doubles differs at ties → never used in oracle outputs.
+  */
 object Scalars {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracleSql: Map[String, String] = Map()
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "fn_string" -> ((s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        lower(col("p_name")).as("lower_name"),
+        upper(col("p_brand")).as("upper_brand"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_name"), 1, 5).as("name_pfx"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        lpad(col("p_partkey").cast("string"), 8, "0").as("padded_key"),
+        regexp_replace(col("p_name"), "[aeiou]", "*").as("starred"),
+        translate(col("p_name"), "abc", "xyz").as("translated"),
+        trim(concat(lit("  "), col("p_name"), lit("  "))).as("trimmed"),
+        element_at(split(col("p_name"), " "), 1).as("first_word"))
+        .orderBy("p_partkey")),
+
+    "fn_datetime" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        year(col("ts")).as("yr"),
+        month(col("ts")).as("mo"),
+        dayofmonth(col("ts")).as("dom"),
+        hour(col("ts")).as("hr"),
+        minute(col("ts")).as("mi"),
+        dayofweek(col("ts")).as("dow"),
+        date_trunc("day", col("ts")).as("day_start"),
+        date_trunc("month", col("ts")).as("month_start"),
+        make_date(year(col("ts")), month(col("ts")), lit(1)).as("month_date"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+          .as("days_since"),
+        unix_micros(col("ts")).as("epoch_us"))
+        .orderBy("event_id")),
+
+    "fn_math" -> ((s, d) =>
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        abs(col("c_acctbal")).as("abs_bal"),
+        signum(col("c_acctbal")).as("sign_bal"),
+        ceil(col("c_acctbal")).as("ceil_bal"),
+        floor(col("c_acctbal")).as("floor_bal"),
+        sqrt(abs(col("c_acctbal"))).as("sqrt_bal"),
+        pow(col("c_acctbal"), 2).as("bal_sq"),
+        // ln()/log10() dropped from oracle output: JVM Math.log{,10} and
+        // DuckDB's libm disagree in the last ulp on a few rows per thousand.
+        // They are covered by ScalaTest instead (exactness is not portable).
+        greatest(col("c_acctbal"), lit(0.0)).as("clamped_lo"),
+        least(col("c_acctbal"), lit(5000.0)).as("clamped_hi"))
+        .orderBy("c_custkey")),
+
+    "fn_conditional" -> ((s, d) =>
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        when(col("c_acctbal") < 0, "overdrawn")
+          .when(col("c_acctbal") < 5000, "standard")
+          .otherwise("premium").as("tier"),
+        coalesce(nullif(col("c_mktsegment"), lit("MACHINERY")), lit("OTHER"))
+          .as("segment_or_other"),
+        when(col("c_nationkey") % 2 === 0, col("c_acctbal"))
+          .otherwise(-col("c_acctbal")).as("signed_bal"),
+        (col("c_acctbal").isNull).as("bal_missing"))
+        .orderBy("c_custkey")),
+
+    "fn_array" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        size(array_distinct(split(col("text"), " "))).as("n_distinct_tokens"),
+        array_contains(split(col("text"), " "), "data").as("has_data"),
+        array_join(slice(sort_array(array_distinct(split(col("text"), " "))), 1, 3), " ")
+          .as("first3_sorted"),
+        array_max(transform(split(col("text"), " "), x => length(x)))
+          .as("max_token_len"),
+        aggregate(split(col("text"), " "), lit(0),
+          (acc, x) => acc + length(x)).as("total_chars"))
+        .orderBy("doc_id")),
+
+    "fn_map" -> ((s, d) => {
+      val m = from_json(col("props"), MapType(StringType, IntegerType))
+      Tables.events(s, d).select(
+        col("event_id"),
+        element_at(m, "k").as("k_value"),
+        array_join(map_keys(m), ",").as("keys"),
+        size(m).as("n_entries"))
+        .orderBy("event_id")
+    }),
+
+    "fn_json" -> ((s, d) => {
+      val parsed = from_json(col("props"),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k", IntegerType))))
+      Tables.events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        parsed.getField("k").as("k_int"),
+        (parsed.getField("k") % 10).as("k_mod"))
+        .orderBy("event_id")
+    }),
+
+    "fn_bitip" -> ((s, d) => {
+      val ip = lit(167772160L) + (col("user_id") % 256) * 256 + (col("event_id") % 256)
+      Tables.events(s, d).select(
+        col("event_id"),
+        col("event_id").bitwiseAND(lit(255L)).as("lo_byte"),
+        col("event_id").bitwiseOR(lit(16L)).as("with_flag"),
+        col("event_id").bitwiseXOR(lit(255L)).as("xored"),
+        expr("~event_id").as("inverted"),
+        shiftleft(col("event_id"), 2).as("shl2"),
+        shiftright(col("event_id"), 3).as("shr3"),
+        concat_ws(".",
+          shiftright(ip, 24).bitwiseAND(lit(255L)),
+          shiftright(ip, 16).bitwiseAND(lit(255L)),
+          shiftright(ip, 8).bitwiseAND(lit(255L)),
+          ip.bitwiseAND(lit(255L))).as("src_ip_str"))
+        .orderBy("event_id")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "fn_string" ->
+      """SELECT p_partkey,
+        |  lower(p_name) AS lower_name,
+        |  upper(p_brand) AS upper_brand,
+        |  length(p_name) AS name_len,
+        |  substring(p_name, 1, 5) AS name_pfx,
+        |  concat_ws('-', p_brand, p_type) AS brand_type,
+        |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded_key,
+        |  regexp_replace(p_name, '[aeiou]', '*', 'g') AS starred,
+        |  translate(p_name, 'abc', 'xyz') AS translated,
+        |  trim('  ' || p_name || '  ') AS trimmed,
+        |  string_split(p_name, ' ')[1] AS first_word
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "fn_datetime" ->
+      """SELECT event_id,
+        |  year(ts) AS yr, month(ts) AS mo, day(ts) AS dom,
+        |  hour(ts) AS hr, minute(ts) AS mi,
+        |  dayofweek(ts) + 1 AS dow,
+        |  CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+        |  CAST(date_trunc('month', ts) AS TIMESTAMP) AS month_start,
+        |  make_date(year(ts), month(ts), 1) AS month_date,
+        |  datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS days_since,
+        |  epoch_us(ts) AS epoch_us
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "fn_math" ->
+      """SELECT c_custkey,
+        |  abs(c_acctbal) AS abs_bal,
+        |  CAST(sign(c_acctbal) AS DOUBLE) AS sign_bal,
+        |  CAST(ceil(c_acctbal) AS BIGINT) AS ceil_bal,
+        |  CAST(floor(c_acctbal) AS BIGINT) AS floor_bal,
+        |  sqrt(abs(c_acctbal)) AS sqrt_bal,
+        |  pow(c_acctbal, 2) AS bal_sq,
+        |  greatest(c_acctbal, 0.0) AS clamped_lo,
+        |  least(c_acctbal, 5000.0) AS clamped_hi
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "fn_conditional" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+        |       WHEN c_acctbal < 5000 THEN 'standard'
+        |       ELSE 'premium' END AS tier,
+        |  COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'OTHER') AS segment_or_other,
+        |  CASE WHEN c_nationkey % 2 = 0 THEN c_acctbal ELSE -c_acctbal END
+        |    AS signed_bal,
+        |  c_acctbal IS NULL AS bal_missing
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "fn_array" ->
+      """SELECT doc_id,
+        |  CAST(length(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |  CAST(length(list_distinct(string_split(text, ' '))) AS INTEGER)
+        |    AS n_distinct_tokens,
+        |  list_contains(string_split(text, ' '), 'data') AS has_data,
+        |  array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], ' ')
+        |    AS first3_sorted,
+        |  CAST(list_max(list_transform(string_split(text, ' '), x -> length(x)))
+        |    AS INTEGER) AS max_token_len,
+        |  CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x)))
+        |    AS INTEGER) AS total_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "fn_map" ->
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS INTEGER) AS k_value,
+        |  'k' AS keys,
+        |  1 AS n_entries
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "fn_json" ->
+      """SELECT event_id,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
+        |  CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_mod
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "fn_bitip" ->
+      """SELECT event_id,
+        |  event_id & 255 AS lo_byte,
+        |  event_id | 16 AS with_flag,
+        |  xor(event_id, 255) AS xored,
+        |  ~event_id AS inverted,
+        |  event_id << 2 AS shl2,
+        |  event_id >> 3 AS shr3,
+        |  concat_ws('.', (ip >> 24) & 255, (ip >> 16) & 255, (ip >> 8) & 255,
+        |    ip & 255) AS src_ip_str
+        |FROM (SELECT event_id,
+        |  167772160 + (user_id % 256) * 256 + (event_id % 256) AS ip
+        |  FROM events) ORDER BY event_id""".stripMargin
+  )
 }

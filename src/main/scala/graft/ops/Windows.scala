@@ -1,0 +1,237 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Window-function inventory, SURVEY.md §2 B5 + the batch twins of the
+  * streaming windows (B10.1–B10.3: tumbling / sliding / session — `window()`
+  * and `session_window()` are plain batch expressions too, so these get full
+  * DuckDB-oracle coverage while the streaming variants live in
+  * [[graft.stream.Streaming]] with batch-equivalence tests).
+  *
+  * Determinism: every window ORDER BY carries a unique tiebreaker key, and
+  * window averages use the decimal-sum→double÷count pattern (see
+  * [[Relational]]).
+  */
+object Windows {
+
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,4)"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "win_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    }),
+
+    "win_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(asc("ts"), asc("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"),
+          lag(col("event_type"), 1).over(w).as("prev_type"),
+          lead(col("event_type"), 1).over(w).as("next_type"),
+          (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+            .as("gap_us"))
+        .withColumn("new_session",
+          coalesce(col("gap_us") > 1800L * 1000000L, lit(true)))
+        .orderBy("user_id", "ts", "event_id")
+    }),
+
+    "win_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(asc("ts"), asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          dsum(col("value")).over(w).as("running_value"),
+          count(lit(1)).over(w).as("running_n"))
+        .orderBy("user_id", "ts", "event_id")
+    }),
+
+    "win_sliding_avg" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(asc("ts"), asc("event_id"))
+        .rowsBetween(-3, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          (dsum(col("value")).over(w).cast("double")
+            / count(lit(1)).over(w)).as("moving_avg"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    "win_range_frame" -> ((s, d) => {
+      // value-based frame: orders within $10k below each order's price,
+      // same customer — frame content depends only on values, so ties in
+      // o_totalprice are harmless.
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(asc("o_totalprice"))
+        .rangeBetween(-10000, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          count(lit(1)).over(w).as("n_in_band"),
+          dsum(col("o_totalprice")).over(w).as("band_total"))
+        .orderBy("o_orderkey")
+    }),
+
+    "win_ntile_pct" -> ((s, d) => {
+      val w = Window.partitionBy(col("s_nationkey"))
+        .orderBy(asc("s_acctbal"), asc("s_suppkey"))
+      Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy("s_suppkey")
+    }),
+
+    "topk_per_group" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(desc("c_acctbal"), asc("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy("c_nationkey", "rn")
+    }),
+
+    // ------------------------------------------- batch twins of streaming
+    "win_tumbling" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .select(col("window.start").as("bucket_start"), col("event_type"),
+          col("n"), col("total_value"))
+        .orderBy("bucket_start", "event_type")),
+
+    "win_sliding" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .select(col("window.start").as("bucket_start"), col("n"),
+          col("total_value"))
+        .orderBy("bucket_start")),
+
+    "win_session" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("session_value"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("n_events"), col("session_value"))
+        .orderBy("user_id", "session_start"))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "win_rank" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+        |    row_number() OVER w AS rn
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC))
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "win_lag_lead" ->
+      """SELECT user_id, event_id, ts, event_type,
+        |  lag(event_type, 1) OVER w AS prev_type,
+        |  lead(event_type, 1) OVER w AS next_type,
+        |  epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS gap_us,
+        |  COALESCE(epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) > 1800000000, TRUE)
+        |    AS new_session
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+
+    "win_running_sum" ->
+      """SELECT user_id, event_id, ts,
+        |  SUM(CAST(value AS DECIMAL(18,4))) OVER w AS running_value,
+        |  COUNT(*) OVER w AS running_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+
+    "win_sliding_avg" ->
+      """SELECT user_id, event_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+        |    / COUNT(*) OVER w AS moving_avg
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "win_range_frame" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  COUNT(*) OVER w AS n_in_band,
+        |  SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS band_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC
+        |  RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "win_ntile_pct" ->
+      """SELECT s_suppkey, s_nationkey,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM supplier
+        |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal ASC, s_suppkey ASC)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "topk_per_group" ->
+      """SELECT * FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+        |  FROM customer)
+        |WHERE rn <= 3 ORDER BY c_nationkey, rn""".stripMargin,
+
+    "win_tumbling" ->
+      """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket_start, event_type,
+        |  COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,4))) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY bucket_start, event_type""".stripMargin,
+
+    // a 1h-window/15min-slide event lands in the 4 slide-aligned buckets
+    // covering it — reproduce via a 0..3 offset fan-out
+    "win_sliding" ->
+      """SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k.k * INTERVAL 15 MINUTE
+        |    AS bucket_start,
+        |  COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,4))) AS total_value
+        |FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) k(k)
+        |WHERE ts >= time_bucket(INTERVAL 15 MINUTE, ts) - k.k * INTERVAL 15 MINUTE
+        |  AND ts <  time_bucket(INTERVAL 15 MINUTE, ts) - k.k * INTERVAL 15 MINUTE
+        |        + INTERVAL 1 HOUR
+        |GROUP BY 1 ORDER BY bucket_start""".stripMargin,
+
+    // session_window(gap 30min) == gaps-and-islands with a 30min threshold
+    "win_session" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+        |  SUM(CAST(value AS DECIMAL(18,4))) AS session_value
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin
+  )
+}
