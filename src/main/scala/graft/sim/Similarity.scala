@@ -1,9 +1,115 @@
 package graft.sim
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** SURVEY.md §2 B9 similarity/dedup — filled in phase P5. */
+import graft.core.Tables
+
+/** Similarity search and near-dup joins — SURVEY.md §2 B9.2–B9.4.
+  *
+  * Oracle-eligible members here are the exact ones: brute-force cosine top-k,
+  * blocked levenshtein string-similarity join, blocked token-Jaccard join.
+  * The approximate members (MinHash/LSH, SimHash, IVF ANN) are in
+  * [[MinHash]] / [[Ann]] with property tests instead (hash-impl-specific
+  * outputs can't be oracle'd — SURVEY §7.5.7).
+  *
+  * Determinism: dot products fold left-to-right from a 0.0 init on both
+  * engines (Spark `aggregate` ≡ DuckDB `list_reduce`, since 0.0+x1 ≡ x1),
+  * giving bit-identical IEEE results; all pair joins use blocking keys so
+  * they scale (never an unblocked O(n²) cross join).
+  */
 object Similarity {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracleSql: Map[String, String] = Map()
+
+  /** Exact dot product of two double arrays with deterministic fold order. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Brute-force exact cosine top-k against a probe vector (vec_id 0).
+    // The broadcast probe keeps this a single narrow map over the corpus +
+    // TakeOrderedAndProject — the right baseline shape at any scale.
+    "sim_cosine_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val probe = broadcast(emb.filter(col("vec_id") === 0)
+        .select(col("v").as("p")))
+      emb.filter(col("vec_id") =!= 0)
+        .crossJoin(probe)
+        .select(col("vec_id"),
+          (dot(col("v"), col("p"))
+            / (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("p"), col("p")))))
+            .as("cosine"))
+        .orderBy(desc("cosine"), asc("vec_id"))
+        .limit(20)
+    }),
+
+    // String-similarity self-join, blocked on the first token (an LSH-style
+    // blocking key — never an unblocked cross join) + levenshtein filter.
+    "sim_string_join" -> ((s, d) => {
+      val p = Tables.part(s, d)
+        .select(col("p_partkey").as("key"), col("p_name").as("name"),
+          element_at(split(col("p_name"), " "), -1).as("block"))
+      p.alias("a").join(p.alias("b"),
+          col("a.block") === col("b.block")
+            && col("a.key") < col("b.key")
+            && levenshtein(col("a.name"), col("b.name")) <= 3)
+        .select(col("a.key").as("key_a"), col("b.key").as("key_b"),
+          col("a.name").as("name_a"), col("b.name").as("name_b"),
+          levenshtein(col("a.name"), col("b.name")).as("dist"))
+        .orderBy("key_a", "key_b")
+    }),
+
+    // Token-set Jaccard near-dup join, blocked by source.
+    "sim_ngram_jaccard" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          array_distinct(split(col("text"), " ")).as("toks"))
+      val joined = docs.alias("a").join(docs.alias("b"),
+        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      joined
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          (size(array_intersect(col("a.toks"), col("b.toks"))).cast("double")
+            / size(array_union(col("a.toks"), col("b.toks")))).as("jaccard"))
+        .filter(col("jaccard") >= 0.6)
+        .orderBy("doc_a", "doc_b")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "sim_cosine_topk" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |probe AS (SELECT v AS p FROM emb WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT vec_id,
+        |    list_reduce(list_transform(list_zip(v, p), z -> z[1] * z[2]),
+        |      (acc, x) -> acc + x)
+        |    / (sqrt(list_reduce(list_transform(list_zip(v, v), z -> z[1] * z[2]),
+        |         (acc, x) -> acc + x))
+        |     * sqrt(list_reduce(list_transform(list_zip(p, p), z -> z[1] * z[2]),
+        |         (acc, x) -> acc + x))) AS cosine
+        |  FROM emb CROSS JOIN probe WHERE vec_id <> 0)
+        |SELECT vec_id, cosine FROM scored
+        |ORDER BY cosine DESC, vec_id ASC LIMIT 20""".stripMargin,
+
+    "sim_string_join" ->
+      """WITH p AS (SELECT p_partkey AS key, p_name AS name,
+        |    string_split(p_name, ' ')[-1] AS block FROM part)
+        |SELECT a.key AS key_a, b.key AS key_b, a.name AS name_a, b.name AS name_b,
+        |  levenshtein(a.name, b.name) AS dist
+        |FROM p a JOIN p b ON a.block = b.block AND a.key < b.key
+        |  AND levenshtein(a.name, b.name) <= 3
+        |ORDER BY key_a, key_b""".stripMargin,
+
+    "sim_ngram_jaccard" ->
+      """WITH docs AS (SELECT doc_id, source,
+        |    list_distinct(string_split(text, ' ')) AS toks FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
+        |FROM docs a JOIN docs b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.6
+        |ORDER BY doc_a, doc_b""".stripMargin
+  )
 }

@@ -1,9 +1,190 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** SURVEY.md §2 B9 text analytics — filled in phase P5. */
+import graft.core.Tables
+
+/** Text-analytics operators over the `documents` table — SURVEY.md §2 B9 and
+  * the training-data-pipeline checklist: token frequencies, per-language
+  * stats, keyword/quality scoring, heuristic language-ID, rolling-hash
+  * document fingerprints, exact dedup.
+  *
+  * All scoring is pure integer/rational arithmetic (counts and single double
+  * divisions) so every query here is DuckDB-oracle eligible. At 100 TB the
+  * shapes are: per-row narrow transforms (no shuffle), one groupBy on a
+  * low-cardinality key (lang/source), and one token-explode aggregation whose
+  * map-side partial aggregation bounds the shuffle by vocabulary size, not
+  * corpus size.
+  */
 object TextOps {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracleSql: Map[String, String] = Map()
+
+  private def tokens: Column = split(col("text"), " ")
+
+  private val keywords = Seq("data", "table", "join", "query", "stream")
+
+  /** Marker-token lists for the heuristic language-ID. Synthetic corpus =
+    * shared vocabulary, so the *prediction* is arbitrary — what matters is
+    * that the rule is deterministic and identically expressed in the oracle. */
+  private val enMarkers = Seq("the", "a", "fast", "slow", "big", "small")
+  private val deMarkers = Seq("der", "die", "das", "und", "schnell")
+  private val frMarkers = Seq("le", "la", "et", "vite", "grand")
+
+  private def hitCount(markers: Seq[String]): Column =
+    size(filter(tokens, t => t.isin(markers.map(lit): _*)))
+
+  private def sqlHits(markers: Seq[String]): String = {
+    val in = markers.map(m => s"'$m'").mkString(", ")
+    s"len(list_filter(string_split(text, ' '), t -> t IN ($in)))"
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "text_tokenize_tf" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(tokens).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("tf"))
+        .orderBy(desc("tf"), asc("token"))),
+
+    "text_lang_stats" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          countDistinct(col("source")).as("n_sources"),
+          (sum(size(tokens)).cast("double") / count(lit(1))).as("avg_tokens"))
+        .orderBy("lang")),
+
+    "text_keyword_score" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          hitCount(keywords).as("kw_hits"),
+          size(tokens).as("n_tokens"))
+        .withColumn("kw_score",
+          col("kw_hits").cast("double") / col("n_tokens"))
+        .orderBy("doc_id")),
+
+    "text_langid" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          hitCount(enMarkers).as("en_hits"),
+          hitCount(deMarkers).as("de_hits"),
+          hitCount(frMarkers).as("fr_hits"))
+        .withColumn("predicted",
+          when(col("en_hits") >= col("de_hits")
+              && col("en_hits") >= col("fr_hits"), "en")
+            .when(col("de_hits") >= col("fr_hits"), "de")
+            .otherwise("fr"))
+        .withColumn("agrees", col("predicted") === col("lang"))
+        .orderBy("doc_id")),
+
+    "text_quality_score" -> ((s, d) => {
+      val nTok = size(tokens)
+      val nDistinct = size(array_distinct(tokens))
+      val longTok = size(filter(tokens, t => length(t) > 5))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          nTok.as("n_tokens"),
+          (nDistinct.cast("double") / nTok).as("diversity"),
+          (longTok.cast("double") / nTok).as("long_ratio"),
+          // chars excluding the single separating spaces
+          ((col("n_chars") - (nTok - 1)).cast("double") / nTok)
+            .as("avg_token_len"))
+        .withColumn("quality",
+          col("diversity") * 0.5 + col("long_ratio") * 0.3
+            + when(col("n_tokens") >= 20, 0.2).otherwise(0.0))
+        .orderBy("doc_id")
+    }),
+
+    // Rolling polynomial hash over the token stream (order-sensitive document
+    // fingerprint). DuckDB's list_reduce has no init (acc0 = first element),
+    // so the Spark side folds slice(2..n) with element 1 as init — the exact
+    // same sequence of (acc*31 + x) % p steps.
+    "text_fingerprint" -> ((s, d) => {
+      val mapped = transform(tokens,
+        t => (length(t) * 131 + ascii(t)).cast("long"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          aggregate(
+            slice(mapped, lit(2), greatest(size(mapped) - 1, lit(0))),
+            element_at(mapped, 1),
+            (acc, x) => (acc * 31 + x) % 1000000007L).as("fingerprint"),
+          md5(col("text")).as("content_md5"))
+        .orderBy("doc_id")
+    }),
+
+    "dedup_exact" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("canonical_doc"),
+          count(lit(1)).as("n_copies"))
+        .select(col("canonical_doc"), col("n_copies"))
+        .orderBy("canonical_doc"))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "text_tokenize_tf" ->
+      """SELECT token, COUNT(*) AS tf
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY tf DESC, token ASC""".stripMargin,
+
+    "text_lang_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+        |  COUNT(DISTINCT source) AS n_sources,
+        |  CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "text_keyword_score" ->
+      s"""SELECT doc_id,
+         |  CAST(${sqlHits(keywords)} AS INTEGER) AS kw_hits,
+         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         |  CAST(${sqlHits(keywords)} AS DOUBLE)
+         |    / len(string_split(text, ' ')) AS kw_score
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_langid" ->
+      s"""SELECT doc_id, lang,
+         |  CAST(${sqlHits(enMarkers)} AS INTEGER) AS en_hits,
+         |  CAST(${sqlHits(deMarkers)} AS INTEGER) AS de_hits,
+         |  CAST(${sqlHits(frMarkers)} AS INTEGER) AS fr_hits,
+         |  CASE WHEN ${sqlHits(enMarkers)} >= ${sqlHits(deMarkers)}
+         |        AND ${sqlHits(enMarkers)} >= ${sqlHits(frMarkers)} THEN 'en'
+         |       WHEN ${sqlHits(deMarkers)} >= ${sqlHits(frMarkers)} THEN 'de'
+         |       ELSE 'fr' END AS predicted,
+         |  (CASE WHEN ${sqlHits(enMarkers)} >= ${sqlHits(deMarkers)}
+         |        AND ${sqlHits(enMarkers)} >= ${sqlHits(frMarkers)} THEN 'en'
+         |       WHEN ${sqlHits(deMarkers)} >= ${sqlHits(frMarkers)} THEN 'de'
+         |       ELSE 'fr' END) = lang AS agrees
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality_score" ->
+      """WITH t AS (SELECT doc_id, n_chars, text,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 5))
+        |      AS INTEGER) AS n_long
+        |  FROM documents)
+        |SELECT doc_id, n_chars, n_tokens,
+        |  CAST(n_distinct AS DOUBLE) / n_tokens AS diversity,
+        |  CAST(n_long AS DOUBLE) / n_tokens AS long_ratio,
+        |  CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len,
+        |  (CAST(n_distinct AS DOUBLE) / n_tokens) * 0.5
+        |    + (CAST(n_long AS DOUBLE) / n_tokens) * 0.3
+        |    + CASE WHEN n_tokens >= 20 THEN 0.2 ELSE 0.0 END AS quality
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_transform(string_split(text, ' '),
+        |      t -> CAST(length(t) * 131 + ascii(t) AS BIGINT)),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint,
+        |  md5(text) AS content_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT MIN(doc_id) AS canonical_doc, COUNT(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY canonical_doc""".stripMargin
+  )
 }
