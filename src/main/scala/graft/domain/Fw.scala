@@ -120,11 +120,22 @@ object Fw {
       |  'acl_' || CAST(user_id % 4 AS VARCHAR) AS acl
       |FROM events)""".stripMargin
 
+  // `proto = 'ip'` in a rule matches any protocol (Cisco semantics).
   private val matchCondSql =
-    """e.acl = r.acl AND e.proto = r.proto
+    """e.acl = r.acl AND (r.proto = 'ip' OR e.proto = r.proto)
       |  AND e.src_ip BETWEEN r.src_lo AND r.src_hi
       |  AND e.dst_ip BETWEEN r.dst_lo AND r.dst_hi
       |  AND e.dst_port BETWEEN r.port_lo AND r.port_hi""".stripMargin
+
+  /** Generic first-match join: `events` needs columns (acl, proto, src_ip,
+    * dst_ip, dst_port) plus a unique `idCol`; `rules` the flat rule schema.
+    * Equi-keyed on acl (BroadcastHashJoin) with range residuals; the
+    * reference's ordered linear scan becomes min(rule_seq) per event. */
+  def matchFirst(events: DataFrame, rules: DataFrame, idCol: String): DataFrame =
+    events.alias("e")
+      .join(broadcast(rules).alias("r"), expr(matchCondSql))
+      .groupBy(col(s"e.$idCol").as(idCol), col("e.acl").as("acl"))
+      .agg(min(col("r.rule_seq")).as("rule_seq"))
 
   /** All (event, rule) candidate pairs — BroadcastHashJoin keyed on (acl,
     * proto) with the range predicates as join residuals. */

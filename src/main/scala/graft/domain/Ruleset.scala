@@ -1,0 +1,132 @@
+package graft.domain
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cisco-style config parsing + object-group expansion — SURVEY.md §2 A2/A6.
+  *
+  * The reference's preprocessing stage parses `access-list` lines from an
+  * ASA/FWSM config, expands `object-group` references into concrete entries,
+  * and numbers each rule by position (first-match order). Config files are
+  * tiny dimensions, so parsing is driver-side Scala (exactly as the
+  * reference is single-process here); the *expansion* — one rule with group
+  * refs becoming N concrete rows — is done distributed-style with `explode`
+  * over the parsed array columns, and the result broadcasts into the match
+  * join ([[Fw.matchFirst]]).
+  *
+  * Grammar (public Cisco syntax subset):
+  * {{{
+  * object-group network <name>
+  *   network-object host <ip>
+  *   network-object <ip> <mask>
+  *   group-object <other-group>
+  * object-group service <name> tcp
+  *   port-object eq <port>
+  *   port-object range <lo> <hi>
+  * access-list <acl> extended <permit|deny> <proto> <src> <dst> [<ports>]
+  *   where <src>/<dst> ::= any | host <ip> | <ip> <mask> | object-group <g>
+  *         <ports>     ::= eq <p> | range <lo> <hi> | object-group <svc>
+  * }}}
+  */
+object Ruleset {
+
+  final case class NetEntry(cidr: String, lo: Long, hi: Long)
+  final case class PortEntry(lo: Int, hi: Int)
+  final case class RawRule(acl: String, ruleSeq: Int, action: String,
+      proto: String, srcs: Seq[NetEntry], dsts: Seq[NetEntry],
+      ports: Seq[PortEntry])
+
+  private def maskToPrefix(mask: String): Int =
+    java.lang.Long.bitCount(Fw.ipToLong(mask))
+
+  private def net(ip: String, prefix: Int): NetEntry = {
+    val lo = Fw.ipToLong(ip)
+    NetEntry(s"$ip/$prefix", lo, lo + (1L << (32 - prefix)) - 1)
+  }
+
+  val anyNet: NetEntry = NetEntry("0.0.0.0/0", 0L, (1L << 32) - 1)
+  val anyPort: PortEntry = PortEntry(0, 65535)
+
+  /** Parse config lines into ordered rules with groups expanded. Strict on
+    * the grammar above; unknown lines are ignored (configs carry plenty of
+    * irrelevant directives). */
+  def parseConfig(lines: Seq[String]): Seq[RawRule] = {
+    val netGroups = scala.collection.mutable.Map.empty[String, Vector[NetEntry]]
+    val svcGroups = scala.collection.mutable.Map.empty[String, Vector[PortEntry]]
+    var current: Option[(String, String)] = None // (kind, name)
+    val rules = scala.collection.mutable.ArrayBuffer.empty[RawRule]
+    val seqPerAcl = scala.collection.mutable.Map.empty[String, Int]
+
+    def resolveNet(tokens: List[String]): (Seq[NetEntry], List[String]) =
+      tokens match {
+        case "any" :: rest => (Seq(anyNet), rest)
+        case "host" :: ip :: rest => (Seq(net(ip, 32)), rest)
+        case "object-group" :: g :: rest =>
+          (netGroups.getOrElse(g, Vector.empty), rest)
+        case ip :: mask :: rest if ip.count(_ == '.') == 3 =>
+          (Seq(net(ip, maskToPrefix(mask))), rest)
+        case rest => (Seq.empty, rest)
+      }
+
+    def resolvePorts(tokens: List[String]): Seq[PortEntry] = tokens match {
+      case "eq" :: p :: _ => Seq(PortEntry(p.toInt, p.toInt))
+      case "range" :: lo :: hi :: _ => Seq(PortEntry(lo.toInt, hi.toInt))
+      case "object-group" :: g :: _ => svcGroups.getOrElse(g, Vector.empty)
+      case _ => Seq(anyPort)
+    }
+
+    lines.foreach { raw =>
+      val indented = raw.startsWith(" ") || raw.startsWith("\t")
+      val toks = raw.trim.split("\\s+").toList.filter(_.nonEmpty)
+      (indented, toks) match {
+        case (false, "object-group" :: "network" :: name :: _) =>
+          current = Some(("network", name)); netGroups(name) = Vector.empty
+        case (false, "object-group" :: "service" :: name :: _) =>
+          current = Some(("service", name)); svcGroups(name) = Vector.empty
+        case (true, "network-object" :: "host" :: ip :: _) =>
+          current.collect { case ("network", n) =>
+            netGroups(n) = netGroups(n) :+ net(ip, 32) }
+        case (true, "network-object" :: ip :: mask :: _)
+            if ip.count(_ == '.') == 3 =>
+          current.collect { case ("network", n) =>
+            netGroups(n) = netGroups(n) :+ net(ip, maskToPrefix(mask)) }
+        case (true, "group-object" :: g :: _) =>
+          current.collect { case ("network", n) =>
+            netGroups(n) = netGroups(n) ++ netGroups.getOrElse(g, Vector.empty) }
+        case (true, "port-object" :: "eq" :: p :: _) =>
+          current.collect { case ("service", n) =>
+            svcGroups(n) = svcGroups(n) :+ PortEntry(p.toInt, p.toInt) }
+        case (true, "port-object" :: "range" :: lo :: hi :: _) =>
+          current.collect { case ("service", n) =>
+            svcGroups(n) = svcGroups(n) :+ PortEntry(lo.toInt, hi.toInt) }
+        case (false, "access-list" :: acl :: "extended" :: action :: proto :: rest) =>
+          current = None
+          val (srcs, afterSrc) = resolveNet(rest)
+          val (dsts, afterDst) = resolveNet(afterSrc)
+          val ports = resolvePorts(afterDst)
+          val seq = seqPerAcl.getOrElse(acl, 0) + 10
+          seqPerAcl(acl) = seq
+          rules += RawRule(acl, seq, action, proto, srcs, dsts, ports)
+        case _ => // ignore unrelated config directives
+      }
+    }
+    rules.toSeq
+  }
+
+  /** Expand (rule × srcs × dsts × ports) with `explode` — the A6 generator
+    * shape — into the flat rule schema [[Fw.matchFirst]] expects. */
+  def toRulesDf(spark: SparkSession, rules: Seq[RawRule]): DataFrame = {
+    import spark.implicits._
+    rules.toDS()
+      .withColumn("src", explode(col("srcs")))
+      .withColumn("dst", explode(col("dsts")))
+      .withColumn("port", explode(col("ports")))
+      .select(col("acl"), col("ruleSeq").as("rule_seq"), col("action"),
+        col("proto"),
+        col("src.cidr").as("src_cidr"), col("src.lo").as("src_lo"),
+        col("src.hi").as("src_hi"),
+        col("dst.cidr").as("dst_cidr"), col("dst.lo").as("dst_lo"),
+        col("dst.hi").as("dst_hi"),
+        col("port.lo").as("port_lo"), col("port.hi").as("port_hi"))
+  }
+}

@@ -1,0 +1,131 @@
+package graft.domain
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Raw-text domain path: ASA log parsing (A1/A3), config parsing +
+  * object-group expansion (A2/A6), end-to-end usage report. */
+class DomainSpec extends SparkSpec {
+
+  test("ipToLong converts dotted quads (codegen'd, no UDF)") {
+    import spark.implicits._
+    val out = Seq("10.0.0.0", "192.168.0.44", "255.255.255.255", "0.0.0.1")
+      .toDF("ip").select(LogParse.ipToLong(col("ip")).as("v"))
+      .as[Long].collect().toSeq
+    assert(out === Seq(167772160L, 3232235564L, 4294967295L, 1L))
+  }
+
+  test("parse106100 extracts fields, tolerates syslog prefix, drops malformed") {
+    val raw = LogParse.readLogs(spark, resource("fwlogs/sample.log"))
+    assert(raw.count() === 10)
+    val parsed = LogParse.parse106100(raw)
+    assert(parsed.count() === 6) // 4 junk/other-msgid lines dropped
+    val byAcl = parsed.groupBy("acl").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byAcl === Map("acl_1" -> 5, "acl_2" -> 1))
+    val prefixed = parsed.filter(col("src_ip") === LogParse.ipToLong(lit("10.0.3.3")))
+    assert(prefixed.count() === 1) // the syslog-prefixed line parsed too
+    val row = prefixed.collect()(0)
+    assert(row.getAs[Long]("dst_ip") === 3232235783L) // 192.168.1.7
+    assert(row.getAs[Int]("dst_port") === 8080)
+  }
+
+  test("gzipped logs read identically to plain text") {
+    val plain = LogParse.parse106100(
+      LogParse.readLogs(spark, resource("fwlogs/sample.log")))
+    val gz = LogParse.parse106100(
+      LogParse.readLogs(spark, resource("fwlogs/sample.log.gz")))
+    assert(gz.count() === plain.count())
+    assert(gz.exceptAll(plain).count() === 0)
+  }
+
+  test("parse106023 extracts implicit-deny lines") {
+    val denies = LogParse.parse106023(
+      LogParse.readLogs(spark, resource("fwlogs/sample.log")))
+    val rows = denies.collect()
+    assert(rows.length === 1)
+    assert(rows(0).getAs[String]("acl") === "acl_2")
+    assert(rows(0).getAs[Int]("dst_port") === 22)
+  }
+
+  test("parseConfig expands object-groups in first-match order") {
+    val conf = scala.io.Source.fromFile(resource("fwconf/sample.conf"))
+      .getLines().toSeq
+    val rules = Ruleset.parseConfig(conf)
+    assert(rules.map(r => (r.acl, r.ruleSeq)) ===
+      Seq(("acl_1", 10), ("acl_1", 20), ("acl_1", 30), ("acl_2", 10)))
+    val r10 = rules.head
+    assert(r10.srcs.map(_.cidr) === Seq("10.0.0.0/8"))
+    assert(r10.dsts.map(_.cidr) === Seq("192.168.0.44/32", "192.168.1.0/24"))
+    assert(r10.ports === Seq(Ruleset.PortEntry(80, 80),
+      Ruleset.PortEntry(443, 443), Ruleset.PortEntry(8080, 8443)))
+    // nested group-object resolves transitively
+    val df = Ruleset.toRulesDf(spark, rules)
+    assert(df.count() === 6 + 1 + 1 + 1) // cartesian expansion of arrays
+  }
+
+  test("end-to-end raw pipeline: report matches hand-computed hit counts") {
+    val report = LogParse.usageReportFromRaw(spark,
+      resource("fwlogs/sample.log"), resource("fwconf/sample.conf"))
+      .collect()
+      .map(r => (r.getAs[String]("acl"), r.getAs[Int]("rule_seq")) ->
+        r.getAs[Long]("hits")).toMap
+    assert(report === Map(
+      ("acl_1", 10) -> 3L, // 443 + 80 to web-servers, 8080 to 192.168.1.0/24
+      ("acl_1", 20) -> 1L, // host 10.0.1.17 -> any :22
+      ("acl_1", 30) -> 1L, // deny ip any any catch-all
+      ("acl_2", 10) -> 1L  // udp port-range rule
+    ))
+  }
+
+  test("first-match join is equivalent to a brute-force linear scan") {
+    import spark.implicits._
+    // deterministic pseudo-random corpus: 300 events x 20 rules
+    val rng = new scala.util.Random(42)
+    val protos = Seq("tcp", "udp")
+    val rules = (1 to 20).map { i =>
+      val prefix = Seq(8, 16, 24, 32)(rng.nextInt(4))
+      val base = (rng.nextLong().abs % (1L << 32)) & (-1L << (32 - prefix))
+      val pLo = rng.nextInt(60000)
+      Fw.Rule(s"acl_${rng.nextInt(3)}", i * 10,
+        if (rng.nextBoolean()) "permit" else "deny",
+        if (rng.nextInt(5) == 0) "ip" else protos(rng.nextInt(2)),
+        "x", base, base + (1L << (32 - prefix)) - 1,
+        "y", 0L, (1L << 32) - 1,
+        pLo, pLo + rng.nextInt(5000))
+    }
+    // bias ~70% of events into some rule's (src, port) box so both matched
+    // and unmatched paths are exercised; acl/proto still drawn independently
+    // so first-match has to disambiguate overlapping candidates
+    val events = (1 to 300).map { i =>
+      if (rng.nextInt(10) < 7) {
+        val r = rules(rng.nextInt(rules.size))
+        (i.toLong, r.acl, protos(rng.nextInt(2)),
+          r.srcLo + (if (r.srcHi > r.srcLo) rng.nextLong().abs % (r.srcHi - r.srcLo + 1) else 0L),
+          rng.nextLong().abs % (1L << 32),
+          r.portLo + rng.nextInt(r.portHi - r.portLo + 1))
+      } else
+        (i.toLong, s"acl_${rng.nextInt(3)}", protos(rng.nextInt(2)),
+          rng.nextLong().abs % (1L << 32), rng.nextLong().abs % (1L << 32),
+          rng.nextInt(65536))
+    }
+    val rulesDf = spark.createDataFrame(rules).toDF(
+      "acl", "rule_seq", "action", "proto", "src_cidr", "src_lo", "src_hi",
+      "dst_cidr", "dst_lo", "dst_hi", "port_lo", "port_hi")
+    val eventsDf = events.toDF("event_id", "acl", "proto", "src_ip",
+      "dst_ip", "dst_port")
+
+    val got = Fw.matchFirst(eventsDf, rulesDf, "event_id")
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+
+    val expected = events.flatMap { case (id, acl, proto, src, dst, port) =>
+      rules.find(r => r.acl == acl && (r.proto == "ip" || r.proto == proto) &&
+          src >= r.srcLo && src <= r.srcHi &&
+          dst >= r.dstLo && dst <= r.dstHi &&
+          port >= r.portLo && port <= r.portHi)
+        .map(r => id -> r.ruleSeq)
+    }.toMap
+    assert(got === expected)
+    assert(expected.nonEmpty, "fixture should produce at least one match")
+  }
+}
