@@ -16,6 +16,23 @@ object EntrySmoke {
     println("ENTRY_ROWS=" + df.count())
     df.show(20, false)
     args match {
+      case Array("neardup", dir) =>
+        println("NEARDUP:")
+        sim.MinHash.nearDupPairs(
+          core.Tables.documents(spark, dir), "doc_id", "text",
+          numHashes = 32, bands = 8, shingleK = 1, threshold = 0.8)
+          .show(10, false)
+      case Array("ann", dir) =>
+        val emb = core.Tables.embeddings(spark, dir)
+        val probe = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 7)
+          .select(org.apache.spark.sql.functions.col("embedding")
+            .cast("array<double>"))
+          .head.getSeq[Double](0).toSeq
+        println("ANN_IVF:")
+        sim.Ann.ivfSearch(sim.Ann.ivfAssign(emb, 16), 16, 8, probe, 10)
+          .show(10, false)
+        println("ANN_BRUTE:")
+        sim.Ann.bruteTopK(emb, probe, 10).show(10, false)
       case Array(logPath, confPath) =>
         val report = domain.LogParse.usageReportFromRaw(spark, logPath, confPath)
         println("RAW_REPORT:")
