@@ -33,6 +33,22 @@ object EntrySmoke {
           .show(10, false)
         println("ANN_BRUTE:")
         sim.Ann.bruteTopK(emb, probe, 10).show(10, false)
+      case Array("stream", dir) =>
+        // file-source streaming drive: µs-normalized copy of events →
+        // readStream → watermarked tumbling agg → memory sink
+        val staged = java.nio.file.Files.createTempDirectory("graft_stream")
+          .toString
+        core.Tables.events(spark, dir).write.mode("overwrite")
+          .parquet(s"$staged/events")
+        val q = stream.Streaming
+          .tumblingCounts(stream.Streaming.readEventStream(spark, s"$staged/events"))
+          .writeStream.format("memory").queryName("stream_demo")
+          .outputMode("complete").start()
+        q.processAllAvailable()
+        q.stop()
+        println("STREAM_TUMBLING:")
+        spark.table("stream_demo")
+          .orderBy("bucket_start", "event_type").show(8, false)
       case Array(logPath, confPath) =>
         val report = domain.LogParse.usageReportFromRaw(spark, logPath, confPath)
         println("RAW_REPORT:")

@@ -1,6 +1,6 @@
 package graft.domain
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -136,6 +136,27 @@ object Fw {
       .join(broadcast(rules).alias("r"), expr(matchCondSql))
       .groupBy(col(s"e.$idCol").as(idCol), col("e.acl").as("acl"))
       .agg(min(col("r.rule_seq")).as("rule_seq"))
+
+  /** First-match as a pure scalar expression over a literal ruleset — the
+    * reference's per-event linear scan, codegen'd: `array_min` over the
+    * rule_seqs of matching rules, NULL when nothing matches. No join, no
+    * shuffle, no per-event aggregation state — which makes it legal after a
+    * streaming watermark (a join+groupBy(event) formulation trips Spark's
+    * multi-stateful-operator correctness check) and the cheapest batch plan
+    * when the ruleset fits in an expression (≲ thousands of rules). */
+  def firstMatchCol(rules: Seq[Rule]): Column = {
+    val arr = typedLit(rules.map(r =>
+      (r.acl, r.ruleSeq, r.proto, r.srcLo, r.srcHi, r.dstLo, r.dstHi,
+        r.portLo, r.portHi)))
+    array_min(transform(
+      filter(arr, r =>
+        r.getField("_1") === col("acl") &&
+          (r.getField("_3") === "ip" || r.getField("_3") === col("proto")) &&
+          col("src_ip").between(r.getField("_4"), r.getField("_5")) &&
+          col("dst_ip").between(r.getField("_6"), r.getField("_7")) &&
+          col("dst_port").between(r.getField("_8"), r.getField("_9"))),
+      r => r.getField("_2")))
+  }
 
   /** All (event, rule) candidate pairs — BroadcastHashJoin keyed on (acl,
     * proto) with the range predicates as join residuals. */

@@ -1,0 +1,142 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface — SURVEY.md §2 B10.
+  *
+  * Every transform takes a DataFrame and works identically on a batch or
+  * streaming input ("unified" API): tests feed `MemoryStream` and assert
+  * batch-equivalence (SURVEY §5.2 layer 3); production reads
+  * `spark.readStream` over the same schema. No DStreams anywhere.
+  *
+  * Scale notes: windowed aggregations keep state bounded by the watermark
+  * (late rows beyond it are dropped and their state evicted); dedup state is
+  * likewise watermark-bounded; the stream-static rule join broadcasts the
+  * ruleset so the stream never shuffles for the match.
+  */
+object Streaming {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** File-based streaming source over an events-shaped parquet directory. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  // ------------------------------------------------------------ B10.1–B10.3
+
+  def tumblingCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("bucket_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  def slidingCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket_start"), col("n"))
+
+  def sessionCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+
+  // ------------------------------------------------------------ B10.5
+
+  /** Streaming dedup on event_id with watermark-bounded state. */
+  def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  // ------------------------------------------------------------ B10.7
+
+  /** Streaming twin of the batch first-match pipeline. The ruleset is
+    * folded into a scalar first-match expression (Fw.firstMatchCol) instead
+    * of a join+groupBy(event): per-event aggregation state after a
+    * watermark would trip Spark's multi-stateful-operator correctness
+    * check, and the expression form needs no state at all — the only
+    * stateful op is the tiny per-rule count. */
+  def streamRuleCounts(events: DataFrame,
+      rules: Seq[graft.domain.Fw.Rule] = graft.domain.Fw.ruleset,
+      watermark: String = "10 minutes"): DataFrame = {
+    val fw = events.select(col("event_id"), col("ts"),
+      (lit(167772160L) + (col("user_id") % 256) * 256 + (col("event_id") % 256)).as("src_ip"),
+      (lit(3232235520L) + (floor(col("value")).cast("long") % 256)).as("dst_ip"),
+      when(col("event_type") === "view", 80)
+        .when(col("event_type") === "click", 443)
+        .when(col("event_type") === "signup", 8443)
+        .when(col("event_type") === "purchase", 8080)
+        .otherwise(22).as("dst_port"),
+      lit("tcp").as("proto"),
+      concat(lit("acl_"), (col("user_id") % 4).cast("string")).as("acl"))
+    fw.withWatermark("ts", watermark)
+      .withColumn("rule_seq", graft.domain.Fw.firstMatchCol(rules))
+      .filter(col("rule_seq").isNotNull)
+      .groupBy("acl", "rule_seq")
+      .agg(count(lit(1)).as("hits"))
+  }
+
+  // ------------------------------------------------------------ B10.6
+
+  final case class UserEvent(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+  final case class UserStats(user_id: Long, n_events: Long, total_value: Double,
+      last_seen: java.sql.Timestamp)
+
+  /** Arbitrary stateful op: per-user running stats via
+    * flatMapGroupsWithState (update mode). `evictAfter` enables
+    * processing-time state eviction in production; tests run with NoTimeout
+    * because timeout bookkeeping keeps scheduling no-data micro-batches,
+    * which never lets MemoryStream's processAllAvailable settle. */
+  def runningUserStats(events: Dataset[UserEvent],
+      evictAfter: Option[String] = None): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (evictAfter.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserStats, UserStats](
+        OutputMode.Update(), timeoutConf) {
+        (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserStats]) =>
+          if (state.hasTimedOut) {
+            val out = state.get
+            state.remove()
+            Iterator.single(out)
+          } else {
+            val prev = state.getOption
+              .getOrElse(UserStats(userId, 0L, 0.0, new java.sql.Timestamp(0)))
+            val buf = rows.toSeq
+            val next = UserStats(userId,
+              prev.n_events + buf.size,
+              prev.total_value + buf.map(_.value).sum,
+              buf.map(_.ts).maxBy(_.getTime))
+            state.update(next)
+            evictAfter.foreach(state.setTimeoutDuration)
+            Iterator.single(next)
+          }
+      }
+  }
+
+  // ------------------------------------------------------------ B10.8
+
+  /** foreachBatch parquet sink: micro-batches land as idempotent overwrite
+    * partitions keyed by batch id (exactly-once at the sink). */
+  def sinkToParquet(df: DataFrame, outDir: String, checkpoint: String) =
+    df.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      }
+}

@@ -127,5 +127,13 @@ class DomainSpec extends SparkSpec {
     }.toMap
     assert(got === expected)
     assert(expected.nonEmpty, "fixture should produce at least one match")
+
+    // the shuffle-free expression form must agree with the join form
+    val exprGot = eventsDf
+      .withColumn("rule_seq", Fw.firstMatchCol(rules))
+      .filter(col("rule_seq").isNotNull)
+      .select("event_id", "rule_seq")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(exprGot === expected)
   }
 }

@@ -1,0 +1,64 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.multimodal.Multimodal._
+
+class MultimodalSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("synthetic media corpus has the documented schema and stable kinds") {
+    val media = syntheticMedia(spark, sfDir)
+    assert(media.schema.fieldNames.toSeq ===
+      Seq("media_id", "kind", "payload", "meta"))
+    val kinds = media.groupBy("kind").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kinds.keySet === Set("image", "audio", "video"))
+    assert(kinds.values.sum === 500)
+    // payload round-trips the source text deterministically
+    val row = media.filter(col("media_id") === 0).head
+    val text = graft.core.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") === 0).head.getAs[String]("text")
+    assert(new String(row.payload, "UTF-8") === text)
+  }
+
+  test("feature extraction is deterministic, fixed-width, and complete") {
+    val media = syntheticMedia(spark, sfDir)
+    val a = extractFeatures(media).collect().map(f => f.media_id -> f.features.toSeq).toMap
+    val b = extractFeatures(media.repartition(7)).collect()
+      .map(f => f.media_id -> f.features.toSeq).toMap
+    assert(a.size === 500)
+    assert(a.values.forall(_.size === 64))
+    assert(a === b, "features must not depend on partitioning")
+  }
+
+  test("resize updates metadata and payload size consistently") {
+    val resized = resizeImages(syntheticMedia(spark, sfDir), 32, 32).collect()
+    assert(resized.nonEmpty)
+    assert(resized.forall(r => r.meta.width === 32 && r.meta.height === 32))
+    assert(resized.forall(_.payload.nonEmpty))
+  }
+
+  test("frame sampling fans out one row per interval tick") {
+    val media = syntheticMedia(spark, sfDir)
+    val vid = media.filter(col("kind") === "video").head
+    val frames = sampleFrames(media, everyMs = 1000L)
+    val forOne = frames.filter(col("media_id") === vid.media_id).collect()
+    val expectedN = (vid.meta.durationMs - 1) / 1000 + 1
+    assert(forOne.length.toLong === expectedN)
+    assert(forOne.map(_.frame_idx).sorted.toSeq === (0 until forOne.length))
+    assert(forOne.forall(_.payload.nonEmpty))
+  }
+
+  test("decoded features flow into the ANN index unchanged") {
+    val feats = featureTable(syntheticMedia(spark, sfDir))
+    assert(feats.columns.toSeq === Seq("vec_id", "embedding"))
+    val probe = feats.filter(col("vec_id") === 1)
+      .select(col("embedding").cast("array<double>"))
+      .head.getSeq[Double](0).toSeq
+    val top = graft.sim.Ann.bruteTopK(feats, probe, 5).collect()
+    assert(top.head.getLong(0) === 1L, "probe must be its own nearest neighbor")
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-12)
+  }
+}

@@ -1,0 +1,137 @@
+package graft.stream
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.stream.Streaming.UserEvent
+
+/** B10 streaming semantics: batch-equivalence via MemoryStream replay,
+  * watermark late-data drop, stateful dedup, stream-static join, and
+  * flatMapGroupsWithState (SURVEY §5.2 layer 3). */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minutes: Long): Timestamp =
+    new Timestamp(1704067200000L + minutes * 60000L) // 2024-01-01 00:00 UTC
+
+  private def sampleEvents: Seq[UserEvent] =
+    graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("ts", "event_id").limit(300)
+      .collect().map(r => UserEvent(r.getLong(0), r.getTimestamp(1),
+        r.getLong(2), r.getString(3), r.getDouble(4))).toSeq
+
+  private def runToCompletion(stream: MemoryStream[UserEvent],
+      df: org.apache.spark.sql.DataFrame, mode: OutputMode, name: String) = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  test("tumbling window agg: streaming replay equals batch twin") {
+    import spark.implicits._
+    val events = sampleEvents
+    val stream = MemoryStream[UserEvent](1, spark, None)
+    stream.addData(events)
+    val got = runToCompletion(stream,
+      Streaming.tumblingCounts(stream.toDF()), OutputMode.Complete(), "tumbling")
+      .select("bucket_start", "event_type", "n")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+
+    val expected = Streaming.tumblingCounts(events.toDF())
+      .select("bucket_start", "event_type", "n")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("session window agg: streaming replay equals batch twin") {
+    import spark.implicits._
+    val events = sampleEvents
+    val stream = MemoryStream[UserEvent](2, spark, None)
+    // feed in two chunks to force multiple micro-batches
+    val (first, second) = events.splitAt(events.size / 2)
+    stream.addData(first)
+    stream.addData(second)
+    val got = runToCompletion(stream,
+      Streaming.sessionCounts(stream.toDF()), OutputMode.Complete(), "sessions")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    val expected = Streaming.sessionCounts(events.toDF())
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(got === expected)
+  }
+
+  test("watermark drops rows later than the allowed delay (append mode)") {
+    import spark.implicits._
+    val stream = MemoryStream[UserEvent](3, spark, None)
+    val agg = Streaming.tumblingCounts(stream.toDF(), watermark = "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("late")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: events in hour 0 and hour 2; watermark advances to 2h50m-10m
+    stream.addData(UserEvent(1, ts(5), 1, "view", 1.0))
+    stream.addData(UserEvent(2, ts(170), 1, "view", 1.0))
+    q.processAllAvailable()
+    // batch 2: a straggler from hour 0 — older than watermark, must be dropped
+    stream.addData(UserEvent(3, ts(6), 1, "view", 1.0))
+    q.processAllAvailable()
+    // batch 3: advance watermark far enough to finalize every window
+    stream.addData(UserEvent(4, ts(600), 1, "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val hour0 = spark.table("late")
+      .filter(col("bucket_start") === ts(0)).select("n").collect()
+    assert(hour0.map(_.getLong(0)).toSeq === Seq(1L),
+      "late row must not be counted into the finalized hour-0 window")
+  }
+
+  test("dropDuplicatesWithinWatermark removes replayed event_ids") {
+    import spark.implicits._
+    val stream = MemoryStream[UserEvent](4, spark, None)
+    val q = Streaming.dedupEvents(stream.toDF()).writeStream
+      .format("memory").queryName("dedup").outputMode(OutputMode.Append()).start()
+    stream.addData(UserEvent(100, ts(1), 1, "view", 1.0))
+    stream.addData(UserEvent(100, ts(2), 1, "view", 1.0)) // same id, replayed
+    stream.addData(UserEvent(101, ts(2), 1, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup").select("event_id").collect().map(_.getLong(0))
+    assert(ids.sorted.toSeq === Seq(100L, 101L))
+  }
+
+  test("stream-static rule join matches the batch firewall pipeline") {
+    import spark.implicits._
+    val events = sampleEvents
+    val stream = MemoryStream[UserEvent](5, spark, None)
+    stream.addData(events)
+    val got = runToCompletion(stream,
+      Streaming.streamRuleCounts(stream.toDF()),
+      OutputMode.Complete(), "rulehits")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val expected = Streaming.streamRuleCounts(events.toDF())
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got === expected)
+    assert(got.values.sum === events.size, "every event first-matches exactly one rule")
+  }
+
+  test("flatMapGroupsWithState accumulates per-user running stats") {
+    import spark.implicits._
+    val stream = MemoryStream[UserEvent](6, spark, None)
+    val q = Streaming.runningUserStats(stream.toDS()).writeStream
+      .format("memory").queryName("userstats").outputMode(OutputMode.Update()).start()
+    stream.addData(UserEvent(1, ts(0), 7, "view", 10.0),
+      UserEvent(2, ts(1), 7, "click", 5.0))
+    q.processAllAvailable()
+    stream.addData(UserEvent(3, ts(2), 7, "view", 2.5))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("userstats").orderBy("n_events")
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    // update mode emits one row per batch touched: (2, 15.0) then (3, 17.5)
+    assert(rows.toSeq === Seq((2L, 15.0), (3L, 17.5)))
+  }
+}
