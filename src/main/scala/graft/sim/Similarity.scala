@@ -44,16 +44,21 @@ object Similarity {
         .limit(20)
     }),
 
-    // String-similarity self-join, blocked on the first token (an LSH-style
-    // blocking key — never an unblocked cross join) + levenshtein filter.
+    // String-similarity self-join. Blocking key = (first char, last token) —
+    // an LSH-style block that keeps bucket sizes bounded at scale — plus a
+    // length prefilter (|len diff| > 3 can't be within distance 3) and the
+    // threshold variant of levenshtein, which early-exits once the distance
+    // bound is exceeded instead of filling the full DP matrix.
     "sim_string_join" -> ((s, d) => {
       val p = Tables.part(s, d)
         .select(col("p_partkey").as("key"), col("p_name").as("name"),
-          element_at(split(col("p_name"), " "), -1).as("block"))
+          concat(substring(col("p_name"), 1, 1),
+            element_at(split(col("p_name"), " "), -1)).as("block"))
       p.alias("a").join(p.alias("b"),
           col("a.block") === col("b.block")
             && col("a.key") < col("b.key")
-            && levenshtein(col("a.name"), col("b.name")) <= 3)
+            && abs(length(col("a.name")) - length(col("b.name"))) <= 3
+            && levenshtein(col("a.name"), col("b.name"), 3) =!= -1)
         .select(col("a.key").as("key_a"), col("b.key").as("key_b"),
           col("a.name").as("name_a"), col("b.name").as("name_b"),
           levenshtein(col("a.name"), col("b.name")).as("dist"))
@@ -61,17 +66,36 @@ object Similarity {
     }),
 
     // Token-set Jaccard near-dup join, blocked by source.
+    // Two scale tricks, both mirrored in the oracle: (1) dictionary-encode
+    // tokens to dense int ids (sorted-vocab row_number — deterministic in
+    // both engines) so the pair join shuffles int arrays instead of string
+    // arrays; (2) size-ratio prefilter — J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|),
+    // so low-ratio pairs are rejected before any intersection runs.
     "sim_ngram_jaccard" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
-          array_distinct(split(col("text"), " ")).as("toks"))
+          explode(array_distinct(split(col("text"), " "))).as("tok"))
+      val vocab = toks.select("tok").distinct()
+        .withColumn("tok_id",
+          row_number().over(Window.orderBy("tok")).cast("int"))
+      val docs = toks.join(broadcast(vocab), "tok")
+        .groupBy("doc_id", "source")
+        .agg(sort_array(collect_list(col("tok_id"))).as("toks"),
+          count(lit(1)).cast("int").as("n"))
       val joined = docs.alias("a").join(docs.alias("b"),
-        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id")
+          && least(col("a.n"), col("b.n")).cast("double")
+            / greatest(col("a.n"), col("b.n")) >= 0.8)
       joined
+        // |A∪B| = |A|+|B|-|A∩B| — never materialize the union array
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          (size(array_intersect(col("a.toks"), col("b.toks"))).cast("double")
-            / size(array_union(col("a.toks"), col("b.toks")))).as("jaccard"))
-        .filter(col("jaccard") >= 0.6)
+          size(array_intersect(col("a.toks"), col("b.toks"))).as("inter"),
+          (col("a.n") + col("b.n")).as("sum_n"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("inter").cast("double") / (col("sum_n") - col("inter")))
+            .as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
         .orderBy("doc_a", "doc_b")
     })
   )
@@ -94,22 +118,33 @@ object Similarity {
 
     "sim_string_join" ->
       """WITH p AS (SELECT p_partkey AS key, p_name AS name,
-        |    string_split(p_name, ' ')[-1] AS block FROM part)
+        |    substring(p_name, 1, 1) || string_split(p_name, ' ')[-1] AS block
+        |  FROM part)
         |SELECT a.key AS key_a, b.key AS key_b, a.name AS name_a, b.name AS name_b,
         |  levenshtein(a.name, b.name) AS dist
         |FROM p a JOIN p b ON a.block = b.block AND a.key < b.key
+        |  AND abs(length(a.name) - length(b.name)) <= 3
         |  AND levenshtein(a.name, b.name) <= 3
         |ORDER BY key_a, key_b""".stripMargin,
 
     "sim_ngram_jaccard" ->
-      """WITH docs AS (SELECT doc_id, source,
-        |    list_distinct(string_split(text, ' ')) AS toks FROM documents)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-        |    / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
-        |FROM docs a JOIN docs b ON a.source = b.source AND a.doc_id < b.doc_id
-        |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-        |    / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.6
+      """WITH tok AS (SELECT doc_id, source,
+        |    unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
+        |vocab AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS INTEGER)
+        |    AS tok_id FROM (SELECT DISTINCT tok FROM tok)),
+        |docs AS (SELECT doc_id, source, list_sort(list(tok_id)) AS toks,
+        |    CAST(count(*) AS INTEGER) AS n
+        |  FROM tok JOIN vocab USING (tok) GROUP BY doc_id, source),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter,
+        |    a.n + b.n AS sum_n
+        |  FROM docs a JOIN docs b ON a.source = b.source AND a.doc_id < b.doc_id
+        |    AND CAST(least(a.n, b.n) AS DOUBLE) / greatest(a.n, b.n) >= 0.8)
+        |SELECT doc_a, doc_b,
+        |  CAST(inter AS DOUBLE) / (sum_n - inter) AS jaccard
+        |FROM pairs
+        |WHERE CAST(inter AS DOUBLE) / (sum_n - inter) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin
   )
 }
