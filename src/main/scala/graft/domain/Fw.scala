@@ -201,6 +201,21 @@ object Fw {
         .select("acl", "rule_seq", "action", "src_cidr", "dst_cidr")
         .orderBy("acl", "rule_seq")),
     "fw_usage_report" -> ((s, d) => usageReport(s, d)),
+    "fw_top_talkers" -> ((s, d) =>
+      // heaviest sources: per src_ip event count + distinct ACLs touched
+      firstMatch(s, d).groupBy("src_ip")
+        .agg(count(lit(1)).as("hits"),
+          countDistinct(col("acl")).as("n_acls"))
+        .orderBy(desc("hits"), asc("src_ip"))
+        .limit(25)),
+    "fw_action_share" -> ((s, d) =>
+      // permit vs deny traffic share per ACL (join matched rule back to
+      // the ruleset for its action)
+      firstMatch(s, d)
+        .join(broadcast(rulesDf(s)), Seq("acl", "rule_seq"))
+        .groupBy("acl", "action")
+        .agg(count(lit(1)).as("hits"))
+        .orderBy("acl", "action")),
     "fw_per_rule_stats" -> ((s, d) =>
       firstMatch(s, d).groupBy("acl", "rule_seq")
         .agg(count(lit(1)).as("hits"),
@@ -237,6 +252,15 @@ object Fw {
         |       r.port_lo, r.port_hi, COALESCE(h.hits, 0) AS hits
         |FROM rules r LEFT JOIN hits h ON h.acl = r.acl AND h.rule_seq = r.rule_seq
         |ORDER BY COALESCE(h.hits, 0) DESC, r.acl, r.rule_seq""".stripMargin),
+    "fw_top_talkers" -> withCtes(
+      """SELECT src_ip, COUNT(*) AS hits, COUNT(DISTINCT acl) AS n_acls
+        |FROM matched GROUP BY src_ip
+        |ORDER BY hits DESC, src_ip ASC LIMIT 25""".stripMargin),
+    "fw_action_share" -> withCtes(
+      """SELECT m.acl, r.action, COUNT(*) AS hits
+        |FROM matched m JOIN rules r
+        |  ON m.acl = r.acl AND m.rule_seq = r.rule_seq
+        |GROUP BY m.acl, r.action ORDER BY m.acl, r.action""".stripMargin),
     "fw_per_rule_stats" -> withCtes(
       """SELECT acl, rule_seq, COUNT(*) AS hits,
         |       COUNT(DISTINCT src_ip) AS distinct_sources,

@@ -1,0 +1,39 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftexpr.CidrMatchExpr
+
+/** Public wiring for the custom `cidr_match` Catalyst expression
+  * ([[org.apache.spark.sql.graftexpr.CidrMatchExpr]]): Column DSL, SQL
+  * registration into an existing session, and a SparkSessionExtensions
+  * class for deployment-wide injection. */
+object CidrMatch {
+
+  /** Column-DSL form: `df.filter(cidr_match($"ip", lit(net), lit(8)))`. */
+  def cidr_match(ip: Column, net: Column, prefix: Column): Column =
+    CidrMatchExpr.column(ip, net, prefix)
+
+  private def info =
+    new ExpressionInfo(classOf[CidrMatchExpr].getName, "cidr_match")
+
+  private def builder(exprs: Seq[Expression]): Expression =
+    CidrMatchExpr(exprs(0), exprs(1), exprs(2))
+
+  /** Register `cidr_match` for SQL in an existing session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("cidr_match"), info, builder _)
+}
+
+/** Session extension — `.withExtensions(new GraftExtensions)` or config
+  * `spark.sql.extensions=graft.functions.GraftExtensions` wires the custom
+  * function surface into every session of a deployment. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("cidr_match"),
+      new ExpressionInfo(classOf[CidrMatchExpr].getName, "cidr_match"),
+      (exprs: Seq[Expression]) => CidrMatchExpr(exprs(0), exprs(1), exprs(2))))
+  }
+}

@@ -97,6 +97,24 @@ object Similarity {
             .as("jaccard"))
         .filter(col("jaccard") >= 0.8)
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // Embedding-cosine near-duplicate pairs, blocked by label (the cluster
+    // id plays the LSH-bucket role; at scale the corpus is bucketed by a
+    // coarse quantizer the same way). Exact and deterministic: identical
+    // fold-order dot products on both engines.
+    "dedup_near_embedding" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      emb.alias("a").join(emb.alias("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          (dot(col("a.v"), col("b.v"))
+            / (sqrt(dot(col("a.v"), col("a.v")))
+              * sqrt(dot(col("b.v"), col("b.v"))))).as("cosine"))
+        .filter(col("cosine") >= 0.4)
+        .orderBy("vec_a", "vec_b")
     })
   )
 
@@ -145,6 +163,21 @@ object Similarity {
         |  CAST(inter AS DOUBLE) / (sum_n - inter) AS jaccard
         |FROM pairs
         |WHERE CAST(inter AS DOUBLE) / (sum_n - inter) >= 0.8
-        |ORDER BY doc_a, doc_b""".stripMargin
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_near_embedding" ->
+      """WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    list_reduce(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]),
+        |      (acc, x) -> acc + x)
+        |    / (sqrt(list_reduce(list_transform(list_zip(a.v, a.v), z -> z[1] * z[2]),
+        |         (acc, x) -> acc + x))
+        |     * sqrt(list_reduce(list_transform(list_zip(b.v, b.v), z -> z[1] * z[2]),
+        |         (acc, x) -> acc + x))) AS cosine
+        |  FROM emb a JOIN emb b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, cosine FROM pairs
+        |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
   )
 }

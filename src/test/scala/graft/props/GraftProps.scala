@@ -1,0 +1,69 @@
+package graft.props
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** ScalaCheck property layer (SURVEY §5.2 layer 3). Each sample runs a real
+  * Spark job, so sample counts are kept small — the point is randomized
+  * shapes, not volume. */
+object GraftProps extends Properties("graft") {
+
+  private lazy val spark = graft.SparkSpec.session
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private val ipGen: Gen[Long] = Gen.chooseNum(0L, (1L << 32) - 1)
+
+  property("ipToLong inverts dotted-quad formatting") =
+    forAll(ipGen) { ip =>
+      import spark.implicits._
+      val quad = Seq(((ip >> 24) & 255, (ip >> 16) & 255, (ip >> 8) & 255,
+        ip & 255)).map { case (a, b, c, d) => s"$a.$b.$c.$d" }
+      val got = quad.toDF("s")
+        .select(graft.domain.LogParse.ipToLong(col("s"))).head.getLong(0)
+      got == ip && graft.domain.Fw.ipToLong(quad.head) == ip
+    }
+
+  private val valuesGen: Gen[List[Double]] =
+    Gen.listOfN(40, Gen.chooseNum(-1000, 1000).map(_ / 4.0))
+
+  property("window running sum equals scan-left") =
+    forAll(valuesGen) { xs =>
+      import spark.implicits._
+      val w = Window.orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val got = xs.zipWithIndex.map { case (v, i) => (i, v) }
+        .toDF("idx", "v")
+        .select(col("idx"), sum(col("v").cast("decimal(18,4)")).over(w).as("r"))
+        .orderBy("idx")
+        .collect().map(_.getDecimal(1).doubleValue()).toList
+      val expected = xs.scanLeft(0.0)(_ + _).tail
+      got.zip(expected).forall { case (a, b) => math.abs(a - b) < 1e-9 }
+    }
+
+  property("orderBy.limit(k) equals sorted take(k)") =
+    forAll(valuesGen, Gen.chooseNum(1, 15)) { (xs, k) =>
+      import spark.implicits._
+      val got = xs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v").orderBy(desc("v"), asc("id")).limit(k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+      val expected = xs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .sortBy { case (id, v) => (-v, id) }.take(k)
+      got == expected
+    }
+
+  property("exceptAll/intersectAll obey multiset identities") =
+    forAll(Gen.listOfN(30, Gen.chooseNum(0, 5)),
+      Gen.listOfN(30, Gen.chooseNum(0, 5))) { (as, bs) =>
+      import spark.implicits._
+      val a = as.toDF("x")
+      val b = bs.toDF("x")
+      val interCount = a.intersectAll(b).count()
+      val exceptCount = a.exceptAll(b).count()
+      // |A ∩m B| + |A \m B| = |A| for multisets
+      interCount + exceptCount == as.size
+    }
+}

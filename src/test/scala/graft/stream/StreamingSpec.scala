@@ -118,6 +118,25 @@ class StreamingSpec extends SparkSpec {
     assert(got.values.sum === events.size, "every event first-matches exactly one rule")
   }
 
+  test("foreachBatch parquet sink lands micro-batches idempotently") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_sink_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sink_ck").toString
+    val stream = MemoryStream[UserEvent](7, spark, None)
+    val q = Streaming.sinkToParquet(
+      Streaming.dedupEvents(stream.toDF()), out, ckpt).start()
+    stream.addData(UserEvent(1, ts(0), 1, "view", 1.0))
+    q.processAllAvailable()
+    stream.addData(UserEvent(2, ts(1), 1, "click", 2.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(out)
+    assert(rows.select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(1L, 2L))
+    assert(rows.columns.contains("batch_id"),
+      "batch id partitioning must be visible to readers")
+  }
+
   test("flatMapGroupsWithState accumulates per-user running stats") {
     import spark.implicits._
     val stream = MemoryStream[UserEvent](6, spark, None)
