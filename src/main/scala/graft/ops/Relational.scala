@@ -272,6 +272,21 @@ object Relational {
       val b = Tables.customer(s, d).filter(col("c_acctbal") > 9900)
         .select(col("c_nationkey").as("nk"))
       a.except(b).orderBy("nk")
+    }),
+
+    "set_intersect_all" -> ((s, d) => {
+      // multiset intersect: keeps min(multiplicity) copies per key
+      val a = Tables.supplier(s, d).select(col("s_nationkey").as("nk"))
+      val b = Tables.customer(s, d).filter(col("c_acctbal") > 5000)
+        .select(col("c_nationkey").as("nk"))
+      a.intersectAll(b).orderBy("nk")
+    }),
+
+    "set_except_all" -> ((s, d) => {
+      val a = Tables.supplier(s, d).select(col("s_nationkey").as("nk"))
+      val b = Tables.supplier(s, d).filter(col("s_acctbal") > 5000)
+        .select(col("s_nationkey").as("nk"))
+      a.exceptAll(b).orderBy("nk")
     })
   )
 
@@ -446,6 +461,16 @@ object Relational {
     "set_except" ->
       """SELECT n_nationkey AS nk FROM nation
         |EXCEPT SELECT c_nationkey FROM customer WHERE c_acctbal > 9900
+        |ORDER BY nk""".stripMargin,
+
+    "set_intersect_all" ->
+      """SELECT s_nationkey AS nk FROM supplier
+        |INTERSECT ALL SELECT c_nationkey FROM customer WHERE c_acctbal > 5000
+        |ORDER BY nk""".stripMargin,
+
+    "set_except_all" ->
+      """SELECT s_nationkey AS nk FROM supplier
+        |EXCEPT ALL SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000
         |ORDER BY nk""".stripMargin
   )
 }
