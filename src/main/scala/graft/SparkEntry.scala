@@ -15,6 +15,7 @@ object SparkEntry {
     domain.Fw.queries,
     ops.Relational.queries,
     ops.Windows.queries,
+    ops.SqlFrontend.queries,
     ops.Scalars.queries,
     text.TextOps.queries,
     sim.Similarity.queries
@@ -24,6 +25,7 @@ object SparkEntry {
     domain.Fw.oracleSql,
     ops.Relational.oracleSql,
     ops.Windows.oracleSql,
+    ops.SqlFrontend.oracleSql,
     ops.Scalars.oracleSql,
     text.TextOps.oracleSql,
     sim.Similarity.oracleSql

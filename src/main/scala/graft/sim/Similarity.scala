@@ -30,16 +30,17 @@ object Similarity {
     // The broadcast probe keeps this a single narrow map over the corpus +
     // TakeOrderedAndProject — the right baseline shape at any scale.
     "sim_cosine_topk" -> ((s, d) => {
+      // norms are precomputed per vector (one dot each) instead of inside
+      // the pair expression (which would redo them per comparison)
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("norm", sqrt(dot(col("v"), col("v"))))
       val probe = broadcast(emb.filter(col("vec_id") === 0)
-        .select(col("v").as("p")))
+        .select(col("v").as("p"), col("norm").as("pnorm")))
       emb.filter(col("vec_id") =!= 0)
         .crossJoin(probe)
         .select(col("vec_id"),
-          (dot(col("v"), col("p"))
-            / (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("p"), col("p")))))
-            .as("cosine"))
+          (dot(col("v"), col("p")) / (col("norm") * col("pnorm"))).as("cosine"))
         .orderBy(desc("cosine"), asc("vec_id"))
         .limit(20)
     }),
@@ -107,12 +108,12 @@ object Similarity {
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"),
           col("embedding").cast("array<double>").as("v"))
+        .withColumn("norm", sqrt(dot(col("v"), col("v"))))
       emb.alias("a").join(emb.alias("b"),
           col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          (dot(col("a.v"), col("b.v"))
-            / (sqrt(dot(col("a.v"), col("a.v")))
-              * sqrt(dot(col("b.v"), col("b.v"))))).as("cosine"))
+          (dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")))
+            .as("cosine"))
         .filter(col("cosine") >= 0.4)
         .orderBy("vec_a", "vec_b")
     })
@@ -121,16 +122,15 @@ object Similarity {
   def oracleSql: Map[String, String] = Map(
     "sim_cosine_topk" ->
       """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |probe AS (SELECT v AS p FROM emb WHERE vec_id = 0),
+        |normed AS (SELECT vec_id, v,
+        |    sqrt(list_reduce(list_transform(list_zip(v, v), z -> z[1] * z[2]),
+        |      (acc, x) -> acc + x)) AS norm FROM emb),
+        |probe AS (SELECT v AS p, norm AS pnorm FROM normed WHERE vec_id = 0),
         |scored AS (
         |  SELECT vec_id,
         |    list_reduce(list_transform(list_zip(v, p), z -> z[1] * z[2]),
-        |      (acc, x) -> acc + x)
-        |    / (sqrt(list_reduce(list_transform(list_zip(v, v), z -> z[1] * z[2]),
-        |         (acc, x) -> acc + x))
-        |     * sqrt(list_reduce(list_transform(list_zip(p, p), z -> z[1] * z[2]),
-        |         (acc, x) -> acc + x))) AS cosine
-        |  FROM emb CROSS JOIN probe WHERE vec_id <> 0)
+        |      (acc, x) -> acc + x) / (norm * pnorm) AS cosine
+        |  FROM normed CROSS JOIN probe WHERE vec_id <> 0)
         |SELECT vec_id, cosine FROM scored
         |ORDER BY cosine DESC, vec_id ASC LIMIT 20""".stripMargin,
 
@@ -168,15 +168,14 @@ object Similarity {
     "dedup_near_embedding" ->
       """WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings),
+        |normed AS (SELECT vec_id, label, v,
+        |    sqrt(list_reduce(list_transform(list_zip(v, v), z -> z[1] * z[2]),
+        |      (acc, x) -> acc + x)) AS norm FROM emb),
         |pairs AS (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |    list_reduce(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]),
-        |      (acc, x) -> acc + x)
-        |    / (sqrt(list_reduce(list_transform(list_zip(a.v, a.v), z -> z[1] * z[2]),
-        |         (acc, x) -> acc + x))
-        |     * sqrt(list_reduce(list_transform(list_zip(b.v, b.v), z -> z[1] * z[2]),
-        |         (acc, x) -> acc + x))) AS cosine
-        |  FROM emb a JOIN emb b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |      (acc, x) -> acc + x) / (a.norm * b.norm) AS cosine
+        |  FROM normed a JOIN normed b ON a.label = b.label AND a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, cosine FROM pairs
         |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
   )
