@@ -60,7 +60,10 @@ object Scalars {
         ceil(col("c_acctbal")).as("ceil_bal"),
         floor(col("c_acctbal")).as("floor_bal"),
         sqrt(abs(col("c_acctbal"))).as("sqrt_bal"),
-        pow(col("c_acctbal"), 2).as("bal_sq"),
+        // x*x, not pow(x,2): Math.pow and libm differ in the last ulp on a
+        // few rows per ten thousand (caught by an sf0.1 oracle stress run);
+        // plain multiplication is exactly-rounded and portable
+        (col("c_acctbal") * col("c_acctbal")).as("bal_sq"),
         // ln()/log10() dropped from oracle output: JVM Math.log{,10} and
         // DuckDB's libm disagree in the last ulp on a few rows per thousand.
         // They are covered by ScalaTest instead (exactness is not portable).
@@ -170,7 +173,7 @@ object Scalars {
         |  CAST(ceil(c_acctbal) AS BIGINT) AS ceil_bal,
         |  CAST(floor(c_acctbal) AS BIGINT) AS floor_bal,
         |  sqrt(abs(c_acctbal)) AS sqrt_bal,
-        |  pow(c_acctbal, 2) AS bal_sq,
+        |  c_acctbal * c_acctbal AS bal_sq,
         |  greatest(c_acctbal, 0.0) AS clamped_lo,
         |  least(c_acctbal, 5000.0) AS clamped_hi
         |FROM customer ORDER BY c_custkey""".stripMargin,

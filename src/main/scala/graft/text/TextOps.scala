@@ -114,6 +114,21 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Token counting two ways (the training-pipeline budget estimator):
+    // whitespace tokens and a BPE-ish regex tokenization (alpha runs /
+    // digit runs / single non-space symbols), plus a chars-per-token ratio.
+    "text_token_count" -> ((s, d) => {
+      val reToks = regexp_extract_all(col("text"),
+        lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("ws_tokens"),
+          size(reToks).as("re_tokens"),
+          (col("n_chars").cast("double") / size(reToks))
+            .as("chars_per_token"))
+        .orderBy("doc_id")
+    }),
+
     "dedup_exact" -> ((s, d) =>
       Tables.documents(s, d)
         .groupBy(col("text"))
@@ -181,6 +196,16 @@ object TextOps {
         |      t -> CAST(length(t) * 131 + ascii(t) AS BIGINT)),
         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint,
         |  md5(text) AS content_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+        |    AS INTEGER) AS re_tokens,
+        |  CAST(n_chars AS DOUBLE)
+        |    / len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+        |    AS chars_per_token
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "dedup_exact" ->
