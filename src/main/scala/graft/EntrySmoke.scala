@@ -33,6 +33,9 @@ object EntrySmoke {
           .show(10, false)
         println("ANN_BRUTE:")
         sim.Ann.bruteTopK(emb, probe, 10).show(10, false)
+        println("ANN_LSH:")
+        sim.Ann.lshSearch(emb, probe, 10, nTables = 12, nBits = 5)
+          .show(10, false)
       case Array("stream", dir) =>
         // file-source streaming drive: µs-normalized copy of events →
         // readStream → watermarked tumbling agg → memory sink

@@ -62,4 +62,58 @@ object Ann {
       .orderBy(desc("cosine"), asc("vec_id"))
       .limit(k)
   }
+
+  // ------------------------------------------- random-hyperplane LSH ANN
+
+  /** Deterministic pseudo-random hyperplanes: `nTables` tables of `nBits`
+    * sign bits each (seeded — identical across runs and JVMs). */
+  private def hyperplanes(dim: Int, nTables: Int, nBits: Int): Seq[Seq[Seq[Double]]] = {
+    val rng = new scala.util.Random(0x5eed)
+    Seq.fill(nTables)(Seq.fill(nBits)(Seq.fill(dim)(rng.nextGaussian())))
+  }
+
+  /** Per-table bucket ids for a vector column: bucket = sign-bit fold of
+    * the hyperplane dot products. Cosine-close vectors collide with
+    * probability (1 - θ/π)^nBits per table; nTables unions the recall. */
+  def lshBuckets(v: Column, dim: Int, nTables: Int, nBits: Int): Column = {
+    val planes = hyperplanes(dim, nTables, nBits)
+    array(planes.map { table =>
+      table.zipWithIndex.map { case (plane, bit) =>
+        when(dot(v, typedLit(plane)) >= 0, lit(1L << bit)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+  }
+
+  /** LSH-bucketed ANN: candidates = vectors sharing any table bucket with
+    * the probe; exact rank within candidates. The bucket explode is the
+    * scale path — the corpus is written partitioned by (table, bucket) and
+    * a probe touches nTables partitions instead of everything. */
+  def lshSearch(emb: DataFrame, probe: Seq[Double], k: Int,
+      nTables: Int = 8, nBits: Int = 6): DataFrame = {
+    val dim = probe.length
+    val vecs = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val bucketed = vecs
+      .select(col("vec_id"), col("v"),
+        posexplode(lshBuckets(col("v"), dim, nTables, nBits)))
+      .withColumnRenamed("pos", "table_id")
+      .withColumnRenamed("col", "bucket")
+    val probeBuckets = hyperplanes(dim, nTables, nBits).zipWithIndex.map {
+      case (table, t) =>
+        val b = table.zipWithIndex.map { case (plane, bit) =>
+          if (plane.zip(probe).map { case (a, x) => a * x }.sum >= 0) 1L << bit
+          else 0L
+        }.sum
+        (t, b)
+    }
+    val probeDf = broadcast(
+      emb.sparkSession.createDataFrame(probeBuckets)
+        .toDF("table_id", "bucket"))
+    val p = typedLit(probe)
+    bucketed.join(probeDf, Seq("table_id", "bucket"), "left_semi")
+      .select(col("vec_id"), col("v")).dropDuplicates("vec_id")
+      .select(col("vec_id"), cosine(col("v"), p).as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(k)
+  }
 }

@@ -98,4 +98,18 @@ class SimSpec extends SparkSpec {
     // the probe's own vector lives in some list and must be findable
     assert(approx.contains(7L))
   }
+
+  test("hyperplane-LSH ANN finds the probe and reaches reasonable recall") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val probe = emb.filter(col("vec_id") === 7)
+      .select(col("embedding").cast("array<double>"))
+      .head.getSeq[Double](0).toSeq
+    val exact = Ann.bruteTopK(emb, probe, 10).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val approx = Ann.lshSearch(emb, probe, 10, nTables = 12, nBits = 5)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(approx.contains(7L), "identical vector must share every bucket")
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"LSH recall@10 = $recall (12 tables x 5 bits)")
+  }
 }
