@@ -20,11 +20,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
     "events", "documents", "embeddings")
 
-  private val cache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  // WeakHashMap keyed on the session object itself: identity (not hashCode,
+  // which can collide across sessions) and entries vanish when a session is
+  // GC'd — a cached plan pins its session, so a strong key would leak every
+  // stopped session for the JVM lifetime.
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, DataFrame]]())
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    cache.getOrElseUpdate((System.identityHashCode(spark), s"$dir/$name"), {
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = cache.synchronized {
+      var m = cache.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+        cache.put(spark, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate(s"$dir/$name", {
       if (name == "events") {
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.read
@@ -32,6 +45,7 @@ object Tables {
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       } else spark.read.parquet(s"$dir/$name.parquet")
     })
+  }
 
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")

@@ -92,11 +92,13 @@ object Fw {
     s"rules(${ruleCols.mkString(", ")}) AS (SELECT * FROM (VALUES $rows))"
   }
 
-  /** Deterministic connection-log derivation from `events` (FIXTURES.md §2).
-    * FLOOR before the bigint cast: Spark's double→long cast truncates while
-    * DuckDB's rounds half-even, so the truncation must be explicit. */
-  def fwEvents(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir).select(
+  /** Deterministic connection-log derivation from an `events`-shaped
+    * DataFrame (FIXTURES.md §2) — shared by the batch queries and the
+    * streaming twin so the two can never drift. FLOOR before the bigint
+    * cast: Spark's double→long cast truncates while DuckDB's rounds
+    * half-even, so the truncation must be explicit. */
+  def deriveFw(events: DataFrame): DataFrame =
+    events.select(
       col("event_id"),
       col("ts"),
       (lit(167772160L) + (col("user_id") % 256) * 256 + (col("event_id") % 256))
@@ -109,6 +111,9 @@ object Fw {
         .otherwise(22).as("dst_port"),
       lit("tcp").as("proto"),
       concat(lit("acl_"), (col("user_id") % 4).cast("string")).as("acl"))
+
+  def fwEvents(spark: SparkSession, dir: String): DataFrame =
+    deriveFw(Tables.events(spark, dir))
 
   val fwSqlCte: String =
     """fw AS (SELECT event_id, ts,

@@ -35,56 +35,56 @@ object LogParse {
   def readLogs(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
 
-  /** Parse 106100 lines to the standard connection schema; non-matching
-    * lines yield empty extracts and are dropped. */
-  def parse106100(raw: DataFrame): DataFrame = {
-    val v = col("value")
+  /** Single-pass multi-group extraction: Catalyst does not CSE
+    * regexp_extract calls with different group indexes, so per-field
+    * extraction would run the anchored pattern once PER FIELD per line.
+    * Instead regexp_replace packs all groups into one \u0001-delimited
+    * string in ONE pass; non-matching lines come back unchanged (the
+    * pattern demands the delimiter-free " -> " syntax, so a packed line
+    * can never equal its input) and are dropped before the split. */
+  private def packExtract(raw: DataFrame, pattern: String,
+      nGroups: Int): DataFrame = {
+    val replacement = (1 to nGroups).map(i => s"$$$i").mkString("\u0001")
     raw
-      .select(
-        regexp_extract(v, pat106100, 1).as("acl"),
-        regexp_extract(v, pat106100, 2).as("action_logged"),
-        regexp_extract(v, pat106100, 3).as("proto"),
-        regexp_extract(v, pat106100, 4).as("src_ip_str"),
-        regexp_extract(v, pat106100, 5).as("src_port_str"),
-        regexp_extract(v, pat106100, 6).as("dst_ip_str"),
-        regexp_extract(v, pat106100, 7).as("dst_port_str"),
-        regexp_extract(v, pat106100, 8).as("hit_cnt_str"))
-      .where(col("acl") =!= "")
-      .select(col("acl"), col("action_logged"), col("proto"),
-        ipToLong(col("src_ip_str")).as("src_ip"),
-        col("src_port_str").cast("int").as("src_port"),
-        ipToLong(col("dst_ip_str")).as("dst_ip"),
-        col("dst_port_str").cast("int").as("dst_port"),
-        col("hit_cnt_str").cast("long").as("hit_cnt"))
+      .select(regexp_replace(col("value"), pattern, replacement).as("packed"),
+        col("value"))
+      .where(col("packed") =!= col("value"))
+      .select(split(col("packed"), "\u0001").as("g"))
   }
+
+  /** Parse 106100 lines to the standard connection schema; non-matching
+    * lines are dropped (never throw). */
+  def parse106100(raw: DataFrame): DataFrame =
+    packExtract(raw, pat106100, 8)
+      .select(
+        element_at(col("g"), 1).as("acl"),
+        element_at(col("g"), 2).as("action_logged"),
+        element_at(col("g"), 3).as("proto"),
+        ipToLong(element_at(col("g"), 4)).as("src_ip"),
+        element_at(col("g"), 5).cast("int").as("src_port"),
+        ipToLong(element_at(col("g"), 6)).as("dst_ip"),
+        element_at(col("g"), 7).cast("int").as("dst_port"),
+        element_at(col("g"), 8).cast("long").as("hit_cnt"))
 
   /** Parse 106023 default-deny lines (no ACL rule matched — the implicit
     * deny); kept separate because the reference reports them separately. */
-  def parse106023(raw: DataFrame): DataFrame = {
-    val v = col("value")
-    raw
+  def parse106023(raw: DataFrame): DataFrame =
+    packExtract(raw, pat106023, 6)
       .select(
-        regexp_extract(v, pat106023, 1).as("proto"),
-        regexp_extract(v, pat106023, 2).as("src_ip_str"),
-        regexp_extract(v, pat106023, 3).as("src_port_str"),
-        regexp_extract(v, pat106023, 4).as("dst_ip_str"),
-        regexp_extract(v, pat106023, 5).as("dst_port_str"),
-        regexp_extract(v, pat106023, 6).as("acl"))
-      .where(col("acl") =!= "")
-      .select(col("acl"), col("proto"),
-        ipToLong(col("src_ip_str")).as("src_ip"),
-        col("src_port_str").cast("int").as("src_port"),
-        ipToLong(col("dst_ip_str")).as("dst_ip"),
-        col("dst_port_str").cast("int").as("dst_port"))
-  }
+        element_at(col("g"), 6).as("acl"),
+        element_at(col("g"), 1).as("proto"),
+        ipToLong(element_at(col("g"), 2)).as("src_ip"),
+        element_at(col("g"), 3).cast("int").as("src_port"),
+        ipToLong(element_at(col("g"), 4)).as("dst_ip"),
+        element_at(col("g"), 5).cast("int").as("dst_port"))
 
   /** End-to-end raw pipeline: syslog text + config text → per-rule usage
     * report (the reference's three stages in one lazy plan). */
   def usageReportFromRaw(spark: SparkSession, logPath: String,
       confPath: String): DataFrame = {
-    val rules = Ruleset.toRulesDf(spark,
-      Ruleset.parseConfig(
-        scala.io.Source.fromFile(confPath).getLines().toSeq))
+    val confLines = scala.util.Using.resource(
+      scala.io.Source.fromFile(confPath))(_.getLines().toSeq)
+    val rules = Ruleset.toRulesDf(spark, Ruleset.parseConfig(confLines))
     val events = parse106100(readLogs(spark, logPath))
       .withColumn("event_id", monotonically_increasing_id())
     val hits = Fw.matchFirst(events, rules, "event_id")

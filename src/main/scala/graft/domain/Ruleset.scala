@@ -47,67 +47,112 @@ object Ruleset {
   val anyNet: NetEntry = NetEntry("0.0.0.0/0", 0L, (1L << 32) - 1)
   val anyPort: PortEntry = PortEntry(0, 65535)
 
-  /** Parse config lines into ordered rules with groups expanded. Strict on
-    * the grammar above; unknown lines are ignored (configs carry plenty of
-    * irrelevant directives). */
+  /** Well-known service names (Cisco configs use these more often than
+    * numbers). Unknown names in a port spec fall back to any-port rather
+    * than crashing the parse. */
+  private val namedPorts = Map(
+    "ftp-data" -> 20, "ftp" -> 21, "ssh" -> 22, "telnet" -> 23,
+    "smtp" -> 25, "domain" -> 53, "www" -> 80, "http" -> 80,
+    "pop3" -> 110, "ntp" -> 123, "https" -> 443, "syslog" -> 514)
+
+  private def port(tok: String): Option[Int] =
+    tok.toIntOption.orElse(namedPorts.get(tok))
+
+  /** Parse config lines into ordered rules with groups expanded.
+    *
+    * Two passes: object-group definitions are collected over the whole file
+    * first, so `access-list` lines and `group-object` nesting may reference
+    * groups defined later. A reference to a group that exists nowhere in
+    * the config throws (silently dropping the rule would corrupt
+    * first-match order). Unknown *directives* are still ignored — configs
+    * carry plenty of irrelevant lines. */
   def parseConfig(lines: Seq[String]): Seq[RawRule] = {
-    val netGroups = scala.collection.mutable.Map.empty[String, Vector[NetEntry]]
+    val rawNet = scala.collection.mutable.Map.empty[String, Vector[(String, List[String])]]
     val svcGroups = scala.collection.mutable.Map.empty[String, Vector[PortEntry]]
     var current: Option[(String, String)] = None // (kind, name)
-    val rules = scala.collection.mutable.ArrayBuffer.empty[RawRule]
-    val seqPerAcl = scala.collection.mutable.Map.empty[String, Int]
+
+    def tokensOf(raw: String): (Boolean, List[String]) =
+      (raw.startsWith(" ") || raw.startsWith("\t"),
+        raw.trim.split("\\s+").toList.filter(_.nonEmpty))
+
+    // pass 1: collect group bodies (network bodies kept symbolic so nested
+    // group-object can resolve after everything is known)
+    lines.foreach { raw =>
+      tokensOf(raw) match {
+        case (false, "object-group" :: "network" :: name :: _) =>
+          current = Some(("network", name)); rawNet(name) = Vector.empty
+        case (false, "object-group" :: "service" :: name :: _) =>
+          current = Some(("service", name)); svcGroups(name) = Vector.empty
+        case (true, "network-object" :: rest) =>
+          current.collect { case ("network", n) =>
+            rawNet(n) = rawNet(n) :+ ("network-object", rest) }
+        case (true, "group-object" :: g :: _) =>
+          current.collect { case ("network", n) =>
+            rawNet(n) = rawNet(n) :+ ("group-object", List(g)) }
+        case (true, "port-object" :: "eq" :: p :: _) =>
+          current.collect { case ("service", n) =>
+            port(p).foreach(v => svcGroups(n) = svcGroups(n) :+ PortEntry(v, v)) }
+        case (true, "port-object" :: "range" :: lo :: hi :: _) =>
+          current.collect { case ("service", n) =>
+            for (l <- port(lo); h <- port(hi))
+              svcGroups(n) = svcGroups(n) :+ PortEntry(l, h) }
+        case (false, _) => current = None
+        case _ =>
+      }
+    }
+
+    val netGroups = scala.collection.mutable.Map.empty[String, Vector[NetEntry]]
+    def resolveGroup(name: String, seen: Set[String]): Vector[NetEntry] =
+      netGroups.getOrElseUpdate(name, {
+        require(!seen.contains(name), s"object-group cycle at '$name'")
+        val body = rawNet.getOrElse(name,
+          throw new IllegalArgumentException(
+            s"access-list references undefined object-group '$name'"))
+        body.flatMap {
+          case ("network-object", "host" :: ip :: _) => Vector(net(ip, 32))
+          case ("network-object", ip :: mask :: _) if ip.count(_ == '.') == 3 =>
+            Vector(net(ip, maskToPrefix(mask)))
+          case ("group-object", g :: _) => resolveGroup(g, seen + name)
+          case _ => Vector.empty
+        }
+      })
 
     def resolveNet(tokens: List[String]): (Seq[NetEntry], List[String]) =
       tokens match {
         case "any" :: rest => (Seq(anyNet), rest)
         case "host" :: ip :: rest => (Seq(net(ip, 32)), rest)
-        case "object-group" :: g :: rest =>
-          (netGroups.getOrElse(g, Vector.empty), rest)
+        case "object-group" :: g :: rest => (resolveGroup(g, Set.empty), rest)
         case ip :: mask :: rest if ip.count(_ == '.') == 3 =>
           (Seq(net(ip, maskToPrefix(mask))), rest)
         case rest => (Seq.empty, rest)
       }
 
     def resolvePorts(tokens: List[String]): Seq[PortEntry] = tokens match {
-      case "eq" :: p :: _ => Seq(PortEntry(p.toInt, p.toInt))
-      case "range" :: lo :: hi :: _ => Seq(PortEntry(lo.toInt, hi.toInt))
-      case "object-group" :: g :: _ => svcGroups.getOrElse(g, Vector.empty)
+      case "eq" :: p :: _ =>
+        port(p).map(v => Seq(PortEntry(v, v))).getOrElse(Seq(anyPort))
+      case "range" :: lo :: hi :: _ =>
+        (for (l <- port(lo); h <- port(hi)) yield Seq(PortEntry(l, h)))
+          .getOrElse(Seq(anyPort))
+      case "object-group" :: g :: _ =>
+        svcGroups.getOrElse(g,
+          throw new IllegalArgumentException(
+            s"access-list references undefined service group '$g'"))
       case _ => Seq(anyPort)
     }
 
+    // pass 2: the access-list lines, in order
+    val rules = scala.collection.mutable.ArrayBuffer.empty[RawRule]
+    val seqPerAcl = scala.collection.mutable.Map.empty[String, Int]
     lines.foreach { raw =>
-      val indented = raw.startsWith(" ") || raw.startsWith("\t")
-      val toks = raw.trim.split("\\s+").toList.filter(_.nonEmpty)
-      (indented, toks) match {
-        case (false, "object-group" :: "network" :: name :: _) =>
-          current = Some(("network", name)); netGroups(name) = Vector.empty
-        case (false, "object-group" :: "service" :: name :: _) =>
-          current = Some(("service", name)); svcGroups(name) = Vector.empty
-        case (true, "network-object" :: "host" :: ip :: _) =>
-          current.collect { case ("network", n) =>
-            netGroups(n) = netGroups(n) :+ net(ip, 32) }
-        case (true, "network-object" :: ip :: mask :: _)
-            if ip.count(_ == '.') == 3 =>
-          current.collect { case ("network", n) =>
-            netGroups(n) = netGroups(n) :+ net(ip, maskToPrefix(mask)) }
-        case (true, "group-object" :: g :: _) =>
-          current.collect { case ("network", n) =>
-            netGroups(n) = netGroups(n) ++ netGroups.getOrElse(g, Vector.empty) }
-        case (true, "port-object" :: "eq" :: p :: _) =>
-          current.collect { case ("service", n) =>
-            svcGroups(n) = svcGroups(n) :+ PortEntry(p.toInt, p.toInt) }
-        case (true, "port-object" :: "range" :: lo :: hi :: _) =>
-          current.collect { case ("service", n) =>
-            svcGroups(n) = svcGroups(n) :+ PortEntry(lo.toInt, hi.toInt) }
+      tokensOf(raw) match {
         case (false, "access-list" :: acl :: "extended" :: action :: proto :: rest) =>
-          current = None
           val (srcs, afterSrc) = resolveNet(rest)
           val (dsts, afterDst) = resolveNet(afterSrc)
           val ports = resolvePorts(afterDst)
           val seq = seqPerAcl.getOrElse(acl, 0) + 10
           seqPerAcl(acl) = seq
           rules += RawRule(acl, seq, action, proto, srcs, dsts, ports)
-        case _ => // ignore unrelated config directives
+        case _ =>
       }
     }
     rules.toSeq

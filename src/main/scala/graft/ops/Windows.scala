@@ -215,18 +215,23 @@ object Windows {
         |        + INTERVAL 1 HOUR
         |GROUP BY 1 ORDER BY bucket_start""".stripMargin,
 
-    // session_window(gap 30min) == gaps-and-islands with a 30min threshold
+    // session_window(gap 30min) == gaps-and-islands with a 30min threshold.
+    // NOTE '>=': Spark sessions are end-EXCLUSIVE (window end = ts + gap; an
+    // event AT the end starts a new session), so a gap of exactly the
+    // threshold splits — strict '>' would merge it in the oracle only.
+    // event_id tiebreaks both window orders (total-order discipline).
     "win_session" ->
       """WITH flagged AS (
-        |  SELECT user_id, ts, value,
+        |  SELECT user_id, ts, event_id, value,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
         |      THEN 1 ELSE 0 END AS new_session
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
         |sessions AS (
         |  SELECT user_id, ts, value,
-        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+        |    SUM(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         |  FROM flagged)
         |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,

@@ -16,11 +16,7 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  import VectorMath.{cosine, dot}
 
   /** Corpus with an IVF assignment: nearest of `nCentroids` deterministic
     * centers (the first vectors by vec_id — a fixed sample). */

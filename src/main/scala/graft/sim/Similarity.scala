@@ -20,9 +20,7 @@ import graft.core.Tables
   */
 object Similarity {
 
-  /** Exact dot product of two double arrays with deterministic fold order. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  import VectorMath.dot
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -70,16 +70,8 @@ object Streaming {
   def streamRuleCounts(events: DataFrame,
       rules: Seq[graft.domain.Fw.Rule] = graft.domain.Fw.ruleset,
       watermark: String = "10 minutes"): DataFrame = {
-    val fw = events.select(col("event_id"), col("ts"),
-      (lit(167772160L) + (col("user_id") % 256) * 256 + (col("event_id") % 256)).as("src_ip"),
-      (lit(3232235520L) + (floor(col("value")).cast("long") % 256)).as("dst_ip"),
-      when(col("event_type") === "view", 80)
-        .when(col("event_type") === "click", 443)
-        .when(col("event_type") === "signup", 8443)
-        .when(col("event_type") === "purchase", 8080)
-        .otherwise(22).as("dst_port"),
-      lit("tcp").as("proto"),
-      concat(lit("acl_"), (col("user_id") % 4).cast("string")).as("acl"))
+    // same derivation as the batch pipeline — shared so they cannot drift
+    val fw = graft.domain.Fw.deriveFw(events)
     fw.withWatermark("ts", watermark)
       .withColumn("rule_seq", graft.domain.Fw.firstMatchCol(rules))
       .filter(col("rule_seq").isNotNull)
@@ -117,10 +109,12 @@ object Streaming {
             val prev = state.getOption
               .getOrElse(UserStats(userId, 0L, 0.0, new java.sql.Timestamp(0)))
             val buf = rows.toSeq
+            val batchMax = buf.map(_.ts).maxBy(_.getTime)
             val next = UserStats(userId,
               prev.n_events + buf.size,
               prev.total_value + buf.map(_.value).sum,
-              buf.map(_.ts).maxBy(_.getTime))
+              // keep monotone: a batch of late events must not move it back
+              if (batchMax.after(prev.last_seen)) batchMax else prev.last_seen)
             state.update(next)
             evictAfter.foreach(state.setTimeoutDuration)
             Iterator.single(next)

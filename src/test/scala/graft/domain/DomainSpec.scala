@@ -64,6 +64,23 @@ class DomainSpec extends SparkSpec {
     assert(df.count() === 6 + 1 + 1 + 1) // cartesian expansion of arrays
   }
 
+  test("parseConfig: named ports, forward group refs, loud undefined-group error") {
+    val conf = Seq(
+      "access-list acl_x extended permit tcp any object-group late-group eq www",
+      "access-list acl_x extended permit tcp any any range ftp-data ftp",
+      "object-group network late-group", // defined AFTER first reference
+      " network-object host 192.168.0.99")
+    val rules = Ruleset.parseConfig(conf)
+    assert(rules.length === 2)
+    assert(rules(0).ports === Seq(Ruleset.PortEntry(80, 80))) // www -> 80
+    assert(rules(0).dsts.map(_.cidr) === Seq("192.168.0.99/32")) // forward ref
+    assert(rules(1).ports === Seq(Ruleset.PortEntry(20, 21))) // ftp-data..ftp
+
+    val bad = Seq("access-list a extended permit tcp any object-group nope eq 80")
+    val err = intercept[IllegalArgumentException](Ruleset.parseConfig(bad))
+    assert(err.getMessage.contains("nope"))
+  }
+
   test("end-to-end raw pipeline: report matches hand-computed hit counts") {
     val report = LogParse.usageReportFromRaw(spark,
       resource("fwlogs/sample.log"), resource("fwconf/sample.conf"))
