@@ -17,8 +17,14 @@ import graft.core.Tables
   */
 object Relational {
 
-  /** Exact, order-independent money aggregate: SUM(CAST(x AS DECIMAL(18,4))). */
-  private def dsum(c: Column): Column = sum(c.cast("decimal(18,4)"))
+  /** Exact, order-independent money aggregate: SUM(CAST(x AS DECIMAL(18,4))),
+    * canonicalized to DECIMAL(38,4): Spark widens a decimal SUM to p+10 =
+    * DECIMAL(28,4) while DuckDB widens to DECIMAL(38,4) — identical values,
+    * different physical types, which a type-faithful result hash rejects. The
+    * final cast (mirrored as CAST(… AS DECIMAL(38,4)) in every oracle) pins
+    * one canonical output type on both engines. */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(18,4)")).cast("decimal(38,4)")
 
   /** Deterministic average: exact decimal sum, cast to double, divided by
     * count. Never AVG(double) (partition-order-dependent) and never decimal
@@ -168,7 +174,8 @@ object Relational {
           // first makes the decimal product exact: no rounding ever happens.
           sum(col("l_extendedprice").cast("decimal(12,4)")
             * (lit(1) - col("l_discount")).cast("decimal(6,4)")
-            * (lit(1) + col("l_tax")).cast("decimal(6,4)")).as("sum_charge"),
+            * (lit(1) + col("l_tax")).cast("decimal(6,4)"))
+            .cast("decimal(38,12)").as("sum_charge"),
           davg(col("l_quantity")).as("avg_qty"),
           davg(col("l_extendedprice")).as("avg_price"),
           davg(col("l_discount")).as("avg_disc"),
@@ -310,7 +317,8 @@ object Relational {
 
     "join_shuffle_inner" ->
       """SELECT o_orderkey, o_orderpriority,
-        |  SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+        |    AS DECIMAL(38,4)) AS revenue,
         |  COUNT(*) AS n_lines
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderkey, o_orderpriority
@@ -318,7 +326,8 @@ object Relational {
 
     "join_left_outer" ->
       """SELECT c_custkey, COUNT(o_orderkey) AS n_big_orders,
-        |  SUM(CAST(COALESCE(o_totalprice, 0) AS DECIMAL(18,4))) AS big_total
+        |  CAST(SUM(CAST(COALESCE(o_totalprice, 0) AS DECIMAL(18,4)))
+        |    AS DECIMAL(38,4)) AS big_total
         |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o
         |  ON c_custkey = o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
@@ -346,7 +355,8 @@ object Relational {
 
     "join_theta_range" ->
       """SELECT r.r_regionkey AS price_band, COUNT(*) AS n_orders,
-        |  SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS band_total
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4))
+        |    AS band_total
         |FROM orders o JOIN region r
         |  ON o.o_totalprice >= 50000.0 * r.r_regionkey
         | AND o.o_totalprice <  50000.0 * (r.r_regionkey + 1)
@@ -376,10 +386,10 @@ object Relational {
 
     "agg_basic" ->
       """SELECT l_returnflag, l_linestatus,
-        |  SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
-        |  SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(6,4)) * CAST(1 + l_tax AS DECIMAL(6,4))) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(6,4)) * CAST(1 + l_tax AS DECIMAL(6,4))) AS DECIMAL(38,12)) AS sum_charge,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
         |  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
@@ -410,7 +420,7 @@ object Relational {
     "agg_grouping_sets" ->
       """SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
         |  COUNT(*) AS n_customers,
-        |  SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS total_bal
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_bal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -419,11 +429,11 @@ object Relational {
 
     "agg_pivot" ->
       """SELECT user_id,
-        |  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-        |  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-        |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-        |  SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-        |  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "agg_collect" ->

@@ -18,6 +18,9 @@ import graft.core.Tables
   */
 object Windows {
 
+  // Raw decimal sum — the DECIMAL(38,4) canonical cast (see [[Relational]])
+  // is applied AFTER `.over(w)` at each use site, because a window spec must
+  // attach to the bare aggregate function, not to a Cast around it.
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,4)"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -55,7 +58,7 @@ object Windows {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.events(s, d)
         .select(col("user_id"), col("event_id"), col("ts"),
-          dsum(col("value")).over(w).as("running_value"),
+          dsum(col("value")).over(w).cast("decimal(38,4)").as("running_value"),
           count(lit(1)).over(w).as("running_n"))
         .orderBy("user_id", "ts", "event_id")
     }),
@@ -81,7 +84,7 @@ object Windows {
       Tables.orders(s, d)
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
           count(lit(1)).over(w).as("n_in_band"),
-          dsum(col("o_totalprice")).over(w).as("band_total"))
+          dsum(col("o_totalprice")).over(w).cast("decimal(38,4)").as("band_total"))
         .orderBy("o_orderkey")
     }),
 
@@ -110,7 +113,8 @@ object Windows {
     "win_tumbling" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("value")).cast("decimal(38,4)").as("total_value"))
         .select(col("window.start").as("bucket_start"), col("event_type"),
           col("n"), col("total_value"))
         .orderBy("bucket_start", "event_type")),
@@ -118,7 +122,8 @@ object Windows {
     "win_sliding" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy(window(col("ts"), "1 hour", "15 minutes"))
-        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("value")).cast("decimal(38,4)").as("total_value"))
         .select(col("window.start").as("bucket_start"), col("n"),
           col("total_value"))
         .orderBy("bucket_start")),
@@ -126,7 +131,8 @@ object Windows {
     "win_session" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
-        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("session_value"))
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).cast("decimal(38,4)").as("session_value"))
         .select(col("user_id"), col("session_window.start").as("session_start"),
           col("n_events"), col("session_value"))
         .orderBy("user_id", "session_start"))
@@ -156,7 +162,8 @@ object Windows {
 
     "win_running_sum" ->
       """SELECT user_id, event_id, ts,
-        |  SUM(CAST(value AS DECIMAL(18,4))) OVER w AS running_value,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DECIMAL(38,4))
+        |    AS running_value,
         |  COUNT(*) OVER w AS running_n
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
@@ -175,7 +182,8 @@ object Windows {
     "win_range_frame" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |  COUNT(*) OVER w AS n_in_band,
-        |  SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS band_total
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DECIMAL(38,4))
+        |    AS band_total
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC
         |  RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
@@ -200,7 +208,8 @@ object Windows {
 
     "win_tumbling" ->
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket_start, event_type,
-        |  COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,4))) AS total_value
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY bucket_start, event_type""".stripMargin,
 
     // a 1h-window/15min-slide event lands in the 4 slide-aligned buckets
@@ -208,7 +217,8 @@ object Windows {
     "win_sliding" ->
       """SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k.k * INTERVAL 15 MINUTE
         |    AS bucket_start,
-        |  COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,4))) AS total_value
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value
         |FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) k(k)
         |WHERE ts >= time_bucket(INTERVAL 15 MINUTE, ts) - k.k * INTERVAL 15 MINUTE
         |  AND ts <  time_bucket(INTERVAL 15 MINUTE, ts) - k.k * INTERVAL 15 MINUTE
@@ -235,7 +245,7 @@ object Windows {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         |  FROM flagged)
         |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
-        |  SUM(CAST(value AS DECIMAL(18,4))) AS session_value
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS session_value
         |FROM sessions GROUP BY user_id, session_id
         |ORDER BY user_id, session_start""".stripMargin
   )

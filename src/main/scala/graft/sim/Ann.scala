@@ -112,4 +112,35 @@ object Ann {
       .orderBy(desc("cosine"), asc("vec_id"))
       .limit(k)
   }
+
+  /** LSH-bucketed near-duplicate PAIR generation — the 100 TB path for
+    * embedding dedup: candidates are pairs sharing at least one
+    * (table, bucket); exact cosine verification keeps precision 1, so the
+    * only approximation is recall, governed by (nTables, nBits) via
+    * P[collide] = 1 - (1 - (1-θ/π)^nBits)^nTables. Contrast with
+    * label-blocked all-pairs (the oracle-declared `dedup_near_embedding`):
+    * that is exact but its per-block pair count grows quadratically with
+    * corpus size, while these buckets subdivide as the corpus grows. Same
+    * shape as [[lshSearch]] but self-joined on the bucket key instead of
+    * probed. */
+  def lshNearDupPairs(emb: DataFrame, dim: Int, threshold: Double,
+      nTables: Int = 8, nBits: Int = 6): DataFrame = {
+    val vecs = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val bucketed = vecs
+      .select(col("vec_id"), col("v"),
+        posexplode(lshBuckets(col("v"), dim, nTables, nBits)))
+      .withColumnRenamed("pos", "table_id")
+      .withColumnRenamed("col", "bucket")
+    bucketed.alias("a").join(bucketed.alias("b"),
+        col("a.table_id") === col("b.table_id")
+          && col("a.bucket") === col("b.bucket")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cosine(col("a.v"), col("b.v")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      // a close pair collides in several tables — dedupe after the filter
+      .dropDuplicates("vec_a", "vec_b")
+      .orderBy("vec_a", "vec_b")
+  }
 }

@@ -33,19 +33,38 @@ object SimHash {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Pairs within hamming distance t, blocked on the top 16 fingerprint bits
-    * (near-identical docs share the high bits with overwhelming probability;
-    * the block bounds the self-join at scale). */
+  /** Pairs within hamming distance `maxHamming`, with GUARANTEED recall:
+    * the fingerprint is split into maxHamming+1 disjoint bit blocks, and each
+    * doc is indexed once per (block index, block value). If at most
+    * maxHamming bits differ, the differing bits touch at most maxHamming
+    * blocks, so by pigeonhole at least one block matches exactly — every
+    * true pair is generated as a candidate (the single-prefix blocking this
+    * replaces missed any pair whose differing bit fell inside the prefix).
+    * Exact hamming verification then keeps precision 1. The (block, value)
+    * equi-join is the scale shape: shuffle keyed on short block values,
+    * candidates bounded by per-bucket collisions, never all-pairs. */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 8): DataFrame = {
-    val base = docs.select(col(idCol).as("id"),
-      simhash(col(textCol)).as("fp"))
-    val blocked = base.withColumn("block", shiftright(col("fp"), 47))
-    blocked.alias("a").join(blocked.alias("b"),
-        col("a.block") === col("b.block") && col("a.id") < col("b.id"))
+    val nBlocks = maxHamming + 1
+    val bitsPer = 63 / nBlocks
+    val base = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
+    val blocks = (0 until nBlocks).map { i =>
+      val lo = i * bitsPer
+      val width = if (i == nBlocks - 1) 63 - lo else bitsPer
+      struct(lit(i).as("blk"),
+        shiftright(col("fp"), lo).bitwiseAND(lit((1L << width) - 1)).as("bval"))
+    }
+    val indexed = base
+      .select(col("id"), col("fp"), explode(array(blocks: _*)).as("b"))
+      .select(col("id"), col("fp"), col("b.blk").as("blk"), col("b.bval").as("bval"))
+    indexed.alias("a").join(indexed.alias("b"),
+        col("a.blk") === col("b.blk") && col("a.bval") === col("b.bval")
+          && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         hamming(col("a.fp"), col("b.fp")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      // a close pair can agree on several blocks — dedupe after the cheap filter
+      .dropDuplicates("id_a", "id_b")
       .orderBy("id_a", "id_b")
   }
 }

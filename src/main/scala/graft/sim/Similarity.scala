@@ -65,23 +65,21 @@ object Similarity {
     }),
 
     // Token-set Jaccard near-dup join, blocked by source.
-    // Two scale tricks, both mirrored in the oracle: (1) dictionary-encode
-    // tokens to dense int ids (sorted-vocab row_number — deterministic in
-    // both engines) so the pair join shuffles int arrays instead of string
-    // arrays; (2) size-ratio prefilter — J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|),
-    // so low-ratio pairs are rejected before any intersection runs.
+    // Two scale tricks: (1) tokens are encoded as xxhash64(tok) — a
+    // deterministic, sort-free 64-bit id, so the pair join shuffles compact
+    // long arrays instead of strings with NO vocabulary pass at all (the
+    // round-1 sorted-vocab row_number() forced the whole vocabulary through
+    // one task — a global-window anti-pattern at 100 TB). Jaccard only needs
+    // intersection *sizes*, which any injective token mapping preserves, so
+    // the oracle intersects the raw string sets and gets identical counts.
+    // (2) size-ratio prefilter — J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so
+    // low-ratio pairs are rejected before any intersection runs.
     "sim_ngram_jaccard" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val toks = Tables.documents(s, d)
+      val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
-          explode(array_distinct(split(col("text"), " "))).as("tok"))
-      val vocab = toks.select("tok").distinct()
-        .withColumn("tok_id",
-          row_number().over(Window.orderBy("tok")).cast("int"))
-      val docs = toks.join(broadcast(vocab), "tok")
-        .groupBy("doc_id", "source")
-        .agg(sort_array(collect_list(col("tok_id"))).as("toks"),
-          count(lit(1)).cast("int").as("n"))
+          array_sort(transform(array_distinct(split(col("text"), " ")),
+            t => xxhash64(t))).as("toks"))
+        .withColumn("n", size(col("toks")))
       val joined = docs.alias("a").join(docs.alias("b"),
         col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id")
           && least(col("a.n"), col("b.n")).cast("double")
@@ -98,10 +96,14 @@ object Similarity {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // Embedding-cosine near-duplicate pairs, blocked by label (the cluster
-    // id plays the LSH-bucket role; at scale the corpus is bucketed by a
-    // coarse quantizer the same way). Exact and deterministic: identical
-    // fold-order dot products on both engines.
+    // Embedding-cosine near-duplicate pairs, blocked by label. Exact and
+    // deterministic (identical fold-order dot products on both engines) —
+    // which is why THIS query stays label-blocked and oracle-eligible. The
+    // label block does not subdivide with corpus growth, so the 100 TB path
+    // is [[Ann.lshNearDupPairs]]: LSH-bucketed candidates + the same exact
+    // cosine verification, recall governed by (nTables, nBits) and property-
+    // tested in SimSpec (an approximate-recall op can't be oracle'd —
+    // SURVEY §7.5.7).
     "dedup_near_embedding" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"),
@@ -144,13 +146,10 @@ object Similarity {
         |ORDER BY key_a, key_b""".stripMargin,
 
     "sim_ngram_jaccard" ->
-      """WITH tok AS (SELECT doc_id, source,
-        |    unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
-        |vocab AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS INTEGER)
-        |    AS tok_id FROM (SELECT DISTINCT tok FROM tok)),
-        |docs AS (SELECT doc_id, source, list_sort(list(tok_id)) AS toks,
-        |    CAST(count(*) AS INTEGER) AS n
-        |  FROM tok JOIN vocab USING (tok) GROUP BY doc_id, source),
+      """WITH docs AS (SELECT doc_id, source,
+        |    list_distinct(string_split(text, ' ')) AS toks,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n
+        |  FROM documents),
         |pairs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |    CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter,

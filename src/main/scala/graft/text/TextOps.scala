@@ -145,7 +145,8 @@ object TextOps {
         |GROUP BY token ORDER BY tf DESC, token ASC""".stripMargin,
 
     "text_lang_stats" ->
-      """SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         |  COUNT(DISTINCT source) AS n_sources,
         |  CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,

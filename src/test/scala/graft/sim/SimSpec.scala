@@ -83,6 +83,52 @@ class SimSpec extends SparkSpec {
     assert(dupAvg < 12, s"avg hamming of near-dups was $dupAvg")
   }
 
+  test("simhash multi-block candidates have FULL recall (pigeonhole)") {
+    // ≤ maxHamming differing bits touch ≤ maxHamming of the maxHamming+1
+    // blocks, so one block always matches: candidate recall is guaranteed
+    // 1.0, and exact verification makes precision 1.0 — the result must
+    // EQUAL the brute-force hamming join, not just approximate it.
+    val withFp = docs.select(col("doc_id"), SimHash.simhash(col("text")).as("fp"))
+    val truth = withFp.alias("a").join(withFp.alias("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        SimHash.hamming(col("a.fp"), col("b.fp")).as("hamming"))
+      .filter(col("hamming") <= 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = SimHash.nearDupPairs(docs, "doc_id", "text", maxHamming = 8)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "corpus should contain simhash-close pairs")
+    assert(found === truth,
+      s"blocked join must equal brute force: missed=${truth.diff(found).size} " +
+        s"extra=${found.diff(truth).size}")
+  }
+
+  test("LSH-bucketed embedding near-dup pairs: exact verify + planted recall") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    // plant exact-direction duplicates: scaled copies share every sign
+    // bucket with their original, so those pairs MUST be recalled (cosine
+    // is scale-invariant ⇒ planted cosine = 1.0 ≥ any threshold)
+    val ids = emb.select("vec_id").collect().map(_.getLong(0))
+    val offset = ids.max + 1
+    val planted = emb.select((col("vec_id") + offset).as("vec_id"),
+      transform(col("embedding").cast("array<double>"), x => x * 0.5)
+        .as("embedding"))
+    val corpus = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding")).union(planted)
+    val pairs = Ann.lshNearDupPairs(corpus, dim, threshold = 0.9,
+      nTables = 8, nBits = 6).cache()
+    val found = pairs.select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expectedPlanted = ids.map(i => (i, i + offset)).toSet
+    assert(expectedPlanted.subsetOf(found),
+      s"all ${ids.length} planted dup pairs must surface; missed " +
+        s"${expectedPlanted.diff(found).size}")
+    // precision 1: verification is exact, nothing below threshold survives
+    assert(pairs.filter(col("cosine") < 0.9).count() === 0)
+  }
+
   test("IVF ANN reaches reasonable recall vs brute force") {
     val emb = graft.core.Tables.embeddings(spark, sfDir)
     val probe = emb.filter(col("vec_id") === 7)
