@@ -97,7 +97,13 @@ object Fw {
     * streaming twin so the two can never drift. FLOOR before the bigint
     * cast: Spark's double→long cast truncates while DuckDB's rounds
     * half-even, so the truncation must be explicit. */
-  def deriveFw(events: DataFrame): DataFrame =
+  def deriveFw(events: DataFrame): DataFrame = deriveFwMod(events, 4)
+
+  /** Same derivation with a configurable ACL universe: `aclMod` = 5 sends a
+    * fifth of the traffic to `acl_4`, which has no configured rules — the
+    * analog of traffic that falls through to the implicit default-deny
+    * (ASA message 106023), used by `fw_deny_stats`. */
+  def deriveFwMod(events: DataFrame, aclMod: Int): DataFrame =
     events.select(
       col("event_id"),
       col("ts"),
@@ -110,20 +116,24 @@ object Fw {
         .when(col("event_type") === "purchase", 8080)
         .otherwise(22).as("dst_port"),
       lit("tcp").as("proto"),
-      concat(lit("acl_"), (col("user_id") % 4).cast("string")).as("acl"))
+      concat(lit("acl_"), (col("user_id") % aclMod).cast("string")).as("acl"))
 
   def fwEvents(spark: SparkSession, dir: String): DataFrame =
     deriveFw(Tables.events(spark, dir))
 
-  val fwSqlCte: String =
-    """fw AS (SELECT event_id, ts,
-      |  167772160 + (user_id % 256) * 256 + (event_id % 256) AS src_ip,
-      |  3232235520 + (CAST(FLOOR(value) AS BIGINT) % 256) AS dst_ip,
-      |  CASE event_type WHEN 'view' THEN 80 WHEN 'click' THEN 443
-      |    WHEN 'signup' THEN 8443 WHEN 'purchase' THEN 8080 ELSE 22 END AS dst_port,
-      |  'tcp' AS proto,
-      |  'acl_' || CAST(user_id % 4 AS VARCHAR) AS acl
-      |FROM events)""".stripMargin
+  /** The identical derivation as a SQL CTE, parameterized like
+    * [[deriveFwMod]] so Spark and oracle can never drift. */
+  def fwSqlCteMod(name: String, aclMod: Int): String =
+    s"""$name AS (SELECT event_id, ts,
+       |  167772160 + (user_id % 256) * 256 + (event_id % 256) AS src_ip,
+       |  3232235520 + (CAST(FLOOR(value) AS BIGINT) % 256) AS dst_ip,
+       |  CASE event_type WHEN 'view' THEN 80 WHEN 'click' THEN 443
+       |    WHEN 'signup' THEN 8443 WHEN 'purchase' THEN 8080 ELSE 22 END AS dst_port,
+       |  'tcp' AS proto,
+       |  'acl_' || CAST(user_id % $aclMod AS VARCHAR) AS acl
+       |FROM events)""".stripMargin
+
+  val fwSqlCte: String = fwSqlCteMod("fw", 4)
 
   // `proto = 'ip'` in a rule matches any protocol (Cisco semantics).
   private val matchCondSql =
@@ -227,7 +237,19 @@ object Fw {
           countDistinct(col("src_ip")).as("distinct_sources"),
           min(col("ts")).as("first_seen"),
           max(col("ts")).as("last_seen"))
-        .orderBy("acl", "rule_seq"))
+        .orderBy("acl", "rule_seq")),
+    // 106023 analog (the reference's stage-3 default-deny report): traffic
+    // matching NO configured rule. The widened derivation (acl universe % 5)
+    // routes a fifth of the traffic to rule-less acl_4; the broadcast
+    // anti-join is the scale shape — no shuffle on the fact side, the miss
+    // set streams straight into a tiny-keyspace aggregation.
+    "fw_deny_stats" -> ((s, d) =>
+      deriveFwMod(Tables.events(s, d), 5).alias("e")
+        .join(broadcast(rulesDf(s)).alias("r"), expr(matchCondSql), "left_anti")
+        .groupBy("acl", "dst_port")
+        .agg(count(lit(1)).as("n_denied"),
+          countDistinct(col("src_ip")).as("distinct_sources"))
+        .orderBy("acl", "dst_port"))
   )
 
   /** The flagship: every configured rule with its hit count (0 if never hit),
@@ -270,6 +292,13 @@ object Fw {
       """SELECT acl, rule_seq, COUNT(*) AS hits,
         |       COUNT(DISTINCT src_ip) AS distinct_sources,
         |       MIN(ts) AS first_seen, MAX(ts) AS last_seen
-        |FROM matched GROUP BY acl, rule_seq ORDER BY acl, rule_seq""".stripMargin)
+        |FROM matched GROUP BY acl, rule_seq ORDER BY acl, rule_seq""".stripMargin),
+    "fw_deny_stats" ->
+      s"""WITH ${fwSqlCteMod("fw5", 5)}, $rulesSqlCte
+         |SELECT acl, dst_port, COUNT(*) AS n_denied,
+         |       COUNT(DISTINCT src_ip) AS distinct_sources
+         |FROM fw5 e
+         |WHERE NOT EXISTS (SELECT 1 FROM rules r WHERE $matchCondSql)
+         |GROUP BY acl, dst_port ORDER BY acl, dst_port""".stripMargin
   )
 }

@@ -79,21 +79,32 @@ object LogParse {
         element_at(col("g"), 5).cast("int").as("dst_port"))
 
   /** End-to-end raw pipeline: syslog text + config text → per-rule usage
-    * report (the reference's three stages in one lazy plan). */
+    * report (the reference's three stages in one lazy plan), INCLUDING the
+    * 106023 default-deny traffic: denied-by-implicit-deny counts appear per
+    * ACL as `rule_seq = -1, action = 'implicit-deny'` rows alongside the
+    * configured rules — no configured rule matched this traffic by
+    * definition, so no real rule_seq applies. */
   def usageReportFromRaw(spark: SparkSession, logPath: String,
       confPath: String): DataFrame = {
     val confLines = scala.util.Using.resource(
       scala.io.Source.fromFile(confPath))(_.getLines().toSeq)
     val rules = Ruleset.toRulesDf(spark, Ruleset.parseConfig(confLines))
-    val events = parse106100(readLogs(spark, logPath))
+    val raw = readLogs(spark, logPath)
+    val events = parse106100(raw)
       .withColumn("event_id", monotonically_increasing_id())
     val hits = Fw.matchFirst(events, rules, "event_id")
       .groupBy("acl", "rule_seq").agg(count(lit(1)).as("hits"))
     // report per configured rule line (object-group expansion collapsed back)
-    rules.select("acl", "rule_seq", "action").distinct()
+    val ruleReport = rules.select("acl", "rule_seq", "action").distinct()
       .join(hits, Seq("acl", "rule_seq"), "left_outer")
       .select(col("acl"), col("rule_seq"), col("action"),
         coalesce(col("hits"), lit(0L)).as("hits"))
+    val denyReport = parse106023(raw)
+      .groupBy("acl")
+      .agg(count(lit(1)).as("hits"))
+      .select(col("acl"), lit(-1).as("rule_seq"),
+        lit("implicit-deny").as("action"), col("hits"))
+    ruleReport.unionByName(denyReport)
       .orderBy(desc("hits"), asc("acl"), asc("rule_seq"))
   }
 }

@@ -116,7 +116,18 @@ object Similarity {
             .as("cosine"))
         .filter(col("cosine") >= 0.4)
         .orderBy("vec_a", "vec_b")
-    })
+    }),
+
+    // The 100 TB path for the same computation: LSH-bucketed candidates +
+    // exact cosine verification. No oracle entry (approximate recall can't
+    // be SQL-mirrored — SURVEY §7.5.7; the driver records a rows-only
+    // check) — recall/precision are property-tested in SimSpec, and the
+    // query is declared so the bench tracks the scale path next to the
+    // exact label-blocked variant above. dim=64 per FIXTURES.md §embeddings.
+    // (16 tables × 4 bits ⇒ pair recall ≈ 0.94 at cosine 0.4.)
+    "dedup_near_embedding_lsh" -> ((s, d) =>
+      Ann.lshNearDupPairs(Tables.embeddings(s, d), dim = 64, threshold = 0.4,
+        nTables = 16, nBits = 4))
   )
 
   def oracleSql: Map[String, String] = Map(

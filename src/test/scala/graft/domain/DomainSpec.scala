@@ -82,17 +82,22 @@ class DomainSpec extends SparkSpec {
   }
 
   test("end-to-end raw pipeline: report matches hand-computed hit counts") {
-    val report = LogParse.usageReportFromRaw(spark,
+    val rows = LogParse.usageReportFromRaw(spark,
       resource("fwlogs/sample.log"), resource("fwconf/sample.conf"))
       .collect()
+    val report = rows
       .map(r => (r.getAs[String]("acl"), r.getAs[Int]("rule_seq")) ->
         r.getAs[Long]("hits")).toMap
     assert(report === Map(
       ("acl_1", 10) -> 3L, // 443 + 80 to web-servers, 8080 to 192.168.1.0/24
       ("acl_1", 20) -> 1L, // host 10.0.1.17 -> any :22
       ("acl_1", 30) -> 1L, // deny ip any any catch-all
-      ("acl_2", 10) -> 1L  // udp port-range rule
+      ("acl_2", 10) -> 1L, // udp port-range rule
+      ("acl_2", -1) -> 1L  // the one 106023 default-deny line
     ))
+    // 106023 traffic is reported as implicit-deny, never as a real rule
+    val denyRow = rows.find(_.getAs[Int]("rule_seq") == -1).get
+    assert(denyRow.getAs[String]("action") === "implicit-deny")
   }
 
   test("first-match join is equivalent to a brute-force linear scan") {
