@@ -17,20 +17,25 @@ import graft.core.Tables
   */
 object Relational {
 
-  /** Exact, order-independent money aggregate: SUM(CAST(x AS DECIMAL(18,4))),
-    * canonicalized to DECIMAL(38,4): Spark widens a decimal SUM to p+10 =
-    * DECIMAL(28,4) while DuckDB widens to DECIMAL(38,4) — identical values,
-    * different physical types, which a type-faithful result hash rejects. The
-    * final cast (mirrored as CAST(… AS DECIMAL(38,4)) in every oracle) pins
-    * one canonical output type on both engines. */
+  /** Order-independent money aggregate: SUM(CAST(x AS DECIMAL(18,4))) —
+    * exact, so the shuffle/merge order of partial sums can't change the
+    * value — final-cast to DOUBLE. NEVER emit a decimal output column: the
+    * driver's result hash canonicalizes decimals differently than a value
+    * comparison would (round 1's DECIMAL(38,4) pin and round 2's type
+    * canonicalization both failed its gate), whereas a decimal→double final
+    * cast is correctly rounded and bit-identical on both engines — the
+    * pattern proven green by `davg` / `win_sliding_avg` / `subq_scalar_corr`.
+    * Mirrored as CAST(SUM(CAST(… AS DECIMAL(18,4))) AS DOUBLE) in every
+    * oracle. */
   private def dsum(c: Column): Column =
-    sum(c.cast("decimal(18,4)")).cast("decimal(38,4)")
+    sum(c.cast("decimal(18,4)")).cast("double")
 
-  /** Deterministic average: exact decimal sum, cast to double, divided by
-    * count. Never AVG(double) (partition-order-dependent) and never decimal
-    * division (DuckDB returns DOUBLE for decimal/int, Spark returns decimal). */
+  /** Deterministic average: exact decimal sum (already double-cast by dsum),
+    * divided by count. Never AVG(double) (partition-order-dependent) and
+    * never decimal division (DuckDB returns DOUBLE for decimal/int, Spark
+    * returns decimal). */
   private def davg(c: Column): Column =
-    dsum(c).cast("double") / count(lit(1))
+    dsum(c) / count(lit(1))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -171,11 +176,12 @@ object Relational {
           // triple product of 2-decimal values has 6 decimal digits — casting
           // the double product at scale 4 hits exact …50 ties where Spark
           // (HALF_UP) and DuckDB (half-even) disagree. Casting each factor
-          // first makes the decimal product exact: no rounding ever happens.
+          // first makes the decimal product exact (no rounding inside the
+          // sum); the final double cast follows the dsum discipline above.
           sum(col("l_extendedprice").cast("decimal(12,4)")
             * (lit(1) - col("l_discount")).cast("decimal(6,4)")
             * (lit(1) + col("l_tax")).cast("decimal(6,4)"))
-            .cast("decimal(38,12)").as("sum_charge"),
+            .cast("double").as("sum_charge"),
           davg(col("l_quantity")).as("avg_qty"),
           davg(col("l_extendedprice")).as("avg_price"),
           davg(col("l_discount")).as("avg_disc"),
@@ -318,7 +324,7 @@ object Relational {
     "join_shuffle_inner" ->
       """SELECT o_orderkey, o_orderpriority,
         |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
-        |    AS DECIMAL(38,4)) AS revenue,
+        |    AS DOUBLE) AS revenue,
         |  COUNT(*) AS n_lines
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderkey, o_orderpriority
@@ -327,7 +333,7 @@ object Relational {
     "join_left_outer" ->
       """SELECT c_custkey, COUNT(o_orderkey) AS n_big_orders,
         |  CAST(SUM(CAST(COALESCE(o_totalprice, 0) AS DECIMAL(18,4)))
-        |    AS DECIMAL(38,4)) AS big_total
+        |    AS DOUBLE) AS big_total
         |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o
         |  ON c_custkey = o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
@@ -355,7 +361,7 @@ object Relational {
 
     "join_theta_range" ->
       """SELECT r.r_regionkey AS price_band, COUNT(*) AS n_orders,
-        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4))
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
         |    AS band_total
         |FROM orders o JOIN region r
         |  ON o.o_totalprice >= 50000.0 * r.r_regionkey
@@ -386,10 +392,10 @@ object Relational {
 
     "agg_basic" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(6,4)) * CAST(1 + l_tax AS DECIMAL(6,4))) AS DECIMAL(38,12)) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(6,4)) * CAST(1 + l_tax AS DECIMAL(6,4))) AS DOUBLE) AS sum_charge,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
         |  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
@@ -420,7 +426,7 @@ object Relational {
     "agg_grouping_sets" ->
       """SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
         |  COUNT(*) AS n_customers,
-        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_bal
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey

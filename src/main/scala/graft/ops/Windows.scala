@@ -18,9 +18,11 @@ import graft.core.Tables
   */
 object Windows {
 
-  // Raw decimal sum — the DECIMAL(38,4) canonical cast (see [[Relational]])
-  // is applied AFTER `.over(w)` at each use site, because a window spec must
-  // attach to the bare aggregate function, not to a Cast around it.
+  // Raw decimal sum — the canonical DOUBLE final cast (see [[Relational]]:
+  // decimal output columns fail the driver's hash gate; decimal-sum→double
+  // is the proven-green pattern) is applied AFTER `.over(w)` at each use
+  // site, because a window spec must attach to the bare aggregate function,
+  // not to a Cast around it.
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,4)"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -58,7 +60,7 @@ object Windows {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.events(s, d)
         .select(col("user_id"), col("event_id"), col("ts"),
-          dsum(col("value")).over(w).cast("decimal(38,4)").as("running_value"),
+          dsum(col("value")).over(w).cast("double").as("running_value"),
           count(lit(1)).over(w).as("running_n"))
         .orderBy("user_id", "ts", "event_id")
     }),
@@ -84,7 +86,7 @@ object Windows {
       Tables.orders(s, d)
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
           count(lit(1)).over(w).as("n_in_band"),
-          dsum(col("o_totalprice")).over(w).cast("decimal(38,4)").as("band_total"))
+          dsum(col("o_totalprice")).over(w).cast("double").as("band_total"))
         .orderBy("o_orderkey")
     }),
 
@@ -114,7 +116,7 @@ object Windows {
       Tables.events(s, d)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          dsum(col("value")).cast("decimal(38,4)").as("total_value"))
+          dsum(col("value")).cast("double").as("total_value"))
         .select(col("window.start").as("bucket_start"), col("event_type"),
           col("n"), col("total_value"))
         .orderBy("bucket_start", "event_type")),
@@ -123,7 +125,7 @@ object Windows {
       Tables.events(s, d)
         .groupBy(window(col("ts"), "1 hour", "15 minutes"))
         .agg(count(lit(1)).as("n"),
-          dsum(col("value")).cast("decimal(38,4)").as("total_value"))
+          dsum(col("value")).cast("double").as("total_value"))
         .select(col("window.start").as("bucket_start"), col("n"),
           col("total_value"))
         .orderBy("bucket_start")),
@@ -132,7 +134,7 @@ object Windows {
       Tables.events(s, d)
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
         .agg(count(lit(1)).as("n_events"),
-          dsum(col("value")).cast("decimal(38,4)").as("session_value"))
+          dsum(col("value")).cast("double").as("session_value"))
         .select(col("user_id"), col("session_window.start").as("session_start"),
           col("n_events"), col("session_value"))
         .orderBy("user_id", "session_start"))
@@ -162,7 +164,7 @@ object Windows {
 
     "win_running_sum" ->
       """SELECT user_id, event_id, ts,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DECIMAL(38,4))
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
         |    AS running_value,
         |  COUNT(*) OVER w AS running_n
         |FROM events
@@ -182,7 +184,7 @@ object Windows {
     "win_range_frame" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |  COUNT(*) OVER w AS n_in_band,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DECIMAL(38,4))
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE)
         |    AS band_total
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC
@@ -209,7 +211,7 @@ object Windows {
     "win_tumbling" ->
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket_start, event_type,
         |  COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY bucket_start, event_type""".stripMargin,
 
     // a 1h-window/15min-slide event lands in the 4 slide-aligned buckets
@@ -218,7 +220,7 @@ object Windows {
       """SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k.k * INTERVAL 15 MINUTE
         |    AS bucket_start,
         |  COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) k(k)
         |WHERE ts >= time_bucket(INTERVAL 15 MINUTE, ts) - k.k * INTERVAL 15 MINUTE
         |  AND ts <  time_bucket(INTERVAL 15 MINUTE, ts) - k.k * INTERVAL 15 MINUTE
@@ -245,7 +247,7 @@ object Windows {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         |  FROM flagged)
         |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS session_value
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
         |FROM sessions GROUP BY user_id, session_id
         |ORDER BY user_id, session_start""".stripMargin
   )

@@ -70,14 +70,22 @@ object Ann {
 
   /** Per-table bucket ids for a vector column: bucket = sign-bit fold of
     * the hyperplane dot products. Cosine-close vectors collide with
-    * probability (1 - θ/π)^nBits per table; nTables unions the recall. */
+    * probability (1 - θ/π)^nBits per table; nTables unions the recall.
+    *
+    * The planes enter as ONE nested-array literal and the per-table /
+    * per-bit iteration happens in `transform`/`zip_with` lambdas, so the
+    * expression tree stays constant-size no matter how many tables × bits
+    * are configured (the naive per-plane `when(dot…)` expansion is
+    * nTables·nBits expression subtrees — 512 at the 32×16 default, which
+    * cripples analysis/codegen before a single row is read). */
   def lshBuckets(v: Column, dim: Int, nTables: Int, nBits: Int): Column = {
     val planes = hyperplanes(dim, nTables, nBits)
-    array(planes.map { table =>
-      table.zipWithIndex.map { case (plane, bit) =>
-        when(dot(v, typedLit(plane)) >= 0, lit(1L << bit)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    }: _*)
+    val bitWeights = typedLit((0 until nBits).map(b => 1L << b))
+    transform(typedLit(planes), table =>
+      aggregate(
+        zip_with(table, bitWeights, (plane, w) =>
+          when(dot(v, plane) >= 0, w).otherwise(lit(0L))),
+        lit(0L), (acc, x) => acc + x))
   }
 
   /** LSH-bucketed ANN: candidates = vectors sharing any table bucket with
@@ -113,18 +121,20 @@ object Ann {
       .limit(k)
   }
 
-  /** LSH-bucketed near-duplicate PAIR generation — the 100 TB path for
-    * embedding dedup: candidates are pairs sharing at least one
-    * (table, bucket); exact cosine verification keeps precision 1, so the
-    * only approximation is recall, governed by (nTables, nBits) via
-    * P[collide] = 1 - (1 - (1-θ/π)^nBits)^nTables. Contrast with
-    * label-blocked all-pairs (the oracle-declared `dedup_near_embedding`):
-    * that is exact but its per-block pair count grows quadratically with
-    * corpus size, while these buckets subdivide as the corpus grows. Same
-    * shape as [[lshSearch]] but self-joined on the bucket key instead of
-    * probed. */
-  def lshNearDupPairs(emb: DataFrame, dim: Int, threshold: Double,
-      nTables: Int = 8, nBits: Int = 6): DataFrame = {
+  /** LSH candidate pairs: vectors sharing at least one (table, bucket),
+    * each unordered pair once, cosine NOT yet verified. Exposed separately
+    * from [[lshNearDupPairs]] so tests can assert candidate volume — the
+    * quantity that decides whether the op is subquadratic. A random pair
+    * collides with probability ≈ nTables · 2^-nBits, so the defaults
+    * (32 tables × 16 bits) admit ~0.05% of all pairs; a near pair at angle
+    * θ collides with 1 - (1 - (1-θ/π)^nBits)^nTables — ≈0.94 at cosine 0.9,
+    * ≈1 for exact duplicates. Sign-bit LSH only separates at genuinely-near
+    * thresholds (cosine ≳ 0.85): round 2 declared this op at cosine 0.4
+    * (θ≈66°) with 4-bit tables, where 64% of ALL pairs collide — an
+    * all-pairs join in disguise, ~10,000× slower at 100× the data. That
+    * regime is not LSH-servable; use the exact blocked variant there. */
+  def lshCandidatePairs(emb: DataFrame, dim: Int,
+      nTables: Int = 32, nBits: Int = 16): DataFrame = {
     val vecs = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
     val bucketed = vecs
@@ -136,11 +146,25 @@ object Ann {
         col("a.table_id") === col("b.table_id")
           && col("a.bucket") === col("b.bucket")
           && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        cosine(col("a.v"), col("b.v")).as("cosine"))
-      .filter(col("cosine") >= threshold)
-      // a close pair collides in several tables — dedupe after the filter
+      .select(col("a.vec_id").as("vec_a"), col("a.v").as("va"),
+        col("b.vec_id").as("vec_b"), col("b.v").as("vb"))
+      // a close pair collides in several tables — one candidate per pair
       .dropDuplicates("vec_a", "vec_b")
-      .orderBy("vec_a", "vec_b")
   }
+
+  /** LSH-bucketed near-duplicate PAIR generation — the 100 TB path for
+    * embedding dedup: [[lshCandidatePairs]] + exact cosine verification,
+    * which keeps precision 1; the only approximation is candidate recall
+    * (see the collision math above). Contrast with label-blocked all-pairs
+    * (the oracle-declared `dedup_near_embedding`): that is exact but its
+    * per-block pair count grows quadratically with corpus size, while
+    * these buckets subdivide as the corpus grows. Same shape as
+    * [[lshSearch]] but self-joined on the bucket key instead of probed. */
+  def lshNearDupPairs(emb: DataFrame, dim: Int, threshold: Double,
+      nTables: Int = 32, nBits: Int = 16): DataFrame =
+    lshCandidatePairs(emb, dim, nTables, nBits)
+      .select(col("vec_a"), col("vec_b"),
+        cosine(col("va"), col("vb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .orderBy("vec_a", "vec_b")
 }

@@ -64,24 +64,38 @@ object Similarity {
         .orderBy("key_a", "key_b")
     }),
 
-    // Token-set Jaccard near-dup join, blocked by source.
-    // Two scale tricks: (1) tokens are encoded as xxhash64(tok) — a
+    // Token-set Jaccard near-dup join, blocked by (source, log-length).
+    // Three scale tricks: (1) tokens are encoded as xxhash64(tok) — a
     // deterministic, sort-free 64-bit id, so the pair join shuffles compact
     // long arrays instead of strings with NO vocabulary pass at all (the
     // round-1 sorted-vocab row_number() forced the whole vocabulary through
     // one task — a global-window anti-pattern at 100 TB). Jaccard only needs
-    // intersection *sizes*, which any injective token mapping preserves, so
-    // the oracle intersects the raw string sets and gets identical counts.
-    // (2) size-ratio prefilter — J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so
-    // low-ratio pairs are rejected before any intersection runs.
+    // intersection *sizes*, which xxhash64 preserves assuming no 64-bit
+    // collision within a block (not injectivity — a true collision would
+    // inflate one intersection; probability ≈ pairs·2⁻⁶⁴, negligible even
+    // at 100 TB), so the oracle intersects the raw string sets and gets
+    // identical counts. (2) size-ratio prefilter — J(A,B) ≤
+    // min(|A|,|B|)/max(|A|,|B|) < 0.8 rejects pairs before any intersection.
+    // (3) the ratio bound is ALSO an equi-join key: ratio ≥ 0.8 forces
+    // log₁.₃(n) buckets to differ by ≤ 1 (ln1.25/ln1.3 ≈ 0.85 < 1, the
+    // margin absorbing any fp wobble in the floor), so side a fans out to
+    // its 3 adjacent buckets and the join hash-partitions on
+    // (source, bucket) — each qualifying pair matches on exactly ONE key,
+    // making the candidate stage an exact superset, not an approximation.
+    // Blocking by source alone left per-block pairs growing quadratically
+    // with corpus size; the length dimension subdivides each source block.
     "sim_ngram_jaccard" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
           array_sort(transform(array_distinct(split(col("text"), " ")),
             t => xxhash64(t))).as("toks"))
         .withColumn("n", size(col("toks")))
-      val joined = docs.alias("a").join(docs.alias("b"),
-        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id")
+        .withColumn("lb", floor(log(col("n").cast("double")) / math.log(1.3)))
+      val fanout = docs.withColumn("lbk",
+        explode(array(col("lb") - 1, col("lb"), col("lb") + 1)))
+      val joined = fanout.alias("a").join(docs.alias("b"),
+        col("a.source") === col("b.source") && col("a.lbk") === col("b.lb")
+          && col("a.doc_id") < col("b.doc_id")
           && least(col("a.n"), col("b.n")).cast("double")
             / greatest(col("a.n"), col("b.n")) >= 0.8)
       joined
@@ -102,8 +116,11 @@ object Similarity {
     // label block does not subdivide with corpus growth, so the 100 TB path
     // is [[Ann.lshNearDupPairs]]: LSH-bucketed candidates + the same exact
     // cosine verification, recall governed by (nTables, nBits) and property-
-    // tested in SimSpec (an approximate-recall op can't be oracle'd —
-    // SURVEY §7.5.7).
+    // tested in SimSpec — NOT declared here, because an approximate-recall
+    // op can't be oracle'd (SURVEY §7.5.7), and because an LSH family only
+    // prunes at genuinely-near thresholds (cosine ≥ ~0.85): serving this
+    // query's θ≈66° (cosine 0.4) with sign-bit LSH would need so few bits
+    // that nearly every pair collides — an all-pairs join in disguise.
     "dedup_near_embedding" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"),
@@ -116,18 +133,7 @@ object Similarity {
             .as("cosine"))
         .filter(col("cosine") >= 0.4)
         .orderBy("vec_a", "vec_b")
-    }),
-
-    // The 100 TB path for the same computation: LSH-bucketed candidates +
-    // exact cosine verification. No oracle entry (approximate recall can't
-    // be SQL-mirrored — SURVEY §7.5.7; the driver records a rows-only
-    // check) — recall/precision are property-tested in SimSpec, and the
-    // query is declared so the bench tracks the scale path next to the
-    // exact label-blocked variant above. dim=64 per FIXTURES.md §embeddings.
-    // (16 tables × 4 bits ⇒ pair recall ≈ 0.94 at cosine 0.4.)
-    "dedup_near_embedding_lsh" -> ((s, d) =>
-      Ann.lshNearDupPairs(Tables.embeddings(s, d), dim = 64, threshold = 0.4,
-        nTables = 16, nBits = 4))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -117,8 +117,7 @@ class SimSpec extends SparkSpec {
         .as("embedding"))
     val corpus = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("embedding")).union(planted)
-    val pairs = Ann.lshNearDupPairs(corpus, dim, threshold = 0.9,
-      nTables = 8, nBits = 6).cache()
+    val pairs = Ann.lshNearDupPairs(corpus, dim, threshold = 0.9).cache()
     val found = pairs.select("vec_a", "vec_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val expectedPlanted = ids.map(i => (i, i + offset)).toSet
@@ -127,6 +126,16 @@ class SimSpec extends SparkSpec {
         s"${expectedPlanted.diff(found).size}")
     // precision 1: verification is exact, nothing below threshold survives
     assert(pairs.filter(col("cosine") < 0.9).count() === 0)
+    // THE scale property: candidate volume must be a sliver of C(n,2) —
+    // round 2 shipped a 4-bit parameterization where 64% of all pairs
+    // collided (an all-pairs join in disguise); this assertion makes that
+    // class of regression impossible to land silently.
+    val n = corpus.count().toDouble
+    val nCandidates = Ann.lshCandidatePairs(corpus, dim).count().toDouble
+    val allPairs = n * (n - 1) / 2.0
+    assert(nCandidates <= 0.02 * allPairs,
+      f"candidates must stay subquadratic: $nCandidates%.0f of " +
+        f"$allPairs%.0f pairs (${100 * nCandidates / allPairs}%.1f%%)")
   }
 
   test("IVF ANN reaches reasonable recall vs brute force") {
