@@ -18,7 +18,8 @@ object SparkEntry {
     ops.SqlFrontend.queries,
     ops.Scalars.queries,
     text.TextOps.queries,
-    sim.Similarity.queries
+    sim.Similarity.queries,
+    sim.Dedup.queries
   )
 
   private def oracleModules = Seq(
@@ -28,7 +29,8 @@ object SparkEntry {
     ops.SqlFrontend.oracleSql,
     ops.Scalars.oracleSql,
     text.TextOps.oracleSql,
-    sim.Similarity.oracleSql
+    sim.Similarity.oracleSql,
+    sim.Dedup.oracleSql
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -20,23 +20,31 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
     "events", "documents", "embeddings")
 
-  // WeakHashMap keyed on the session object itself: identity (not hashCode,
-  // which can collide across sessions) and entries vanish when a session is
-  // GC'd — a cached plan pins its session, so a strong key would leak every
-  // stopped session for the JVM lifetime.
-  private val cache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, DataFrame]]())
+  // Per-session plan cache, purged on access. Rounds 1–3 used a WeakHashMap,
+  // but that never reclaims anything here: the cached DataFrames strongly
+  // reference their SparkSession — the map's key — so every entry's value
+  // keeps its own key reachable (the classic value→key WeakHashMap trap).
+  // The honest lifetime is explicit: key strongly on the session object
+  // (identity — hashCode could collide across sessions) and drop any entry
+  // whose underlying SparkContext has stopped before each lookup. Sessions
+  // cloned via newSession() share one context and thus expire together,
+  // which matches when their cached plans actually die.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, DataFrame]]()
+
+  private def purgeStopped(): Unit = {
+    val it = cache.keySet.iterator
+    while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
+  }
+
+  /** Live entry count, for tests/diagnostics (post-purge). */
+  private[core] def cachedSessionCount: Int = { purgeStopped(); cache.size }
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val perSession = cache.synchronized {
-      var m = cache.get(spark)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-        cache.put(spark, m)
-      }
-      m
-    }
+    purgeStopped()
+    val perSession = cache.computeIfAbsent(spark,
+      _ => scala.collection.concurrent.TrieMap.empty[String, DataFrame])
     perSession.getOrElseUpdate(s"$dir/$name", {
       if (name == "events") {
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -16,10 +16,10 @@ import org.apache.spark.sql.functions._
   * and the downstream feature join. Swapping [[DeterministicFakeDecoder]]
   * for a JNI/JavaCV-backed implementation changes no plumbing.
   *
-  * Scale notes: payloads stay off the driver always; `repartition(kind)`
-  * gives codec-affinity per task (one decoder init per partition, not per
-  * row); feature vectors are fixed-width Array[Float] ready for the
-  * [[graft.sim.Ann]] index.
+  * Scale notes: payloads stay off the driver always; decode parallelism is
+  * hash-spread over the cluster with kind-sorted partitions for batch-level
+  * codec affinity (see [[extractFeatures]]); feature vectors are fixed-width
+  * Array[Float] ready for the [[graft.sim.Ann]] index.
   */
 object Multimodal {
 
@@ -98,7 +98,15 @@ object Multimodal {
       decoder: MediaDecoder = DeterministicFakeDecoder,
       batchSize: Int = 64): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
-    media.repartition(col("kind")) // codec-affinity per task
+    // repartition(col("kind")) capped the whole cluster at 3 non-empty
+    // tasks (one per kind) — fine for codec affinity, fatal for scale.
+    // Hash on media_id instead so parallelism tracks the cluster, then
+    // sortWithinPartitions restores affinity at the batch level: each
+    // grouped(batchSize) run is (almost always) single-kind, so a real
+    // decoder still amortizes its init per batch, not per row.
+    val parts = media.sparkSession.sparkContext.defaultParallelism
+    media.repartition(parts, col("media_id"))
+      .sortWithinPartitions(col("kind"))
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>
           batch.map { r =>

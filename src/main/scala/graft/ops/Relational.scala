@@ -231,6 +231,27 @@ object Relational {
         .orderBy("user_id")
     }),
 
+    // Exact discrete percentiles (SQL-standard: smallest value whose
+    // cume_dist ≥ p — empirically verified identical to DuckDB's
+    // quantile_disc). percentile_disc SELECTS an element, so the output is
+    // a source double verbatim — no interpolation arithmetic to diverge
+    // between engines (percentile_cont would interpolate in
+    // engine-specific fold order). Spark's implementation accumulates a
+    // value→count map per group: memory is bounded by distinct values per
+    // group, not rows — fine for quantity-like columns; for high-cardinality
+    // columns at 100 TB the scale path is approx_percentile (t-digest),
+    // which is not oracle-able bit-for-bit and stays out of `queries`.
+    "agg_percentile" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)").as("q25"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)").as("median_qty"),
+          expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity)").as("q75"),
+          expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)").as("p95_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
     "agg_collect" -> ((s, d) =>
       Tables.nation(s, d)
         .join(broadcast(Tables.region(s, d)),
@@ -441,6 +462,15 @@ object Relational {
         |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
         |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "agg_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_disc(l_quantity, 0.25) AS q25,
+        |  quantile_disc(l_quantity, 0.5) AS median_qty,
+        |  quantile_disc(l_quantity, 0.75) AS q75,
+        |  quantile_disc(l_extendedprice, 0.95) AS p95_price,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "agg_collect" ->
       """SELECT r_name, array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations

@@ -1,0 +1,99 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dedup "last mile": the near-dup detectors (MinHash / SimHash / embedding
+  * cosine) all emit PAIRS, but a training-data pipeline needs a keep/drop
+  * decision per document. That is connected components over the pair graph —
+  * transitivity is deliberate: if A≈B and B≈C, keeping both A and C leaves
+  * B-grade duplication in the corpus, so standard web-scale dedup clusters
+  * transitively and keeps one representative (the min id) per component.
+  *
+  * Algorithm: iterative min-label propagation. `label(id)` starts at `id`;
+  * each round every node takes the min of its own label and its neighbours',
+  * converging to the component minimum in O(graph diameter) rounds — the
+  * plain-DataFrame rendition of the hash-to-min step from Rastogi et al.,
+  * "Finding Connected Components in Map-Reduce" (ICDE 2013). Each round is
+  * one shuffle (join on the edge endpoint + min-groupBy on id), so total
+  * cost is diameter × one co-partitioned shuffle over |E|. Near-dup graphs
+  * are cliquish (diameter 2–4 — every member of a dup cluster pairs with
+  * most others), so the round count stays small at any corpus size; for
+  * adversarially path-shaped graphs the large-star/small-star variant of the
+  * same paper halves the diameter per round — noted as the fallback, not
+  * needed for the dedup workload.
+  *
+  * Lineage control: every round ends in `localCheckpoint` (on a real
+  * cluster: `checkpoint` to reliable storage) so the physical plan stays
+  * one-round deep — without it the plan doubles per iteration and the
+  * convergence-check action recomputes the entire chain each round.
+  */
+object Dedup {
+
+  /** Connected components of the undirected graph given as a pair list.
+    * Returns (id, label) with one row per distinct endpoint; `label` is the
+    * minimum id reachable from `id` (== the component's canonical id). */
+  def connectedComponents(pairs: DataFrame, src: String, dst: String): DataFrame = {
+    val edges = pairs.select(col(src).as("u"), col(dst).as("v"))
+      .union(pairs.select(col(dst).as("u"), col(src).as("v")))
+      .localCheckpoint()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      // neighbour labels flow one hop: u adopts min(label(v)) over edges u-v
+      val next = edges.join(labels.select(col("id").as("v"), col("label")), "v")
+        .select(col("u").as("id"), col("label"))
+        .union(labels)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") =!= col("prev")).count()
+      labels = next
+    }
+    labels
+  }
+
+  /** Pairs → clusters → keep/drop: the actionable form of a dedup run.
+    * `keep` marks the component's canonical member (min id); a pipeline
+    * drops every `keep = false` row from the corpus. Members absent from
+    * the pair list are implicitly kept (they are their own cluster) and are
+    * not repeated here — the output covers exactly the contested ids. */
+  def clusters(pairs: DataFrame, src: String, dst: String): DataFrame =
+    connectedComponents(pairs, src, dst)
+      .select(col("id").as("member"), col("label").as("cluster"),
+        (col("id") === col("label")).as("keep"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Embedding near-dup pairs (the exact, oracle-eligible detector) fed
+    // through connected components. DuckDB mirrors the fixpoint with a
+    // recursive CTE over the same pair SQL, so the whole pairs→clusters→
+    // keep/drop path is hash-checked, not just row-counted.
+    "dedup_clusters" -> ((s, d) =>
+      clusters(Similarity.embeddingNearDupPairs(s, d), "vec_a", "vec_b")
+        .orderBy("member"))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "dedup_clusters" ->
+      """WITH RECURSIVE emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |normed AS (SELECT vec_id, label, v,
+        |    sqrt(list_reduce(list_transform(list_zip(v, v), z -> z[1] * z[2]),
+        |      (acc, x) -> acc + x)) AS norm FROM emb),
+        |pairs AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    list_reduce(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]),
+        |      (acc, x) -> acc + x) / (a.norm * b.norm) AS cosine
+        |  FROM normed a JOIN normed b ON a.label = b.label AND a.vec_id < b.vec_id),
+        |edges AS (SELECT vec_a AS u, vec_b AS v FROM pairs WHERE cosine >= 0.4
+        |  UNION ALL SELECT vec_b, vec_a FROM pairs WHERE cosine >= 0.4),
+        |reach(id, root) AS (
+        |  SELECT DISTINCT u, u FROM edges
+        |  UNION
+        |  SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.id)
+        |SELECT id AS member, MIN(root) AS cluster, (id = MIN(root)) AS keep
+        |FROM reach GROUP BY id ORDER BY member""".stripMargin
+  )
+}

