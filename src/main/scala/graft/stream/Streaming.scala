@@ -2,7 +2,8 @@ package graft.stream
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface — SURVEY.md §2 B10.
@@ -120,6 +121,48 @@ object Streaming {
             Iterator.single(next)
           }
       }
+  }
+
+  /** Spark 4 `transformWithState` twin of [[runningUserStats]] — the
+    * successor API to (flat)mapGroupsWithState: state lives in NAMED
+    * variables (ValueState/ListState/MapState) that can evolve
+    * independently, with native per-state TTL and timers instead of one
+    * monolithic GroupState. Same semantics as [[runningUserStats]] so the
+    * spec asserts the two implementations agree row-for-row. Requires the
+    * RocksDB state-store provider (rocksdbjni ships with Spark; the default
+    * HDFS-backed provider rejects this operator):
+    * `spark.sql.streaming.stateStore.providerClass =
+    *  ...state.RocksDBStateStoreProvider`. */
+  class RunningStatsProcessor
+      extends StatefulProcessor[Long, UserEvent, UserStats] {
+    @transient private var stats: ValueState[UserStats] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      stats = getHandle.getValueState[UserStats]("stats",
+        org.apache.spark.sql.Encoders.product[UserStats], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[UserEvent],
+        timers: TimerValues): Iterator[UserStats] = {
+      val prev =
+        if (stats.exists()) stats.get()
+        else UserStats(userId, 0L, 0.0, new java.sql.Timestamp(0))
+      val buf = rows.toSeq
+      val batchMax = buf.map(_.ts).maxBy(_.getTime)
+      val next = UserStats(userId,
+        prev.n_events + buf.size,
+        prev.total_value + buf.map(_.value).sum,
+        if (batchMax.after(prev.last_seen)) batchMax else prev.last_seen)
+      stats.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** Declares the transformWithState plan over an event stream. */
+  def runningUserStatsTws(events: Dataset[UserEvent]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningStatsProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   // ------------------------------------------------------------ B10.8

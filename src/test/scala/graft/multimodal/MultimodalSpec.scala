@@ -33,6 +33,21 @@ class MultimodalSpec extends SparkSpec {
     assert(a === b, "features must not depend on partitioning")
   }
 
+  test("decode parallelism tracks the cluster, not the 3 media kinds") {
+    val feats = extractFeatures(syntheticMedia(spark, sfDir))
+    val counts = feats.rdd
+      .mapPartitionsWithIndex((i, it) => Iterator.single(i -> it.size))
+      .collect().toMap
+    val parallelism = spark.sparkContext.defaultParallelism
+    assert(counts.size === parallelism,
+      s"expected $parallelism decode partitions, got ${counts.size}")
+    // media_id-hash spreading: roughly balanced, no empty decode tasks
+    // (repartition(kind) left every task but 3 empty)
+    val expected = 500.0 / parallelism
+    assert(counts.values.forall(c => c > 0 && c < expected * 1.5),
+      s"skewed decode partitions: $counts")
+  }
+
   test("resize updates metadata and payload size consistently") {
     val resized = resizeImages(syntheticMedia(spark, sfDir), 32, 32).collect()
     assert(resized.nonEmpty)

@@ -153,4 +153,35 @@ class StreamingSpec extends SparkSpec {
     // update mode emits one row per batch touched: (2, 15.0) then (3, 17.5)
     assert(rows.toSeq === Seq((2L, 15.0), (3L, 17.5)))
   }
+
+  test("transformWithState matches the flatMapGroupsWithState semantics") {
+    import spark.implicits._
+    // transformWithState only runs on the RocksDB state store; scope the
+    // provider switch to this query (runtime conf, restored after).
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[UserEvent](8, spark, None)
+      val q = Streaming.runningUserStatsTws(stream.toDS()).writeStream
+        .format("memory").queryName("userstats_tws")
+        .outputMode(OutputMode.Update()).start()
+      stream.addData(UserEvent(1, ts(0), 7, "view", 10.0),
+        UserEvent(2, ts(1), 7, "click", 5.0))
+      q.processAllAvailable()
+      stream.addData(UserEvent(3, ts(2), 7, "view", 2.5))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("userstats_tws").orderBy("n_events")
+        .collect().map(r => (r.getLong(1), r.getDouble(2)))
+      // identical update-mode trace to the flatMapGroupsWithState twin
+      assert(rows.toSeq === Seq((2L, 15.0), (3L, 17.5)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
