@@ -34,23 +34,34 @@ object Dedup {
     * Returns (id, label) with one row per distinct endpoint; `label` is the
     * minimum id reachable from `id` (== the component's canonical id). */
   def connectedComponents(pairs: DataFrame, src: String, dst: String): DataFrame = {
-    val edges = pairs.select(col(src).as("u"), col(dst).as("v"))
-      .union(pairs.select(col(dst).as("u"), col(src).as("v")))
+    // Materialize the (possibly expensive) pair plan ONCE before mirroring —
+    // union(a, a.reversed) over the raw plan would execute the detector
+    // twice. Symmetrizing the cheap checkpointed projection is free.
+    val p = pairs.select(col(src).as("u"), col(dst).as("v")).localCheckpoint()
+    val edges = p.union(p.select(col("v").as("u"), col("u").as("v")))
+    // Fused init: label₀(u) = min(u, min neighbour) IS the first propagation
+    // round, computed in the same groupBy that enumerates distinct nodes.
+    // Dup clusters are usually cliques, where label₀ is already the fixpoint
+    // — the loop then runs exactly one (no-change) round.
+    var labels = edges.groupBy(col("u").as("id"))
+      .agg(least(col("u"), min(col("v"))).as("label"))
       .localCheckpoint()
-    var labels = edges.select(col("u").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+    val labelType = labels.schema("label").dataType
     var changed = 1L
     while (changed > 0) {
-      // neighbour labels flow one hop: u adopts min(label(v)) over edges u-v
+      // neighbour labels flow one hop: u adopts min(label(v)) over edges
+      // u-v. The self branch smuggles the previous label through the same
+      // aggregate (exactly one non-null prev per id), so the convergence
+      // check below is a scan of the checkpointed result — no second
+      // join+shuffle job per round.
       val next = edges.join(labels.select(col("id").as("v"), col("label")), "v")
-        .select(col("u").as("id"), col("label"))
-        .union(labels)
-        .groupBy("id").agg(min("label").as("label"))
+        .select(col("u").as("id"), col("label"),
+          lit(null).cast(labelType).as("prev"))
+        .union(labels.select(col("id"), col("label"), col("label").as("prev")))
+        .groupBy("id").agg(min("label").as("label"), max("prev").as("prev"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") =!= col("prev")).count()
-      labels = next
+      changed = next.filter(col("label") =!= col("prev")).count()
+      labels = next.select("id", "label")
     }
     labels
   }
