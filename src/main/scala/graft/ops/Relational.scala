@@ -177,11 +177,21 @@ object Relational {
           // the double product at scale 4 hits exact …50 ties where Spark
           // (HALF_UP) and DuckDB (half-even) disagree. Casting each factor
           // first makes the decimal product exact (no rounding inside the
-          // sum); the final double cast follows the dsum discipline above.
+          // sum). The exact sum is then RESCALED to (18,6) before the double
+          // cast: at scale 12 a ~1e9 total is a 71-bit scaled integer, and
+          // DuckDB's int128→double conversion rounds twice (int→double,
+          // then ÷10¹²) where Java's BigDecimal rounds once — a genuine
+          // 1-ulp divergence observed at sf0.1. The rescale itself is
+          // LOSSLESS: 2-decimal money factors make the scale-12 product a
+          // multiple of 10⁻⁶, so the dropped digits are zero and DuckDB's
+          // truncating downscale agrees with Spark's HALF_UP; at scale 6
+          // the scaled integer stays under 2⁵³ (exact until group totals
+          // ~9e9), so both engines' double conversions are single
+          // correctly-rounded ops.
           sum(col("l_extendedprice").cast("decimal(12,4)")
             * (lit(1) - col("l_discount")).cast("decimal(6,4)")
             * (lit(1) + col("l_tax")).cast("decimal(6,4)"))
-            .cast("double").as("sum_charge"),
+            .cast("decimal(18,6)").cast("double").as("sum_charge"),
           davg(col("l_quantity")).as("avg_qty"),
           davg(col("l_extendedprice")).as("avg_price"),
           davg(col("l_discount")).as("avg_disc"),
@@ -416,7 +426,7 @@ object Relational {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
         |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(6,4)) * CAST(1 + l_tax AS DECIMAL(6,4))) AS DOUBLE) AS sum_charge,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(6,4)) * CAST(1 + l_tax AS DECIMAL(6,4))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_charge,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
         |  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
