@@ -231,6 +231,18 @@ object Fw {
         .groupBy("acl", "action")
         .agg(count(lit(1)).as("hits"))
         .orderBy("acl", "action")),
+    // Rule usage over time — the "is this rule still exercised, and when"
+    // dimension of the usage report: hourly hit series per ACL. At scale
+    // this is the same broadcast-matched fact stream feeding a (bucket,
+    // acl) aggregation whose keyspace is hours × acls — tiny, no skew.
+    "fw_hits_timeseries" -> ((s, d) =>
+      firstMatch(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("acl"))
+        .agg(count(lit(1)).as("hits"),
+          countDistinct(col("src_ip")).as("distinct_sources"))
+        .select(col("window.start").as("bucket_start"), col("acl"),
+          col("hits"), col("distinct_sources"))
+        .orderBy("bucket_start", "acl")),
     "fw_per_rule_stats" -> ((s, d) =>
       firstMatch(s, d).groupBy("acl", "rule_seq")
         .agg(count(lit(1)).as("hits"),
@@ -288,6 +300,10 @@ object Fw {
         |FROM matched m JOIN rules r
         |  ON m.acl = r.acl AND m.rule_seq = r.rule_seq
         |GROUP BY m.acl, r.action ORDER BY m.acl, r.action""".stripMargin),
+    "fw_hits_timeseries" -> withCtes(
+      """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket_start, acl,
+        |       COUNT(*) AS hits, COUNT(DISTINCT src_ip) AS distinct_sources
+        |FROM matched GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     "fw_per_rule_stats" -> withCtes(
       """SELECT acl, rule_seq, COUNT(*) AS hits,
         |       COUNT(DISTINCT src_ip) AS distinct_sources,

@@ -262,6 +262,19 @@ object Relational {
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")),
 
+    // Fixed-width histogram via floor arithmetic (not width_bucket — the
+    // portable form). floor(double/20000) is exact on both engines: the
+    // division can only land on an integer when o_totalprice is an exact
+    // multiple, and both operands are exactly representable. Spark FLOOR
+    // returns BIGINT while DuckDB's returns DOUBLE — cast pins the type.
+    "agg_histogram" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy((floor(col("o_totalprice") / 20000) * 20000)
+          .cast("long").as("bucket_lo"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("bucket_total"))
+        .orderBy("bucket_lo")),
+
     "agg_collect" -> ((s, d) =>
       Tables.nation(s, d)
         .join(broadcast(Tables.region(s, d)),
@@ -481,6 +494,12 @@ object Relational {
         |  quantile_disc(l_extendedprice, 0.95) AS p95_price,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 20000) * 20000 AS BIGINT) AS bucket_lo,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS bucket_total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "agg_collect" ->
       """SELECT r_name, array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations

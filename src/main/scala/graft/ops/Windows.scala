@@ -101,6 +101,22 @@ object Windows {
         .orderBy("s_suppkey")
     }),
 
+    // Frame-pinned value picks: first/last/nth over the FULL partition
+    // frame. The default frame (unbounded-preceding → current-row) would
+    // make last()/nth_value() row-dependent — a classic silent-wrong-answer;
+    // the explicit unbounded frame is the semantics users actually mean.
+    "win_first_last" -> ((s, d) => {
+      val wFull = Window.partitionBy(col("o_custkey"))
+        .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_orderkey")).over(wFull).as("first_order"),
+          last(col("o_orderkey")).over(wFull).as("last_order"),
+          nth_value(col("o_orderkey"), 2).over(wFull).as("second_order"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     "topk_per_group" -> ((s, d) => {
       val w = Window.partitionBy(col("c_nationkey"))
         .orderBy(desc("c_acctbal"), asc("c_custkey"))
@@ -199,6 +215,16 @@ object Windows {
         |FROM supplier
         |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal ASC, s_suppkey ASC)
         |ORDER BY s_suppkey""".stripMargin,
+
+    "win_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_orderkey) OVER w AS first_order,
+        |  last_value(o_orderkey) OVER w AS last_order,
+        |  nth_value(o_orderkey, 2) OVER w AS second_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "topk_per_group" ->
       """SELECT * FROM (

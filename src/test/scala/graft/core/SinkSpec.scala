@@ -29,6 +29,21 @@ class SinkSpec extends SparkSpec {
     assert(back.columns.toSet === docs.columns.toSet)
   }
 
+  test("orc round-trips losslessly with predicate pushdown") {
+    val dir = tmp()
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    docs.write.orc(s"$dir/docs_orc")
+    val back = spark.read.orc(s"$dir/docs_orc")
+    assert(back.schema === docs.schema)
+    assert(back.count() === docs.count())
+    // ORC scans push filters like parquet ones — same 100TB posture
+    val plan = back.filter(col("n_chars") > 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") &&
+      !plan.contains("PushedFilters: []"),
+      s"expected ORC filter pushdown:\n$plan")
+  }
+
   test("csv round-trips with explicit schema; malformed rows go null") {
     val dir = tmp()
     val schema = StructType(Seq(
