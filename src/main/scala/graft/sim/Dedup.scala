@@ -76,6 +76,24 @@ object Dedup {
       .select(col("id").as("member"), col("label").as("cluster"),
         (col("id") === col("label")).as("keep"))
 
+  /** End-to-end corpus dedup — the complete pipeline a training-data run
+    * actually executes: MinHash-banded candidates → exact-Jaccard verify →
+    * transitive clusters → corpus with only each cluster's canonical (min
+    * id) member kept. Every stage is the scale shape: banded LSH keeps the
+    * candidate set subquadratic, the verify runs per candidate pair, and
+    * the component loop is O(diameter) shuffles. Returns the kept rows of
+    * `docs` unchanged (schema-preserving filter). */
+  def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8): DataFrame = {
+    val pairs = MinHash.nearDupPairs(docs, idCol, textCol,
+      threshold = threshold)
+    val drop = clusters(pairs, "id_a", "id_b")
+      .filter(!col("keep")).select(col("member"))
+    // left_anti keeps every doc that is not a dropped member — including
+    // all singletons, which never enter the pair graph
+    docs.join(drop, docs(idCol) === drop("member"), "left_anti")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Embedding near-dup pairs (the exact, oracle-eligible detector) fed
     // through connected components. DuckDB mirrors the fixpoint with a

@@ -123,6 +123,36 @@ object Streaming {
       }
   }
 
+  // ------------------------------------------------------------ B10.9
+
+  /** Stream-stream interval join: click→purchase attribution per user
+    * within `horizon`. Both sides carry watermarks and the join condition
+    * bounds purchase_ts to [click_ts, click_ts + horizon], so Spark can
+    * evict buffered state once the watermark passes a row's interval —
+    * without the time bound the state store grows forever. Inner join, so
+    * matches emit eagerly (no watermark wait); the watermark only governs
+    * state cleanup. Works identically on batch inputs (unified API) —
+    * the spec asserts stream output == the batch twin on the same rows. */
+  def clickPurchaseAttribution(events: DataFrame,
+      horizon: String = "30 minutes",
+      watermark: String = "30 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+        col("value"))
+      .withWatermark("purchase_ts", watermark)
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id")
+        && col("purchase_ts") >= col("click_ts")
+        && col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"), col("value"))
+  }
+
   /** Spark 4 `transformWithState` twin of [[runningUserStats]] — the
     * successor API to (flat)mapGroupsWithState: state lives in NAMED
     * variables (ValueState/ListState/MapState) that can evolve

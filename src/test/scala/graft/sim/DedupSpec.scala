@@ -26,6 +26,23 @@ class DedupSpec extends SparkSpec {
       (50L, 50L, true), (100L, 50L, false)))
   }
 
+  test("dedupCorpus drops non-canonical near-dups, keeps singletons") {
+    // three planted copies of one text (ids 1,5,9), two unique docs
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (5L, "the quick brown fox jumps over the lazy dog again and again"),
+      (9L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different content about spark physical planning"),
+      (3L, "yet another unrelated document mentioning firewalls and acls"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dedupCorpus(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 3L), s"got $kept")
+    // schema preserved — it's a filter, not a projection
+    assert(Dedup.dedupCorpus(docs, "doc_id", "text").columns.toSeq
+      === docs.columns.toSeq)
+  }
+
   test("string ids work too (labels are min by type ordering)") {
     val pairs = Seq(("b", "c"), ("c", "a")).toDF("u", "v")
     val got = Dedup.connectedComponents(pairs, "u", "v")

@@ -154,6 +154,28 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq === Seq((2L, 15.0), (3L, 17.5)))
   }
 
+  test("stream-stream interval join equals its batch twin") {
+    import spark.implicits._
+    val rows = Seq(
+      UserEvent(1, ts(0), 7, "click", 0.0),
+      UserEvent(2, ts(10), 7, "purchase", 99.0),   // within 30m of click 1
+      UserEvent(3, ts(50), 7, "purchase", 11.0),   // outside the horizon
+      UserEvent(4, ts(5), 8, "click", 0.0),
+      UserEvent(5, ts(20), 9, "purchase", 5.0))    // no matching user click
+    val stream = MemoryStream[UserEvent](9, spark, None)
+    stream.addData(rows: _*)
+    val streamed = runToCompletion(stream,
+      Streaming.clickPurchaseAttribution(stream.toDF()),
+      OutputMode.Append(), "attribution")
+      .orderBy("click_id", "purchase_id")
+      .collect().map(_.toSeq).toSeq
+    val batch = Streaming.clickPurchaseAttribution(rows.toDF())
+      .orderBy("click_id", "purchase_id")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+    assert(streamed.map(r => (r(1), r(2))) === Seq((1L, 2L)))
+  }
+
   test("transformWithState matches the flatMapGroupsWithState semantics") {
     import spark.implicits._
     // transformWithState only runs on the RocksDB state store; scope the
