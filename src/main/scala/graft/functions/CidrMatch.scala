@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graftexpr.CidrMatchExpr
+import org.apache.spark.sql.graftexpr.{CidrMatchExpr, SortedIntersectSizeExpr}
 
 /** Public wiring for the custom `cidr_match` Catalyst expression
   * ([[org.apache.spark.sql.graftexpr.CidrMatchExpr]]): Column DSL, SQL
@@ -27,6 +27,24 @@ object CidrMatch {
       FunctionIdentifier("cidr_match"), info, builder _)
 }
 
+/** Public wiring for `sorted_intersect_size` — the merge-scan intersection
+  * cardinality over sorted long arrays used by the similarity-join hot
+  * path ([[org.apache.spark.sql.graftexpr.SortedIntersectSizeExpr]]). */
+object SortedIntersect {
+
+  /** Column-DSL form: `sorted_intersect_size($"toks_a", $"toks_b")`. */
+  def sorted_intersect_size(a: Column, b: Column): Column =
+    SortedIntersectSizeExpr.column(a, b)
+
+  /** Register `sorted_intersect_size` for SQL in an existing session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("sorted_intersect_size"),
+      new ExpressionInfo(classOf[SortedIntersectSizeExpr].getName,
+        "sorted_intersect_size"),
+      (exprs: Seq[Expression]) => SortedIntersectSizeExpr(exprs(0), exprs(1)))
+}
+
 /** Session extension — `.withExtensions(new GraftExtensions)` or config
   * `spark.sql.extensions=graft.functions.GraftExtensions` wires the custom
   * function surface into every session of a deployment. */
@@ -35,5 +53,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("cidr_match"),
       new ExpressionInfo(classOf[CidrMatchExpr].getName, "cidr_match"),
       (exprs: Seq[Expression]) => CidrMatchExpr(exprs(0), exprs(1), exprs(2))))
+    e.injectFunction((FunctionIdentifier("sorted_intersect_size"),
+      new ExpressionInfo(classOf[SortedIntersectSizeExpr].getName,
+        "sorted_intersect_size"),
+      (exprs: Seq[Expression]) => SortedIntersectSizeExpr(exprs(0), exprs(1))))
   }
 }

@@ -99,9 +99,14 @@ object Similarity {
           && least(col("a.n"), col("b.n")).cast("double")
             / greatest(col("a.n"), col("b.n")) >= 0.8)
       joined
-        // |A∪B| = |A|+|B|-|A∩B| — never materialize the union array
+        // |A∪B| = |A|+|B|-|A∩B| — never materialize the union array. The
+        // intersection is the custom codegen'd merge scan over the sorted
+        // id arrays (SortedIntersectSizeExpr): array_intersect would build
+        // a hash set per candidate PAIR — 325k+ allocations at sf0.1 —
+        // where the merge scan is allocation-free and sorts once per DOC.
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          size(array_intersect(col("a.toks"), col("b.toks"))).as("inter"),
+          graft.functions.SortedIntersect
+            .sorted_intersect_size(col("a.toks"), col("b.toks")).as("inter"),
           (col("a.n") + col("b.n")).as("sum_n"))
         .select(col("doc_a"), col("doc_b"),
           (col("inter").cast("double") / (col("sum_n") - col("inter")))
