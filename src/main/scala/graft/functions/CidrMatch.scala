@@ -59,3 +59,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => SortedIntersectSizeExpr(exprs(0), exprs(1))))
   }
 }
+
+/** Public wiring for the edit-distance-join prefilter pair
+  * ([[org.apache.spark.sql.graftexpr.CharHistExpr]] +
+  * [[org.apache.spark.sql.graftexpr.L1DiffExpr]]): per-row char histograms
+  * whose L1 distance lower-bounds levenshtein (ed ≥ l1/2). */
+object CharHist {
+  import org.apache.spark.sql.graftexpr.{CharHistExpr, L1DiffExpr}
+
+  def char_hist(s: Column): Column = CharHistExpr.column(s)
+  def l1_diff(a: Column, b: Column): Column = L1DiffExpr.column(a, b)
+
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("char_hist"),
+      new ExpressionInfo(classOf[CharHistExpr].getName, "char_hist"),
+      (exprs: Seq[Expression]) => CharHistExpr(exprs(0)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("l1_diff"),
+      new ExpressionInfo(classOf[L1DiffExpr].getName, "l1_diff"),
+      (exprs: Seq[Expression]) => L1DiffExpr(exprs(0), exprs(1)))
+  }
+}

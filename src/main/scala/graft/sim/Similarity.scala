@@ -48,6 +48,15 @@ object Similarity {
     // length prefilter (|len diff| > 3 can't be within distance 3) and the
     // threshold variant of levenshtein, which early-exits once the distance
     // bound is exceeded instead of filling the full DP matrix.
+    // NOTE on the char-histogram prefilter (graft.functions.CharHist —
+    // ed ≥ l1_diff(char_hist)/2, a provable superset gate for the banded
+    // levenshtein): measured on THIS corpus it passes 100% of the 3.1M
+    // same-block candidates (part names are permutations of one small word
+    // vocabulary — near-identical char multisets), so wiring it here is
+    // pure overhead and it is deliberately NOT used. It is the right
+    // prefilter for natural-text corpora, where char distributions of
+    // random pairs diverge; kept as registered, spec-proven library
+    // surface (CharHistSpec).
     "sim_string_join" -> ((s, d) => {
       val p = Tables.part(s, d)
         .select(col("p_partkey").as("key"), col("p_name").as("name"),
