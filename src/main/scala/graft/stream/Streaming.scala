@@ -132,10 +132,16 @@ object Streaming {
     * without the time bound the state store grows forever. Inner join, so
     * matches emit eagerly (no watermark wait); the watermark only governs
     * state cleanup. Works identically on batch inputs (unified API) —
-    * the spec asserts stream output == the batch twin on the same rows. */
+    * the spec asserts stream output == the batch twin on the same rows.
+    *
+    * `joinType = "left_outer"` additionally emits never-converted clicks
+    * with null purchase columns — but only once the watermark proves no
+    * future purchase can still match (inner matches stay eager; the null
+    * rows are inherently watermark-delayed). */
   def clickPurchaseAttribution(events: DataFrame,
       horizon: String = "30 minutes",
-      watermark: String = "30 minutes"): DataFrame = {
+      watermark: String = "30 minutes",
+      joinType: String = "inner"): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"),
         col("ts").as("click_ts"))
@@ -148,7 +154,8 @@ object Streaming {
     clicks.join(purchases,
       col("user_id") === col("p_user_id")
         && col("purchase_ts") >= col("click_ts")
-        && col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"))
+        && col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"),
+      joinType)
       .select(col("user_id"), col("click_id"), col("purchase_id"),
         col("click_ts"), col("purchase_ts"), col("value"))
   }

@@ -55,6 +55,25 @@ class StatsSpec extends SparkSpec {
       s"approx=$approx exact=$exact")
   }
 
+  test("approx_percentile stays within its rank-accuracy bound of exact") {
+    // the t-digest scale path for high-cardinality columns (SURVEY B4.9):
+    // with accuracy a, the returned value's true rank must be within n/a of
+    // the target rank — checked against the exact sorted data
+    val li = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.01")
+    val accuracy = 100
+    val sorted = li.select("l_extendedprice").na.drop()
+      .collect().map(_.getDouble(0)).sorted
+    val n = sorted.length
+    for (p <- Seq(0.25, 0.5, 0.9)) {
+      val approx = li.agg(
+        percentile_approx(col("l_extendedprice"), lit(p), lit(accuracy)))
+        .head.getDouble(0)
+      val rank = sorted.count(_ <= approx).toDouble / n
+      assert(math.abs(rank - p) <= 1.0 / accuracy + 0.01,
+        s"p=$p approx=$approx realized-rank=$rank")
+    }
+  }
+
   test("ln/log10 behave sanely (oracle-excluded, unit-covered instead)") {
     import spark.implicits._
     val r = Seq(1.0, math.E, 10.0, 100.0).toDF("x")

@@ -176,6 +176,45 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(r => (r(1), r(2))) === Seq((1L, 2L)))
   }
 
+  test("stream-stream LEFT OUTER join emits null rows after the watermark") {
+    import spark.implicits._
+    val stream = MemoryStream[UserEvent](10, spark, None)
+    val q = Streaming.clickPurchaseAttribution(stream.toDF(),
+        joinType = "left_outer").writeStream
+      .format("memory").queryName("attribution_outer")
+      .outputMode(OutputMode.Append()).start()
+    // user 7 converts; user 8's click never matches
+    stream.addData(UserEvent(1, ts(0), 7, "click", 0.0),
+      UserEvent(2, ts(10), 7, "purchase", 99.0),
+      UserEvent(3, ts(5), 8, "click", 0.0))
+    q.processAllAvailable()
+    val eager = spark.table("attribution_outer").collect()
+    // inner match emits eagerly; the unmatched click must NOT emit yet —
+    // a purchase inside its horizon could still arrive
+    assert(eager.map(_.getLong(1)).toSet === Set(1L))
+    // watermark jumps far past click 3's horizon → its null row flushes.
+    // The advancing events must SURVIVE the click/purchase filters (a
+    // filtered-out row never reaches the EventTimeWatermark node), and the
+    // global watermark is the min over both sides — so advance each side,
+    // then run one more (empty-input) batch for the eviction to land.
+    stream.addData(UserEvent(4, ts(600), 9, "click", 0.0),
+      UserEvent(5, ts(600), 9, "purchase", 1.0))
+    q.processAllAvailable()
+    stream.addData(UserEvent(6, ts(610), 9, "click", 0.0),
+      UserEvent(7, ts(610), 9, "purchase", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("attribution_outer")
+      .orderBy("click_id").collect()
+    // matched pairs (incl. among the advancing events) + click 3's null row
+    val pairs = rows.map(r => (r.getLong(1),
+      if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(pairs === Set((1L, 2L), (3L, -1L), (4L, 5L), (4L, 7L), (6L, 7L)))
+    val unmatched = rows.find(_.getLong(1) == 3L).get
+    assert(unmatched.isNullAt(2) && unmatched.isNullAt(4),
+      "unmatched click must carry null purchase columns")
+  }
+
   test("transformWithState matches the flatMapGroupsWithState semantics") {
     import spark.implicits._
     // transformWithState only runs on the RocksDB state store; scope the
