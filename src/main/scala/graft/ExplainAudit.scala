@@ -45,7 +45,18 @@ object ExplainAudit {
     // aggregate must already key on the digest so the exchange carries
     // 8-byte keys, never document bodies.
     ("dedup_exact", "digest-keyed dedup (xxhash64 before the exchange)",
-      p => p.contains("xxhash64"))
+      p => p.contains("xxhash64")),
+    // the custom codegen expressions must stay in their hot paths — a
+    // refactor that silently falls back to array_intersect / the HOF fold
+    // is a multi-x perf regression the result hashes can't see
+    ("sim_ngram_jaccard", "codegen merge-scan intersection in the pair join",
+      p => p.contains("sorted_intersect_size")),
+    ("dedup_near_embedding", "codegen dot product under the cosine",
+      p => p.contains("dot_f64")),
+    // percentile_disc is a TypedImperativeAggregate: partial aggregation
+    // must run map-side (ObjectHashAggregate), not single-node
+    ("agg_percentile", "map-side partial percentile (ObjectHashAggregate)",
+      p => p.contains("ObjectHashAggregate"))
   )
 
   /** Executes each checked query (collect(), so AQE finalizes — codegen

@@ -231,6 +231,29 @@ object Fw {
         .groupBy("acl", "action")
         .agg(count(lit(1)).as("hits"))
         .orderBy("acl", "action")),
+    // Static ruleset lint: rule pairs where an EARLIER rule's match space
+    // fully contains a later one's — the later rule can never fire (the
+    // structural cause behind most "unused rule" findings, vs. the traffic-
+    // based evidence of fw_unused_rules). Pure dimension-side self-join:
+    // ruleset-sized (thousands), never touches the fact table, so it costs
+    // nothing at any traffic scale.
+    "fw_shadowed_rules" -> ((s, d) =>
+      rulesDf(s).alias("r1").join(rulesDf(s).alias("r2"),
+          col("r1.acl") === col("r2.acl")
+            && col("r1.rule_seq") < col("r2.rule_seq")
+            && (col("r1.proto") === "ip" || col("r1.proto") === col("r2.proto"))
+            && col("r1.src_lo") <= col("r2.src_lo")
+            && col("r1.src_hi") >= col("r2.src_hi")
+            && col("r1.dst_lo") <= col("r2.dst_lo")
+            && col("r1.dst_hi") >= col("r2.dst_hi")
+            && col("r1.port_lo") <= col("r2.port_lo")
+            && col("r1.port_hi") >= col("r2.port_hi"))
+        .select(col("r1.acl").as("acl"),
+          col("r1.rule_seq").as("shadowing_seq"),
+          col("r1.action").as("shadowing_action"),
+          col("r2.rule_seq").as("shadowed_seq"),
+          col("r2.action").as("shadowed_action"))
+        .orderBy("acl", "shadowing_seq", "shadowed_seq")),
     // Rule usage over time — the "is this rule still exercised, and when"
     // dimension of the usage report: hourly hit series per ACL. At scale
     // this is the same broadcast-matched fact stream feeding a (bucket,
@@ -300,6 +323,18 @@ object Fw {
         |FROM matched m JOIN rules r
         |  ON m.acl = r.acl AND m.rule_seq = r.rule_seq
         |GROUP BY m.acl, r.action ORDER BY m.acl, r.action""".stripMargin),
+    "fw_shadowed_rules" ->
+      s"""WITH $rulesSqlCte
+         |SELECT r1.acl AS acl, r1.rule_seq AS shadowing_seq,
+         |       r1.action AS shadowing_action,
+         |       r2.rule_seq AS shadowed_seq, r2.action AS shadowed_action
+         |FROM rules r1 JOIN rules r2 ON r1.acl = r2.acl
+         |  AND r1.rule_seq < r2.rule_seq
+         |  AND (r1.proto = 'ip' OR r1.proto = r2.proto)
+         |  AND r1.src_lo <= r2.src_lo AND r1.src_hi >= r2.src_hi
+         |  AND r1.dst_lo <= r2.dst_lo AND r1.dst_hi >= r2.dst_hi
+         |  AND r1.port_lo <= r2.port_lo AND r1.port_hi >= r2.port_hi
+         |ORDER BY acl, shadowing_seq, shadowed_seq""".stripMargin,
     "fw_hits_timeseries" -> withCtes(
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket_start, acl,
         |       COUNT(*) AS hits, COUNT(DISTINCT src_ip) AS distinct_sources

@@ -43,6 +43,31 @@ class DedupSpec extends SparkSpec {
       === docs.columns.toSeq)
   }
 
+  test("random graphs match a union-find reference (property)") {
+    val rng = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val nNodes = 60 + rng.nextInt(60)
+      val nEdges = 40 + rng.nextInt(80)
+      val edges = Seq.fill(nEdges)(
+        (rng.nextInt(nNodes).toLong, rng.nextInt(nNodes).toLong))
+      // reference: classic path-compressed union-find, then min per root
+      val parent = Array.tabulate(nNodes)(identity)
+      def find(x: Int): Int = {
+        if (parent(x) != x) parent(x) = find(parent(x)); parent(x)
+      }
+      edges.foreach { case (a, b) => parent(find(a.toInt)) = find(b.toInt) }
+      val minOfRoot = (0 until nNodes).filter(i =>
+          edges.exists(e => e._1 == i || e._2 == i))
+        .groupBy(find).map { case (_, m) => m.map(_.toLong).min -> m }
+      val expected = minOfRoot.flatMap { case (mn, members) =>
+        members.map(_.toLong -> mn)
+      }.toMap
+      val got = Dedup.connectedComponents(
+        edges.toDF("a", "b"), "a", "b").as[(Long, Long)].collect().toMap
+      assert(got === expected, s"trial $trial: $nNodes nodes, $nEdges edges")
+    }
+  }
+
   test("string ids work too (labels are min by type ordering)") {
     val pairs = Seq(("b", "c"), ("c", "a")).toDF("u", "v")
     val got = Dedup.connectedComponents(pairs, "u", "v")
