@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -129,6 +130,29 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Sequence packing — the context-window packing op of a training-data
+    // pipeline: assign documents to ~512-token bins by running token count.
+    // Packing is PER SHARD (source), which is both what real pipelines do
+    // (pack within a shard, never globally) and what keeps the window
+    // partitioned — a global cumsum would serialize the corpus through one
+    // task. bin = (cumsum_before_doc) div target: a doc opens a new bin iff
+    // the previous docs already filled the current one.
+    "text_pack_bins" -> ((s, d) => {
+      val target = 512L
+      val toks = size(split(col("text"), " ")).cast("long")
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), toks.as("toks"))
+        .withColumn("cum", sum(col("toks")).over(w))
+        .select(col("source"),
+          expr(s"(cum - toks) div $target").as("bin"),
+          col("toks"))
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("bin_tokens"))
+        .orderBy("source", "bin")
+    }),
+
     // Exact dedup keyed on an 8-byte digest: grouping on `text` directly
     // ships full documents through the exchange, and the map-side partial
     // aggregation hash table holds whole texts; xxhash64(text) carries the
@@ -146,6 +170,19 @@ object TextOps {
         .select(col("canonical_doc"), col("n_copies"))
         .orderBy("canonical_doc"))
   )
+
+  /** Deterministic train/holdout split: bucket = xxhash64(id, salt) mod 100,
+    * holdout = bucket < pct. Unlike `rand()`/`sampleBy` sampling, membership
+    * is a pure function of the id — stable across runs, partitionings, and
+    * cluster sizes, and a document KEEPS its split as the corpus grows
+    * (crucial for contamination-free eval sets over a living corpus).
+    * Changing `salt` draws an independent split. */
+  def hashSplit(df: DataFrame, idCol: String, holdoutPct: Int,
+      salt: String = "graft"): (DataFrame, DataFrame) = {
+    require(holdoutPct >= 0 && holdoutPct <= 100)
+    val bucket = pmod(xxhash64(col(idCol), lit(salt)), lit(100))
+    (df.filter(bucket >= holdoutPct), df.filter(bucket < holdoutPct))
+  }
 
   def oracleSql: Map[String, String] = Map(
     "text_tokenize_tf" ->
@@ -220,6 +257,18 @@ object TextOps {
 
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS canonical_doc, COUNT(*) AS n_copies
-        |FROM documents GROUP BY text ORDER BY canonical_doc""".stripMargin
+        |FROM documents GROUP BY text ORDER BY canonical_doc""".stripMargin,
+
+    "text_pack_bins" ->
+      """WITH t AS (SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |c AS (SELECT source, doc_id, toks,
+        |    CAST(SUM(toks) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM t)
+        |SELECT source, CAST((cum - toks) // 512 AS BIGINT) AS bin,
+        |  COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS bin_tokens
+        |FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin
   )
 }
