@@ -93,6 +93,12 @@ object Similarity {
     // making the candidate stage an exact superset, not an approximation.
     // Blocking by source alone left per-block pairs growing quadratically
     // with corpus size; the length dimension subdivides each source block.
+    // Honest limit: the bucket count is bounded by the corpus's length
+    // RANGE, so once every (source, length) cell is populated further
+    // growth is quadratic again within cells — this exact-oracle query is
+    // fixture-honest, and the unbounded-growth path is MinHash banding
+    // (MinHash.nearDupPairs: candidate volume tracks true near-dup density,
+    // not corpus size) with this query's exact-Jaccard verify on top.
     "sim_ngram_jaccard" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
