@@ -36,6 +36,15 @@ object EntrySmoke {
         println("ANN_LSH:")
         sim.Ann.lshSearch(emb, probe, 10, nTables = 12, nBits = 5)
           .show(10, false)
+      case Array("dedup", dir) =>
+        // full pipeline: near-dup clusters, then the kept corpus
+        println("DEDUP_CLUSTERS:")
+        sim.Dedup.clusters(
+          sim.Similarity.embeddingNearDupPairs(spark, dir), "vec_a", "vec_b")
+          .orderBy("member").show(20, false)
+        val docs = core.Tables.documents(spark, dir)
+        val kept = sim.Dedup.dedupCorpus(docs, "doc_id", "text")
+        println(s"DEDUP_CORPUS: kept ${kept.count()} of ${docs.count()}")
       case Array("stream", dir) =>
         // file-source streaming drive: µs-normalized copy of events →
         // readStream → watermarked tumbling agg → memory sink

@@ -275,6 +275,21 @@ object Relational {
           dsum(col("o_totalprice")).as("bucket_total"))
         .orderBy("bucket_lo")),
 
+    // Boolean + bitwise aggregate families per event_type: bool_and/bool_or
+    // and bit_and/bit_or/bit_xor are all order-independent (idempotent or
+    // associative-commutative), so partial aggregation is exact under any
+    // partitioning — trivially deterministic oracle candidates.
+    "agg_bool_bit" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          bool_and(col("user_id") % 2 === 0).as("all_even"),
+          bool_or(col("user_id") % 2 === 0).as("any_even"),
+          bit_and(col("user_id")).as("uid_band"),
+          bit_or(col("user_id")).as("uid_bor"),
+          bit_xor(col("user_id")).as("uid_bxor"))
+        .orderBy("event_type")),
+
     "agg_collect" -> ((s, d) =>
       Tables.nation(s, d)
         .join(broadcast(Tables.region(s, d)),
@@ -500,6 +515,15 @@ object Relational {
         |  COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS bucket_total
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "agg_bool_bit" ->
+      """SELECT event_type,
+        |  bool_and(user_id % 2 = 0) AS all_even,
+        |  bool_or(user_id % 2 = 0) AS any_even,
+        |  bit_and(user_id) AS uid_band,
+        |  bit_or(user_id) AS uid_bor,
+        |  bit_xor(user_id) AS uid_bxor
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "agg_collect" ->
       """SELECT r_name, array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations

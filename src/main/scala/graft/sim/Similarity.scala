@@ -149,7 +149,7 @@ object Similarity {
     * `dedup_near_embedding` oracle query above and the cluster
     * materialization in [[Dedup]] (which feeds the pairs into connected
     * components and must not inherit a pointless global sort). */
-  private[sim] def embeddingNearDupPairs(s: SparkSession, d: String,
+  private[graft] def embeddingNearDupPairs(s: SparkSession, d: String,
       minCos: Double = 0.4): DataFrame = {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),
