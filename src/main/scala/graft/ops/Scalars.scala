@@ -35,6 +35,18 @@ object Scalars {
         element_at(split(col("p_name"), " "), 1).as("first_word"))
         .orderBy("p_partkey")),
 
+    // Regex family — Java regex vs DuckDB's RE2 agree on this conservative
+    // subset (char classes, groups, bounded quantifiers); avoid lookaround/
+    // backrefs, which RE2 rejects. Verified identical on fixture data.
+    "fn_regex" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        regexp_extract(col("text"), "([a-z]+)r", 1).as("before_r"),
+        regexp_replace(col("text"), "[aeiou]", "_").as("devoweled"),
+        regexp_count(col("text"), lit("th[a-z]*")).as("n_th"),
+        col("text").rlike("(spark|batch) [a-z]{3,5} ").as("has_pattern"))
+        .orderBy("doc_id")),
+
     "fn_datetime" -> ((s, d) =>
       Tables.events(s, d).select(
         col("event_id"),
@@ -140,6 +152,14 @@ object Scalars {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "fn_regex" ->
+      """SELECT doc_id,
+        |  regexp_extract(text, '([a-z]+)r', 1) AS before_r,
+        |  regexp_replace(text, '[aeiou]', '_', 'g') AS devoweled,
+        |  CAST(len(regexp_extract_all(text, 'th[a-z]*')) AS INTEGER) AS n_th,
+        |  regexp_matches(text, '(spark|batch) [a-z]{3,5} ') AS has_pattern
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "fn_string" ->
       """SELECT p_partkey,
         |  lower(p_name) AS lower_name,
