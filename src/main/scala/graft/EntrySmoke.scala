@@ -27,7 +27,7 @@ object EntrySmoke {
         val probe = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 7)
           .select(org.apache.spark.sql.functions.col("embedding")
             .cast("array<double>"))
-          .head.getSeq[Double](0).toSeq
+          .head().getSeq[Double](0).toSeq
         println("ANN_IVF:")
         sim.Ann.ivfSearch(sim.Ann.ivfAssign(emb, 16), 16, 8, probe, 10)
           .show(10, false)

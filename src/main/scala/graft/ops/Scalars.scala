@@ -47,6 +47,19 @@ object Scalars {
         col("text").rlike("(spark|batch) [a-z]{3,5} ").as("has_pattern"))
         .orderBy("doc_id")),
 
+    // Digest family: md5 / sha2-256 hex digests match DuckDB's md5/sha256
+    // byte-for-byte (lowercase hex of the same standard functions). The
+    // engine-native 64-bit hashes (xxhash64, murmur) are deliberately NOT
+    // oracle'd — they are impl-specific; their uses (dedup digests, token
+    // ids) only need self-consistency, which the dedup oracles already gate.
+    "fn_hash" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        md5(encode(col("text"), "UTF-8")).as("md5_hex"),
+        sha2(encode(col("text"), "UTF-8"), 256).as("sha256_hex"),
+        substring(md5(encode(col("lang"), "UTF-8")), 1, 8).as("lang_bucket"))
+        .orderBy("doc_id")),
+
     "fn_datetime" -> ((s, d) =>
       Tables.events(s, d).select(
         col("event_id"),
@@ -152,6 +165,13 @@ object Scalars {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "fn_hash" ->
+      """SELECT doc_id,
+        |  md5(text) AS md5_hex,
+        |  sha256(text) AS sha256_hex,
+        |  substring(md5(lang), 1, 8) AS lang_bucket
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "fn_regex" ->
       """SELECT doc_id,
         |  regexp_extract(text, '([a-z]+)r', 1) AS before_r,
