@@ -56,7 +56,11 @@ object ExplainAudit {
     // percentile_disc is a TypedImperativeAggregate: partial aggregation
     // must run map-side (ObjectHashAggregate), not single-node
     ("agg_percentile", "map-side partial percentile (ObjectHashAggregate)",
-      p => p.contains("ObjectHashAggregate"))
+      p => p.contains("ObjectHashAggregate")),
+    // the time-series report must match via the broadcast ruleset (fact
+    // side never shuffles for the match) like the rest of the fw family
+    ("fw_hits_timeseries", "broadcast ruleset match in the hourly series",
+      p => p.contains("BroadcastHashJoin"))
   )
 
   /** Executes each checked query (collect(), so AQE finalizes — codegen
