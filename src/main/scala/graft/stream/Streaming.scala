@@ -170,13 +170,13 @@ object Streaming {
     * HDFS-backed provider rejects this operator):
     * `spark.sql.streaming.stateStore.providerClass =
     *  ...state.RocksDBStateStoreProvider`. */
-  class RunningStatsProcessor
+  class RunningStatsProcessor(ttl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[Long, UserEvent, UserStats] {
     @transient private var stats: ValueState[UserStats] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       stats = getHandle.getValueState[UserStats]("stats",
-        org.apache.spark.sql.Encoders.product[UserStats], TTLConfig.NONE)
+        org.apache.spark.sql.Encoders.product[UserStats], ttl)
 
     override def handleInputRows(userId: Long, rows: Iterator[UserEvent],
         timers: TimerValues): Iterator[UserStats] = {
@@ -194,12 +194,29 @@ object Streaming {
     }
   }
 
-  /** Declares the transformWithState plan over an event stream. */
-  def runningUserStatsTws(events: Dataset[UserEvent]): Dataset[UserStats] = {
+  /** Declares the transformWithState plan over an event stream. `stateTtl`
+    * (None = keep state forever) turns on transformWithState's NATIVE
+    * per-state TTL — the declarative replacement for the manual
+    * setTimeoutDuration/hasTimedOut bookkeeping in [[runningUserStats]];
+    * expired state simply reads as absent on the next access. TTL is
+    * wall-clock based, so it requires `TimeMode.ProcessingTime()`.
+    *
+    * Operational caveat (verified): under ProcessingTime time mode the
+    * operator always requests another micro-batch (timers/TTL can fire at
+    * any moment), so the query runs no-data batches continuously —
+    * `processAllAvailable` never settles and `Trigger.AvailableNow` never
+    * terminates. Callers must use a real trigger interval in production
+    * and deadline-bounded sink polling in tests. */
+  def runningUserStatsTws(events: Dataset[UserEvent],
+      stateTtl: Option[java.time.Duration] = None): Dataset[UserStats] = {
     import events.sparkSession.implicits._
+    val (ttlConf, timeMode) = stateTtl match {
+      case Some(d) => (TTLConfig(d), TimeMode.ProcessingTime())
+      case None => (TTLConfig.NONE, TimeMode.None())
+    }
     events.groupByKey(_.user_id)
-      .transformWithState(new RunningStatsProcessor,
-        TimeMode.None(), OutputMode.Update())
+      .transformWithState(new RunningStatsProcessor(ttlConf),
+        timeMode, OutputMode.Update())
   }
 
   // ------------------------------------------------------------ B10.8

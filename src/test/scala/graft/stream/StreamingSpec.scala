@@ -154,6 +154,57 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq === Seq((2L, 15.0), (3L, 17.5)))
   }
 
+  test("transformWithState TTL expires idle state (counts restart)") {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    try {
+      // TTL expiry is evaluated on state ACCESS (an expired value reads as
+      // absent), so one continuous query with an idle gap between batches
+      // proves it. CRITICAL: under TimeMode.ProcessingTime the operator
+      // always reports "may need another batch" (timers/TTL can expire at
+      // any moment), so `noNewData` is never set — processAllAvailable
+      // NEVER settles and Trigger.AvailableNow NEVER terminates (both
+      // verified hangs). The only safe wait is polling the sink with a
+      // deadline.
+      val stream = MemoryStream[UserEvent](11, spark, None)
+      val q = Streaming.runningUserStatsTws(stream.toDS(),
+          stateTtl = Some(java.time.Duration.ofMillis(500))).writeStream
+        .format("memory").queryName("userstats_ttl")
+        .outputMode(OutputMode.Update())
+        .start()
+      def awaitSink(want: Seq[(Long, Double)]): Seq[(Long, Double)] = {
+        val deadline = System.currentTimeMillis + 120000
+        var got = Seq.empty[(Long, Double)]
+        while (got != want && System.currentTimeMillis < deadline) {
+          Option(q.exception.orNull).foreach(throw _)
+          got = spark.table("userstats_ttl").collect()
+            .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+          if (got != want) Thread.sleep(200)
+        }
+        got
+      }
+      try {
+        stream.addData(UserEvent(1, ts(0), 7, "view", 10.0),
+          UserEvent(2, ts(1), 7, "click", 5.0))
+        assert(awaitSink(Seq((2L, 15.0))) === Seq((2L, 15.0)))
+        Thread.sleep(2000) // comfortably past the 500ms TTL
+        stream.addData(UserEvent(3, ts(2), 7, "view", 2.5))
+        // user 7's state expired while idle: the second batch RESTARTS at
+        // (1, 2.5) instead of reaching (3, 17.5)
+        val want = Seq((2L, 15.0), (1L, 2.5))
+        assert(awaitSink(want) === want)
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stream-stream interval join equals its batch twin") {
     import spark.implicits._
     val rows = Seq(
