@@ -281,6 +281,22 @@ object Fw {
           min(col("ts")).as("first_seen"),
           max(col("ts")).as("last_seen"))
         .orderBy("acl", "rule_seq")),
+    // Horizontal-sweep detection (the classic firewall-log security query):
+    // sources touching unusually many distinct destinations. One pass over
+    // the derived connection log, no rule join at all — a groupBy(src_ip)
+    // whose keyspace is the source-address population; two COUNT(DISTINCT)s
+    // expand to the standard two-phase distinct aggregation. The absolute
+    // threshold is fixture-calibrated; the DESC ordering + LIMIT keeps the
+    // report the "top offenders" page at any scale.
+    "fw_port_scan" -> ((s, d) =>
+      fwEvents(s, d)
+        .groupBy("src_ip")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("dst_ip")).as("n_dsts"),
+          countDistinct(col("dst_port")).as("n_ports"))
+        .filter(col("n_dsts") >= 3)
+        .orderBy(desc("n_dsts"), desc("n_events"), asc("src_ip"))
+        .limit(50)),
     // 106023 analog (the reference's stage-3 default-deny report): traffic
     // matching NO configured rule. The widened derivation (acl universe % 5)
     // routes a fifth of the traffic to rule-less acl_4; the broadcast
@@ -352,6 +368,13 @@ object Fw {
         |       COUNT(DISTINCT src_ip) AS distinct_sources,
         |       MIN(ts) AS first_seen, MAX(ts) AS last_seen
         |FROM matched GROUP BY acl, rule_seq ORDER BY acl, rule_seq""".stripMargin),
+    "fw_port_scan" ->
+      s"""WITH $fwSqlCte
+         |SELECT src_ip, COUNT(*) AS n_events,
+         |       COUNT(DISTINCT dst_ip) AS n_dsts,
+         |       COUNT(DISTINCT dst_port) AS n_ports
+         |FROM fw GROUP BY src_ip HAVING COUNT(DISTINCT dst_ip) >= 3
+         |ORDER BY n_dsts DESC, n_events DESC, src_ip LIMIT 50""".stripMargin,
     "fw_deny_stats" ->
       s"""WITH ${fwSqlCteMod("fw5", 5)}, $rulesSqlCte
          |SELECT acl, dst_port, COUNT(*) AS n_denied,

@@ -290,6 +290,28 @@ object Relational {
           bit_xor(col("user_id")).as("uid_bxor"))
         .orderBy("event_type")),
 
+    // Exact variance/stddev from order-independent sums: var_samp(double)
+    // directly would fold partials in partition order (and DuckDB's own
+    // var_samp differs from Spark's in the last ulps — measured), so the
+    // moments are gathered as exact decimal sums (n, Σx, Σx²) and the
+    // variance is ONE identical double expression on both engines:
+    // (ss - s*s/n)/(n-1). Per-row x*x is a single IEEE multiply (exact and
+    // engine-agnostic); the decimal Σ makes the cross-row part
+    // partitioning-proof. Headroom: Σx² of quantities ≤ 50² per row keeps
+    // the scaled int128 far below the 2^53 double-round limit even at sf10.
+    "agg_var_exact" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_quantity")).as("s"),
+          dsum(col("l_quantity") * col("l_quantity")).as("ss"))
+        .select(col("l_returnflag"), col("n"),
+          ((col("ss") - col("s") * col("s") / col("n")) / (col("n") - 1))
+            .as("var_qty"),
+          sqrt((col("ss") - col("s") * col("s") / col("n")) / (col("n") - 1))
+            .as("stddev_qty"))
+        .orderBy("l_returnflag")),
+
     "agg_collect" -> ((s, d) =>
       Tables.nation(s, d)
         .join(broadcast(Tables.region(s, d)),
@@ -316,6 +338,21 @@ object Relational {
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
         .offset(20).limit(10)),
+
+    // Deterministic content-hash sampling — the reproducible alternative to
+    // rand()/TABLESAMPLE: membership is a pure function of the key (first
+    // md5 hex nibble ∈ {0,1} ⇒ a 2/16 = 12.5% expected draw), so the sample
+    // is identical across runs, engines, partitionings, and cluster sizes,
+    // and a row keeps its fate as the table grows. The filter is a per-row
+    // map — no shuffle; at 100 TB it composes with any downstream agg. The
+    // 64-bit xxhash64 variant (TextOps.hashSplit) is the faster in-engine
+    // form; md5 is the cross-engine-oracle-able one.
+    "sample_det" -> ((s, d) =>
+      Tables.orders(s, d)
+        .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1)
+          .isin("0", "1"))
+        .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+        .orderBy("o_orderkey")),
 
     // ------------------------------------------------ B7 set ops
     "set_union_all" -> ((s, d) => {
@@ -525,6 +562,16 @@ object Relational {
         |  bit_xor(user_id) AS uid_bxor
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    "agg_var_exact" ->
+      """WITH g AS (SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s,
+        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS ss
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  (ss - s * s / n) / (n - 1) AS var_qty,
+        |  SQRT((ss - s * s / n) / (n - 1)) AS stddev_qty
+        |FROM g ORDER BY l_returnflag""".stripMargin,
+
     "agg_collect" ->
       """SELECT r_name, array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations
         |FROM nation JOIN region ON n_regionkey = r_regionkey
@@ -541,6 +588,12 @@ object Relational {
     "limit_offset" ->
       """SELECT c_custkey, c_name FROM customer
         |ORDER BY c_custkey LIMIT 10 OFFSET 20""".stripMargin,
+
+    "sample_det" ->
+      """SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+        |FROM orders
+        |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+        |ORDER BY o_orderkey""".stripMargin,
 
     "set_union_all" ->
       """SELECT nk, COUNT(*) AS n FROM (

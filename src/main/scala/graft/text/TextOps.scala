@@ -98,6 +98,51 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Bigram (2-gram) frequency table — the n-gram-LM / contamination-check
+    // staple. The bigram fan-out is a per-row linear transform (the lambda
+    // runs interpreted — acceptable: it's one pass per document, and the
+    // explode feeds a partial-aggregated groupBy whose shuffle is bounded by
+    // bigram-vocabulary size, not corpus size — same scale shape as
+    // text_tokenize_tf). sequence(1,0) in Spark counts DOWN, so the
+    // empty/one-token case must be guarded explicitly.
+    "text_ngrams" -> ((s, d) => {
+      val bigrams = when(size(tokens) >= 2,
+        transform(sequence(lit(1), size(tokens) - 1),
+          i => concat(element_at(tokens, i), lit(" "),
+            element_at(tokens, i + 1))))
+        .otherwise(array().cast("array<string>"))
+      Tables.documents(s, d)
+        .select(explode(bigrams).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 3)
+        .orderBy(desc("n"), asc("bigram"))
+        .limit(100)
+    }),
+
+    // Quality-gated corpus filter — scoring composed with a per-language
+    // median threshold (the "keep the better half per language" pipeline
+    // stage). The median is percentile_disc(0.5): element-SELECTING, so the
+    // threshold is a source value verbatim and the >= comparison is exact on
+    // both engines (percentile_cont would interpolate in engine-specific
+    // arithmetic). The per-lang medians are a tiny dimension — broadcast —
+    // so the corpus never shuffles: score, probe, filter, all map-side.
+    "text_quality_filter" -> ((s, d) => {
+      val nTok = size(tokens)
+      val quality = (size(array_distinct(tokens)).cast("double") / nTok) * 0.5 +
+        (size(filter(tokens, t => length(t) > 5)).cast("double") / nTok) * 0.3 +
+        when(nTok >= 20, 0.2).otherwise(0.0)
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), quality.as("quality"))
+      val med = scored.groupBy("lang")
+        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY quality)")
+          .as("med_q"))
+      scored.join(broadcast(med), Seq("lang"))
+        .filter(col("quality") >= col("med_q"))
+        .select("doc_id", "lang", "quality")
+        .orderBy("doc_id")
+    }),
+
     // Rolling polynomial hash over the token stream (order-sensitive document
     // fingerprint). DuckDB's list_reduce has no init (acc0 = first element),
     // so the Spark side folds slice(2..n) with element 1 as init — the exact
@@ -235,6 +280,32 @@ object TextOps {
         |    + (CAST(n_long AS DOUBLE) / n_tokens) * 0.3
         |    + CASE WHEN n_tokens >= 20 THEN 0.2 ELSE 0.0 END AS quality
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "text_ngrams" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |b AS (SELECT unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i + 1])) AS bigram FROM t)
+        |SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram
+        |HAVING COUNT(*) >= 3 ORDER BY n DESC, bigram LIMIT 100""".stripMargin,
+
+    "text_quality_filter" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER)
+        |      AS n_distinct,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> length(t) > 5)) AS INTEGER) AS n_long
+        |  FROM documents),
+        |scored AS (SELECT doc_id, lang,
+        |    (CAST(n_distinct AS DOUBLE) / n_tokens) * 0.5
+        |      + (CAST(n_long AS DOUBLE) / n_tokens) * 0.3
+        |      + CASE WHEN n_tokens >= 20 THEN 0.2 ELSE 0.0 END AS quality
+        |  FROM t),
+        |med AS (SELECT lang, quantile_disc(quality, 0.5) AS med_q
+        |  FROM scored GROUP BY lang)
+        |SELECT s.doc_id, s.lang, s.quality
+        |FROM scored s JOIN med m ON s.lang = m.lang
+        |WHERE s.quality >= m.med_q ORDER BY s.doc_id""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id,
