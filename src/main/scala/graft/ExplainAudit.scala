@@ -60,7 +60,19 @@ object ExplainAudit {
     // the time-series report must match via the broadcast ruleset (fact
     // side never shuffles for the match) like the rest of the fw family
     ("fw_hits_timeseries", "broadcast ruleset match in the hourly series",
-      p => p.contains("BroadcastHashJoin"))
+      p => p.contains("BroadcastHashJoin")),
+    // the per-lang median thresholds are a tiny dimension — the corpus
+    // probe must broadcast them, never shuffle the scored documents
+    ("text_quality_filter", "broadcast median-threshold probe",
+      p => p.contains("BroadcastHashJoin")),
+    // bigram fan-out must stay lambda-free: a HOF transform() here runs
+    // interpreted per element (measured ~7x slower) — the plan must show
+    // the zip of shifted slices instead
+    ("text_ngrams", "lambda-free bigram fan-out (slice+zip, no transform())",
+      p => !p.contains("lambdafunction")),
+    ("text_ngrams", "partial agg before the bigram exchange",
+      p => p.indexOf("HashAggregate") < p.indexOf("Exchange")
+        || p.contains("partial_count"))
   )
 
   /** Executes each checked query (collect(), so AQE finalizes — codegen
