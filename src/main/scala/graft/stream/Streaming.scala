@@ -2,8 +2,9 @@ package graft.stream
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
-  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface — SURVEY.md §2 B10.
@@ -217,6 +218,76 @@ object Streaming {
     events.groupByKey(_.user_id)
       .transformWithState(new RunningStatsProcessor(ttlConf),
         timeMode, OutputMode.Update())
+  }
+
+  final case class SessionSummary(user_id: Long, n_events: Long,
+      total_value: Double, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp)
+
+  /** Idle-gap sessionization via transformWithState REGISTERED TIMERS — the
+    * capability neither `session_window` nor TTL covers: emit a closed
+    * session's summary exactly when the event-time watermark proves no
+    * event can extend it. Each batch merges the user's rows into a running
+    * summary, moves the user's single timer to `session_end + gap`
+    * (delete + re-register), and emits nothing; `handleExpiredTimer` fires
+    * once the watermark passes that horizon, emits the summary, and clears
+    * the state — so state is bounded by ACTIVE sessions only.
+    *
+    * Unlike the ProcessingTime mode (see [[runningUserStatsTws]]),
+    * EventTime mode only schedules an extra batch while the watermark
+    * actually advances, so `processAllAvailable` settles normally. */
+  class SessionTimerProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, UserEvent, SessionSummary] {
+    @transient private var session: ValueState[SessionSummary] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      session = getHandle.getValueState[SessionSummary]("session",
+        org.apache.spark.sql.Encoders.product[SessionSummary], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[UserEvent],
+        timers: TimerValues): Iterator[SessionSummary] = {
+      val buf = rows.toSeq
+      val lo = buf.map(_.ts.getTime).min
+      val hi = buf.map(_.ts.getTime).max
+      val merged =
+        if (session.exists()) {
+          val p = session.get()
+          getHandle.deleteTimer(p.session_end.getTime + gapMs)
+          SessionSummary(userId, p.n_events + buf.size,
+            p.total_value + buf.map(_.value).sum,
+            new java.sql.Timestamp(math.min(p.session_start.getTime, lo)),
+            new java.sql.Timestamp(math.max(p.session_end.getTime, hi)))
+        } else {
+          SessionSummary(userId, buf.size, buf.map(_.value).sum,
+            new java.sql.Timestamp(lo), new java.sql.Timestamp(hi))
+        }
+      session.update(merged)
+      getHandle.registerTimer(merged.session_end.getTime + gapMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(userId: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[SessionSummary] = {
+      if (!session.exists()) Iterator.empty
+      else {
+        val out = session.get()
+        session.clear()
+        Iterator.single(out)
+      }
+    }
+  }
+
+  /** Declares the timer-driven sessionization plan. The watermark must be
+    * set BEFORE the groupByKey — it is what drives timer expiry in
+    * `TimeMode.EventTime`. Append mode: rows exist only when a session
+    * closes. */
+  def sessionizeTws(events: Dataset[UserEvent], gapMs: Long = 1800000L,
+      watermark: String = "10 minutes"): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   // ------------------------------------------------------------ B10.8

@@ -205,6 +205,45 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState event-time timers close idle sessions") {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[UserEvent](12, spark, None)
+      val q = Streaming.sessionizeTws(stream.toDS(),
+          gapMs = 30L * 60000L, watermark = "10 minutes").writeStream
+        .format("memory").queryName("tws_sessions")
+        .outputMode(OutputMode.Append())
+        .start()
+      try {
+        // burst 1 and burst 2 are 5 minutes apart — same session
+        stream.addData(UserEvent(1, ts(0), 7, "view", 10.0))
+        q.processAllAvailable()
+        stream.addData(UserEvent(2, ts(5), 7, "click", 5.0))
+        q.processAllAvailable()
+        assert(spark.table("tws_sessions").isEmpty,
+          "session still open — nothing may emit before the watermark")
+        // user 8 three hours later pushes the watermark to ts(180)-10min,
+        // far past user 7's ts(5)+30min horizon -> timer fires, session
+        // closes and emits; user 8's own session stays open (unemitted)
+        stream.addData(UserEvent(3, ts(180), 8, "view", 1.0))
+        q.processAllAvailable()
+        val rows = spark.table("tws_sessions").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+            r.getTimestamp(3), r.getTimestamp(4)))
+        assert(rows.toSeq === Seq((7L, 2L, 15.0, ts(0), ts(5))))
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stream-stream interval join equals its batch twin") {
     import spark.implicits._
     val rows = Seq(
