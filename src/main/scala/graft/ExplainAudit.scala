@@ -72,7 +72,15 @@ object ExplainAudit {
       p => !p.contains("lambdafunction")),
     ("text_ngrams", "partial agg before the bigram exchange",
       p => p.indexOf("HashAggregate") < p.indexOf("Exchange")
-        || p.contains("partial_count"))
+        || p.contains("partial_count")),
+    // the Q3-shaped composite must keep all three scan filters pushed down,
+    // broadcast the filtered customer dim, and top-k without a global sort
+    ("composite_q3", "filtered dim broadcast in the 3-way join",
+      p => p.contains("BroadcastHashJoin")),
+    ("composite_q3", "top-k via TakeOrderedAndProject",
+      p => p.contains("TakeOrderedAndProject")),
+    ("composite_q3", "segment filter pushed to the customer scan",
+      p => p.contains("EqualTo(c_mktsegment,BUILDING)"))
   )
 
   /** Executes each checked query (collect(), so AQE finalizes — codegen

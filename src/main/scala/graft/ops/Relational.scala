@@ -230,6 +230,40 @@ object Relational {
           col("n_customers"), col("total_bal"))
         .orderBy("region", "nation")),
 
+    // Full subtotal lattice: CUBE adds the column-wise marginals rollup
+    // can't express; grouping_id() disambiguates a subtotal NULL from a
+    // data NULL (same MSB-first bitmask convention in DuckDB's
+    // GROUPING(a,b) — verified empirically).
+    "agg_cube" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"),
+          count(lit(1)).as("n"),
+          dsum(col("l_quantity")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("gid"), col("n"), col("sum_qty"))
+        .orderBy("gid", "returnflag", "linestatus")),
+
+    // The TPC-H Q3 shape end-to-end: selective dim filter → broadcast →
+    // fact-fact shuffle join → decimal-exact revenue per order → top-k.
+    // The segment filter prunes ~4/5 of customers BEFORE the broadcast;
+    // lineitem never shuffles twice (single join key); the final top-k is
+    // TakeOrderedAndProject, never a global sort.
+    "composite_q3" -> ((s, d) =>
+      Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < lit("2000-06-01").cast("timestamp"))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > lit("2000-06-01").cast("timestamp"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority", "revenue")
+        .orderBy(desc("revenue"), asc("o_orderkey"))
+        .limit(20)),
+
     "agg_pivot" -> ((s, d) => {
       val types = Seq("click", "error", "purchase", "signup", "view")
       val p = Tables.events(s, d)
@@ -528,6 +562,28 @@ object Relational {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY region, nation""".stripMargin,
+
+    "agg_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, returnflag, linestatus""".stripMargin,
+
+    "composite_q3" ->
+      """WITH r AS (
+        |  SELECT o_orderkey, o_orderdate, o_orderpriority,
+        |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+        |      AS DOUBLE) AS revenue
+        |  FROM customer JOIN orders ON c_custkey = o_custkey
+        |    JOIN lineitem ON l_orderkey = o_orderkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |    AND o_orderdate < TIMESTAMP '2000-06-01'
+        |    AND l_shipdate > TIMESTAMP '2000-06-01'
+        |  GROUP BY o_orderkey, o_orderdate, o_orderpriority)
+        |SELECT * FROM r ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin,
 
     "agg_pivot" ->
       """SELECT user_id,
