@@ -18,7 +18,7 @@ import graft.core.Tables
 object SqlFrontend {
 
   private val views = Seq("customer", "orders", "lineitem", "nation",
-    "region", "supplier", "part")
+    "region", "supplier", "part", "events")
 
   private def sql(s: SparkSession, d: String, query: String): DataFrame = {
     views.foreach(t => Tables(s, d, t).createOrReplaceTempView(t))
@@ -47,16 +47,52 @@ object SqlFrontend {
       |  WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 50)
       |ORDER BY p_partkey""".stripMargin
 
+  /** Staged conversion funnel (view → click within 1h → purchase within
+    * 1h), the product-analytics staple: each stage is a min-timestamp
+    * aggregation joined forward with a time-bounded condition, so the whole
+    * funnel is joins + group-bys — no per-user sequence scan. MIN(ts) picks
+    * source values verbatim (no arithmetic to diverge); the INTERVAL bound
+    * is exact timestamp addition in both engines. */
+  private val funnel =
+    """WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, MIN(e.ts) AS t_click FROM events e
+      |  JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+      |    AND e.ts <= v.t_view + INTERVAL 1 HOUR GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, MIN(e.ts) AS t_buy FROM events e
+      |  JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      |    AND e.ts <= c.t_click + INTERVAL 1 HOUR GROUP BY e.user_id)
+      |SELECT (SELECT COUNT(*) FROM v) AS n_view,
+      |       (SELECT COUNT(*) FROM c) AS n_view_click,
+      |       (SELECT COUNT(*) FROM p) AS n_full_funnel""".stripMargin
+
+  /** Value-based time frame: trailing-1-hour event count per user. RANGE
+    * on a timestamp ORDER BY with an INTERVAL bound — frame membership
+    * depends only on values, so ts ties are harmless; the output ORDER BY
+    * still carries the event_id tiebreaker for row order. */
+  private val winRangeTime =
+    """SELECT user_id, event_id, ts,
+      |  COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+      |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+      |    AS n_last_hour
+      |FROM events ORDER BY user_id, ts, event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "subq_scalar_corr" -> ((s, d) => sql(s, d, scalarCorr)),
     "subq_in" -> ((s, d) => sql(s, d, inSubq)),
-    "subq_exists_corr" -> ((s, d) => sql(s, d, existsCorr))
+    "subq_exists_corr" -> ((s, d) => sql(s, d, existsCorr)),
+    "funnel_conversion" -> ((s, d) => sql(s, d, funnel)),
+    "win_range_time" -> ((s, d) => sql(s, d, winRangeTime))
   )
 
   /** Same ANSI text — both engines run the identical query. */
   def oracleSql: Map[String, String] = Map(
     "subq_scalar_corr" -> scalarCorr,
     "subq_in" -> inSubq,
-    "subq_exists_corr" -> existsCorr
+    "subq_exists_corr" -> existsCorr,
+    "funnel_conversion" -> funnel,
+    "win_range_time" -> winRangeTime
   )
 }
