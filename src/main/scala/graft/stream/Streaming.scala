@@ -3,8 +3,8 @@ package graft.stream
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
-  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
-  TimerValues, ValueState}
+  GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig,
+  TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface — SURVEY.md §2 B10.
@@ -218,6 +218,44 @@ object Streaming {
     events.groupByKey(_.user_id)
       .transformWithState(new RunningStatsProcessor(ttlConf),
         timeMode, OutputMode.Update())
+  }
+
+  final case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+  /** Per-user per-event-type running counts on `MapState` — the keyed state
+    * variable (vs the scalar ValueState of [[RunningStatsProcessor]]): one
+    * entry per event type, point-updated, so a user's state grows with
+    * their distinct types, never their event count. Emits the refreshed
+    * counts for just the types touched in the batch (update-mode delta). */
+  class TypeCountsProcessor
+      extends StatefulProcessor[Long, UserEvent, TypeCount] {
+    @transient private var counts: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[UserEvent],
+        timers: TimerValues): Iterator[TypeCount] = {
+      val touched = scala.collection.mutable.SortedSet.empty[String]
+      rows.foreach { e =>
+        val cur =
+          if (counts.containsKey(e.event_type)) counts.getValue(e.event_type)
+          else 0L
+        counts.updateValue(e.event_type, cur + 1L)
+        touched += e.event_type
+      }
+      touched.iterator.map(t => TypeCount(userId, t, counts.getValue(t)))
+    }
+  }
+
+  /** Declares the MapState type-counts plan (no timers — TimeMode.None). */
+  def typeCountsTws(events: Dataset[UserEvent]): Dataset[TypeCount] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TypeCountsProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   final case class SessionSummary(user_id: Long, n_events: Long,

@@ -205,6 +205,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState MapState keeps per-type counts keyed in state") {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[UserEvent](13, spark, None)
+      val q = Streaming.typeCountsTws(stream.toDS()).writeStream
+        .format("memory").queryName("type_counts")
+        .outputMode(OutputMode.Update())
+        .start()
+      try {
+        stream.addData(UserEvent(1, ts(0), 7, "view", 1.0),
+          UserEvent(2, ts(1), 7, "view", 1.0),
+          UserEvent(3, ts(2), 7, "click", 1.0))
+        q.processAllAvailable()
+        stream.addData(UserEvent(4, ts(3), 7, "view", 1.0))
+        q.processAllAvailable()
+        val rows = spark.table("type_counts").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        // batch 1 emits the touched types (click 1, view 2); batch 2 only
+        // the view refresh (3) — counts carried in MapState entries
+        assert(rows.toSeq === Seq((7L, "click", 1L), (7L, "view", 2L),
+          (7L, "view", 3L)))
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("transformWithState event-time timers close idle sessions") {
     import spark.implicits._
     val key = "spark.sql.streaming.stateStore.providerClass"
