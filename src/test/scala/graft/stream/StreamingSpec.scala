@@ -205,6 +205,28 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("Trigger.AvailableNow drains everything then terminates on its own") {
+    import spark.implicits._
+    val events = sampleEvents
+    val stream = MemoryStream[UserEvent](14, spark, None)
+    stream.addData(events)
+    val q = Streaming.tumblingCounts(stream.toDF()).writeStream
+      .format("memory").queryName("avail_now")
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    // self-terminating batch-of-a-stream (the backfill/cron shape) — the
+    // processing-time TWS ops are the one documented exception
+    assert(q.awaitTermination(120000), "AvailableNow must self-terminate")
+    val got = spark.table("avail_now").select("bucket_start", "event_type", "n")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val expected = Streaming.tumblingCounts(events.toDF())
+      .select("bucket_start", "event_type", "n")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("transformWithState MapState keeps per-type counts keyed in state") {
     import spark.implicits._
     val key = "spark.sql.streaming.stateStore.providerClass"
