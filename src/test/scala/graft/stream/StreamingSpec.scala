@@ -205,6 +205,54 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState survives a restart from its checkpoint") {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_tws_restart").toString
+      val stream = MemoryStream[UserEvent](15, spark, None)
+      // the memory sink refuses checkpoint recovery — foreachBatch is the
+      // fault-tolerant sink shape, collecting into a driver-local buffer
+      val got = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Double)]
+      def runOnce(): Unit = {
+        // TimeMode.None (no TTL/timers) — AvailableNow terminates cleanly
+        val q = Streaming.runningUserStatsTws(stream.toDS()).writeStream
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Update())
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[Streaming.UserStats],
+                _: Long) =>
+              got.synchronized {
+                got ++= batch.collect()
+                  .map(s => (s.user_id, s.n_events, s.total_value))
+              }; ()
+          }
+          .start()
+        assert(q.awaitTermination(120000), "AvailableNow must terminate")
+      }
+      stream.addData(UserEvent(1, ts(0), 7, "view", 10.0),
+        UserEvent(2, ts(1), 7, "click", 5.0))
+      runOnce()
+      assert(got.toSeq === Seq((7L, 2L, 15.0)))
+      // second, separate query run: RocksDB state reloads from the
+      // checkpoint — counts CONTINUE at (3, 17.5), they don't restart
+      stream.addData(UserEvent(3, ts(2), 7, "view", 2.5))
+      runOnce()
+      assert(got.toSeq === Seq((7L, 2L, 15.0), (7L, 3L, 17.5)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("Trigger.AvailableNow drains everything then terminates on its own") {
     import spark.implicits._
     val events = sampleEvents
