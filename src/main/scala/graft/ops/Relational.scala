@@ -355,6 +355,35 @@ object Relational {
           .as("nations"))
         .orderBy("r_name")),
 
+    // Data-profiling one-pass summary (the pre-training data-quality
+    // staple): row/distinct/null counts and extremes in a single
+    // aggregation — at 100 TB this is one scan + partial aggregation, and
+    // the two COUNT(DISTINCT)s share the expand. MIN/MAX of timestamps
+    // select source values verbatim; the value total uses the exact
+    // decimal-sum pattern.
+    "profile_events" -> ((s, d) =>
+      Tables.events(s, d)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("user_id")).as("n_users"),
+          countDistinct(col("event_type")).as("n_types"),
+          (count(lit(1)) - count(col("props"))).as("null_props"),
+          min(col("ts")).as("min_ts"),
+          max(col("ts")).as("max_ts"),
+          dsum(col("value")).as("total_value"))),
+
+    // Key-skew diagnostic — the "will this key explode my shuffle" check
+    // run before any big groupBy/join: per-key counts reduced to
+    // max/avg/ratio. Exact-integer sums divided once keep the doubles
+    // bit-identical cross-engine.
+    "skew_report" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("n_keys"),
+          max(col("cnt")).as("max_cnt"),
+          (sum(col("cnt")).cast("double") / count(lit(1))).as("avg_cnt"),
+          (max(col("cnt")) / (sum(col("cnt")).cast("double") / count(lit(1))))
+            .as("skew_ratio"))),
+
     // ------------------------------------------------ B6 sort/limit/topk
     "sort_global" -> ((s, d) =>
       Tables.supplier(s, d)
@@ -650,6 +679,23 @@ object Relational {
         |FROM orders
         |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
         |ORDER BY o_orderkey""".stripMargin,
+
+    "profile_events" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  COUNT(DISTINCT event_type) AS n_types,
+        |  COUNT(*) - COUNT(props) AS null_props,
+        |  MIN(ts) AS min_ts, MAX(ts) AS max_ts,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events""".stripMargin,
+
+    "skew_report" ->
+      """WITH k AS (SELECT user_id, COUNT(*) AS cnt FROM events
+        |  GROUP BY user_id)
+        |SELECT COUNT(*) AS n_keys, MAX(cnt) AS max_cnt,
+        |  CAST(SUM(cnt) AS DOUBLE) / COUNT(*) AS avg_cnt,
+        |  MAX(cnt) / (CAST(SUM(cnt) AS DOUBLE) / COUNT(*)) AS skew_ratio
+        |FROM k""".stripMargin,
 
     "set_union_all" ->
       """SELECT nk, COUNT(*) AS n FROM (
