@@ -22,6 +22,21 @@ object Sources {
   def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** PERMISSIVE read that CAPTURES each malformed source line verbatim in
+    * a `_corrupt` column (null for clean rows), so callers can route bad
+    * rows to a dead-letter sink and alert on their rate instead of
+    * silently nulling them — the production quarantine pattern. The
+    * corrupt column must be part of the declared schema; Spark refuses
+    * queries that project ONLY the corrupt column (cache first if you
+    * need that). */
+  def readCsvQuarantine(spark: SparkSession, path: String,
+      schema: StructType, header: Boolean = true): DataFrame =
+    spark.read.schema(schema.add("_corrupt", org.apache.spark.sql.types.StringType))
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(path)
+
   /** Hive-style partitioned parquet sink. Readers get partition pruning for
     * free on `partitionCols` predicates. */
   def writePartitioned(df: DataFrame, path: String,

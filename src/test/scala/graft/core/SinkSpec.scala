@@ -59,6 +59,27 @@ class SinkSpec extends SparkSpec {
     assert(rows(2).isNullAt(0) && rows(2).isNullAt(2)) // malformed → nulls
   }
 
+  test("csv quarantine captures raw malformed lines for a dead-letter sink") {
+    val dir = tmp()
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType)))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/in.csv"),
+      "id,name,score\n1,alpha,1.5\nBAD,gamma,oops\n2,beta,2.5\n".getBytes)
+    // cache: corrupt-column-only projections are refused on the raw scan
+    val df = Sources.readCsvQuarantine(spark, s"$dir/in.csv", schema).cache()
+    try {
+      val good = df.filter(col("_corrupt").isNull)
+      val bad = df.filter(col("_corrupt").isNotNull)
+      assert(good.count() === 2)
+      assert(good.select("id").collect().map(_.getLong(0)).sorted.toSeq
+        === Seq(1L, 2L))
+      // the raw line survives verbatim — routable to a dead-letter sink
+      assert(bad.select("_corrupt").collect().map(_.getString(0)).toSeq
+        === Seq("BAD,gamma,oops"))
+    } finally df.unpersist()
+  }
+
   test("json reads with explicit schema incl. nested struct") {
     val dir = tmp()
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/in.json"),
