@@ -55,6 +55,48 @@ object GraftProps extends Properties("graft") {
       got == expected
     }
 
+  // The determinism discipline as an executable property: the decimal-sum
+  // → double pattern and the derived variance expression must produce the
+  // same BITS regardless of how the data is partitioned (raw double sums
+  // would not — fold order changes the rounding).
+  property("decimal-sum aggregates are bit-identical across partitionings") =
+    forAll(valuesGen, Gen.chooseNum(1, 13)) { (xs, nParts) =>
+      import spark.implicits._
+      def agg(parts: Int): (Double, Double) = {
+        val df = xs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+          .toDF("id", "v").repartition(parts)
+        val r = df.agg(
+          sum(col("v").cast("decimal(18,4)")).cast("double").as("s"),
+          sum((col("v") * col("v")).cast("decimal(18,4)")).cast("double")
+            .as("ss")).head
+        (r.getDouble(0), r.getDouble(1))
+      }
+      val (s1, ss1) = agg(1)
+      val (sn, ssn) = agg(nParts)
+      // exact bit equality, not epsilon
+      java.lang.Double.doubleToLongBits(s1) ==
+        java.lang.Double.doubleToLongBits(sn) &&
+      java.lang.Double.doubleToLongBits(ss1) ==
+        java.lang.Double.doubleToLongBits(ssn)
+    }
+
+  // Deterministic content-hash sampling: membership is a pure function of
+  // the key — invariant under repartitioning, and monotone under corpus
+  // growth (a row never changes its fate when more rows arrive).
+  property("hash-sample membership survives repartition and growth") =
+    forAll(Gen.chooseNum(50, 200), Gen.chooseNum(1, 13)) { (n, parts) =>
+      import spark.implicits._
+      def sampleIds(upTo: Int, p: Int): Set[Long] =
+        (0 until upTo).map(_.toLong).toDF("id").repartition(p)
+          .filter(substring(md5(col("id").cast("string")), 1, 1)
+            .isin("0", "1"))
+          .collect().map(_.getLong(0)).toSet
+      val small = sampleIds(n, 1)
+      val smallReparted = sampleIds(n, parts)
+      val grown = sampleIds(n + 57, parts)
+      small == smallReparted && small.subsetOf(grown)
+    }
+
   property("exceptAll/intersectAll obey multiset identities") =
     forAll(Gen.listOfN(30, Gen.chooseNum(0, 5)),
       Gen.listOfN(30, Gen.chooseNum(0, 5))) { (as, bs) =>
