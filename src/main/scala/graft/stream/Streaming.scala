@@ -61,6 +61,21 @@ object Streaming {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** CHAINED stateful operators — dedup then windowed aggregation in ONE
+    * query (Spark 4 multi-stateful support): exactly-once event semantics
+    * feeding hourly counts. Both operators share the event-time watermark;
+    * the aggregation only emits a window once the watermark passes its
+    * end, so the output is append-mode final — a window is never revised
+    * by a late duplicate. */
+  def dedupedTumblingCounts(events: DataFrame,
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket_start"), col("event_type"),
+        col("n"))
+
   // ------------------------------------------------------------ B10.7
 
   /** Streaming twin of the batch first-match pipeline. The ruleset is

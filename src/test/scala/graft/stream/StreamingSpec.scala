@@ -205,6 +205,34 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("chained stateful ops: dedup then windowed agg in one query") {
+    import spark.implicits._
+    val stream = MemoryStream[UserEvent](16, spark, None)
+    val q = Streaming.dedupedTumblingCounts(stream.toDF()).writeStream
+      .format("memory").queryName("dedup_agg")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // event 100 arrives three times (twice in batch 1, once in batch 2)
+      stream.addData(UserEvent(100, ts(5), 1, "view", 1.0),
+        UserEvent(100, ts(5), 1, "view", 1.0),
+        UserEvent(101, ts(20), 2, "click", 2.0))
+      q.processAllAvailable()
+      stream.addData(UserEvent(100, ts(5), 1, "view", 1.0),
+        UserEvent(102, ts(30), 1, "view", 3.0))
+      q.processAllAvailable()
+      // sentinel far in the future flushes the finalized hour-0 windows
+      stream.addData(UserEvent(999, ts(600), 9, "error", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("dedup_agg")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+        .toSet
+      // hour 0: view counted TWICE would be 3 — dedup makes it 2 (ids
+      // 100, 102); click 1
+      assert(got === Set((ts(0), "view", 2L), (ts(0), "click", 1L)))
+    } finally q.stop()
+  }
+
   test("transformWithState survives a restart from its checkpoint") {
     import spark.implicits._
     val key = "spark.sql.streaming.stateStore.providerClass"
