@@ -26,8 +26,11 @@ object ExplainAudit {
       p => "HashAggregate".r.findAllIn(p).size >= 2),
     ("join_broadcast_inner", "dimension broadcast (BroadcastHashJoin)",
       p => p.contains("BroadcastHashJoin")),
-    ("fw_first_match", "ruleset broadcast in first-match",
-      p => p.contains("BroadcastHashJoin")),
+    // the literal-ruleset matcher is a scalar expression: the per-event
+    // report must be join-free and must never hash-exchange on event_id
+    // (its only exchange is the rangepartitioning of the declared ORDER BY)
+    ("fw_first_match", "scalar first-match (no join, no event_id hash exchange)",
+      p => !p.contains("Join") && !p.contains("hashpartitioning(event_id")),
     ("topk", "top-k without global sort (TakeOrderedAndProject)",
       p => p.contains("TakeOrderedAndProject")),
     ("topk_per_group", "per-group top-k limit pushdown (WindowGroupLimit)",
@@ -57,10 +60,21 @@ object ExplainAudit {
     // must run map-side (ObjectHashAggregate), not single-node
     ("agg_percentile", "map-side partial percentile (ObjectHashAggregate)",
       p => p.contains("ObjectHashAggregate")),
-    // the time-series report must match via the broadcast ruleset (fact
-    // side never shuffles for the match) like the rest of the fw family
-    ("fw_hits_timeseries", "broadcast ruleset match in the hourly series",
-      p => p.contains("BroadcastHashJoin")),
+    // the fw COUNT family must never exchange one row per fact event: the
+    // scalar matcher reduces first-match in the map stage, so the only
+    // exchanges key on tiny aggregation keyspaces. A reintroduced
+    // groupBy(event_id) disambiguation is THE scale regression here — at
+    // 100 TB it shuffles the whole fact table.
+    ("fw_hit_count", "no per-event exchange (map-side first-match)",
+      p => !p.contains("hashpartitioning(event_id")),
+    ("fw_usage_report", "no per-event exchange (map-side first-match)",
+      p => !p.contains("hashpartitioning(event_id")),
+    ("fw_action_share", "no per-event exchange (map-side first-match)",
+      p => !p.contains("hashpartitioning(event_id")),
+    ("fw_hits_timeseries", "no per-event exchange (map-side first-match)",
+      p => !p.contains("hashpartitioning(event_id")),
+    ("fw_per_rule_stats", "no per-event exchange (map-side first-match)",
+      p => !p.contains("hashpartitioning(event_id")),
     // the per-lang median thresholds are a tiny dimension — the corpus
     // probe must broadcast them, never shuffle the scored documents
     ("text_quality_filter", "broadcast median-threshold probe",

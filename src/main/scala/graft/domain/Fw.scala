@@ -13,14 +13,22 @@ import graft.core.Tables
   * on src/dst, port range, protocol equality), sums hits per rule, and reports
   * per-rule usage plus the rules that were never hit.
   *
-  * Spark design: the ruleset is a tiny dimension — broadcast it. CIDR
-  * containment is precomputed into [lo, hi] integer ranges on the rule side so
-  * the match is an equi-join on `acl` (BroadcastHashJoin) with range residuals,
-  * not a theta-only BroadcastNestedLoop. First-match = `min(rule_seq)` per
-  * event (grouped aggregation), which at scale is a partial+final hash
-  * aggregate — the same shape as the reference's mapper/combiner/reducer but
-  * planned by Catalyst. At 100 TB the fact side never shuffles for the match
-  * itself (broadcast), only for the per-rule count aggregation (tiny keyspace).
+  * Spark design — two matchers, chosen by where the ruleset lives:
+  *
+  *  - [[firstMatchCol]] (a literal ruleset, the declared queries): first-match
+  *    is a pure scalar expression evaluated per event in the map stage — no
+  *    join and NO per-event aggregation, so the only exchange in the whole
+  *    count family is the final partial+final hash aggregate over the tiny
+  *    (acl, rule_seq) keyspace. At 100 TB the fact table never shuffles at
+  *    all. (An earlier round disambiguated first-match with
+  *    `groupBy(event_id).agg(min(rule_seq))` after a broadcast join — correct,
+  *    but that groupBy exchanges ONE ROW PER EVENT: a full-fact shuffle that
+  *    dominates everything at scale. ExplainAudit now pins its absence.)
+  *  - [[matchFirst]] (a ruleset that is runtime DATA, e.g. the parsed-config
+  *    raw path in [[LogParse]]): broadcast the rules, equi-join on `acl` with
+  *    range residuals, then `min(rule_seq)` per event. The per-event groupBy
+  *    is the price of a data-driven ruleset; the broadcast keeps the match
+  *    itself shuffle-free.
   *
   * No raw firewall logs ship in testdata, so the oracle-checked queries run
   * over a deterministic in-query derivation from `events` (FIXTURES.md §2);
@@ -153,52 +161,50 @@ object Fw {
       .agg(min(col("r.rule_seq")).as("rule_seq"))
 
   /** First-match as a pure scalar expression over a literal ruleset — the
-    * reference's per-event linear scan, fully codegen'd: the ruleset is
-    * UNROLLED into `least(when(match₁, seq₁), when(match₂, seq₂), …)` —
-    * `least` ignores NULLs, so this is min-rule_seq-over-matches, NULL when
-    * nothing matches. (An earlier form used `array_min(transform(filter(
-    * typedLit(rules), …)))`, which reads nicely but runs the lambda
-    * INTERPRETED per row — HigherOrderFunctions don't codegen, and the
-    * measured cost exceeded the broadcast join it was meant to beat. The
-    * unrolled chain is plain comparisons inside whole-stage codegen.)
-    * No join, no shuffle, no per-event aggregation state — which makes it
-    * legal after a streaming watermark (a join+groupBy(event) formulation
-    * trips Spark's multi-stateful-operator correctness check). For BATCH,
-    * a controlled A/B at sf0.1 measured this form ~2× SLOWER than the
-    * broadcast join (1.2s vs 0.6s warm at 12 rules: ~60 unrolled predicate
-    * evaluations per event lose to one hash probe + ~3 residual checks),
-    * so the batch queries stay on [[matchFirst]] — this form's role is
-    * streaming legality, not batch speed. */
+    * reference's per-event linear scan, fully codegen'd: a `when` chain
+    * DISPATCHES on the event's `acl`, and each branch unrolls that ACL's
+    * rules into `least(when(match₁, seq₁), when(match₂, seq₂), …)` — `least`
+    * ignores NULLs, so each branch is min-rule_seq-over-matches within the
+    * ACL, NULL when nothing matches. Per event this evaluates one string
+    * dispatch plus only the few rules of its own ACL — the same work a hash
+    * probe + residual checks would do, without the join. (Two rejected
+    * forms, both measured: `array_min(transform(filter(typedLit(rules),…)))`
+    * runs the lambda INTERPRETED per row — HigherOrderFunctions don't
+    * codegen; and a flat un-dispatched `least` over all rules re-evaluates
+    * every other ACL's predicates per event, which is what made the round-4
+    * A/B read ~2× slower than the broadcast join. With the dispatch this
+    * form wins: no join, no shuffle, no per-event aggregation state — which
+    * also makes it legal after a streaming watermark, where a
+    * join+groupBy(event) formulation trips Spark's multi-stateful-operator
+    * correctness check.) */
   def firstMatchCol(rules: Seq[Rule]): Column = {
     require(rules.nonEmpty, "empty ruleset")
-    val whens = rules.map(r =>
-      when(lit(r.acl) === col("acl")
-          && (lit(r.proto) === "ip" || lit(r.proto) === col("proto"))
+    def ruleMatch(r: Rule): Column =
+      when((lit(r.proto) === "ip" || lit(r.proto) === col("proto"))
           && col("src_ip").between(r.srcLo, r.srcHi)
           && col("dst_ip").between(r.dstLo, r.dstHi)
           && col("dst_port").between(r.portLo, r.portHi),
-        lit(r.ruleSeq)))
-    if (whens.length == 1) whens.head else least(whens: _*)
+        lit(r.ruleSeq))
+    val branches = rules.groupBy(_.acl).toSeq.sortBy(_._1).map { case (acl, rs) =>
+      val scan = rs.sortBy(_.ruleSeq).map(ruleMatch)
+      (col("acl") === acl, if (scan.length == 1) scan.head else least(scan: _*))
+    }
+    branches.tail.foldLeft(when(branches.head._1, branches.head._2)) {
+      case (chain, (pred, v)) => chain.when(pred, v)
+    }
   }
 
-  /** All (event, rule) candidate pairs — BroadcastHashJoin keyed on (acl,
-    * proto) with the range predicates as join residuals. */
-  private def candidates(spark: SparkSession, dir: String): DataFrame =
-    fwEvents(spark, dir).alias("e")
-      .join(broadcast(rulesDf(spark)).alias("r"), expr(matchCondSql))
-
-  /** First-match disambiguation: the reference's ordered linear scan ==
-    * min(rule_seq) over the candidate set, grouped per event. Keeps src/ts
-    * via min() (constant within an event's group). */
-  def firstMatch(spark: SparkSession, dir: String): DataFrame =
-    candidates(spark, dir)
-      .groupBy(col("e.event_id").as("event_id"), col("e.acl").as("acl"))
-      .agg(min(col("r.rule_seq")).as("rule_seq"),
-        min(col("e.src_ip")).as("src_ip"),
-        min(col("e.ts")).as("ts"))
+  /** Matched events via the scalar matcher: ONE narrow projection over the
+    * fact table — no join, no exchange. Carries every event column plus the
+    * matched `rule_seq`, so each count-family query below aggregates straight
+    * into its own (tiny) keyspace with map-side partials. */
+  private def matchedScalar(spark: SparkSession, dir: String): DataFrame =
+    fwEvents(spark, dir)
+      .withColumn("rule_seq", firstMatchCol(ruleset))
+      .filter(col("rule_seq").isNotNull)
 
   private def hits(spark: SparkSession, dir: String): DataFrame =
-    firstMatch(spark, dir).groupBy("acl", "rule_seq")
+    matchedScalar(spark, dir).groupBy("acl", "rule_seq")
       .agg(count(lit(1)).as("hits"))
 
   private val firstMatchSqlCte: String =
@@ -217,7 +223,8 @@ object Fw {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fw_parse" -> ((s, d) => fwEvents(s, d).orderBy("event_id")),
     "fw_first_match" -> ((s, d) =>
-      firstMatch(s, d).select("event_id", "acl", "rule_seq").orderBy("event_id")),
+      matchedScalar(s, d).select("event_id", "acl", "rule_seq")
+        .orderBy("event_id")),
     "fw_hit_count" -> ((s, d) => hits(s, d).orderBy("acl", "rule_seq")),
     "fw_unused_rules" -> ((s, d) =>
       rulesDf(s).join(hits(s, d), Seq("acl", "rule_seq"), "left_anti")
@@ -226,18 +233,19 @@ object Fw {
     "fw_usage_report" -> ((s, d) => usageReport(s, d)),
     "fw_top_talkers" -> ((s, d) =>
       // heaviest sources: per src_ip event count + distinct ACLs touched
-      firstMatch(s, d).groupBy("src_ip")
+      matchedScalar(s, d).groupBy("src_ip")
         .agg(count(lit(1)).as("hits"),
           countDistinct(col("acl")).as("n_acls"))
         .orderBy(desc("hits"), asc("src_ip"))
         .limit(25)),
     "fw_action_share" -> ((s, d) =>
-      // permit vs deny traffic share per ACL (join matched rule back to
-      // the ruleset for its action)
-      firstMatch(s, d)
+      // permit vs deny traffic share per ACL: aggregate to per-rule hit
+      // counts FIRST, then join the ruleset for its action — the join and
+      // re-aggregation touch ruleset-sized data, never the fact stream
+      hits(s, d)
         .join(broadcast(rulesDf(s)), Seq("acl", "rule_seq"))
         .groupBy("acl", "action")
-        .agg(count(lit(1)).as("hits"))
+        .agg(sum("hits").as("hits"))
         .orderBy("acl", "action")),
     // Static ruleset lint: rule pairs where an EARLIER rule's match space
     // fully contains a later one's — the later rule can never fire (the
@@ -264,10 +272,13 @@ object Fw {
         .orderBy("acl", "shadowing_seq", "shadowed_seq")),
     // Rule usage over time — the "is this rule still exercised, and when"
     // dimension of the usage report: hourly hit series per ACL. At scale
-    // this is the same broadcast-matched fact stream feeding a (bucket,
-    // acl) aggregation whose keyspace is hours × acls — tiny, no skew.
+    // this is the scalar-matched fact stream feeding a (bucket, acl)
+    // aggregation whose keyspace is hours × acls — tiny, no skew. (The
+    // countDistinct exchanges (bucket, acl, src_ip) triples — the declared
+    // result needs them; that is distinct-source cardinality, not a
+    // per-event shuffle.)
     "fw_hits_timeseries" -> ((s, d) =>
-      firstMatch(s, d)
+      matchedScalar(s, d)
         .groupBy(window(col("ts"), "1 hour"), col("acl"))
         .agg(count(lit(1)).as("hits"),
           countDistinct(col("src_ip")).as("distinct_sources"))
@@ -275,7 +286,7 @@ object Fw {
           col("hits"), col("distinct_sources"))
         .orderBy("bucket_start", "acl")),
     "fw_per_rule_stats" -> ((s, d) =>
-      firstMatch(s, d).groupBy("acl", "rule_seq")
+      matchedScalar(s, d).groupBy("acl", "rule_seq")
         .agg(count(lit(1)).as("hits"),
           countDistinct(col("src_ip")).as("distinct_sources"),
           min(col("ts")).as("first_seen"),
