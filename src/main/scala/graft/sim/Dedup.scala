@@ -85,7 +85,7 @@ object Dedup {
     * `docs` unchanged (schema-preserving filter). */
   def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8): DataFrame = {
-    val pairs = MinHash.nearDupPairs(docs, idCol, textCol,
+    val pairs = MinHash.nearDupPairsUnordered(docs, idCol, textCol,
       threshold = threshold)
     val drop = clusters(pairs, "id_a", "id_b")
       .filter(!col("keep")).select(col("member"))
@@ -95,29 +95,41 @@ object Dedup {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Embedding near-dup pairs (the exact, oracle-eligible detector) fed
-    // through connected components. DuckDB mirrors the fixpoint with a
-    // recursive CTE over the same pair SQL, so the whole pairs→clusters→
-    // keep/drop path is hash-checked, not just row-counted.
+    // Token-Jaccard near-dup pairs fed through connected components — the
+    // declared pairs→clusters→keep/drop pipeline. The pair stage is the
+    // subdividing (source × length-bucket) block join shared with
+    // `sim_ngram_jaccard` (unordered variant: the components loop
+    // localCheckpoints an unordered projection, so a detector-side global
+    // sort would be pure waste), and its unbounded-growth sibling is
+    // MinHash banding with the same exact-Jaccard verify ([[dedupCorpus]]).
+    // DuckDB mirrors the fixpoint with a recursive CTE over the same pair
+    // SQL, so the whole path is hash-checked, not just row-counted.
+    // (An earlier round fed the clusters from the label-blocked embedding
+    // pair stage — exact too, but its block has NO subdividing dimension:
+    // the measured evidence in Similarity.scala shows cosine 0.4 on this
+    // corpus is unblockable, so that detector stays an exact-twin oracle
+    // query and does not anchor the declared cluster pipeline.)
     "dedup_clusters" -> ((s, d) =>
-      clusters(Similarity.embeddingNearDupPairs(s, d), "vec_a", "vec_b")
+      clusters(Similarity.tokenJaccardPairs(s, d), "doc_a", "doc_b")
         .orderBy("member"))
   )
 
   def oracleSql: Map[String, String] = Map(
     "dedup_clusters" ->
-      """WITH RECURSIVE emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-        |  FROM embeddings),
-        |normed AS (SELECT vec_id, label, v,
-        |    sqrt(list_reduce(list_transform(list_zip(v, v), z -> z[1] * z[2]),
-        |      (acc, x) -> acc + x)) AS norm FROM emb),
+      """WITH RECURSIVE docs AS (SELECT doc_id, source,
+        |    list_distinct(string_split(text, ' ')) AS toks,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n
+        |  FROM documents),
         |pairs AS (
-        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |    list_reduce(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]),
-        |      (acc, x) -> acc + x) / (a.norm * b.norm) AS cosine
-        |  FROM normed a JOIN normed b ON a.label = b.label AND a.vec_id < b.vec_id),
-        |edges AS (SELECT vec_a AS u, vec_b AS v FROM pairs WHERE cosine >= 0.4
-        |  UNION ALL SELECT vec_b, vec_a FROM pairs WHERE cosine >= 0.4),
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter,
+        |    a.n + b.n AS sum_n
+        |  FROM docs a JOIN docs b ON a.source = b.source AND a.doc_id < b.doc_id
+        |    AND CAST(least(a.n, b.n) AS DOUBLE) / greatest(a.n, b.n) >= 0.8),
+        |good AS (SELECT doc_a, doc_b FROM pairs
+        |  WHERE CAST(inter AS DOUBLE) / (sum_n - inter) >= 0.8),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM good
+        |  UNION ALL SELECT doc_b, doc_a FROM good),
         |reach(id, root) AS (
         |  SELECT DISTINCT u, u FROM edges
         |  UNION

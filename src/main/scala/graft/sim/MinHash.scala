@@ -44,14 +44,26 @@ object MinHash {
     size(array_intersect(tokA, tokB)).cast("double") /
       size(array_union(tokA, tokB))
 
-  /** Near-duplicate pairs via banded LSH + exact verification.
+  /** Near-duplicate pairs via banded LSH + exact verification, in the
+    * deterministic (id_a, id_b) order a report wants. Pipelines that
+    * consume the pairs as a GRAPH (connected components in [[Dedup]])
+    * should use [[nearDupPairsUnordered]] — they localCheckpoint an
+    * unordered projection immediately, so the global sort here would be
+    * paid and thrown away. */
+  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, bands: Int = 8, shingleK: Int = 3,
+      threshold: Double = 0.6): DataFrame =
+    nearDupPairsUnordered(docs, idCol, textCol, numHashes, bands, shingleK,
+      threshold).orderBy("id_a", "id_b")
+
+  /** Near-duplicate pairs via banded LSH + exact verification (unordered).
     *
     * @param docs       (idCol, textCol) input
     * @param numHashes  signature width (bands * rowsPerBand)
     * @param bands      number of LSH bands
     * @param threshold  exact-Jaccard cutoff for verified output
     */
-  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+  def nearDupPairsUnordered(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, bands: Int = 8, shingleK: Int = 3,
       threshold: Double = 0.6): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
@@ -80,6 +92,5 @@ object MinHash {
       .select(col("id_a"), col("id_b"),
         exactJaccard(col("toks_a"), col("toks_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .orderBy("id_a", "id_b")
   }
 }

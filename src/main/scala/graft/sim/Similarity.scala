@@ -99,56 +99,79 @@ object Similarity {
     // fixture-honest, and the unbounded-growth path is MinHash banding
     // (MinHash.nearDupPairs: candidate volume tracks true near-dup density,
     // not corpus size) with this query's exact-Jaccard verify on top.
-    "sim_ngram_jaccard" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"),
-          array_sort(transform(array_distinct(split(col("text"), " ")),
-            t => xxhash64(t))).as("toks"))
-        .withColumn("n", size(col("toks")))
-        .withColumn("lb", floor(log(col("n").cast("double")) / math.log(1.3)))
-      val fanout = docs.withColumn("lbk",
-        explode(array(col("lb") - 1, col("lb"), col("lb") + 1)))
-      val joined = fanout.alias("a").join(docs.alias("b"),
-        col("a.source") === col("b.source") && col("a.lbk") === col("b.lb")
-          && col("a.doc_id") < col("b.doc_id")
-          && least(col("a.n"), col("b.n")).cast("double")
-            / greatest(col("a.n"), col("b.n")) >= 0.8)
-      joined
-        // |A∪B| = |A|+|B|-|A∩B| — never materialize the union array. The
-        // intersection is the custom codegen'd merge scan over the sorted
-        // id arrays (SortedIntersectSizeExpr): array_intersect would build
-        // a hash set per candidate PAIR — 325k+ allocations at sf0.1 —
-        // where the merge scan is allocation-free and sorts once per DOC.
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          graft.functions.SortedIntersect
-            .sorted_intersect_size(col("a.toks"), col("b.toks")).as("inter"),
-          (col("a.n") + col("b.n")).as("sum_n"))
-        .select(col("doc_a"), col("doc_b"),
-          (col("inter").cast("double") / (col("sum_n") - col("inter")))
-            .as("jaccard"))
-        .filter(col("jaccard") >= 0.8)
-        .orderBy("doc_a", "doc_b")
-    }),
+    "sim_ngram_jaccard" -> ((s, d) =>
+      tokenJaccardPairs(s, d).orderBy("doc_a", "doc_b")),
 
     // Embedding-cosine near-duplicate pairs, blocked by label. Exact and
     // deterministic (identical fold-order dot products on both engines) —
-    // which is why THIS query stays label-blocked and oracle-eligible. The
-    // label block does not subdivide with corpus growth, so the 100 TB path
-    // is [[Ann.lshNearDupPairs]]: LSH-bucketed candidates + the same exact
-    // cosine verification, recall governed by (nTables, nBits) and property-
-    // tested in SimSpec — NOT declared here, because an approximate-recall
-    // op can't be oracle'd (SURVEY §7.5.7), and because an LSH family only
-    // prunes at genuinely-near thresholds (cosine ≥ ~0.85): serving this
-    // query's θ≈66° (cosine 0.4) with sign-bit LSH would need so few bits
-    // that nearly every pair collides — an all-pairs join in disguise.
+    // which is why THIS query stays label-blocked and oracle-eligible: it is
+    // the exact small-block twin whose hashes gate the verification math.
+    // Its θ≈66° (cosine 0.4) regime is measured-unblockable on this corpus,
+    // not merely argued: the fixture vectors are unit-norm (norm ∈ {1.0} at
+    // every SF — a norm/magnitude bucket subdivides NOTHING), and an IVF
+    // multi-assignment block (k=16 random centers, top-4 lists, 64-dim)
+    // needs 72% of ALL pairs as candidates to reach 0.94 recall of the
+    // cosine-0.4 pairs at sf0.1 — concentration of measure: random 64-dim
+    // unit vectors all sit ~90°±7° from any fixed direction, so no
+    // data-independent partition separates 66° from background. Scale paths
+    // therefore live at the thresholds where pruning is mathematically
+    // possible and are property-tested, not oracle'd (SURVEY §7.5.7):
+    // [[Ann.lshNearDupPairs]] for the realistic near-dup regime
+    // (cosine ≥ ~0.85, where 32×16-bit sign-LSH admits ~0.05% of random
+    // pairs at ~0.94+ recall), and IVF multi-probe as the recall/cost dial
+    // for moderate thresholds. The declared CLUSTER pipeline
+    // (`dedup_clusters`, [[Dedup]]) feeds from the token-Jaccard pair stage,
+    // whose (source × length-bucket) block subdivides with the corpus.
     "dedup_near_embedding" -> ((s, d) =>
       embeddingNearDupPairs(s, d).orderBy("vec_a", "vec_b"))
   )
 
-  /** The pair stage of the embedding dedup, unordered — shared by the
-    * `dedup_near_embedding` oracle query above and the cluster
-    * materialization in [[Dedup]] (which feeds the pairs into connected
-    * components and must not inherit a pointless global sort). */
+  /** The pair stage of the token-Jaccard near-dup join, UNORDERED — shared
+    * by the `sim_ngram_jaccard` oracle query (which adds the declared total
+    * ORDER BY) and the `dedup_clusters` pipeline in [[Dedup]] (which feeds
+    * the pairs straight into connected components and must not inherit a
+    * pointless global sort — the components loop immediately
+    * localCheckpoints an unordered projection). */
+  private[graft] def tokenJaccardPairs(s: SparkSession, d: String,
+      minJaccard: Double = 0.8): DataFrame =
+    tokenJaccardCandidates(s, d)
+      // |A∪B| = |A|+|B|-|A∩B| — never materialize the union array. The
+      // intersection is the custom codegen'd merge scan over the sorted
+      // id arrays (SortedIntersectSizeExpr): array_intersect would build
+      // a hash set per candidate PAIR — 325k+ allocations at sf0.1 —
+      // where the merge scan is allocation-free and sorts once per DOC.
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        graft.functions.SortedIntersect
+          .sorted_intersect_size(col("a.toks"), col("b.toks")).as("inter"),
+        (col("a.n") + col("b.n")).as("sum_n"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / (col("sum_n") - col("inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+
+  /** The CANDIDATE stage of [[tokenJaccardPairs]] — the (source ×
+    * length-bucket, size-ratio) block join, before the Jaccard verify.
+    * Exposed so tests can assert candidate volume directly (candidates ≪
+    * C(n,2) is the property that makes the dedup subquadratic; the verify
+    * threshold can't hide a bloated block). */
+  private[graft] def tokenJaccardCandidates(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        array_sort(transform(array_distinct(split(col("text"), " ")),
+          t => xxhash64(t))).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("lb", floor(log(col("n").cast("double")) / math.log(1.3)))
+    val fanout = docs.withColumn("lbk",
+      explode(array(col("lb") - 1, col("lb"), col("lb") + 1)))
+    fanout.alias("a").join(docs.alias("b"),
+        col("a.source") === col("b.source") && col("a.lbk") === col("b.lb")
+          && col("a.doc_id") < col("b.doc_id")
+          && least(col("a.n"), col("b.n")).cast("double")
+            / greatest(col("a.n"), col("b.n")) >= 0.8)
+  }
+
+  /** The pair stage of the embedding dedup, unordered — feeds the
+    * `dedup_near_embedding` oracle query above. */
   private[graft] def embeddingNearDupPairs(s: SparkSession, d: String,
       minCos: Double = 0.4): DataFrame = {
     val emb = Tables.embeddings(s, d)

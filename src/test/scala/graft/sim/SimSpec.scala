@@ -138,6 +138,44 @@ class SimSpec extends SparkSpec {
         f"$allPairs%.0f pairs (${100 * nCandidates / allPairs}%.1f%%)")
   }
 
+  test("dedup candidate stages stay a sliver of all-pairs as the corpus grows") {
+    // The subquadratic claim, MEASURED at two corpus sizes rather than
+    // argued: the blocked candidate joins that feed the declared dedup
+    // pipelines must admit only a few percent of C(n,2) at BOTH scales.
+    // A block that stops subdividing (the failure mode of a bounded block
+    // key) shows up here as a fraction that grows with n.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.1")) {
+      // token-Jaccard block (feeds dedup_clusters): source × length-bucket
+      val nDocs = graft.core.Tables.documents(spark, dir).count().toDouble
+      val docPairs = nDocs * (nDocs - 1) / 2.0
+      val tokenCand = Similarity.tokenJaccardCandidates(spark, dir)
+        .count().toDouble
+      assert(tokenCand <= 0.05 * docPairs,
+        f"$dir: token block admits $tokenCand%.0f of $docPairs%.0f pairs " +
+          f"(${100 * tokenCand / docPairs}%.1f%%)")
+      // embedding LSH block (the high-threshold embedding dedup path)
+      val emb = graft.core.Tables.embeddings(spark, dir)
+      val dim = emb.select(size(col("embedding"))).head.getInt(0)
+      val nVec = emb.count().toDouble
+      val vecPairs = nVec * (nVec - 1) / 2.0
+      val lshCand = Ann.lshCandidatePairs(emb, dim).count().toDouble
+      assert(lshCand <= 0.02 * vecPairs,
+        f"$dir: LSH block admits $lshCand%.0f of $vecPairs%.0f pairs " +
+          f"(${100 * lshCand / vecPairs}%.1f%%)")
+    }
+    // and the LSH block has a subdividing DIAL: doubling the bits per
+    // table must cut random-pair collisions multiplicatively — this is
+    // what lets bucket granularity track corpus growth at 100 TB
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    val coarse = Ann.lshCandidatePairs(emb, dim, nTables = 8, nBits = 8)
+      .count().toDouble
+    val fine = Ann.lshCandidatePairs(emb, dim, nTables = 8, nBits = 16)
+      .count().toDouble
+    assert(fine <= coarse / 4.0,
+      f"16-bit buckets should be ≫ finer than 8-bit: $fine%.0f vs $coarse%.0f")
+  }
+
   test("IVF ANN reaches reasonable recall vs brute force") {
     val emb = graft.core.Tables.embeddings(spark, sfDir)
     val probe = emb.filter(col("vec_id") === 7)
