@@ -48,6 +48,25 @@ class DomainSpec extends SparkSpec {
     assert(rows(0).getAs[Int]("dst_port") === 22)
   }
 
+  test("generated volume corpus: raw syslog report equals parquet pipeline") {
+    // the in-suite twin of graft.RawLogBench: same generator, same equality,
+    // small scale — sf0.001 events, 2 copies, 2 gzip shards. Proves the
+    // rendered config parses back to the fixture semantics (object-groups,
+    // nested group-object, named/range ports), the 106100/106023 volume
+    // lines round-trip, malformed lines drop, and the raw-path report
+    // equals the oracle-checked flagship with hits exactly doubled.
+    val work = java.nio.file.Files.createTempDirectory("rawlog").toString
+    val (logDir, confPath, bytes, nLines) =
+      RawLogVolume.generate(spark, "/root/testdata/sf0.001", work,
+        copies = 2, files = 2)
+    assert(bytes > 0 && nLines > 2000)
+    val got = RawLogVolume.normalizedRows(
+      LogParse.usageReportFromRaw(spark, logDir, confPath))
+    val want = RawLogVolume.expected(spark, "/root/testdata/sf0.001", 2)
+    assert(got === want,
+      s"missing=${want.diff(got)} extra=${got.diff(want)}")
+  }
+
   test("parseConfig expands object-groups in first-match order") {
     val conf = scala.io.Source.fromFile(resource("fwconf/sample.conf"))
       .getLines().toSeq
