@@ -32,6 +32,20 @@ object CidrMatch {
   * path ([[org.apache.spark.sql.graftexpr.SortedIntersectSizeExpr]]). */
 object SortedIntersect {
 
+  /** PRECONDITION carried into `DESCRIBE FUNCTION` so ad-hoc SQL callers
+    * see the contract, not just Scala readers of the scaladoc: unsorted or
+    * null-element inputs silently undercount (the merge scan never errors). */
+  private[functions] val usage: String =
+    "_FUNC_(a, b) - Returns |A ∩ B| for two ARRAY<BIGINT> inputs via a " +
+      "single merge scan. PRECONDITION: both arrays must be ascending-sorted " +
+      "with non-null elements (sort with array_sort at encode time); on " +
+      "unsorted or null-element input the result silently undercounts. " +
+      "Duplicate elements count once (set semantics)."
+
+  private[functions] def info =
+    new ExpressionInfo(classOf[SortedIntersectSizeExpr].getName, null,
+      "sorted_intersect_size", usage, "")
+
   /** Column-DSL form: `sorted_intersect_size($"toks_a", $"toks_b")`. */
   def sorted_intersect_size(a: Column, b: Column): Column =
     SortedIntersectSizeExpr.column(a, b)
@@ -39,9 +53,7 @@ object SortedIntersect {
   /** Register `sorted_intersect_size` for SQL in an existing session. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("sorted_intersect_size"),
-      new ExpressionInfo(classOf[SortedIntersectSizeExpr].getName,
-        "sorted_intersect_size"),
+      FunctionIdentifier("sorted_intersect_size"), info,
       (exprs: Seq[Expression]) => SortedIntersectSizeExpr(exprs(0), exprs(1)))
 }
 
@@ -54,8 +66,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CidrMatchExpr].getName, "cidr_match"),
       (exprs: Seq[Expression]) => CidrMatchExpr(exprs(0), exprs(1), exprs(2))))
     e.injectFunction((FunctionIdentifier("sorted_intersect_size"),
-      new ExpressionInfo(classOf[SortedIntersectSizeExpr].getName,
-        "sorted_intersect_size"),
+      SortedIntersect.info,
       (exprs: Seq[Expression]) => SortedIntersectSizeExpr(exprs(0), exprs(1))))
   }
 }
@@ -77,7 +88,10 @@ object CharHist {
       (exprs: Seq[Expression]) => CharHistExpr(exprs(0)))
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("l1_diff"),
-      new ExpressionInfo(classOf[L1DiffExpr].getName, "l1_diff"),
+      new ExpressionInfo(classOf[L1DiffExpr].getName, null, "l1_diff",
+        "_FUNC_(a, b) - Returns sum(|a_i - b_i|) over two equal-length " +
+          "ARRAY<INT> inputs (Int.MaxValue if lengths differ). Any null " +
+          "array element propagates NULL rather than being read as 0.", ""),
       (exprs: Seq[Expression]) => L1DiffExpr(exprs(0), exprs(1)))
   }
 }

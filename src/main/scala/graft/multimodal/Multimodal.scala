@@ -96,7 +96,8 @@ object Multimodal {
     * a real decoder can vectorize; Spark never materializes the partition. */
   def extractFeatures(media: Dataset[MediaRow],
       decoder: MediaDecoder = DeterministicFakeDecoder,
-      batchSize: Int = 64): Dataset[MediaFeatures] = {
+      batchSize: Int = 64,
+      numPartitions: Option[Int] = None): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     // repartition(col("kind")) capped the whole cluster at 3 non-empty
     // tasks (one per kind) — fine for codec affinity, fatal for scale.
@@ -104,7 +105,10 @@ object Multimodal {
     // sortWithinPartitions restores affinity at the batch level: each
     // grouped(batchSize) run is (almost always) single-kind, so a real
     // decoder still amortizes its init per batch, not per row.
-    val parts = media.sparkSession.sparkContext.defaultParallelism
+    // numPartitions overrides the cluster default where the caller knows
+    // the corpus is small relative to the core count (e.g. tests).
+    val parts = numPartitions.getOrElse(
+      media.sparkSession.sparkContext.defaultParallelism)
     media.repartition(parts, col("media_id"))
       .sortWithinPartitions(col("kind"))
       .mapPartitions { rows =>

@@ -12,8 +12,13 @@ import org.apache.spark.sql.functions._
   * phase, so the hot key's rows spread over many reducers; a second, tiny
   * aggregation over the per-salt partials restores exact totals. Works for
   * any algebraic aggregate (sum/count/min/max — anything with an
-  * associative merge). The salt is `pmod(hash of a uniform row id), not
-  * rand()` — deterministic, so results are reproducible and testable.
+  * associative merge). Totals are exact under ANY partition layout because
+  * the merge is associative; the salt itself is
+  * `pmod(xxhash64(monotonically_increasing_id()))`, which depends on
+  * partition layout, so the salt ASSIGNMENT (which bucket a given row
+  * lands in) is not reproducible across repartitionings — only the final
+  * per-key totals are. No rand(): same-plan re-execution (e.g. task retry)
+  * stays consistent within a run.
   */
 object Skew {
 

@@ -70,6 +70,12 @@ object CharHistExpr {
   * DP's per-pair work, turning the 3.1M-candidate string-sim join from
   * levenshtein-bound into filter-bound. Mismatched lengths return
   * Int.MaxValue (reject — histograms of different widths are a caller bug).
+  *
+  * Null elements propagate NULL (like [[DotProductExpr]]): a null count
+  * slot read as 0 would silently shrink the distance and admit wrong
+  * pairs, so the expression refuses to guess. [[CharHistExpr]] output is
+  * containsNull=false by construction, so the hot path never pays the
+  * check's branch in practice (it predicts perfectly).
   */
 case class L1DiffExpr(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -77,6 +83,7 @@ case class L1DiffExpr(left: Expression, right: Expression)
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(IntegerType), ArrayType(IntegerType))
   override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
   override def prettyName: String = "l1_diff"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
@@ -86,6 +93,7 @@ case class L1DiffExpr(left: Expression, right: Expression)
     if (n != y.numElements()) return Int.MaxValue
     var s = 0; var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val d = x.getInt(i) - y.getInt(i)
       s += (if (d < 0) -d else d)
       i += 1
@@ -104,6 +112,7 @@ case class L1DiffExpr(left: Expression, right: Expression)
          |} else {
          |  int $s = 0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    int $d = $a.getInt($i) - $b.getInt($i);
          |    $s += ($d < 0) ? -$d : $d;
          |  }

@@ -44,6 +44,17 @@ class CharHistSpec extends SparkSpec {
     assert(h.sum === 5)
   }
 
+  test("null array elements propagate NULL instead of being read as 0") {
+    graft.functions.CharHist.register(spark)
+    // Before the null check l1_diff silently read a null slot as 0 and
+    // returned a wrong (shrunken) distance to ad-hoc SQL callers.
+    val rows = spark.sql(
+      "SELECT l1_diff(array(1, NULL, 3), array(1, 2, 3)) AS bad," +
+        " l1_diff(array(1, 2, 3), array(1, 2, 5)) AS good").head
+    assert(rows.isNullAt(0), "null element must yield NULL, not a distance")
+    assert(rows.getInt(1) === 2)
+  }
+
   test("mismatched histogram widths reject (Int.MaxValue)") {
     import spark.implicits._
     val v = Seq((Seq(1, 2), Seq(1, 2, 3))).toDF("a", "b")
