@@ -27,13 +27,13 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
+    // stderr too: the two channels truncate independently, doubling the
+    // chance a log-tail parse finds the line
+    System.err.println(line)
     // also land the line as a file artifact: log-tail truncation has twice
     // cost the driver its machine-parse of this output (BENCH_r{3,4}.json
     // "parsed": null), which silently drops per-query regression tracking
-    val out = java.nio.file.Paths.get("target/bench.json")
-    java.nio.file.Files.createDirectories(out.getParent)
-    java.nio.file.Files.write(out,
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Artifacts.write("bench.json", line)
     spark.stop()
   }
 }

@@ -31,6 +31,14 @@ object ExplainAudit {
     // (its only exchange is the rangepartitioning of the declared ORDER BY)
     ("fw_first_match", "scalar first-match (no join, no event_id hash exchange)",
       p => !p.contains("Join") && !p.contains("hashpartitioning(event_id")),
+    // the negative checks above/below can pass vacuously if Spark ever
+    // renames the exchange spelling — pair them with a POSITIVE structural
+    // assertion: the matcher's acl-dispatched min-over-rules scan
+    // (`least(CASE WHEN …)`) must be visible in the plan, i.e. first-match
+    // really is a scalar projection, not some join that merely prints
+    // differently
+    ("fw_first_match", "scalar matcher present (least-over-CASE acl dispatch)",
+      p => p.contains("least(CASE WHEN")),
     ("topk", "top-k without global sort (TakeOrderedAndProject)",
       p => p.contains("TakeOrderedAndProject")),
     ("topk_per_group", "per-group top-k limit pushdown (WindowGroupLimit)",
@@ -66,15 +74,29 @@ object ExplainAudit {
     // groupBy(event_id) disambiguation is THE scale regression here — at
     // 100 TB it shuffles the whole fact table.
     ("fw_hit_count", "no per-event exchange (map-side first-match)",
-      p => !p.contains("hashpartitioning(event_id")),
+      p => !p.contains("hashpartitioning(event_id")
+        && p.contains("least(CASE WHEN")),
+    // …and a shape bound: the whole query is matcher → partial+final agg →
+    // ORDER BY, so at most one hash exchange (tiny (acl, rule_seq) keys)
+    // and one range exchange may appear. A third exchange of any spelling
+    // means per-event work leaked back in.
+    // (count only the final-plan section: AdaptiveSparkPlan.toString
+    // repeats every node under "== Initial Plan ==")
+    ("fw_hit_count", "at most 2 exchanges (agg + order-by)",
+      p => "Exchange (hash|range)partitioning".r
+        .findAllIn(p.split("== Initial Plan ==").head).size <= 2),
     ("fw_usage_report", "no per-event exchange (map-side first-match)",
-      p => !p.contains("hashpartitioning(event_id")),
+      p => !p.contains("hashpartitioning(event_id")
+        && p.contains("least(CASE WHEN")),
     ("fw_action_share", "no per-event exchange (map-side first-match)",
-      p => !p.contains("hashpartitioning(event_id")),
+      p => !p.contains("hashpartitioning(event_id")
+        && p.contains("least(CASE WHEN")),
     ("fw_hits_timeseries", "no per-event exchange (map-side first-match)",
-      p => !p.contains("hashpartitioning(event_id")),
+      p => !p.contains("hashpartitioning(event_id")
+        && p.contains("least(CASE WHEN")),
     ("fw_per_rule_stats", "no per-event exchange (map-side first-match)",
-      p => !p.contains("hashpartitioning(event_id")),
+      p => !p.contains("hashpartitioning(event_id")
+        && p.contains("least(CASE WHEN")),
     // the per-lang median thresholds are a tiny dimension — the corpus
     // probe must broadcast them, never shuffle the scored documents
     ("text_quality_filter", "broadcast median-threshold probe",

@@ -47,10 +47,7 @@ object RawLogBench {
       f""""unit":"MB/s","mb":$mb%.1f,"sec":$sec%.2f,"lines":$nLines,""" +
       s""""copies":$copies,"files":$files,"report_equal":$ok,"sf":"$sfDir"}"""
     println(line)
-    val out = java.nio.file.Paths.get("target/rawlog_bench.json")
-    java.nio.file.Files.createDirectories(out.getParent)
-    java.nio.file.Files.write(out,
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Artifacts.write("rawlog_bench.json", line)
     spark.stop()
     if (!ok) sys.exit(1)
   }

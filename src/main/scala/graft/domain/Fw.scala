@@ -24,11 +24,14 @@ import graft.core.Tables
   *    `groupBy(event_id).agg(min(rule_seq))` after a broadcast join — correct,
   *    but that groupBy exchanges ONE ROW PER EVENT: a full-fact shuffle that
   *    dominates everything at scale. ExplainAudit now pins its absence.)
-  *  - [[matchFirst]] (a ruleset that is runtime DATA, e.g. the parsed-config
-  *    raw path in [[LogParse]]): broadcast the rules, equi-join on `acl` with
-  *    range residuals, then `min(rule_seq)` per event. The per-event groupBy
-  *    is the price of a data-driven ruleset; the broadcast keeps the match
-  *    itself shuffle-free.
+  *  - [[matchFirst]] (a ruleset that is runtime DATA — a DataFrame whose
+  *    rows are not known on the driver): broadcast the rules, equi-join on
+  *    `acl` with range residuals, then `min(rule_seq)` per event. The
+  *    per-event groupBy is the price of a truly data-driven ruleset; the
+  *    broadcast keeps the match itself shuffle-free. The parsed-config raw
+  *    path in [[LogParse]] does NOT pay this price: `parseConfig` yields
+  *    driver-side rules, so [[firstMatchColRaw]] builds the scalar matcher
+  *    from them and the raw path is map-only too.
   *
   * No raw firewall logs ship in testdata, so the oracle-checked queries run
   * over a deterministic in-query derivation from `events` (FIXTURES.md §2);
@@ -177,14 +180,35 @@ object Fw {
     * also makes it legal after a streaming watermark, where a
     * join+groupBy(event) formulation trips Spark's multi-stateful-operator
     * correctness check.) */
-  def firstMatchCol(rules: Seq[Rule]): Column = {
+  def firstMatchCol(rules: Seq[Rule]): Column =
+    firstMatchColRaw(rules.map(r => Ruleset.RawRule(r.acl, r.ruleSeq, r.action,
+      r.proto,
+      Seq(Ruleset.NetEntry(r.srcCidr, r.srcLo, r.srcHi)),
+      Seq(Ruleset.NetEntry(r.dstCidr, r.dstLo, r.dstHi)),
+      Seq(Ruleset.PortEntry(r.portLo, r.portHi)))))
+
+  /** [[firstMatchCol]] over PARSED config rules ([[Ruleset.RawRule]]), whose
+    * src/dst/port sides are entry LISTS (object-group expansions). A rule
+    * matches iff some (src × dst × port) combination matches, and the
+    * product distributes: ∃s ∃d ∃p (s ∧ d ∧ p) ≡ (∃s) ∧ (∃d) ∧ (∃p) — so
+    * each side becomes an OR-chain and the expression stays LINEAR in the
+    * config's entry count, never the cartesian blow-up the join-side
+    * `toRulesDf` expansion pays. This is what lets the raw-config path use
+    * the same map-side matcher as the literal fixture ruleset. */
+  def firstMatchColRaw(rules: Seq[Ruleset.RawRule]): Column = {
     require(rules.nonEmpty, "empty ruleset")
-    def ruleMatch(r: Rule): Column =
-      when((lit(r.proto) === "ip" || lit(r.proto) === col("proto"))
-          && col("src_ip").between(r.srcLo, r.srcHi)
-          && col("dst_ip").between(r.dstLo, r.dstHi)
-          && col("dst_port").between(r.portLo, r.portHi),
+    def anyOf(preds: Seq[Column]): Column = preds.reduce(_ || _)
+    def ruleMatch(r: Ruleset.RawRule): Column = {
+      // proto is a driver constant: 'ip' (matches anything) drops the term
+      // entirely instead of emitting a runtime-trivial comparison
+      val ranges =
+        anyOf(r.srcs.map(e => col("src_ip").between(e.lo, e.hi))) &&
+        anyOf(r.dsts.map(e => col("dst_ip").between(e.lo, e.hi))) &&
+        anyOf(r.ports.map(p => col("dst_port").between(p.lo, p.hi)))
+      when(if (r.proto == "ip") ranges
+           else (col("proto") === r.proto) && ranges,
         lit(r.ruleSeq))
+    }
     val branches = rules.groupBy(_.acl).toSeq.sortBy(_._1).map { case (acl, rs) =>
       val scan = rs.sortBy(_.ruleSeq).map(ruleMatch)
       (col("acl") === acl, if (scan.length == 1) scan.head else least(scan: _*))

@@ -86,16 +86,43 @@ object LogParse {
     * definition, so no real rule_seq applies. */
   def usageReportFromRaw(spark: SparkSession, logPath: String,
       confPath: String): DataFrame = {
+    import spark.implicits._
     val confLines = scala.util.Using.resource(
       scala.io.Source.fromFile(confPath))(_.getLines().toSeq)
-    val rules = Ruleset.toRulesDf(spark, Ruleset.parseConfig(confLines))
+    val rules = Ruleset.parseConfig(confLines)
     val raw = readLogs(spark, logPath)
-    val events = parse106100(raw)
-      .withColumn("event_id", monotonically_increasing_id())
-    val hits = Fw.matchFirst(events, rules, "event_id")
+    // parseConfig yields driver-side rules, so first-match is the same
+    // map-side scalar matcher the parquet family uses — no join, no
+    // per-event exchange: the only shuffle over the parsed fact stream is
+    // the final (acl, rule_seq) aggregate, whose keyspace is the ruleset.
+    // (An earlier round disambiguated with matchFirst + groupBy(event_id),
+    // which exchanges one row per log line — the scale-killer at 100 TB;
+    // DomainSpec now pins its absence in the executed plan.)
+    //
+    // Unmatched lines are NOT filtered here: a `rule_seq IS NOT NULL`
+    // predicate gets pushed below the parse projections with full alias
+    // substitution, so the scan-level filter would re-run the anchored
+    // regex once per range comparison inside the matcher (measured: 84
+    // regexp_replace occurrences in the plan, 69→32 MB/s). Instead the
+    // no-match group aggregates under a -2 sentinel — a handful of rows —
+    // and drops out of the rule-lines left-outer join below (configured
+    // seqs are positive; -1 is the implicit-deny report marker). The
+    // sentinel ALSO makes the join keys non-nullable: a nullable key would
+    // make constraint inference manufacture that same IS NOT NULL filter
+    // from the join and push it down anyway (measured, same 84×
+    // regex plan) — with both keys provably non-null there is nothing to
+    // infer, and the parse runs once per line.
+    val matchSeq =
+      if (rules.isEmpty) lit(-2)
+      else coalesce(Fw.firstMatchColRaw(rules), lit(-2))
+    val hits = parse106100(raw)
+      .withColumn("rule_seq", matchSeq)
+      .withColumn("acl", coalesce(col("acl"), lit("")))
       .groupBy("acl", "rule_seq").agg(count(lit(1)).as("hits"))
-    // report per configured rule line (object-group expansion collapsed back)
-    val ruleReport = rules.select("acl", "rule_seq", "action").distinct()
+    // report per configured rule line (one row per access-list line; the
+    // matcher never needs the object-group cartesian expansion)
+    val ruleReport = rules.map(r => (r.acl, r.ruleSeq, r.action)).distinct
+      .toDF("acl", "rule_seq", "action")
       .join(hits, Seq("acl", "rule_seq"), "left_outer")
       .select(col("acl"), col("rule_seq"), col("action"),
         coalesce(col("hits"), lit(0L)).as("hits"))

@@ -115,7 +115,9 @@ object RawLogVolume {
     lines.repartition(files)
       .write.mode("overwrite").option("compression", "gzip").text(logDir)
 
-    val stats = lines.agg(
+    // stats from the WRITTEN shards, not the generator lineage: one
+    // generation pass total, and the numbers describe the artifact on disk
+    val stats = spark.read.text(logDir).agg(
       sum(length(col("value")) + 1).cast("long"), count(lit(1))).head
     val confPath = s"$outDir/fw.conf"
     java.nio.file.Files.write(java.nio.file.Paths.get(confPath),
@@ -133,9 +135,13 @@ object RawLogVolume {
       .toSeq
     val rank = rows.map(t => (t._1, t._2)).distinct.groupBy(_._1).flatMap {
       case (_, seqs) =>
-        seqs.sortBy(_._2).zipWithIndex.map { case (k, i) =>
-          k -> (if (k._2 < 0) k._2 else (i + 1) * 10) // implicit-deny stays -1
-        }
+        // rank over the POSITIVE seqs only: an implicit-deny (-1) row keeps
+        // its seq AND must not shift its siblings' ranks, or an ACL with
+        // both kinds would rank its first real rule 20 on one side of a
+        // comparison and 10 on the other
+        val (neg, pos) = seqs.partition(_._2 < 0)
+        neg.map(k => k -> k._2) ++
+          pos.sortBy(_._2).zipWithIndex.map { case (k, i) => k -> ((i + 1) * 10) }
     }
     rows.map(t => (t._1, rank((t._1, t._2)), t._3, t._4)).toSet
   }

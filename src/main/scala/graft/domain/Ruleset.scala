@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions._
   * tiny dimensions, so parsing is driver-side Scala (exactly as the
   * reference is single-process here); the *expansion* — one rule with group
   * refs becoming N concrete rows — is done distributed-style with `explode`
-  * over the parsed array columns, and the result broadcasts into the match
-  * join ([[Fw.matchFirst]]).
+  * over the parsed array columns ([[toRulesDf]]) for consumers that need the
+  * flat rule relation (the [[Fw.matchFirst]] join form, reports). The match
+  * itself no longer needs the expansion: [[Fw.firstMatchColRaw]] folds the
+  * entry lists into OR-chains inside the map-side scalar matcher.
   *
   * Grammar (public Cisco syntax subset):
   * {{{

@@ -119,6 +119,74 @@ class DomainSpec extends SparkSpec {
     assert(denyRow.getAs[String]("action") === "implicit-deny")
   }
 
+  test("raw-config scalar matcher: OR-chains equal the cartesian join form") {
+    import spark.implicits._
+    // parsed rules have entry LISTS per side; firstMatchColRaw folds each
+    // side to an OR-chain (linear terms) while matchFirst joins the full
+    // src×dst×port expansion — brute force arbitrates both
+    val conf = scala.io.Source.fromFile(resource("fwconf/sample.conf"))
+      .getLines().toSeq
+    val rawRules = Ruleset.parseConfig(conf)
+    assert(rawRules.exists(r => r.dsts.length > 1 && r.ports.length > 1),
+      "fixture must exercise multi-entry OR-chains")
+    val rng = new scala.util.Random(7)
+    val protos = Seq("tcp", "udp", "icmp")
+    val events = (1 to 400).map { i =>
+      if (rng.nextInt(10) < 7) { // inside some rule's box ~70% of the time
+        val r = rawRules(rng.nextInt(rawRules.size))
+        val s = r.srcs(rng.nextInt(r.srcs.size))
+        val d = r.dsts(rng.nextInt(r.dsts.size))
+        val p = r.ports(rng.nextInt(r.ports.size))
+        (i.toLong, r.acl, protos(rng.nextInt(3)),
+          s.lo + (if (s.hi > s.lo) rng.nextLong().abs % (s.hi - s.lo + 1) else 0L),
+          d.lo + (if (d.hi > d.lo) rng.nextLong().abs % (d.hi - d.lo + 1) else 0L),
+          p.lo + rng.nextInt(p.hi - p.lo + 1))
+      } else
+        (i.toLong, s"acl_${rng.nextInt(3)}", protos(rng.nextInt(3)),
+          rng.nextLong().abs % (1L << 32), rng.nextLong().abs % (1L << 32),
+          rng.nextInt(65536))
+    }
+    val eventsDf = events.toDF("event_id", "acl", "proto", "src_ip",
+      "dst_ip", "dst_port")
+    val expected = events.flatMap { case (id, acl, proto, src, dst, port) =>
+      rawRules.find(r => r.acl == acl && (r.proto == "ip" || r.proto == proto) &&
+          r.srcs.exists(e => src >= e.lo && src <= e.hi) &&
+          r.dsts.exists(e => dst >= e.lo && dst <= e.hi) &&
+          r.ports.exists(e => port >= e.lo && port <= e.hi))
+        .map(r => id -> r.ruleSeq)
+    }.toMap
+    assert(expected.nonEmpty, "fixture should produce at least one match")
+    val got = eventsDf.withColumn("rule_seq", Fw.firstMatchColRaw(rawRules))
+      .filter(col("rule_seq").isNotNull).select("event_id", "rule_seq")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === expected)
+    val joinGot = Fw.matchFirst(eventsDf,
+        Ruleset.toRulesDf(spark, rawRules), "event_id")
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(joinGot === expected)
+  }
+
+  test("raw-path report plan: map-side matcher, no per-event exchange") {
+    // the scale gate for usageReportFromRaw: first-match must resolve in
+    // the map stage (scalar matcher visible as a CASE WHEN dispatch), and
+    // nothing may exchange per log line — no synthetic event id at all
+    val report = LogParse.usageReportFromRaw(spark,
+      resource("fwlogs/sample.log"), resource("fwconf/sample.conf"))
+    report.collect()
+    val plan = report.queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning(event_id"), plan.take(2000))
+    assert(!plan.contains("monotonically_increasing_id"), plan.take(2000))
+    assert(plan.contains("CASE WHEN"),
+      "scalar first-match dispatch must appear in the executed plan")
+    // one regex pass per line: a nullable-key or pre-agg IS NOT NULL
+    // regression re-substitutes the parse under every matcher comparison
+    // (measured: 84 regexp_replace occurrences, 3× slower at volume);
+    // healthy plan has ~2 per branch (pushed line filter + pack project)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val nRegex = "regexp_replace".r.findAllIn(finalPlan).size
+    assert(nRegex <= 8, s"parse re-substitution suspected: $nRegex regexp_replace nodes")
+  }
+
   test("first-match join is equivalent to a brute-force linear scan") {
     import spark.implicits._
     // deterministic pseudo-random corpus: 300 events x 20 rules
