@@ -218,14 +218,28 @@ object Fw {
     }
   }
 
+  /** A row filter that is evaluated WHERE IT IS WRITTEN. The `rand()` arm
+    * is always false and exists only to mark the predicate nondeterministic,
+    * which stops the optimizer from pushing it below the projection that
+    * computes the tested column: pushdown substitutes the projection's full
+    * expression into the scan-level filter, so the matcher (and the event
+    * derivation under it) runs TWICE per row — once in the filter, once in
+    * the project. Measured on the count family at sf0.1: 1.18 s with the
+    * pushed `IS NOT NULL` form vs 0.41 s with the matcher evaluated once. */
+  private def evaluatedHere(pred: Column): Column =
+    pred || rand(7) < -1.0
+
   /** Matched events via the scalar matcher: ONE narrow projection over the
     * fact table — no join, no exchange. Carries every event column plus the
     * matched `rule_seq`, so each count-family query below aggregates straight
-    * into its own (tiny) keyspace with map-side partials. */
+    * into its own (tiny) keyspace with map-side partials. Unmatched rows
+    * carry a non-null -2 sentinel (dropped by the non-pushable filter, and
+    * the non-nullable key also keeps join-constraint inference from
+    * re-manufacturing a pushable IS NOT NULL in the report joins). */
   private def matchedScalar(spark: SparkSession, dir: String): DataFrame =
     fwEvents(spark, dir)
-      .withColumn("rule_seq", firstMatchCol(ruleset))
-      .filter(col("rule_seq").isNotNull)
+      .withColumn("rule_seq", coalesce(firstMatchCol(ruleset), lit(-2)))
+      .where(evaluatedHere(col("rule_seq") =!= -2))
 
   private def hits(spark: SparkSession, dir: String): DataFrame =
     matchedScalar(spark, dir).groupBy("acl", "rule_seq")
