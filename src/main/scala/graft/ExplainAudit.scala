@@ -60,6 +60,13 @@ object ExplainAudit {
     // the custom codegen expressions must stay in their hot paths — a
     // refactor that silently falls back to array_intersect / the HOF fold
     // is a multi-x perf regression the result hashes can't see
+    // the exact edit join's candidate stage is an EQUI-join on deletion
+    // variants — a nested-loop/cartesian here would mean the signature
+    // join silently fell back to all-pairs
+    ("sim_edit_join", "variant equi-join + banded verify (no nested loop)",
+      p => !p.contains("CartesianProduct")
+        && !p.contains("BroadcastNestedLoopJoin")
+        && p.contains("levenshtein")),
     ("sim_ngram_jaccard", "codegen merge-scan intersection in the pair join",
       p => p.contains("sorted_intersect_size")),
     ("dedup_near_embedding", "codegen dot product under the cosine",

@@ -176,6 +176,77 @@ class SimSpec extends SparkSpec {
       f"16-bit buckets should be ≫ finer than 8-bit: $fine%.0f vs $coarse%.0f")
   }
 
+  private def bruteEdit(df: org.apache.spark.sql.DataFrame, k: Int) =
+    df.alias("a").join(df.alias("b"), col("a.key") < col("b.key"))
+      .select(col("a.key").as("key_a"), col("b.key").as("key_b"),
+        levenshtein(col("a.name"), col("b.name")).as("dist"))
+      .filter(col("dist") <= k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+  test("both exact edit-join schemes EQUAL brute force at k=1..3") {
+    // Exactness of the two candidate schemes — segments by pigeonhole
+    // (k edits touch ≤ k of the k+1 segments), deletions by the common-
+    // subsequence argument (each edit deletes ≤ 1 char per side) — means
+    // both must reproduce the brute-force join VERBATIM: on part names
+    // (long, wordy, every length-remainder class) and on customer names
+    // (the declared query's templated-ID corpus, adversarial for the
+    // segment scheme's candidates but never for its correctness).
+    def seg(df: org.apache.spark.sql.DataFrame, k: Int) =
+      Similarity.editDistancePairsSegments(df, "key", "name", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+    def del(df: org.apache.spark.sql.DataFrame, k: Int) =
+      Similarity.editDistancePairsDeletions(df, "key", "name", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+    val part = graft.core.Tables.part(spark, sfDir)
+      .select(col("p_partkey").as("key"), col("p_name").as("name"))
+    for (k <- 1 to 3) {
+      val t = bruteEdit(part, k)
+      assert(t.nonEmpty, s"part fixture should contain ed<=$k pairs")
+      val s = seg(part, k)
+      assert(s === t, s"segments, part k=$k: missed=${t.diff(s).size} extra=${s.diff(t).size}")
+      if (k <= 2) { // deletion fan-out is (len choose k) — the short-k scheme
+        val d = del(part, k)
+        assert(d === t, s"deletions, part k=$k: missed=${t.diff(d).size} extra=${d.diff(t).size}")
+      }
+    }
+    val cust = graft.core.Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("key"), col("c_name").as("name"))
+    val t = bruteEdit(cust, 1)
+    val (s, d) = (seg(cust, 1), del(cust, 1))
+    assert(s === t, s"segments, customer k=1: missed=${t.diff(s).size} extra=${s.diff(t).size}")
+    assert(d === t, s"deletions, customer k=1: missed=${t.diff(d).size} extra=${d.diff(t).size}")
+  }
+
+  test("deletion-scheme candidates track the true pair count, not C(n,2)") {
+    // THE scale property of the declared sim_edit_join: deletion-variant
+    // buckets only collide for near-copies, so candidate volume is
+    // proportional to the ANSWER even on this shared-template corpus —
+    // where the segment scheme measurably degenerates to all pairs (every
+    // c_name shares the constant "Customer#" segment). Measured at two
+    // corpus sizes: the candidate/answer ratio must stay bounded as n
+    // grows 10x and candidates must stay a sliver of C(n,2).
+    val ratios = for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01"))
+      yield {
+        val cust = graft.core.Tables.customer(spark, dir)
+          .select(col("c_custkey").as("key"), col("c_name").as("name"))
+        val n = cust.count().toDouble
+        val cand = Similarity
+          .editDistanceDeletionCandidates(cust, "key", "name", 1)
+          .count().toDouble
+        val answer = Similarity
+          .editDistancePairsDeletions(cust, "key", "name", 1)
+          .count().toDouble
+        assert(answer > 0, s"$dir: fixture should contain ed<=1 pairs")
+        assert(cand <= n * (n - 1) / 2.0 * 0.25,
+          f"$dir: candidates $cand%.0f vs C(n,2)=${n * (n - 1) / 2}%.0f")
+        cand / answer
+      }
+    assert(ratios.forall(_ <= 4.0),
+      s"candidate/answer ratio must stay bounded: $ratios")
+    assert(ratios(1) <= ratios(0) * 2.0,
+      s"ratio must not grow with the corpus: $ratios")
+  }
+
   test("IVF ANN reaches reasonable recall vs brute force") {
     val emb = graft.core.Tables.embeddings(spark, sfDir)
     val probe = emb.filter(col("vec_id") === 7)
