@@ -60,6 +60,16 @@ object ExplainAudit {
     // the custom codegen expressions must stay in their hot paths — a
     // refactor that silently falls back to array_intersect / the HOF fold
     // is a multi-x perf regression the result hashes can't see
+    // tf-idf: the vocabulary-sized df table must broadcast back onto the
+    // (doc, term) aggregate — a hash-exchange join here would reshuffle
+    // the corpus-sized tf table — and the per-doc top-3 must prune via
+    // WindowGroupLimit rather than rank-then-filter the full term list
+    ("text_tfidf", "broadcast df join + per-doc WindowGroupLimit",
+      p => p.contains("BroadcastHashJoin") && p.contains("WindowGroupLimit")),
+    // bm25: corpus stats ride a 1-row broadcast and the top-20 must be
+    // TakeOrderedAndProject, never a global sort
+    ("text_bm25", "top-k without global sort (TakeOrderedAndProject)",
+      p => p.contains("TakeOrderedAndProject")),
     // the exact edit join's candidate stage is an EQUI-join on deletion
     // variants — a nested-loop/cartesian here would mean the signature
     // join silently fell back to all-pairs

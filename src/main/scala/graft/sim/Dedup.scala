@@ -1,7 +1,10 @@
 package graft.sim
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.core.Tables
 
 /** Dedup "last mile": the near-dup detectors (MinHash / SimHash / embedding
   * cosine) all emit PAIRS, but a training-data pipeline needs a keep/drop
@@ -111,7 +114,29 @@ object Dedup {
     // query and does not anchor the declared cluster pipeline.)
     "dedup_clusters" -> ((s, d) =>
       clusters(Similarity.tokenJaccardPairs(s, d), "doc_a", "doc_b")
-        .orderBy("member"))
+        .orderBy("member")),
+
+    // Representative selection — min-id keep is a placeholder policy; real
+    // corpus curation keeps the BEST member of each dup cluster. Policy
+    // here: longest text (n_chars), doc_id as the deterministic tie-break.
+    // One row per cluster with the kept doc and the cluster size. The
+    // cluster table is only the CONTESTED ids (a dup-density-sized
+    // fraction of the corpus), so the join back to documents is an
+    // equi-join on doc_id that AQE can broadcast when dup density is low;
+    // the per-cluster argmax is a cluster-partitioned window over that
+    // same small table, never over the corpus.
+    "dedup_keep_best" -> ((s, d) => {
+      val cl = clusters(Similarity.tokenJaccardPairs(s, d), "doc_a", "doc_b")
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      val w = Window.partitionBy("cluster").orderBy(desc("n_chars"), asc("member"))
+      cl.join(docs, cl("member") === docs("doc_id"))
+        .withColumn("pick", row_number().over(w))
+        .withColumn("n_members", count(lit(1)).over(Window.partitionBy("cluster")))
+        .filter(col("pick") === 1)
+        .select(col("cluster"), col("member").as("keep_doc"),
+          col("n_chars").as("keep_chars"), col("n_members"))
+        .orderBy("cluster")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -135,6 +160,34 @@ object Dedup {
         |  UNION
         |  SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.id)
         |SELECT id AS member, MIN(root) AS cluster, (id = MIN(root)) AS keep
-        |FROM reach GROUP BY id ORDER BY member""".stripMargin
+        |FROM reach GROUP BY id ORDER BY member""".stripMargin,
+
+    "dedup_keep_best" ->
+      """WITH RECURSIVE docs AS (SELECT doc_id, source,
+        |    list_distinct(string_split(text, ' ')) AS toks,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter,
+        |    a.n + b.n AS sum_n
+        |  FROM docs a JOIN docs b ON a.source = b.source AND a.doc_id < b.doc_id
+        |    AND CAST(least(a.n, b.n) AS DOUBLE) / greatest(a.n, b.n) >= 0.8),
+        |good AS (SELECT doc_a, doc_b FROM pairs
+        |  WHERE CAST(inter AS DOUBLE) / (sum_n - inter) >= 0.8),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM good
+        |  UNION ALL SELECT doc_b, doc_a FROM good),
+        |reach(id, root) AS (
+        |  SELECT DISTINCT u, u FROM edges
+        |  UNION
+        |  SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.id),
+        |cl AS (SELECT id AS member, MIN(root) AS cluster FROM reach GROUP BY id),
+        |m AS (SELECT cl.cluster, cl.member, dd.n_chars
+        |  FROM cl JOIN documents dd ON dd.doc_id = cl.member),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY cluster
+        |      ORDER BY n_chars DESC, member ASC) AS pick,
+        |    COUNT(*) OVER (PARTITION BY cluster) AS n_members FROM m)
+        |SELECT cluster, member AS keep_doc, n_chars AS keep_chars, n_members
+        |FROM r WHERE pick = 1 ORDER BY cluster""".stripMargin
   )
 }

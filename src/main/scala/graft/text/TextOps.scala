@@ -122,6 +122,73 @@ object TextOps {
         .limit(100)
     }),
 
+    // TF-IDF top-3 terms per document — the IR feature-extraction staple.
+    // idf is the LOG-FREE variant n_docs/df, chosen because ln() diverges
+    // between JVM and libm in the last ulp (the repo's standing rule: no
+    // transcendentals in oracle-compared output) while int counts and one
+    // double multiply/divide are bit-exact on both engines. Scale shape:
+    // the (doc, term) partial-aggregated explode is the only corpus-sized
+    // shuffle; the df table is vocabulary-bounded and BROADCAST back, the
+    // corpus-level count rides a 1-row broadcast, and the per-doc top-3 is
+    // a doc_id-partitioned row_number (WindowGroupLimit prunes to 3 per
+    // doc before the sort at scale).
+    "text_tfidf" -> ((s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("term"))
+      tf.join(broadcast(dfT), "term")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("tfidf", col("tf").cast("double")
+          * (col("n_docs").cast("double") / col("df").cast("double")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("term"), col("tf"),
+          col("df"), col("tfidf"))
+        .orderBy("doc_id", "rnk")
+    }),
+
+    // BM25 relevance of every document against a fixed two-term query —
+    // retrieval scoring for training-data curation (e.g. "rank the corpus
+    // by closeness to a seed topic"). Same log-free idf discipline as
+    // text_tfidf: (n−df+0.5)/(df+0.5) keeps the raw odds ratio and drops
+    // only ln's monotonic squash, so the whole score is integer counts
+    // flowing through a FIXED, oracle-mirrored tree of double ops
+    // (bit-exact: IEEE +,·,/ are exactly-rounded and two-term sums are
+    // order-free). The term tfs are map-side array filters — no explode,
+    // no shuffle; the corpus stats (N, Σdl, df₁, df₂) are ONE aggregate
+    // broadcast back; the top-20 is TakeOrderedAndProject.
+    "text_bm25" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        size(tokens).as("dl"),
+        size(filter(tokens, t => t === lit("table"))).as("tf1"),
+        size(filter(tokens, t => t === lit("join"))).as("tf2"))
+      val stats = docs.agg(
+        count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"),
+        count(when(col("tf1") > 0, 1)).as("df1"),
+        count(when(col("tf2") > 0, 1)).as("df2"))
+      // k1 = 1.2, b = 0.75 (the standard defaults, folded into literals
+      // exactly as the oracle spells them)
+      def term(tf: Column, dfc: Column): Column = {
+        val n = col("n_docs").cast("double")
+        val df = dfc.cast("double")
+        val avgdl = col("sum_dl").cast("double") / n
+        val t = tf.cast("double")
+        ((n - df + lit(0.5)) / (df + lit(0.5))) *
+          ((t * lit(2.2)) /
+            (t + lit(1.2) * (lit(0.25) + lit(0.75)
+              * (col("dl").cast("double") / avgdl))))
+      }
+      docs.crossJoin(broadcast(stats))
+        .withColumn("bm25", term(col("tf1"), col("df1"))
+          + term(col("tf2"), col("df2")))
+        .select(col("doc_id"), col("dl"), col("tf1"), col("tf2"), col("bm25"))
+        .orderBy(desc("bm25"), asc("doc_id"))
+        .limit(20)
+    }),
+
     // Quality-gated corpus filter — scoring composed with a per-language
     // median threshold (the "keep the better half per language" pipeline
     // stage). The median is percentile_disc(0.5): element-SELECTING, so the
@@ -289,6 +356,48 @@ object TextOps {
         |    i -> toks[i] || ' ' || toks[i + 1])) AS bigram FROM t)
         |SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram
         |HAVING COUNT(*) >= 3 ORDER BY n DESC, bigram LIMIT 100""".stripMargin,
+
+    "text_tfidf" ->
+      """WITH tf AS (SELECT doc_id, term, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM documents)
+        |  GROUP BY doc_id, term),
+        |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (SELECT t.doc_id, t.term, t.tf, d.df,
+        |    CAST(t.tf AS DOUBLE)
+        |      * (CAST(n.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE)) AS tfidf
+        |  FROM tf t JOIN dft d USING (term) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, term ASC) AS rnk FROM scored)
+        |SELECT doc_id, rnk, term, tf, df, tfidf FROM r
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    "text_bm25" ->
+      """WITH docs AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS dl,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t = 'table')) AS INTEGER) AS tf1,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t = 'join')) AS INTEGER) AS tf2
+        |  FROM documents),
+        |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+        |    COUNT(CASE WHEN tf1 > 0 THEN 1 END) AS df1,
+        |    COUNT(CASE WHEN tf2 > 0 THEN 1 END) AS df2 FROM docs)
+        |SELECT doc_id, dl, tf1, tf2,
+        |  ((CAST(n_docs AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5)
+        |      / (CAST(df1 AS DOUBLE) + 0.5))
+        |    * ((CAST(tf1 AS DOUBLE) * 2.2) / (CAST(tf1 AS DOUBLE)
+        |        + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+        |          / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+        |  + ((CAST(n_docs AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5)
+        |      / (CAST(df2 AS DOUBLE) + 0.5))
+        |    * ((CAST(tf2 AS DOUBLE) * 2.2) / (CAST(tf2 AS DOUBLE)
+        |        + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+        |          / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+        |  AS bm25
+        |FROM docs CROSS JOIN stats
+        |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin,
 
     "text_quality_filter" ->
       """WITH t AS (SELECT doc_id, lang,
