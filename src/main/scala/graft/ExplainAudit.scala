@@ -70,6 +70,11 @@ object ExplainAudit {
     // TakeOrderedAndProject, never a global sort
     ("text_bm25", "top-k without global sort (TakeOrderedAndProject)",
       p => p.contains("TakeOrderedAndProject")),
+    // contamination: one gram-keyed aggregation collecting both split
+    // sides — a reintroduced per-side self-join would double-scan and
+    // double-shuffle the gram table (the shape this query replaced)
+    ("text_contamination", "single gram aggregation, no self-join",
+      p => !p.contains("Join") && p.contains("ObjectHashAggregate")),
     // the exact edit join's candidate stage is an EQUI-join on deletion
     // variants — a nested-loop/cartesian here would mean the signature
     // join silently fell back to all-pairs

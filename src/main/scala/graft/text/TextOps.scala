@@ -189,6 +189,54 @@ object TextOps {
         .limit(20)
     }),
 
+    // Train/eval contamination check — the n-gram-overlap audit every LLM
+    // data pipeline runs before trusting an eval: which eval-split
+    // documents (source src0) share rare 5-grams with any train-split
+    // document, and how many. Scale shape: 5-grams fan out lambda-free
+    // (zip of 5 shifted slices, the text_ngrams pattern), travel as
+    // xxhash64 digests (8-byte shuffle keys; a digest collision only
+    // inflates one count with probability ≈ pairs·2⁻⁶⁴ — the
+    // sim_ngram_jaccard argument), and are de-hotted by a df ≤ 16 cap:
+    // super-common phrases are dropped BEFORE the cross-split join
+    // (standard contamination practice — they signal vocabulary, not
+    // leakage), which bounds the per-gram pair fan-out at 16×16 and makes
+    // the pair volume track true contamination density, not corpus size.
+    // The gram table is aggregated ONCE: a single groupBy(gram) collects
+    // the eval- and train-side doc lists together (a self-join
+    // formulation re-scanned and re-shuffled the whole gram table per
+    // side — measured as two duplicate exchange subtrees in the plan),
+    // then cap-bounded list×list explode yields the contaminated pairs.
+    "text_contamination" -> ((s, d) => {
+      val t = tokens
+      val g5 = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          slice(t, lit(1), greatest(size(t) - 4, lit(0))).as("a"),
+          slice(t, lit(2), greatest(size(t) - 4, lit(0))).as("b"),
+          slice(t, lit(3), greatest(size(t) - 4, lit(0))).as("c"),
+          slice(t, lit(4), greatest(size(t) - 4, lit(0))).as("d"),
+          slice(t, lit(5), greatest(size(t) - 4, lit(0))).as("e"))
+        .select(col("doc_id"), col("source"),
+          explode(arrays_zip(col("a"), col("b"), col("c"), col("d"),
+            col("e"))).as("p"))
+        .select(col("doc_id"), col("source"),
+          xxhash64(concat_ws(" ", col("p.a"), col("p.b"), col("p.c"),
+            col("p.d"), col("p.e"))).as("gh"))
+        .distinct()
+      g5.groupBy("gh").agg(
+          collect_list(when(col("source") === "src0", col("doc_id")))
+            .as("evs"),
+          collect_list(when(col("source") =!= "src0", col("doc_id")))
+            .as("trs"),
+          count(lit(1)).as("df"))
+        .filter(col("df") <= 16
+          && size(col("evs")) > 0 && size(col("trs")) > 0)
+        .select(explode(col("evs")).as("eval_doc"), col("trs"))
+        .select(col("eval_doc"), explode(col("trs")).as("train_doc"))
+        .groupBy("eval_doc", "train_doc")
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy("eval_doc", "train_doc")
+    }),
+
     // Quality-gated corpus filter — scoring composed with a per-language
     // median threshold (the "keep the better half per language" pipeline
     // stage). The median is percentile_disc(0.5): element-SELECTING, so the
@@ -398,6 +446,23 @@ object TextOps {
         |  AS bm25
         |FROM docs CROSS JOIN stats
         |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin,
+
+    "text_contamination" ->
+      """WITH g AS (SELECT DISTINCT doc_id, source, unnest(list_transform(
+        |      range(1, len(string_split(text, ' ')) - 3),
+        |      i -> string_split(text, ' ')[i] || ' '
+        |        || string_split(text, ' ')[i + 1] || ' '
+        |        || string_split(text, ' ')[i + 2] || ' '
+        |        || string_split(text, ' ')[i + 3] || ' '
+        |        || string_split(text, ' ')[i + 4])) AS gram
+        |  FROM documents),
+        |rare AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) <= 16),
+        |gr AS (SELECT g.* FROM g JOIN rare USING (gram))
+        |SELECT e.doc_id AS eval_doc, t.doc_id AS train_doc,
+        |  COUNT(*) AS n_shared
+        |FROM gr e JOIN gr t ON e.gram = t.gram
+        |  AND e.source = 'src0' AND t.source <> 'src0'
+        |GROUP BY 1, 2 ORDER BY eval_doc, train_doc""".stripMargin,
 
     "text_quality_filter" ->
       """WITH t AS (SELECT doc_id, lang,
