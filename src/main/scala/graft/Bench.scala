@@ -15,8 +15,17 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     // deterministic (sorted) order so per-query timings are comparable
     // across rounds — otherwise hash-map order decides which query absorbs
-    // residual first-read warmup
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // residual first-read warmup. SPARK_GRAFT_BENCH_FIRST (comma-separated
+    // query names) moves the named queries to the front in the given order —
+    // the A/B knob for separating a query's own cost from GC/memory
+    // spillover of whatever ran just before it in sorted order.
+    val first = sys.env.getOrElse("SPARK_GRAFT_BENCH_FIRST", "")
+      .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    val ordered =
+      first.flatMap(n => sorted.find(_._1 == n)) ++
+        sorted.filterNot { case (n, _) => first.contains(n) }
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -16,6 +16,21 @@ import org.apache.spark.sql.SparkSession
   */
 object ExplainAudit {
 
+  /** AdaptiveSparkPlan.toString repeats every node under "== Initial
+    * Plan ==" — structural COUNTS must only see the final-plan section. */
+  private[graft] def finalPlan(p: String): String =
+    p.split("== Initial Plan ==").head
+
+  /** The fw scalar matcher must be evaluated EXACTLY once per row: its
+    * `least(CASE WHEN` spans appear [[graft.domain.Fw.matcherLeastCount]]
+    * times per instantiation, so any other count means the tree was
+    * duplicated (pushed into a scan-level filter — the measured 2.8×
+    * regression) or vanished (spelling drift that would make the old
+    * presence check vacuous). */
+  private[graft] def matcherOnce(p: String): Boolean =
+    "least\\(CASE WHEN".r.findAllIn(finalPlan(p)).size ==
+      graft.domain.Fw.matcherLeastCount
+
   /** (query, what-the-plan-must-show, predicate over executedPlan string) */
   val checks: Seq[(String, String, String => Boolean)] = Seq(
     ("filter_compound", "parquet filter pushdown (PushedFilters)",
@@ -37,8 +52,8 @@ object ExplainAudit {
     // (`least(CASE WHEN …)`) must be visible in the plan, i.e. first-match
     // really is a scalar projection, not some join that merely prints
     // differently
-    ("fw_first_match", "scalar matcher present (least-over-CASE acl dispatch)",
-      p => p.contains("least(CASE WHEN")),
+    ("fw_first_match", "scalar matcher evaluated exactly once",
+      matcherOnce),
     ("topk", "top-k without global sort (TakeOrderedAndProject)",
       p => p.contains("TakeOrderedAndProject")),
     ("topk_per_group", "per-group top-k limit pushdown (WindowGroupLimit)",
@@ -95,30 +110,23 @@ object ExplainAudit {
     // exchanges key on tiny aggregation keyspaces. A reintroduced
     // groupBy(event_id) disambiguation is THE scale regression here — at
     // 100 TB it shuffles the whole fact table.
-    ("fw_hit_count", "no per-event exchange (map-side first-match)",
-      p => !p.contains("hashpartitioning(event_id")
-        && p.contains("least(CASE WHEN")),
+    ("fw_hit_count", "no per-event exchange + matcher evaluated exactly once",
+      p => !p.contains("hashpartitioning(event_id") && matcherOnce(p)),
     // …and a shape bound: the whole query is matcher → partial+final agg →
     // ORDER BY, so at most one hash exchange (tiny (acl, rule_seq) keys)
     // and one range exchange may appear. A third exchange of any spelling
     // means per-event work leaked back in.
-    // (count only the final-plan section: AdaptiveSparkPlan.toString
-    // repeats every node under "== Initial Plan ==")
     ("fw_hit_count", "at most 2 exchanges (agg + order-by)",
       p => "Exchange (hash|range)partitioning".r
-        .findAllIn(p.split("== Initial Plan ==").head).size <= 2),
-    ("fw_usage_report", "no per-event exchange (map-side first-match)",
-      p => !p.contains("hashpartitioning(event_id")
-        && p.contains("least(CASE WHEN")),
-    ("fw_action_share", "no per-event exchange (map-side first-match)",
-      p => !p.contains("hashpartitioning(event_id")
-        && p.contains("least(CASE WHEN")),
-    ("fw_hits_timeseries", "no per-event exchange (map-side first-match)",
-      p => !p.contains("hashpartitioning(event_id")
-        && p.contains("least(CASE WHEN")),
-    ("fw_per_rule_stats", "no per-event exchange (map-side first-match)",
-      p => !p.contains("hashpartitioning(event_id")
-        && p.contains("least(CASE WHEN")),
+        .findAllIn(finalPlan(p)).size <= 2),
+    ("fw_usage_report", "no per-event exchange + matcher evaluated exactly once",
+      p => !p.contains("hashpartitioning(event_id") && matcherOnce(p)),
+    ("fw_action_share", "no per-event exchange + matcher evaluated exactly once",
+      p => !p.contains("hashpartitioning(event_id") && matcherOnce(p)),
+    ("fw_hits_timeseries", "no per-event exchange + matcher evaluated exactly once",
+      p => !p.contains("hashpartitioning(event_id") && matcherOnce(p)),
+    ("fw_per_rule_stats", "no per-event exchange + matcher evaluated exactly once",
+      p => !p.contains("hashpartitioning(event_id") && matcherOnce(p)),
     // the per-lang median thresholds are a tiny dimension — the corpus
     // probe must broadcast them, never shuffle the scored documents
     ("text_quality_filter", "broadcast median-threshold probe",

@@ -218,28 +218,62 @@ object Fw {
     }
   }
 
-  /** A row filter that is evaluated WHERE IT IS WRITTEN. The `rand()` arm
-    * is always false and exists only to mark the predicate nondeterministic,
-    * which stops the optimizer from pushing it below the projection that
-    * computes the tested column: pushdown substitutes the projection's full
-    * expression into the scan-level filter, so the matcher (and the event
-    * derivation under it) runs TWICE per row — once in the filter, once in
-    * the project. Measured on the count family at sf0.1: 1.18 s with the
-    * pushed `IS NOT NULL` form vs 0.41 s with the matcher evaluated once. */
-  private def evaluatedHere(pred: Column): Column =
-    pred || rand(7) < -1.0
+  /** Pins a computed column so it is evaluated WHERE IT IS WRITTEN —
+    * exactly once. Catalyst pushes filters through a deterministic
+    * projection REGARDLESS of the filter's own determinism (a projection
+    * never changes cardinality, so the push is always "safe"), and the push
+    * SUBSTITUTES the projection's expression into the moved predicate: a
+    * filter over the matcher column becomes a scan-level copy of the whole
+    * matcher (and the event derivation under it), evaluated per row in
+    * addition to the projection's own copy. Measured on the count family at
+    * sf0.1: 1.18 s doubled vs 0.41 s evaluated once.
+    *
+    * The wrapper marks the projected FIELD nondeterministic —
+    * `fields.forall(_.deterministic)` is the one gate the
+    * push-through-Project rule respects — with zero execution cost
+    * (codegen emits exactly the child's code).
+    *
+    * History, because this regressed SILENTLY once already: the first
+    * barrier marked the FILTER nondeterministic via an always-false
+    * `pred || rand(7) < -1.0` arm. Spark 4.1.2 is range-aware about
+    * `rand()` — it folds the arm to `false` and drops it — and a
+    * nondeterministic filter condition never blocked the through-Project
+    * push anyway (only scan-level DataFilters), so the matcher silently
+    * doubled while every result hash stayed green. The opaque
+    * [[org.apache.spark.sql.graftexpr.EvalHereExpr]] has no range or
+    * algebra for any optimizer version to exploit (its scaladoc records
+    * the stage-retry trade), and ExplainAudit's matcher-once gate
+    * ([[matcherLeastCount]]) counts matcher trees in every count-family
+    * plan so a future bypass turns a red test, not a silent 2×. */
+  private def pinnedHere(c: Column): Column =
+    org.apache.spark.sql.graftexpr.EvalHereExpr.column(c)
+
+  /** Number of `least(` nodes in ONE instantiation of [[firstMatchCol]]
+    * over the fixture [[ruleset]]: ACLs with ≥2 rules fold their ordered
+    * scan into a single `least(CASE WHEN …)`; single-rule ACLs emit a bare
+    * CASE. ExplainAudit counts `least(CASE WHEN` occurrences in each fw
+    * count-family final plan against this constant — the known regression
+    * (filter pushed below the matcher projection with full alias
+    * substitution, the 2.8× double evaluation) duplicates the whole tree
+    * and doubles the count, so equality-not-just-presence is the gate. */
+  val matcherLeastCount: Int =
+    ruleset.groupBy(_.acl).count { case (_, rs) => rs.size >= 2 }
 
   /** Matched events via the scalar matcher: ONE narrow projection over the
     * fact table — no join, no exchange. Carries every event column plus the
     * matched `rule_seq`, so each count-family query below aggregates straight
     * into its own (tiny) keyspace with map-side partials. Unmatched rows
-    * carry a non-null -2 sentinel (dropped by the non-pushable filter, and
-    * the non-nullable key also keeps join-constraint inference from
-    * re-manufacturing a pushable IS NOT NULL in the report joins). */
+    * carry a non-null -2 sentinel (dropped by the filter above the pinned
+    * projection, and the non-nullable key also keeps join-constraint
+    * inference from re-manufacturing a pushable IS NOT NULL in the report
+    * joins). The matcher column itself is [[pinnedHere]] so the filter can
+    * never be pushed through it with the matcher substituted in — the
+    * double-evaluation regression the matcher-once plan gate watches for. */
   private def matchedScalar(spark: SparkSession, dir: String): DataFrame =
     fwEvents(spark, dir)
-      .withColumn("rule_seq", coalesce(firstMatchCol(ruleset), lit(-2)))
-      .where(evaluatedHere(col("rule_seq") =!= -2))
+      .withColumn("rule_seq",
+        pinnedHere(coalesce(firstMatchCol(ruleset), lit(-2))))
+      .where(col("rule_seq") =!= -2)
 
   private def hits(spark: SparkSession, dir: String): DataFrame =
     matchedScalar(spark, dir).groupBy("acl", "rule_seq")
