@@ -97,6 +97,27 @@ object Dedup {
     docs.join(drop, docs(idCol) === drop("member"), "left_anti")
   }
 
+  /** Representative selection over PRECOMPUTED clusters — the library
+    * entry point for pipelines, which compute [[clusters]] once and feed
+    * every downstream policy from it (the declared `dedup_keep_best` query
+    * recomputes its own clusters only because Verify requires each declared
+    * query to be self-contained). Policy: keep the member with the largest
+    * `scoreCol` (ties broken by smallest member id); emits one row per
+    * cluster with the kept doc and the cluster size. The cluster table is
+    * only the contested ids — a dup-density-sized fraction of the corpus —
+    * so the doc join is broadcastable at low dup density and the argmax
+    * window partitions that small table, never the corpus. */
+  def keepBest(cl: DataFrame, docs: DataFrame, idCol: String,
+      scoreCol: String): DataFrame = {
+    val w = Window.partitionBy("cluster").orderBy(desc(scoreCol), asc("member"))
+    cl.join(docs.select(col(idCol), col(scoreCol)), cl("member") === col(idCol))
+      .withColumn("pick", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(Window.partitionBy("cluster")))
+      .filter(col("pick") === 1)
+      .select(col("cluster"), col("member").as("keep_doc"),
+        col(scoreCol).as("keep_chars"), col("n_members"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token-Jaccard near-dup pairs fed through connected components — the
     // declared pairs→clusters→keep/drop pipeline. The pair stage is the
@@ -125,18 +146,10 @@ object Dedup {
     // equi-join on doc_id that AQE can broadcast when dup density is low;
     // the per-cluster argmax is a cluster-partitioned window over that
     // same small table, never over the corpus.
-    "dedup_keep_best" -> ((s, d) => {
-      val cl = clusters(Similarity.tokenJaccardPairs(s, d), "doc_a", "doc_b")
-      val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
-      val w = Window.partitionBy("cluster").orderBy(desc("n_chars"), asc("member"))
-      cl.join(docs, cl("member") === docs("doc_id"))
-        .withColumn("pick", row_number().over(w))
-        .withColumn("n_members", count(lit(1)).over(Window.partitionBy("cluster")))
-        .filter(col("pick") === 1)
-        .select(col("cluster"), col("member").as("keep_doc"),
-          col("n_chars").as("keep_chars"), col("n_members"))
-        .orderBy("cluster")
-    })
+    "dedup_keep_best" -> ((s, d) =>
+      keepBest(clusters(Similarity.tokenJaccardPairs(s, d), "doc_a", "doc_b"),
+          Tables.documents(s, d), "doc_id", "n_chars")
+        .orderBy("cluster"))
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -308,7 +308,10 @@ object Similarity {
     * and re-join the two string columns after the distinct instead.
     * Degenerate inputs: strings shorter than k+1 chars produce empty
     * segments, which match every same-(i,l) probe — correct (the pair
-    * class is length-bounded) but wide; nulls are dropped. HONEST LIMIT
+    * class is length-bounded) but wide; the probe's indexed-length
+    * enumeration floors at 0 so pairs involving EMPTY strings are
+    * generated too (a floor of 1 silently missed ("", "a") at k=1);
+    * nulls are dropped. HONEST LIMIT
     * (measured, and why the declared query uses the deletion scheme): a
     * constant ALIGNED region spanning a whole segment — e.g. the
     * "Customer#" prefix shared by every c_name — puts all n rows in one
@@ -355,7 +358,7 @@ object Similarity {
     val hi = least(col("m") - col("g.sl"), col("g.p") + insLim)
     val probes = base
       .withColumn("m", col("len").cast("int"))
-      .withColumn("l", explode(sequence(greatest(col("m") - k, lit(1)), col("m"))))
+      .withColumn("l", explode(sequence(greatest(col("m") - k, lit(0)), col("m"))))
       .withColumn("g", explode(array(segStructs: _*)))
       .withColumn("q", explode(when(lo <= hi, sequence(lo, hi))
         .otherwise(array().cast("array<int>"))))

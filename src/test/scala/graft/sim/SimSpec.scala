@@ -217,6 +217,33 @@ class SimSpec extends SparkSpec {
     assert(d === t, s"deletions, customer k=1: missed=${t.diff(d).size} extra=${d.diff(t).size}")
   }
 
+  test("both edit-join schemes cover degenerate inputs (empty/short strings)") {
+    // ADVICE r6: the segment probe's indexed-length enumeration floored at
+    // 1, so every pair involving an EMPTY string was silently missed
+    // (("", "a") at k=1) while all non-empty inputs stayed exact. The fix
+    // floors the probe at length 0 — pinned by brute-force equality over a
+    // fixture dense in degenerate lengths (empties, single chars, strings
+    // shorter than k+1, a duplicate empty), for both schemes.
+    import spark.implicits._
+    val strs = Seq("", "a", "b", "ab", "ba", "abc", "x", "xy", "", "abcd")
+    val df = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("key", "name")
+    for (k <- 1 to 3) {
+      val t = bruteEdit(df, k)
+      assert(t.exists { case (a, b, _) =>
+        strs(a.toInt).isEmpty || strs(b.toInt).isEmpty },
+        s"fixture must exercise empty-string pairs at k=$k")
+      val s = Similarity.editDistancePairsSegments(df, "key", "name", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+      assert(s === t,
+        s"segments k=$k: missed=${t.diff(s).size} extra=${s.diff(t).size}")
+      val d = Similarity.editDistancePairsDeletions(df, "key", "name", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+      assert(d === t,
+        s"deletions k=$k: missed=${t.diff(d).size} extra=${d.diff(t).size}")
+    }
+  }
+
   test("deletion-scheme candidates track the true pair count, not C(n,2)") {
     // THE scale property of the declared sim_edit_join: deletion-variant
     // buckets only collide for near-copies, so candidate volume is
