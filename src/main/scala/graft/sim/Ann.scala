@@ -19,20 +19,77 @@ object Ann {
   import VectorMath.{cosine, dot}
 
   /** Corpus with an IVF assignment: nearest of `nCentroids` deterministic
-    * centers (the first vectors by vec_id — a fixed sample). */
-  def ivfAssign(emb: DataFrame, nCentroids: Int): DataFrame = {
-    val vecs = emb.select(col("vec_id"),
-      col("embedding").cast("array<double>").as("v"))
-    val centroids = broadcast(vecs.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("centroid_id"), col("v").as("cv")))
-    vecs.crossJoin(centroids)
+    * centers (the first vectors by vec_id — a fixed sample). The recall
+    * BASELINE; [[kmeansCentroids]] + [[ivfAssignWith]] is the refined
+    * build. */
+  def ivfAssign(emb: DataFrame, nCentroids: Int): DataFrame =
+    ivfAssignWith(vecsOf(emb), bootstrapCentroids(vecsOf(emb), nCentroids))
+
+  private def vecsOf(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  /** The fixed-sample centroid bootstrap: first `n` vectors by vec_id. */
+  private def bootstrapCentroids(vecs: DataFrame, n: Int): DataFrame =
+    vecs.filter(col("vec_id") < n)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"))
+
+  /** Nearest-centroid assignment against an explicit `(centroid_id, cv)`
+    * table — ONE broadcast join + arg-max, the shared step of the IVF
+    * bootstrap, every Lloyd iteration, and the final list build. */
+  def ivfAssignWith(vecs: DataFrame, centroids: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("v"), col("centroid_id"),
         cosine(col("v"), col("cv")).as("csim"))
       .groupBy("vec_id")
       .agg(max_by(col("centroid_id"), struct(col("csim"), col("centroid_id")))
         .as("centroid_id"),
         min(col("v")).as("v")) // v constant per vec_id
+
+  /** Spherical k-means (Lloyd) refinement of the IVF centroid set — the
+    * standard IVF build, replacing the random-sample bootstrap with
+    * centroids that actually balance the inverted lists. Deterministic by
+    * construction: seeded init (= the [[ivfAssign]] bootstrap sample),
+    * FIXED iteration count (no data-dependent convergence check), and
+    * every tie in the assignment broken by centroid_id. Each iteration is
+    * one broadcast-assignment pass over the corpus plus a (k × dim)-sized
+    * mean aggregation — nothing corpus-sized ever shuffles — and ends in
+    * `localCheckpoint` (cluster: `checkpoint`) so lineage stays one
+    * iteration deep, the same fixpoint discipline as
+    * [[Dedup.connectedComponents]]. Spherical: means are renormalized to
+    * unit length, matching the cosine assignment geometry. Centroids whose
+    * list empties drop out (standard Lloyd degeneracy; k shrinks rather
+    * than keeping a dead list). Returns `(centroid_id, cv)`. */
+  def kmeansCentroids(emb: DataFrame, nCentroids: Int,
+      iters: Int = 5): DataFrame = {
+    val vecs = vecsOf(emb).localCheckpoint() // scanned 2×iters times
+    var centroids = bootstrapCentroids(vecs, nCentroids)
+    for (_ <- 1 to iters) {
+      val assigned = ivfAssignWith(vecs, centroids)
+      // element-wise mean per centroid: position fan-out → (k × dim)-key
+      // partial-aggregated avg → rebuild the array in position order
+      val means = assigned
+        .select(col("centroid_id"), posexplode(col("v")))
+        .groupBy("centroid_id", "pos").agg(avg("col").as("m"))
+        .groupBy("centroid_id")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("mv"))
+      centroids = means
+        .select(col("centroid_id"),
+          transform(col("mv"), x => x / sqrt(dot(col("mv"), col("mv"))))
+            .as("cv"))
+        .localCheckpoint()
+    }
+    centroids
   }
+
+  /** Mean cosine of each vector to its assigned centroid — the (spherical)
+    * k-means objective. Lloyd increases it monotonically; the SimSpec gate
+    * asserts the refined build beats the bootstrap on it, alongside the
+    * measured recall comparison. */
+  def assignmentObjective(assigned: DataFrame, centroids: DataFrame): Double =
+    assigned.join(broadcast(centroids), "centroid_id")
+      .agg(avg(cosine(col("v"), col("cv"))))
+      .head.getDouble(0)
 
   /** Exact top-k by cosine against a literal probe vector. */
   def bruteTopK(emb: DataFrame, probe: Seq[Double], k: Int): DataFrame = {
@@ -46,10 +103,18 @@ object Ann {
   /** IVF search: score centroids, keep nprobe lists, brute-force inside. */
   def ivfSearch(assigned: DataFrame, nCentroids: Int, nprobe: Int,
       probe: Seq[Double], k: Int): DataFrame = {
+    val centroids = assigned.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"))
+    ivfSearchWith(assigned, centroids, nprobe, probe, k)
+  }
+
+  /** [[ivfSearch]] against an explicit centroid table (the k-means build,
+    * where centroids are synthetic means, not corpus members). */
+  def ivfSearchWith(assigned: DataFrame, centroids: DataFrame, nprobe: Int,
+      probe: Seq[Double], k: Int): DataFrame = {
     val p = typedLit(probe)
-    val probeLists = assigned
-      .filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cid"), cosine(col("v"), p).as("csim"))
+    val probeLists = centroids
+      .select(col("centroid_id").as("cid"), cosine(col("cv"), p).as("csim"))
       .orderBy(desc("csim"), asc("cid"))
       .limit(nprobe)
     assigned

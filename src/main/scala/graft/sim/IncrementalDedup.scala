@@ -1,0 +1,110 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental dedup — the production pipeline shape: dedupe a NEW SHARD of
+  * documents against an EXISTING corpus without re-reading the corpus text.
+  * Whole-corpus dedup ([[Dedup.dedupCorpus]]) is the right tool exactly
+  * once; after that, every arriving shard should pay costs proportional to
+  * the SHARD, not the corpus.
+  *
+  * Mechanics: at corpus-build time, [[writeIndex]] persists the MinHash
+  * band table (band keys are a pure function of each document —
+  * [[MinHash.bandTable]] is shared with the batch self-join, so index and
+  * probe can never drift), hash-partitioned on disk by a bucket of the band
+  * key. At shard time, [[dedupShard]] probes the shard's band keys against
+  * the index: the equi-join carries the partition bucket, so dynamic
+  * partition pruning reads ONLY the index partitions holding matching band
+  * keys (runtime `SubqueryBroadcast dynamicpruning` on the index scan —
+  * plan-gated in DedupSpec). At 100 TB the index is the big side and this
+  * pruning is the whole point: a daily shard touches the band buckets its
+  * own documents hash into, never the full index.
+  *
+  * Semantics — equal to whole-corpus dedup restricted to the shard,
+  * PROVIDED every shard id is greater than every corpus id (the natural
+  * monotonic-id ingestion contract; [[Dedup]]'s keep policy is min-id, so
+  * corpus members always win against shard members, which is also the
+  * curation-stable behavior: an already-released corpus never loses a
+  * document because near-dups of it arrived later). Drop set:
+  *
+  *   1. shard docs whose verified Jaccard against ANY corpus doc ≥
+  *      threshold (direct corpus hit);
+  *   2. every member of a within-shard dup cluster containing a corpus hit
+  *      (transitivity through the new docs);
+  *   3. in clean (no-corpus-hit) within-shard clusters: everyone but the
+  *      min id.
+  *
+  * Candidates on both legs use the same band keys and the same
+  * exact-Jaccard verify as the batch pipeline, so the equality is exact,
+  * not approximate — DedupSpec pins it against [[Dedup.dedupCorpus]] on
+  * the full corpus.
+  */
+object IncrementalDedup {
+
+  /** Number of on-disk hash partitions for the index: enough that a shard
+    * probe prunes most of the index, few enough that directory listing
+    * stays trivial. At real scale this would be sized to corpus bytes /
+    * target partition size. */
+  val IndexParts = 32
+
+  private def withBucket(banded: DataFrame): DataFrame =
+    banded.withColumn("pb",
+      pmod(xxhash64(col("band_key")), lit(IndexParts)).cast("int"))
+
+  /** Build (or rebuild) the corpus-side index: the band table partitioned
+    * by band-key bucket. Contains ALL corpus docs — corpus-internal dups
+    * included, since a shard doc matching ANY corpus member must drop. */
+  def writeIndex(corpus: DataFrame, idCol: String, textCol: String,
+      path: String, numHashes: Int = 32, bands: Int = 8,
+      shingleK: Int = 3): Unit =
+    withBucket(MinHash.bandTable(corpus, idCol, textCol, numHashes, bands,
+        shingleK))
+      .write.mode("overwrite").partitionBy("pb").parquet(path)
+
+  /** Shard ids with a verified near-dup in the indexed corpus. Exposed so
+    * DedupSpec can plan-gate the pruning on exactly the join that reads
+    * the index. */
+  private[sim] def corpusHits(spark: SparkSession, shard: DataFrame,
+      idCol: String, textCol: String, indexPath: String, threshold: Double,
+      numHashes: Int, bands: Int, shingleK: Int): DataFrame = {
+    val index = spark.read.parquet(indexPath)
+    val probe = withBucket(MinHash.bandTable(shard, idCol, textCol,
+      numHashes, bands, shingleK))
+    probe.alias("p").join(index.alias("i"),
+        col("p.pb") === col("i.pb")
+          && col("p.band_id") === col("i.band_id")
+          && col("p.band_key") === col("i.band_key"))
+      .select(col("p.id").as("id"),
+        MinHash.exactJaccard(col("p.toks"), col("i.toks")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select("id").distinct()
+  }
+
+  /** Dedupe `shard` against the persisted index AND against itself;
+    * returns the kept shard rows unchanged (schema-preserving filter, the
+    * same contract as [[Dedup.dedupCorpus]]). */
+  def dedupShard(spark: SparkSession, shard: DataFrame, idCol: String,
+      textCol: String, indexPath: String, threshold: Double = 0.8,
+      numHashes: Int = 32, bands: Int = 8, shingleK: Int = 3): DataFrame = {
+    val hits = corpusHits(spark, shard, idCol, textCol, indexPath, threshold,
+      numHashes, bands, shingleK)
+    val within = MinHash.nearDupPairsUnordered(shard, idCol, textCol,
+      numHashes, bands, shingleK, threshold)
+    // components over the within-shard graph only — corpus docs enter as a
+    // per-cluster "hit" flag, not as nodes, so the fixpoint runs on
+    // shard-sized data (corpus ids are all smaller, so a contaminated
+    // cluster's true component min is always on the corpus side: drop all)
+    val comp = Dedup.connectedComponents(within, "id_a", "id_b")
+    val hitClusters = comp.join(hits, Seq("id"), "left_semi")
+      .select("label").distinct()
+    val dropContested = comp.join(hitClusters, Seq("label"), "left_semi")
+      .select("id")
+      .union(comp.join(hitClusters, Seq("label"), "left_anti")
+        .filter(col("id") =!= col("label")).select("id"))
+    // direct hits cover singleton shard docs that never entered the pair
+    // graph; union + the anti-join dedup the overlap
+    val drop = dropContested.union(hits.select("id"))
+    shard.join(drop, shard(idCol) === drop("id"), "left_anti")
+  }
+}

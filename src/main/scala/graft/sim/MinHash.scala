@@ -66,18 +66,7 @@ object MinHash {
   def nearDupPairsUnordered(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, bands: Int = 8, shingleK: Int = 3,
       threshold: Double = 0.6): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
-    val base = docs.select(col(idCol).as("id"),
-      array_distinct(split(col(textCol), " ")).as("toks"),
-      signature(shingles(col(textCol), shingleK), numHashes).as("sig"))
-
-    // band key: the r-slot slice of the signature, joined to one string
-    val banded = base.select(col("id"), col("toks"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-          concat_ws("_", slice(col("sig"), b * r + 1, lit(r))))))
-      .withColumnRenamed("pos", "band_id")
-      .withColumnRenamed("col", "band_key")
+    val banded = bandTable(docs, idCol, textCol, numHashes, bands, shingleK)
 
     val candidates = banded.alias("a")
       .join(banded.alias("b"),
@@ -92,5 +81,26 @@ object MinHash {
       .select(col("id_a"), col("id_b"),
         exactJaccard(col("toks_a"), col("toks_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** The per-document LSH band table `(id, toks, band_id, band_key)` — the
+    * single source of truth for band keys, shared by the self-join above
+    * and by [[IncrementalDedup]]'s persisted index + probe (band keys are a
+    * pure function of the document, so an index built yesterday and a probe
+    * computed today can never disagree). `toks` rides along because every
+    * consumer follows the candidate join with the exact-Jaccard verify. */
+  private[sim] def bandTable(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int, shingleK: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val base = docs.select(col(idCol).as("id"),
+      array_distinct(split(col(textCol), " ")).as("toks"),
+      signature(shingles(col(textCol), shingleK), numHashes).as("sig"))
+    // band key: the r-slot slice of the signature, joined to one string
+    base.select(col("id"), col("toks"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          concat_ws("_", slice(col("sig"), b * r + 1, lit(r))))))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "band_key")
   }
 }

@@ -74,4 +74,43 @@ class DedupSpec extends SparkSpec {
       .as[(String, String)].collect().toMap
     assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a"))
   }
+
+  test("incremental dedup == whole-corpus dedup restricted to the shard") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.core.Tables.documents(spark, sf)
+    // monotonic-id ingestion contract: every shard id > every corpus id
+    val split = 400L
+    val corpus = docs.filter(col("doc_id") < split)
+    val shard = docs.filter(col("doc_id") >= split)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mh_index").toString
+
+    IncrementalDedup.writeIndex(corpus, "doc_id", "text", dir)
+    val got = IncrementalDedup
+      .dedupShard(spark, shard, "doc_id", "text", dir)
+      .select("doc_id").as[Long].collect().toSet
+    val expected = Dedup.dedupCorpus(docs, "doc_id", "text")
+      .filter(col("doc_id") >= split)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === expected,
+      s"missed=${expected.diff(got).size} extra=${got.diff(expected).size}")
+    // the comparison must exercise all three drop classes: docs survive,
+    // docs drop, and the shard contains within-shard dup structure
+    val shardN = shard.count()
+    assert(got.nonEmpty && got.size < shardN.toInt,
+      s"fixture must both keep and drop shard docs (kept ${got.size}/$shardN)")
+
+    // scale gate: the probe's index scan must be runtime-pruned to the
+    // band-key buckets the shard actually hashes into (DPP delivers the
+    // probe's bucket set via the reused broadcast) — at 100 TB this is
+    // what makes shard cost ∝ shard, not ∝ corpus
+    val hits = IncrementalDedup.corpusHits(spark, shard, "doc_id", "text",
+      dir, 0.8, 32, 8, 3)
+    hits.collect()
+    val physical = hits.queryExecution.executedPlan.toString
+    assert(physical.contains("dynamicpruning"),
+      s"index scan must carry a runtime partition-pruning filter:\n" +
+        physical.linesIterator.take(40).mkString("\n"))
+  }
 }
