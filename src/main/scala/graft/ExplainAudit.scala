@@ -99,6 +99,15 @@ object ExplainAudit {
         && p.contains("levenshtein")),
     ("sim_ngram_jaccard", "codegen merge-scan intersection in the pair join",
       p => p.contains("sorted_intersect_size")),
+    // the kNN graph's per-vector top-3 must prune inside the window — a
+    // rank-then-filter over the full per-vector neighbor list materializes
+    // block² rows per vector at scale
+    ("sim_knn_graph", "per-vector top-k pruned in the window (WindowGroupLimit)",
+      p => p.contains("WindowGroupLimit") && p.contains("dot_f64")),
+    // the PII pass is a single narrow map over the fact scan: no exchange
+    // except the declared ORDER BY's range partitioning
+    ("text_pii_mask", "map-only scan + order-by (no hash exchange)",
+      p => !finalPlan(p).contains("Exchange hashpartitioning")),
     ("dedup_near_embedding", "codegen dot product under the cosine",
       p => p.contains("dot_f64")),
     // percentile_disc is a TypedImperativeAggregate: partial aggregation

@@ -129,6 +129,35 @@ object Similarity {
       editDistancePairsDeletions(c, "key", "name", 1).orderBy("key_a", "key_b")
     }),
 
+    // Batch k-NN GRAPH construction — each vector's top-3 cosine neighbors
+    // (the input artifact for graph-based clustering, dedup aggregation,
+    // and diversity sampling; a per-vector generalization of the
+    // single-probe `sim_cosine_topk`). Blocked by label like
+    // `dedup_near_embedding` and exact within the block — the same
+    // fixture-honesty trade documented there (this corpus is measured
+    // unblockable at background angles), so this stays the oracle twin
+    // while the scale path is IVF/LSH candidate generation feeding the
+    // SAME per-vector top-k window. Plan shape: the per-vector top-3 must
+    // prune inside the window (WindowGroupLimit, plan-gated) rather than
+    // rank-then-filter the full neighbor list.
+    "sim_knn_graph" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+        .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(desc("cosine"), asc("nbr_id"))
+      emb.alias("a").join(emb.alias("b"),
+          col("a.label") === col("b.label")
+            && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
+          (dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")))
+            .as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .orderBy("vec_id", "rank")
+    }),
+
     // Embedding-cosine near-duplicate pairs, blocked by label. Exact and
     // deterministic (identical fold-order dot products on both engines) —
     // which is why THIS query stays label-blocked and oracle-eligible: it is
@@ -443,6 +472,23 @@ object Similarity {
         |FROM pairs
         |WHERE CAST(inter AS DOUBLE) / (sum_n - inter) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "sim_knn_graph" ->
+      """WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |normed AS (SELECT vec_id, label, v,
+        |    sqrt(list_reduce(list_transform(list_zip(v, v), z -> z[1] * z[2]),
+        |      (acc, x) -> acc + x)) AS norm FROM emb),
+        |pairs AS (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+        |    list_reduce(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]),
+        |      (acc, x) -> acc + x) / (a.norm * b.norm) AS cosine
+        |  FROM normed a JOIN normed b
+        |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cosine DESC, nbr_id ASC) AS rank FROM pairs)
+        |SELECT vec_id, nbr_id, cosine, rank FROM r WHERE rank <= 3
+        |ORDER BY vec_id, rank""".stripMargin,
 
     "dedup_near_embedding" ->
       """WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v

@@ -39,7 +39,41 @@ object TextOps {
     s"len(list_filter(string_split(text, ' '), t -> t IN ($in)))"
   }
 
+  /** PII patterns for `text_pii_mask`, shared with the oracle SQL. Kept to
+    * constructs with identical Java-regex/RE2 semantics (character classes,
+    * bounded repetition — no lookaround, no \b). */
+  private val phonePat = "555-[0-9]{3}-[0-9]{4}"
+  private val emailPat = "[a-z0-9.]+@[a-z0-9.]+"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // PII scan + redaction — the compliance pass every training-data
+    // pipeline runs before release: count pattern hits per document and
+    // emit the masked text. The testdata has NO natural PII anywhere
+    // (documents is digit-free word salad, customer is the trimmed TPC-H
+    // subset), so the query derives a deterministic PII-bearing field from
+    // `events` in BOTH engines — the same fixture-derivation pattern as the
+    // fw family. Scale shape: pure narrow map (two codegen'd regex counts +
+    // two replaces), no shuffle but the declared ORDER BY; 100 TB cost is
+    // one scan.
+    "text_pii_mask" -> ((s, d) => {
+      val mixed = concat(
+        lit("user "), col("user_id").cast("string"),
+        lit(" contact 555-"),
+        lpad((col("user_id") % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad((col("event_id") % 10000).cast("string"), 4, "0"),
+        lit(" email u"), col("user_id").cast("string"),
+        lit("@example.com note "), col("event_type"))
+      Tables.events(s, d)
+        .select(col("event_id"), mixed.as("mixed"))
+        .select(col("event_id"),
+          regexp_count(col("mixed"), lit(phonePat)).as("n_phone"),
+          regexp_count(col("mixed"), lit(emailPat)).as("n_email"),
+          regexp_replace(
+            regexp_replace(col("mixed"), phonePat, "[PHONE]"),
+            emailPat, "[EMAIL]").as("masked"))
+        .orderBy("event_id")
+    }),
 
     "text_tokenize_tf" -> ((s, d) =>
       Tables.documents(s, d)
@@ -347,6 +381,21 @@ object TextOps {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "text_pii_mask" ->
+      s"""WITH e AS (SELECT event_id,
+         |  'user ' || CAST(user_id AS VARCHAR) || ' contact 555-' ||
+         |  lpad(CAST(user_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+         |  lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0') ||
+         |  ' email u' || CAST(user_id AS VARCHAR) || '@example.com note ' ||
+         |  event_type AS mixed
+         |FROM events)
+         |SELECT event_id,
+         |  len(regexp_extract_all(mixed, '$phonePat')) AS n_phone,
+         |  len(regexp_extract_all(mixed, '$emailPat')) AS n_email,
+         |  regexp_replace(regexp_replace(mixed, '$phonePat', '[PHONE]', 'g'),
+         |    '$emailPat', '[EMAIL]', 'g') AS masked
+         |FROM e ORDER BY event_id""".stripMargin,
+
     "text_tokenize_tf" ->
       """SELECT token, COUNT(*) AS tf
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
