@@ -52,6 +52,17 @@ object IncrementalDedup {
     banded.withColumn("pb",
       pmod(xxhash64(col("band_key")), lit(IndexParts)).cast("int"))
 
+  /** The probe-side band table `(id, toks, band_id, band_key, pb)` — a pure
+    * per-row transform (no shuffle, no state), which is what makes it legal
+    * on a STREAMING DataFrame too: [[graft.stream.Streaming]] builds the
+    * online corpus-dup flag stream from this exact function, so batch probe
+    * and stream probe can never drift. */
+  private[graft] def probeBands(docs: DataFrame, idCol: String,
+      textCol: String, numHashes: Int = 32, bands: Int = 8,
+      shingleK: Int = 3): DataFrame =
+    withBucket(MinHash.bandTable(docs, idCol, textCol, numHashes, bands,
+      shingleK))
+
   /** Build (or rebuild) the corpus-side index: the band table partitioned
     * by band-key bucket. Contains ALL corpus docs — corpus-internal dups
     * included, since a shard doc matching ANY corpus member must drop. */
@@ -65,12 +76,11 @@ object IncrementalDedup {
   /** Shard ids with a verified near-dup in the indexed corpus. Exposed so
     * DedupSpec can plan-gate the pruning on exactly the join that reads
     * the index. */
-  private[sim] def corpusHits(spark: SparkSession, shard: DataFrame,
+  private[graft] def corpusHits(spark: SparkSession, shard: DataFrame,
       idCol: String, textCol: String, indexPath: String, threshold: Double,
       numHashes: Int, bands: Int, shingleK: Int): DataFrame = {
     val index = spark.read.parquet(indexPath)
-    val probe = withBucket(MinHash.bandTable(shard, idCol, textCol,
-      numHashes, bands, shingleK))
+    val probe = probeBands(shard, idCol, textCol, numHashes, bands, shingleK)
     probe.alias("p").join(index.alias("i"),
         col("p.pb") === col("i.pb")
           && col("p.band_id") === col("i.band_id")

@@ -96,6 +96,43 @@ object Streaming {
       .agg(count(lit(1)).as("hits"))
   }
 
+  // ------------------------------------------------------------ B10.12
+
+  /** Online corpus-dup flagging — the streaming twin of
+    * [[graft.sim.IncrementalDedup]]'s corpus probe (round 7): each arriving
+    * document is checked against the PERSISTED MinHash band index and
+    * emitted as a `(doc_id, dup_of, jaccard)` flag row when it near-dups a
+    * corpus member. This is the online contamination filter in front of a
+    * training-data ingest queue.
+    *
+    * Deliberately STATELESS: the band fan-out is a pure per-row transform
+    * (shared function with the batch probe, so they cannot drift), the
+    * index join is stream-static (re-planned per micro-batch, so a
+    * republished index is picked up), and the verify is a row filter —
+    * no watermark, no state store, nothing to size or evict. The price is
+    * multiplicity: a doc matching a corpus member in several bands emits
+    * that flag once per colliding band, so consumers must be idempotent on
+    * (doc_id, dup_of) — the natural contract for quarantine routing, and
+    * the alternative (a per-doc streaming aggregation) would hold
+    * unbounded state for an exactly-once verdict nobody needs. The
+    * StreamingSpec gate asserts the flagged doc-id SET equals the batch
+    * probe's on identical input. */
+  def streamCorpusDupFlags(docs: DataFrame, indexPath: String,
+      threshold: Double = 0.8, numHashes: Int = 32, bands: Int = 8,
+      shingleK: Int = 3): DataFrame = {
+    val index = docs.sparkSession.read.parquet(indexPath)
+    val probe = graft.sim.IncrementalDedup.probeBands(docs, "doc_id", "text",
+      numHashes, bands, shingleK)
+    probe.alias("p").join(index.alias("i"),
+        col("p.pb") === col("i.pb")
+          && col("p.band_id") === col("i.band_id")
+          && col("p.band_key") === col("i.band_key"))
+      .select(col("p.id").as("doc_id"), col("i.id").as("dup_of"),
+        graft.sim.MinHash.exactJaccard(col("p.toks"), col("i.toks"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   // ------------------------------------------------------------ B10.6
 
   final case class UserEvent(event_id: Long, ts: java.sql.Timestamp,

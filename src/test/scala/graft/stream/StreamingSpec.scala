@@ -467,4 +467,47 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("online corpus-dup flags equal the batch index probe (B10.12)") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.core.Tables.documents(spark, sf)
+    val split = 400L
+    val corpus = docs.filter(col("doc_id") < split)
+    val shardRows = docs.filter(col("doc_id") >= split)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_index").toString
+    graft.sim.IncrementalDedup.writeIndex(corpus, "doc_id", "text", dir)
+
+    val stream = MemoryStream[(Long, String)](42, spark, None)
+    val flags = Streaming.streamCorpusDupFlags(
+      stream.toDF().toDF("doc_id", "text"), dir)
+    assert(flags.isStreaming, "the flag stream must stay a streaming plan")
+    val q = flags.writeStream.format("memory").queryName("dupflags")
+      .outputMode(OutputMode.Append()).start()
+    // two micro-batches — flags must be complete regardless of batching
+    val (first, rest) = shardRows.splitAt(50)
+    stream.addData(first); q.processAllAvailable()
+    stream.addData(rest); q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("dupflags").select("doc_id")
+      .as[Long].collect().toSet
+    val expected = graft.sim.IncrementalDedup.corpusHits(spark,
+        docs.filter(col("doc_id") >= split), "doc_id", "text", dir,
+        0.8, 32, 8, 3)
+      .as[Long].collect().toSet
+    assert(got === expected,
+      s"missed=${expected.diff(got).size} extra=${got.diff(expected).size}")
+    assert(got.nonEmpty, "fixture must produce cross-corpus dup flags")
+    // per-(doc, corpus member) idempotence contract: flags may repeat per
+    // colliding band but each pair carries one jaccard value
+    val pairRows = spark.table("dupflags")
+      .select("doc_id", "dup_of", "jaccard").distinct()
+      .groupBy("doc_id", "dup_of").count()
+    assert(pairRows.filter(col("count") > 1).count() === 0L,
+      "a (doc, dup_of) pair must have exactly one distinct jaccard")
+  }
 }
