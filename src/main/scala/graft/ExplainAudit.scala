@@ -155,7 +155,14 @@ object ExplainAudit {
     ("composite_q3", "top-k via TakeOrderedAndProject",
       p => p.contains("TakeOrderedAndProject")),
     ("composite_q3", "segment filter pushed to the customer scan",
-      p => p.contains("EqualTo(c_mktsegment,BUILDING)"))
+      p => p.contains("EqualTo(c_mktsegment,BUILDING)")),
+    // rfm: the quartile thresholds ride a 1-row broadcast back onto the
+    // per-customer table (never a global ntile window single-partitioning
+    // the dimension), and the percentiles aggregate map-side
+    ("composite_rfm", "broadcast thresholds + map-side percentile, no Window",
+      p => p.contains("BroadcastNestedLoopJoin")
+        && p.contains("ObjectHashAggregate")
+        && !finalPlan(p).contains("Window"))
   )
 
   /** Executes each checked query (collect(), so AQE finalizes — codegen

@@ -92,15 +92,36 @@ object Fw {
       .toDF(ruleCols: _*)
   }
 
-  /** The identical ruleset as a SQL VALUES literal — generated from the same
-    * constants so Spark and the DuckDB oracle can never drift. */
-  def rulesSqlCte: String = {
-    val rows = ruleset.map(r =>
+  /** A ruleset as a named SQL VALUES CTE — generated from the same
+    * constants as the DataFrame side so Spark and the DuckDB oracle can
+    * never drift. */
+  def rulesSqlCteFor(name: String, rules: Seq[Rule]): String = {
+    val rows = rules.map(r =>
       s"('${r.acl}', ${r.ruleSeq}, '${r.action}', '${r.proto}', " +
       s"'${r.srcCidr}', ${r.srcLo}, ${r.srcHi}, " +
       s"'${r.dstCidr}', ${r.dstLo}, ${r.dstHi}, ${r.portLo}, ${r.portHi})")
       .mkString(", ")
-    s"rules(${ruleCols.mkString(", ")}) AS (SELECT * FROM (VALUES $rows))"
+    s"$name(${ruleCols.mkString(", ")}) AS (SELECT * FROM (VALUES $rows))"
+  }
+
+  def rulesSqlCte: String = rulesSqlCteFor("rules", ruleset)
+
+  /** The "previous revision" of the fixture ruleset for the churn report —
+    * derived by TRANSFORMING the live [[ruleset]] constants (never a second
+    * hand-copied list, so the two revisions cannot drift apart): since this
+    * revision, acl_0/40 was added, acl_2/10's port band was widened
+    * (8090 → 8443), and a deny on acl_1 seq 15 was removed. */
+  val prevRuleset: Seq[Rule] = ruleset.flatMap {
+    case r if r.acl == "acl_0" && r.ruleSeq == 40 => None
+    case r if r.acl == "acl_2" && r.ruleSeq == 10 => Some(r.copy(portHi = 8090))
+    case r => Some(r)
+  } :+ rule("acl_1", 15, "deny", "10.9.0.0/16", "192.168.0.0/24", 1, 65535)
+
+  def prevRulesDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    prevRuleset.map(r => (r.acl, r.ruleSeq, r.action, r.proto, r.srcCidr,
+      r.srcLo, r.srcHi, r.dstCidr, r.dstLo, r.dstHi, r.portLo, r.portHi))
+      .toDF(ruleCols: _*)
   }
 
   /** Deterministic connection-log derivation from an `events`-shaped
@@ -380,6 +401,31 @@ object Fw {
         .filter(col("n_dsts") >= 3)
         .orderBy(desc("n_dsts"), desc("n_events"), asc("src_ip"))
         .limit(50)),
+    // Ruleset drift report — what changed between two config revisions
+    // (the review artifact an operator wants NEXT to the usage report:
+    // "these rules are unused AND they were only just added"). Pure
+    // dimension-side full-outer join on the rule identity; per-side match
+    // predicates compared field-wise. Ruleset-sized at any traffic volume.
+    "fw_rule_churn" -> ((s, d) => {
+      val cur = rulesDf(s).alias("c")
+      val prev = prevRulesDf(s).alias("p")
+      val same = Seq("action", "proto", "src_lo", "src_hi", "dst_lo",
+        "dst_hi", "port_lo", "port_hi")
+        .map(f => col(s"c.$f") === col(s"p.$f")).reduce(_ && _)
+      cur.join(prev,
+          col("c.acl") === col("p.acl")
+            && col("c.rule_seq") === col("p.rule_seq"), "full_outer")
+        .select(
+          coalesce(col("c.acl"), col("p.acl")).as("acl"),
+          coalesce(col("c.rule_seq"), col("p.rule_seq")).as("rule_seq"),
+          when(col("p.acl").isNull, "added")
+            .when(col("c.acl").isNull, "removed")
+            .when(!same, "changed")
+            .otherwise("unchanged").as("status"))
+        .filter(col("status") =!= "unchanged")
+        .orderBy("acl", "rule_seq")
+    }),
+
     // 106023 analog (the reference's stage-3 default-deny report): traffic
     // matching NO configured rule. The widened derivation (acl universe % 5)
     // routes a fifth of the traffic to rule-less acl_4; the broadcast
@@ -458,6 +504,23 @@ object Fw {
          |       COUNT(DISTINCT dst_port) AS n_ports
          |FROM fw GROUP BY src_ip HAVING COUNT(DISTINCT dst_ip) >= 3
          |ORDER BY n_dsts DESC, n_events DESC, src_ip LIMIT 50""".stripMargin,
+    "fw_rule_churn" ->
+      s"""WITH $rulesSqlCte, ${rulesSqlCteFor("prev", prevRuleset)},
+         |labeled AS (
+         |  SELECT COALESCE(c.acl, p.acl) AS acl,
+         |    COALESCE(c.rule_seq, p.rule_seq) AS rule_seq,
+         |    CASE WHEN p.acl IS NULL THEN 'added'
+         |      WHEN c.acl IS NULL THEN 'removed'
+         |      WHEN c.action <> p.action OR c.proto <> p.proto
+         |        OR c.src_lo <> p.src_lo OR c.src_hi <> p.src_hi
+         |        OR c.dst_lo <> p.dst_lo OR c.dst_hi <> p.dst_hi
+         |        OR c.port_lo <> p.port_lo OR c.port_hi <> p.port_hi
+         |      THEN 'changed' ELSE 'unchanged' END AS status
+         |  FROM rules c FULL OUTER JOIN prev p
+         |    ON c.acl = p.acl AND c.rule_seq = p.rule_seq)
+         |SELECT acl, rule_seq, status FROM labeled
+         |WHERE status <> 'unchanged' ORDER BY acl, rule_seq""".stripMargin,
+
     "fw_deny_stats" ->
       s"""WITH ${fwSqlCteMod("fw5", 5)}, $rulesSqlCte
          |SELECT acl, dst_port, COUNT(*) AS n_denied,

@@ -198,6 +198,50 @@ object Relational {
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
+    // RFM customer segmentation — the second end-to-end reporting
+    // composite next to composite_q3: per-customer recency/frequency/
+    // monetary, scored into quartile bands. Scale shape: quartile
+    // THRESHOLDS come from one percentile_disc aggregate (9 scalars) and
+    // broadcast back onto the per-customer table — never a global
+    // un-partitioned ntile() window, which would single-partition the
+    // whole customer dimension (the global-window anti-pattern; same
+    // broadcast-threshold pattern as text_quality_filter). Recency is
+    // compared in epoch seconds (midnight timestamps — integral, exact in
+    // both engines); monetary is the exact-decimal-sum double.
+    "composite_rfm" -> ((s, d) => {
+      val per = Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(max(col("o_orderdate")).as("last_order"),
+          count(lit(1)).as("frequency"),
+          dsum(col("o_totalprice")).as("monetary"))
+        // NTZ→LTZ is identity under the pinned UTC session; DuckDB's
+        // epoch() reads the same wall-clock seconds from its (ntz)
+        // TIMESTAMP — midnight order dates make them integral and exact
+        .withColumn("rec", col("last_order").cast("timestamp").cast("long"))
+      val th = per.agg(
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY rec)").as("r25"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY rec)").as("r50"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY rec)").as("r75"),
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY frequency)").as("f25"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY frequency)").as("f50"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY frequency)").as("f75"),
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY monetary)").as("m25"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY monetary)").as("m50"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY monetary)").as("m75"))
+      def score(v: Column, a: Column, b: Column, c: Column): Column =
+        lit(1) + (v >= a).cast("int") + (v >= b).cast("int") +
+          (v >= c).cast("int")
+      per.crossJoin(broadcast(th))
+        .select(col("o_custkey"), col("last_order"), col("frequency"),
+          col("monetary"),
+          score(col("rec"), col("r25"), col("r50"), col("r75")).as("r_score"),
+          score(col("frequency"), col("f25"), col("f50"), col("f75"))
+            .as("f_score"),
+          score(col("monetary"), col("m25"), col("m50"), col("m75"))
+            .as("m_score"))
+        .orderBy("o_custkey")
+    }),
+
     "agg_count_distinct" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy("event_type")
@@ -562,6 +606,29 @@ object Relational {
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "composite_rfm" ->
+      """WITH per AS (
+        |  SELECT o_custkey, MAX(o_orderdate) AS last_order,
+        |    COUNT(*) AS frequency,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS monetary,
+        |    CAST(epoch(MAX(o_orderdate)) AS BIGINT) AS rec
+        |  FROM orders GROUP BY o_custkey),
+        |th AS (SELECT
+        |  quantile_disc(rec, 0.25) AS r25, quantile_disc(rec, 0.5) AS r50,
+        |  quantile_disc(rec, 0.75) AS r75,
+        |  quantile_disc(frequency, 0.25) AS f25, quantile_disc(frequency, 0.5) AS f50,
+        |  quantile_disc(frequency, 0.75) AS f75,
+        |  quantile_disc(monetary, 0.25) AS m25, quantile_disc(monetary, 0.5) AS m50,
+        |  quantile_disc(monetary, 0.75) AS m75 FROM per)
+        |SELECT o_custkey, last_order, frequency, monetary,
+        |  1 + CAST(rec >= r25 AS INT) + CAST(rec >= r50 AS INT)
+        |    + CAST(rec >= r75 AS INT) AS r_score,
+        |  1 + CAST(frequency >= f25 AS INT) + CAST(frequency >= f50 AS INT)
+        |    + CAST(frequency >= f75 AS INT) AS f_score,
+        |  1 + CAST(monetary >= m25 AS INT) + CAST(monetary >= m50 AS INT)
+        |    + CAST(monetary >= m75 AS INT) AS m_score
+        |FROM per CROSS JOIN th ORDER BY o_custkey""".stripMargin,
 
     "agg_count_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
