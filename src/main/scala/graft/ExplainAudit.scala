@@ -145,6 +145,16 @@ object ExplainAudit {
     // the zip of shifted slices instead
     ("text_ngrams", "lambda-free bigram fan-out (slice+zip, no transform())",
       p => !p.contains("lambdafunction")),
+    // repetition signals share the lambda-free bigram fan-out, and the
+    // (doc, bigram) stage must partial-aggregate before its exchange
+    ("text_repetition", "lambda-free bigrams + partial agg before exchange",
+      p => !p.contains("lambdafunction")
+        && (p.indexOf("HashAggregate") < p.indexOf("Exchange")
+          || p.contains("partial_count"))),
+    // mixture sampling is a pure map-side filter: no exchange beyond the
+    // declared ORDER BY's range partitioning
+    ("sample_mix", "map-only mixture filter (no hash exchange)",
+      p => !finalPlan(p).contains("Exchange hashpartitioning")),
     ("text_ngrams", "partial agg before the bigram exchange",
       p => p.indexOf("HashAggregate") < p.indexOf("Exchange")
         || p.contains("partial_count")),

@@ -45,6 +45,19 @@ object TextOps {
   private val phonePat = "555-[0-9]{3}-[0-9]{4}"
   private val emailPat = "[a-z0-9.]+@[a-z0-9.]+"
 
+  /** Mixture weights for `sample_mix`, in sixteenths of each language's
+    * documents (md5 first hex nibble < budget); languages not listed get
+    * [[mixDefault]]. One constants source generates both the Column chain
+    * and the oracle CASE so the two cannot drift. */
+  private val mixWeights: Seq[(String, Int)] = Seq("en" -> 8, "de" -> 4,
+    "fr" -> 2)
+  private val mixDefault = 1
+  private def hexChars(n: Int): Seq[String] =
+    "0123456789abcdef".take(n).map(_.toString)
+  private def mixSqlArm(w: Int): String =
+    s"substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN (${
+      hexChars(w).map(c => s"'$c'").mkString(", ")})"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // PII scan + redaction — the compliance pass every training-data
@@ -73,6 +86,59 @@ object TextOps {
             regexp_replace(col("mixed"), phonePat, "[PHONE]"),
             emailPat, "[EMAIL]").as("masked"))
         .orderBy("event_id")
+    }),
+
+    // Mixture-weighted deterministic sampling — the data-MIXING op: draw
+    // each language at its training-mixture rate (en half, de quarter,
+    // fr eighth, rest a sixteenth) with membership a pure function of
+    // doc_id (md5 nibble vs per-lang budget). Same guarantees as
+    // `sample_det`/`hashSplit`: identical across runs, engines,
+    // partitionings and corpus growth — a document never flips its fate
+    // when the corpus is re-sharded or extended. Map-only filter; at
+    // 100 TB it composes with any downstream op, no shuffle of its own.
+    "sample_mix" -> ((s, d) => {
+      val nib = substring(md5(col("doc_id").cast("string")), 1, 1)
+      val keep = mixWeights.foldRight(
+          nib.isin(hexChars(mixDefault): _*)) {
+        case ((lang, w), els) =>
+          when(col("lang") === lang, nib.isin(hexChars(w): _*)).otherwise(els)
+      }
+      Tables.documents(s, d).filter(keep)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // Repetition-based quality signals (the Gopher/MassiveText rule
+    // family): per-document duplicate-token fraction and top-bigram
+    // fraction — high values mean boilerplate/degenerate text a curation
+    // pass drops. Shapes: the token ratios are map-side; the bigram stage
+    // is the text_ngrams lambda-free fan-out keyed by (doc, bigram), so
+    // the shuffle is corpus-token-bounded with map-side partials, and the
+    // per-doc reduce keys on doc_id — no skew (bigram count per doc is
+    // bounded by doc length). Ratios are single divisions of exact counts
+    // — bit-identical cross-engine.
+    "text_repetition" -> ((s, d) => {
+      val toks = col("toks")
+      Tables.documents(s, d)
+        .select(col("doc_id"), tokens.as("toks"))
+        .select(col("doc_id"), size(toks).as("n_toks"),
+          size(array_distinct(toks)).as("n_distinct"),
+          slice(toks, lit(1), size(toks) - 1).as("a"),
+          slice(toks, lit(2), size(toks) - 1).as("b"))
+        .select(col("doc_id"), col("n_toks"), col("n_distinct"),
+          explode(arrays_zip(col("a"), col("b"))).as("p"))
+        .select(col("doc_id"), col("n_toks"), col("n_distinct"),
+          concat(col("p.a"), lit(" "), col("p.b")).as("bigram"))
+        .groupBy("doc_id", "n_toks", "n_distinct", "bigram")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("doc_id", "n_toks", "n_distinct")
+        .agg(max(col("n")).as("top_n"), sum(col("n")).as("n_bg"))
+        .select(col("doc_id"), col("n_toks"),
+          (lit(1) - col("n_distinct").cast("double") / col("n_toks"))
+            .as("dup_token_ratio"),
+          (col("top_n").cast("double") / col("n_bg")).as("top_bigram_ratio"),
+          (col("top_n").cast("double") / col("n_bg") >= 0.1).as("repetitive"))
+        .orderBy("doc_id")
     }),
 
     "text_tokenize_tf" -> ((s, d) =>
@@ -395,6 +461,37 @@ object TextOps {
          |  regexp_replace(regexp_replace(mixed, '$phonePat', '[PHONE]', 'g'),
          |    '$emailPat', '[EMAIL]', 'g') AS masked
          |FROM e ORDER BY event_id""".stripMargin,
+
+    "sample_mix" -> {
+      val whens = mixWeights.map { case (l, w) =>
+        s"WHEN lang = '$l' THEN ${mixSqlArm(w)}"
+      }.mkString(" ")
+      s"""SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE CASE $whens ELSE ${mixSqlArm(mixDefault)} END
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "text_repetition" ->
+      """WITH base AS (SELECT doc_id,
+        |    string_split(text, ' ') AS toks,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |      AS n_distinct
+        |  FROM documents),
+        |bg AS (SELECT doc_id, n_toks, n_distinct,
+        |    unnest(list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        |  FROM base),
+        |cnt AS (SELECT doc_id, n_toks, n_distinct, bigram, COUNT(*) AS n
+        |  FROM bg GROUP BY 1, 2, 3, 4),
+        |agg AS (SELECT doc_id, n_toks, n_distinct, MAX(n) AS top_n,
+        |    SUM(n) AS n_bg
+        |  FROM cnt GROUP BY 1, 2, 3)
+        |SELECT doc_id, n_toks,
+        |  1 - CAST(n_distinct AS DOUBLE) / n_toks AS dup_token_ratio,
+        |  CAST(top_n AS DOUBLE) / n_bg AS top_bigram_ratio,
+        |  CAST(top_n AS DOUBLE) / n_bg >= 0.1 AS repetitive
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     "text_tokenize_tf" ->
       """SELECT token, COUNT(*) AS tf
