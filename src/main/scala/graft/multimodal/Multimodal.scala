@@ -7,14 +7,18 @@ import org.apache.spark.sql.functions._
   * pipeline extension from the driver brief: media as opaque `binary`
   * columns with typed metadata, processed partition-wise in batches.
   *
-  * The actual codec work (JPEG decode, resampling, frame extraction) needs
-  * native libraries that are NOT in this environment, so the decode kernels
-  * are STUBBED behind [[MediaDecoder]] with a deterministic fake
-  * implementation. Everything around the stub is real and tested: the
-  * schema, the Dataset[MediaRow] encoder, the mapPartitions batch shape
-  * (decode amortized per batch, not per row), partition-by-kind routing,
-  * and the downstream feature join. Swapping [[DeterministicFakeDecoder]]
-  * for a JNI/JavaCV-backed implementation changes no plumbing.
+  * Decode kernels sit behind the [[MediaDecoder]] trait. Two
+  * implementations ship: [[ImageIoDecoder]] — REAL decoding for every
+  * format the JDK has codecs for (PNG/JPEG/BMP images via `javax.imageio`,
+  * WAV/PCM audio via `javax.sound.sampled`; pure JVM, headless-safe,
+  * MultimodalSpec round-trips real pixels and samples through it) — and
+  * [[DeterministicFakeDecoder]], the documented stub that remains the
+  * video path (the JDK ships no video codec; that is the one genuinely
+  * environment-blocked kernel) and the cross-format default for tests
+  * that only exercise plumbing. Swapping in a JNI/JavaCV decoder for
+  * video changes no plumbing: the schema, the Dataset[MediaRow] encoder,
+  * the mapPartitions batch shape (decode amortized per batch, not per
+  * row), partition routing, and the downstream feature join are shared.
   *
   * Scale notes: payloads stay off the driver always; decode parallelism is
   * hash-spread over the cluster with kind-sorted partitions for batch-level
@@ -69,6 +73,83 @@ object Multimodal {
       val at = ((offsetMs.toDouble / math.max(1, m.durationMs)) * p.length).toInt
       p.slice(math.min(at, p.length - 1), math.min(at + 64, p.length))
     }
+  }
+
+  /** REAL decode kernels for the formats the JDK ships codecs for —
+    * no native/external libraries involved, everything headless-safe:
+    *
+    *  - images (PNG/JPEG/BMP/GIF): `javax.imageio` decode; features are an
+    *    8×8 grayscale thumbnail (64 floats in [-0.5, 0.5] — the classic
+    *    perceptual-hash core, and conveniently [[graft.sim.Ann]]'s 64-dim
+    *    shape); resize re-renders through `Graphics2D` and re-encodes PNG.
+    *  - audio (WAV/PCM): `javax.sound.sampled` decode; features are 64 RMS
+    *    energy buckets over the sample stream (a real spectral-envelope
+    *    stand-in that needs no FFT library).
+    *  - video: the JDK has NO video codec, so frame extraction remains the
+    *    documented [[DeterministicFakeDecoder]] stub — the one genuinely
+    *    environment-blocked kernel, delegated explicitly below.
+    *
+    * Batch-amortization note: ImageIO reader lookup is cached JVM-wide, so
+    * the per-batch setup the mapPartitions shape provides is already free
+    * here; a JNI decoder would use it harder. */
+  object ImageIoDecoder extends MediaDecoder {
+    private def readImage(p: Array[Byte]): java.awt.image.BufferedImage = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+      require(img != null, "payload is not a JDK-decodable image")
+      img
+    }
+
+    def imageFeatures(p: Array[Byte], m: MediaMeta): Array[Float] = {
+      val img = readImage(p)
+      val thumb = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val g = thumb.createGraphics()
+      try g.drawImage(img, 0, 0, 8, 8, null) finally g.dispose()
+      val raster = thumb.getRaster
+      Array.tabulate(64)(i =>
+        raster.getSample(i % 8, i / 8, 0) / 255.0f - 0.5f)
+    }
+
+    def audioFeatures(p: Array[Byte], m: MediaMeta): Array[Float] = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(p))
+      try {
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 16, "expect 16-bit PCM")
+        val bytes = in.readAllBytes()
+        val n = bytes.length / 2
+        val buckets = new Array[Double](64)
+        val counts = new Array[Long](64)
+        val bb = java.nio.ByteBuffer.wrap(bytes).order(
+          if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN)
+        var i = 0
+        while (i < n) {
+          val s = bb.getShort(i * 2) / 32768.0
+          val b = (i.toLong * 64 / math.max(1, n)).toInt
+          buckets(b) += s * s; counts(b) += 1
+          i += 1
+        }
+        Array.tabulate(64)(b =>
+          if (counts(b) == 0) 0f
+          else math.sqrt(buckets(b) / counts(b)).toFloat)
+      } finally in.close()
+    }
+
+    def resize(p: Array[Byte], m: MediaMeta, w: Int, h: Int): Array[Byte] = {
+      val img = readImage(p)
+      val out = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try g.drawImage(img, 0, 0, w, h, null) finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+
+    // no video codec in the JDK — the one kernel that stays stubbed
+    def extractFrame(p: Array[Byte], m: MediaMeta, offsetMs: Long): Array[Byte] =
+      DeterministicFakeDecoder.extractFrame(p, m, offsetMs)
   }
 
   /** Deterministic synthetic media corpus derived from `documents` (no

@@ -71,6 +71,70 @@ class MultimodalSpec extends SparkSpec {
     assert(forOne.forall(_.payload.nonEmpty))
   }
 
+  // ---- real JDK-codec kernels (ImageIoDecoder) ----
+
+  /** A real w×h PNG: left half black, right half white. */
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h)
+      img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** A real 16-bit PCM WAV: silence then a full-scale square wave. */
+  private def wavBytes(nSamples: Int): Array[Byte] = {
+    val data = new Array[Byte](nSamples * 2)
+    val bb = java.nio.ByteBuffer.wrap(data)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    for (i <- 0 until nSamples)
+      bb.putShort(i * 2,
+        if (i < nSamples / 2) 0
+        else if (i % 2 == 0) 30000 else -30000)
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(in,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("ImageIoDecoder decodes real PNGs through the Spark pipeline") {
+    import spark.implicits._
+    val meta = MediaMeta(64, 64, 0, 0L, "image/png")
+    val rows = (1L to 40L).map(i =>
+      MediaRow(i, "image", pngBytes(64, 64), meta))
+    val feats = extractFeatures(rows.toDS(), decoder = ImageIoDecoder,
+        numPartitions = Some(4))
+      .collect().map(f => f.media_id -> f.features).toMap
+    assert(feats.size === 40)
+    // the 8x8 grayscale thumbnail must SEE the half-black/half-white
+    // structure: left columns dark, right columns bright, on every row
+    for (f <- feats.values; r <- 0 until 8) {
+      assert(f(r * 8) < -0.3f, "leftmost thumbnail column must be dark")
+      assert(f(r * 8 + 7) > 0.3f, "rightmost thumbnail column must be bright")
+    }
+    // real resize: output is a decodable 16x16 PNG with the same structure
+    val small = ImageIoDecoder.resize(pngBytes(64, 64), meta, 16, 16)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(small))
+    assert(back.getWidth === 16 && back.getHeight === 16)
+    assert((back.getRGB(1, 8) & 0xFF) < 64, "left stays dark after resize")
+    assert((back.getRGB(14, 8) & 0xFF) > 192, "right stays bright after resize")
+  }
+
+  test("ImageIoDecoder decodes real WAV audio: RMS envelope sees structure") {
+    val f = ImageIoDecoder.audioFeatures(wavBytes(12800),
+      MediaMeta(0, 0, 16000, 800L, "audio/wav"))
+    assert(f.length === 64)
+    // first half silence → ~0 energy; second half full-scale square → ~0.9
+    assert(f.take(30).forall(_ < 0.01f), "silent half must be near-zero RMS")
+    assert(f.drop(34).forall(_ > 0.8f), "square-wave half must be high RMS")
+  }
+
   test("decoded features flow into the ANN index unchanged") {
     val feats = featureTable(syntheticMedia(spark, sfDir))
     assert(feats.columns.toSeq === Seq("vec_id", "embedding"))
