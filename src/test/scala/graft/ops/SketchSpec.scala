@@ -35,6 +35,56 @@ class SketchSpec extends SparkSpec {
       s"reduction too weak: $reducedCount vs $trueMatches matches")
   }
 
+  test("incremental distinct: appended day sketches union to exact-within-error") {
+    import org.apache.spark.sql.functions._
+    val events = Tables.events(spark, sf).withColumn("day", to_date(col("ts")))
+    val days = events.select("day").distinct()
+      .orderBy("day").collect().map(_.getDate(0).toString)
+    assert(days.length >= 3, s"fixture needs several days, got ${days.length}")
+    val cut = days(days.length / 2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_hll_idx").toString
+
+    // two INCREMENTAL appends: history first, then "newly arrived" days —
+    // the second write must not touch the first write's partitions
+    IncrementalDistinct.appendDailySketches(
+      events.filter(col("day") <= cut).drop("day"), dir)
+    val histEstimate = IncrementalDistinct.distinctUsers(spark, dir)
+    IncrementalDistinct.appendDailySketches(
+      events.filter(col("day") > cut).drop("day"), dir)
+
+    // history window re-queried AFTER the append: bit-identical estimate —
+    // proof the old partitions were not rewritten or double-counted
+    assert(IncrementalDistinct.distinctUsers(spark, dir, toDay = Some(cut))
+      === histEstimate)
+
+    // full-window and per-type estimates within HLL error of exact
+    // (lgK=12 ⇒ ~0.8% standard error; 5% is a generous determinism-safe gate)
+    val exactAll = events.select("user_id").distinct().count()
+    val estAll = IncrementalDistinct.distinctUsers(spark, dir)
+    assert(math.abs(estAll - exactAll).toDouble / exactAll < 0.05,
+      s"est $estAll vs exact $exactAll")
+    val exactByType = events.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    IncrementalDistinct.distinctUsersByType(spark, dir).collect().foreach { r =>
+      val (t, est) = (r.getString(0), r.getLong(1))
+      val exact = exactByType(t)
+      assert(math.abs(est - exact).toDouble / exact < 0.05,
+        s"$t: est $est vs exact $exact")
+    }
+
+    // a day-bounded estimate must PRUNE the sketch scan to matching
+    // day partitions — the plan carries a partition filter on day
+    val bounded = IncrementalDistinct.sketches(spark, dir,
+      fromDay = Some(days.head), toDay = Some(cut))
+    bounded.collect()
+    val plan = bounded.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(day")
+      || plan.contains("PartitionFilters: [(day"),
+      s"day bounds must land on PartitionFilters:\n$plan")
+  }
+
   test("count-min sketch overestimates boundedly (heavy hitters)") {
     val events = Tables.events(spark, sf)
     val eps = 0.005
