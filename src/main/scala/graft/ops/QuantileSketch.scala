@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.datasketches.kll.KllDoublesSketch
+import org.apache.datasketches.memory.Memory
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Incremental quantiles over PERSISTED KLL sketches — the third leg of
+  * the incremental-analytics trio (near-dup index: [[graft.sim.IncrementalDedup]];
+  * distinct counts: [[IncrementalDistinct]]): per-(day, type) KLL quantile
+  * sketches (DataSketches, bundled with Spark for its `hll_*` functions)
+  * are built in ONE pass over each arriving day and appended under the
+  * day's partition; any later day-range × type window answers p50/p95/p99
+  * by merging kB sketches — never re-scanning fact data. KLL merge is
+  * associative with bounded rank error (k=200 ⇒ ~1.65% single-sided), so
+  * the per-day decomposition loses nothing over a monolithic build.
+  *
+  * Shapes: the build is `repartition(day, type)` + one `mapPartitions`
+  * pass updating heap sketches per group — one exchange, no per-row
+  * serialization, payloads never on the driver. The window query merges
+  * the (days × types)-row sketch table through a typed `Aggregator` whose
+  * per-row deserialize cost is paid at sketch-table cardinality, not fact
+  * cardinality; quantile extraction is a typed flatMap (no UDF — the
+  * repo's zero-scalar-UDF policy holds).
+  *
+  * TEST-only (SURVEY §7.5.7 — approximate); SketchSpec pins rank accuracy
+  * against exact order statistics, append-only immutability, and
+  * partition-pruned sketch reads.
+  */
+object QuantileSketch {
+
+  val DefaultK = 200
+
+  /** Merge KLL sketch blobs; buffer/output are serialized sketch bytes, so
+    * the encoders are plain BINARY. Row count here is the sketch-table
+    * size (days × types) — tiny — which is what makes per-row
+    * heapify+merge acceptable. */
+  class KllMerge(k: Int)
+      extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+    private def des(b: Array[Byte]): KllDoublesSketch =
+      KllDoublesSketch.heapify(Memory.wrap(b))
+    private def mrg(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      val s = KllDoublesSketch.newHeapInstance(k)
+      s.merge(des(a)); s.merge(des(b))
+      s.toByteArray
+    }
+    override def zero: Array[Byte] =
+      KllDoublesSketch.newHeapInstance(k).toByteArray
+    override def reduce(buf: Array[Byte], in: Array[Byte]): Array[Byte] =
+      mrg(buf, in)
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      mrg(a, b)
+    override def finish(r: Array[Byte]): Array[Byte] = r
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** One sketch row per (day, event_type) of `value`, appended under the
+    * day's partition — call once per arriving day; history is immutable. */
+  def appendDailySketches(events: DataFrame, path: String,
+      k: Int = DefaultK): Unit = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withColumn("day", to_date(col("ts")).cast("string"))
+      .select(col("day"), col("event_type"), col("value"))
+      .repartition(col("day"), col("event_type"))
+      .as[(String, String, Double)]
+      .mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap
+          .empty[(String, String), (KllDoublesSketch, Long)]
+        it.foreach { case (d, t, v) =>
+          val (sk, n) = m.getOrElseUpdate((d, t),
+            (KllDoublesSketch.newHeapInstance(k), 0L))
+          sk.update(v)
+          m((d, t)) = (sk, n + 1)
+        }
+        m.iterator.map { case ((d, t), (sk, n)) =>
+          (d, t, n, sk.toByteArray)
+        }
+      }
+      .toDF("day", "event_type", "n_values", "sketch")
+      .write.mode("append").partitionBy("day").parquet(path)
+  }
+
+  /** The sketch table, optionally day-bounded (bounds land on the
+    * partition column → pruned read). */
+  def sketches(spark: SparkSession, path: String,
+      fromDay: Option[String] = None, toDay: Option[String] = None): DataFrame = {
+    val t = spark.read.parquet(path)
+    val lo = fromDay.map(d => col("day") >= lit(d)).getOrElse(lit(true))
+    val hi = toDay.map(d => col("day") <= lit(d)).getOrElse(lit(true))
+    t.filter(lo && hi)
+  }
+
+  /** `(event_type, p, value)` quantile estimates per type over a day
+    * window — one sketch merge per type, quantiles pulled in a typed
+    * flatMap. */
+  def quantilesByType(spark: SparkSession, path: String, probs: Seq[Double],
+      fromDay: Option[String] = None, toDay: Option[String] = None,
+      k: Int = DefaultK): DataFrame = {
+    import spark.implicits._
+    val mergeFn = udaf(new KllMerge(k), Encoders.BINARY)
+    sketches(spark, path, fromDay, toDay)
+      .groupBy("event_type").agg(mergeFn(col("sketch")).as("sk"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (t, bytes) =>
+        val sk = KllDoublesSketch.heapify(Memory.wrap(bytes))
+        probs.map(p => (t, p, sk.getQuantile(p)))
+      }
+      .toDF("event_type", "p", "value")
+      .orderBy("event_type", "p")
+  }
+}

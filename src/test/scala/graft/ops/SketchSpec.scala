@@ -85,6 +85,61 @@ class SketchSpec extends SparkSpec {
       s"day bounds must land on PartitionFilters:\n$plan")
   }
 
+  test("incremental quantiles: appended KLL sketches answer windows within rank error") {
+    import org.apache.spark.sql.functions._
+    val events = Tables.events(spark, sf).withColumn("day", to_date(col("ts")))
+    val days = events.select("day").distinct()
+      .orderBy("day").collect().map(_.getDate(0).toString)
+    val cut = days(days.length / 2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_kll_idx").toString
+
+    // two incremental appends (history, then new days)
+    QuantileSketch.appendDailySketches(
+      events.filter(col("day") <= cut).drop("day"), dir)
+    import scala.jdk.CollectionConverters._
+    def partFiles(): Map[String, Long] = {
+      val base = java.nio.file.Paths.get(dir)
+      val s = java.nio.file.Files.walk(base)
+      try s.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => base.relativize(p).toString ->
+          java.nio.file.Files.size(p)).toMap
+      finally s.close()
+    }
+    val before = partFiles()
+    QuantileSketch.appendDailySketches(
+      events.filter(col("day") > cut).drop("day"), dir)
+
+    // append-only immutability, proven at the FILE level (KLL merge is a
+    // randomized algorithm, so re-merged ESTIMATES legitimately wobble
+    // within the rank bound — bytes on disk are the invariant): every
+    // history file survives the append byte-for-byte in size and name,
+    // and only new-day files were added
+    val after = partFiles()
+    assert(before.forall { case (f, sz) => after.get(f).contains(sz) },
+      "append must not rewrite or resize existing history files")
+    assert(after.size > before.size, "append must add new-day files")
+
+    // rank accuracy vs exact order statistics over the FULL window:
+    // the estimated quantile's true rank must sit within ±3% of p
+    // (k=200 ⇒ ~1.65% bound; 3% absorbs both merge legs)
+    val est = QuantileSketch.quantilesByType(spark, dir,
+      Seq(0.25, 0.5, 0.9)).collect()
+    assert(est.nonEmpty)
+    val byType = events.select("event_type", "value").collect()
+      .groupBy(_.getString(0)).map { case (t, rows) =>
+        t -> rows.map(_.getDouble(1)).sorted
+      }
+    est.foreach { r =>
+      val (t, p, v) = (r.getString(0), r.getDouble(1), r.getDouble(2))
+      val xs = byType(t)
+      val rank = xs.count(_ <= v).toDouble / xs.length
+      assert(math.abs(rank - p) < 0.03,
+        f"$t p=$p: estimate $v%.3f has true rank $rank%.4f")
+    }
+  }
+
   test("count-min sketch overestimates boundedly (heavy hitters)") {
     val events = Tables.events(spark, sf)
     val eps = 0.005
