@@ -47,11 +47,11 @@ object ExplainAudit {
     ("fw_first_match", "scalar first-match (no join, no event_id hash exchange)",
       p => !p.contains("Join") && !p.contains("hashpartitioning(event_id")),
     // the negative checks above/below can pass vacuously if Spark ever
-    // renames the exchange spelling — pair them with a POSITIVE structural
-    // assertion: the matcher's acl-dispatched min-over-rules scan
-    // (`least(CASE WHEN …)`) must be visible in the plan, i.e. first-match
-    // really is a scalar projection, not some join that merely prints
-    // differently
+    // renames the exchange spelling — so every fw check pairs them with
+    // [[matcherOnce]], a positive EXACT-COUNT assertion (presence alone
+    // proved insufficient: it sat green over the r6 double-evaluation).
+    // ExplainAuditSpec proves the pairing non-vacuous against both known
+    // regressed plans.
     ("fw_first_match", "scalar matcher evaluated exactly once",
       matcherOnce),
     ("topk", "top-k without global sort (TakeOrderedAndProject)",

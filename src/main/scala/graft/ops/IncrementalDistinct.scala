@@ -26,7 +26,10 @@ object IncrementalDistinct {
   /** One sketch row per (day, event_type): `lgK = 12` ⇒ ≤ 0.8% standard
     * error at 4 kB max sketch size. `SaveMode.Append` + `partitionBy(day)`
     * is the incremental contract — call once per arriving day (or backfill
-    * range); existing day partitions are never touched. */
+    * range); existing day partitions are never touched. Accidentally
+    * re-appending a day is harmless for the DISTINCT estimates (HLL union
+    * is idempotent over identical data) but doubles that day's `n_events`
+    * sum — dedupe the ingest ledger, not the sketches. */
   def appendDailySketches(events: DataFrame, path: String,
       lgK: Int = 12): Unit =
     events

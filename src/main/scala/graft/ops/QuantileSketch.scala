@@ -57,7 +57,11 @@ object QuantileSketch {
   }
 
   /** One sketch row per (day, event_type) of `value`, appended under the
-    * day's partition — call once per arriving day; history is immutable. */
+    * day's partition — call ONCE per arriving day; history is immutable.
+    * Unlike the HLL distinct index, re-appending a day here is NOT
+    * harmless: KLL is a weighted sample, so duplicate sketches double that
+    * day's weight in every window estimate — the ingest ledger must
+    * enforce the once-per-day contract. */
   def appendDailySketches(events: DataFrame, path: String,
       k: Int = DefaultK): Unit = {
     val spark = events.sparkSession
