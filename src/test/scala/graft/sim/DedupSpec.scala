@@ -75,6 +75,54 @@ class DedupSpec extends SparkSpec {
     assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a"))
   }
 
+  test("incremental == whole-corpus on random planted-dup corpora (property)") {
+    import org.apache.spark.sql.functions._
+    // Random corpora stress the three drop classes jointly: direct corpus
+    // hits, transitivity through new docs, and clean within-shard clusters
+    // — at split points the fixture test's single cut can't cover.
+    val rng = new scala.util.Random(1311)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    def freshText(): String =
+      Seq.fill(12 + rng.nextInt(8))(vocab(rng.nextInt(vocab.size)))
+        .mkString(" ")
+    def mutate(t: String): String = {
+      // swap one token — stays well above the 0.8 Jaccard threshold
+      val toks = t.split(" ")
+      toks(rng.nextInt(toks.length)) = vocab(rng.nextInt(vocab.size))
+      toks.mkString(" ")
+    }
+    for (trial <- 1 to 3) {
+      val n = 50 + rng.nextInt(30)
+      val texts = new scala.collection.mutable.ArrayBuffer[String]
+      for (i <- 0 until n) {
+        val t =
+          if (i > 0 && rng.nextDouble() < 0.4) {
+            val src = texts(rng.nextInt(texts.size))
+            if (rng.nextBoolean()) src else mutate(src)
+          } else freshText()
+        texts += t
+      }
+      val docs = spark.createDataFrame(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toSeq)
+        .toDF("doc_id", "text")
+      val split = (n / 4 + rng.nextInt(n / 2)).toLong
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_mh_prop$trial").toString
+      IncrementalDedup.writeIndex(
+        docs.filter(col("doc_id") < split), "doc_id", "text", dir)
+      val got = IncrementalDedup.dedupShard(spark,
+          docs.filter(col("doc_id") >= split), "doc_id", "text", dir)
+        .select("doc_id").as[Long].collect().toSet
+      val expected = Dedup.dedupCorpus(docs, "doc_id", "text")
+        .filter(col("doc_id") >= split)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got === expected,
+        s"trial $trial (n=$n, split=$split): " +
+          s"missed=${expected.diff(got).size} extra=${got.diff(expected).size}")
+    }
+  }
+
   test("incremental dedup == whole-corpus dedup restricted to the shard") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
