@@ -295,6 +295,36 @@ class SimSpec extends SparkSpec {
     }
   }
 
+  test("segment-scheme candidates track the answer on content-distributed strings") {
+    // The complement of the deletion-scheme property below: on a corpus
+    // whose discriminative content is spread through the string (part
+    // names — natural-text-like), the PassJoin segment candidates must be
+    // ANSWER-proportional at k=3 across a 10× corpus growth. Measured
+    // ratios: cand/answer 4.85 (sf0.001) → 5.35 (sf0.01). NOTE the honest
+    // part: part's TRUE ed≤3 answer is itself Θ(n²) (vocabulary
+    // saturation, measured in round 6), so candidates here are also Θ(n²)
+    // — answer-proportionality is exactly the right bound for an EXACT
+    // join (the verify must touch every true pair anyway); no candidate
+    // scheme can beat a quadratic answer. The scheme's failure mode
+    // (template-aligned corpora) is pinned by the deletion-scheme test.
+    val ratios = for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01"))
+      yield {
+        val part = graft.core.Tables.part(spark, dir)
+          .select(col("p_partkey").as("key"), col("p_name").as("name"))
+        val cand = Similarity
+          .editDistanceSegmentCandidates(part, "key", "name", 3).count()
+        val ans = Similarity
+          .editDistancePairsSegments(part, "key", "name", 3).count()
+        assert(ans > 0)
+        cand.toDouble / ans
+      }
+    assert(ratios.forall(_ < 8.0),
+      s"segment candidates must stay answer-proportional: $ratios")
+    // the ratio must not blow up with corpus growth (10× rows)
+    assert(ratios(1) < ratios(0) * 1.5,
+      s"candidate/answer ratio must stay bounded under growth: $ratios")
+  }
+
   test("deletion-scheme candidates track the true pair count, not C(n,2)") {
     // THE scale property of the declared sim_edit_join: deletion-variant
     // buckets only collide for near-copies, so candidate volume is
