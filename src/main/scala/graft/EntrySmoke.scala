@@ -1,9 +1,11 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Dev smoke: drives the flagship query and (optionally) the raw-text
-  * firewall pipeline end-to-end. Usage:
-  *   runMain graft.EntrySmoke [logPath confPath]
+/** Dev smoke: drives the flagship query and (optionally) one of the demo
+  * pipelines end-to-end. Usage:
+  *   runMain graft.EntrySmoke                      — flagship only
+  *   runMain graft.EntrySmoke <logPath> <confPath> — raw fw pipeline
+  *   runMain graft.EntrySmoke neardup|ann|dedup|incremental|stream <sfDir>
   */
 object EntrySmoke {
   def main(args: Array[String]): Unit = {
@@ -45,6 +47,28 @@ object EntrySmoke {
         val docs = core.Tables.documents(spark, dir)
         val kept = sim.Dedup.dedupCorpus(docs, "doc_id", "text")
         println(s"DEDUP_CORPUS: kept ${kept.count()} of ${docs.count()}")
+      case Array("incremental", dir) =>
+        // the incremental-analytics trio: MinHash shard-vs-index dedup,
+        // per-day HLL distinct index, per-day KLL quantile index
+        import org.apache.spark.sql.functions.col
+        val docs = core.Tables.documents(spark, dir)
+        val split = 400L
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft_inc_idx").toString
+        sim.IncrementalDedup.writeIndex(
+          docs.filter(col("doc_id") < split), "doc_id", "text", s"$idx/mh")
+        val shard = docs.filter(col("doc_id") >= split)
+        val kept = sim.IncrementalDedup.dedupShard(spark, shard,
+          "doc_id", "text", s"$idx/mh")
+        println(s"INCREMENTAL_DEDUP: kept ${kept.count()} of ${shard.count()} shard docs")
+        val events = core.Tables.events(spark, dir)
+        ops.IncrementalDistinct.appendDailySketches(events, s"$idx/hll")
+        println(s"INCREMENTAL_DISTINCT: ~" +
+          ops.IncrementalDistinct.distinctUsers(spark, s"$idx/hll") + " users")
+        ops.QuantileSketch.appendDailySketches(events, s"$idx/kll")
+        println("INCREMENTAL_QUANTILES:")
+        ops.QuantileSketch.quantilesByType(spark, s"$idx/kll",
+          Seq(0.5, 0.95)).show(12, false)
       case Array("stream", dir) =>
         // file-source streaming drive: µs-normalized copy of events →
         // readStream → watermarked tumbling agg → memory sink
