@@ -242,6 +242,38 @@ object Relational {
         .orderBy("o_custkey")
     }),
 
+    // Per-group Pearson correlation — native corr() folds raw double
+    // partials in partition order and is not oracle-able (nor stable under
+    // AQE re-plans); same cure as agg_var_exact: five EXACT decimal moment
+    // sums (products of ≤2-decimal values cast at (18,4) before summing —
+    // exact, order-free), each cast to double ONCE, then one identical
+    // double expression on both engines (IEEE mul/sub/sqrt/div are
+    // correctly rounded ⇒ identical bits). Column choice is load-bearing:
+    // quantity × discount keeps every scaled moment sum < 2⁵³, where the
+    // decimal→double cast is a single exact-input rounding on both engines
+    // — price² sums overflow that bound and trip DuckDB's two-step
+    // int128→double rounding (1-ulp drift, measured; the agg_basic
+    // sum_charge comment records the same mechanism).
+    "agg_corr" -> ((s, d) => {
+      val x = col("l_quantity")
+      val y = col("l_discount")
+      def dsumOf(c: Column): Column =
+        sum(c.cast("decimal(18,4)")).cast("double")
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).cast("double").as("n"),
+          dsumOf(x).as("sx"), dsumOf(y).as("sy"),
+          dsumOf(x * y).as("sxy"), dsumOf(x * x).as("sxx"),
+          dsumOf(y * y).as("syy"))
+        .select(col("l_returnflag"),
+          col("n").cast("bigint").as("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+            .as("corr_qty_disc"))
+        .orderBy("l_returnflag")
+    }),
+
     "agg_count_distinct" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy("event_type")
@@ -606,6 +638,22 @@ object Relational {
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "agg_corr" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  (n * sxy - sx * sy) /
+        |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+        |    AS corr_qty_disc
+        |FROM m ORDER BY l_returnflag""".stripMargin,
 
     "composite_rfm" ->
       """WITH per AS (
