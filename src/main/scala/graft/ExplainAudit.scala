@@ -166,6 +166,21 @@ object ExplainAudit {
       p => p.contains("TakeOrderedAndProject")),
     ("composite_q3", "segment filter pushed to the customer scan",
       p => p.contains("EqualTo(c_mktsegment,BUILDING)")),
+    // substring dedup: shingles must travel as 8-byte xxhash64 digests
+    // (never gram strings), the k-slice fan-out must stay lambda-free, and
+    // the gram-share count must partial-aggregate before its exchange —
+    // the corpus-sized shuffle carries (digest, doc_id), nothing wider
+    ("text_substring_dedup", "digest shingles, lambda-free, partial agg",
+      p => p.contains("xxhash64") && !p.contains("lambdafunction")
+        && (p.indexOf("HashAggregate") < p.indexOf("Exchange")
+          || p.contains("partial_count"))),
+    // the per-doc span budget joins a doc-keyed aggregate back to a slim
+    // (doc_id, n_tokens) projection: same digest discipline, and the join
+    // must stay keyed (doc_id) — a nested-loop fallback here would pair
+    // the corpus against the span table
+    ("text_substring_dedup_filter", "digest shingles + keyed budget join",
+      p => p.contains("xxhash64") && !p.contains("CartesianProduct")
+        && !p.contains("BroadcastNestedLoopJoin")),
     // rfm: the quartile thresholds ride a 1-row broadcast back onto the
     // per-customer table (never a global ntile window single-partitioning
     // the dimension), and the percentiles aggregate map-side

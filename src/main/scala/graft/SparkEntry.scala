@@ -18,6 +18,7 @@ object SparkEntry {
     ops.SqlFrontend.queries,
     ops.Scalars.queries,
     text.TextOps.queries,
+    text.SubstringDedup.queries,
     sim.Similarity.queries,
     sim.Dedup.queries
   )
@@ -29,6 +30,7 @@ object SparkEntry {
     ops.SqlFrontend.oracleSql,
     ops.Scalars.oracleSql,
     text.TextOps.oracleSql,
+    text.SubstringDedup.oracleSql,
     sim.Similarity.oracleSql,
     sim.Dedup.oracleSql
   )

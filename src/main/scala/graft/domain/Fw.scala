@@ -265,7 +265,16 @@ object Fw {
     * algebra for any optimizer version to exploit (its scaladoc records
     * the stage-retry trade), and ExplainAudit's matcher-once gate
     * ([[matcherLeastCount]]) counts matcher trees in every count-family
-    * plan so a future bypass turns a red test, not a silent 2×. */
+    * plan so a future bypass turns a red test, not a silent 2×.
+    *
+    * SECOND trade, beyond stage-retry: a nondeterministic projected field
+    * blocks push-through-Project for EVERY later filter, not just the
+    * sentinel one — a scan-pushable predicate applied AFTER the pinned
+    * projection (a time/day filter, say) silently loses parquet pushdown
+    * and partition pruning. Rule for future fw queries: apply scan-level
+    * predicates to the fact table BEFORE [[matchedScalar]]'s projection
+    * (they push from there), and keep only matcher-derived filters above
+    * the pin. */
   private def pinnedHere(c: Column): Column =
     org.apache.spark.sql.graftexpr.EvalHereExpr.column(c)
 

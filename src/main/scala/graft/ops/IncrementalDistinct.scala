@@ -60,10 +60,12 @@ object IncrementalDistinct {
         sum(col("n_events")).as("n_events"))
       .orderBy("event_type")
 
-  /** Overall distinct-user estimate over a day window. */
+  /** Overall distinct-user estimate over a day window. An empty window (no
+    * matching sketch partitions) estimates 0 — `hll_union_agg` over zero
+    * rows yields NULL, which a bare getLong would turn into an NPE. */
   def distinctUsers(spark: SparkSession, path: String,
       fromDay: Option[String] = None, toDay: Option[String] = None): Long =
     sketches(spark, path, fromDay, toDay)
-      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))))
+      .agg(coalesce(hll_sketch_estimate(hll_union_agg(col("sketch"))), lit(0L)))
       .head.getLong(0)
 }

@@ -107,8 +107,12 @@ object Streaming {
     *
     * Deliberately STATELESS: the band fan-out is a pure per-row transform
     * (shared function with the batch probe, so they cannot drift), the
-    * index join is stream-static (re-planned per micro-batch, so a
-    * republished index is picked up), and the verify is a row filter —
+    * index join is stream-static against a FIXED index snapshot — the
+    * parquet file listing is resolved ONCE at stream definition
+    * (InMemoryFileIndex), so an index republished in place is NOT picked
+    * up mid-stream (and deleting its files can fail the query); to roll
+    * the index, restart the stream (checkpoint-cheap: no state store) or
+    * re-read it inside a foreachBatch — and the verify is a row filter —
     * no watermark, no state store, nothing to size or evict. The price is
     * multiplicity: a doc matching a corpus member in several bands emits
     * that flag once per colliding band, so consumers must be idempotent on

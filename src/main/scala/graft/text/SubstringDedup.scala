@@ -1,0 +1,186 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Exact substring-level deduplication — SURVEY.md §2 B9.27 (round 8).
+  *
+  * MinHash ([[graft.sim.MinHash]]) catches near-duplicate *documents*; the
+  * published exact-substring result ("Deduplicating Training Data Makes
+  * Language Models Better", Lee et al. 2022) removes *copied passages* —
+  * ≥k-token runs shared verbatim between otherwise-distinct documents.
+  * Their tool builds a corpus-wide suffix array; that is a single-machine
+  * shape. With the match length fixed at k the same guarantee reduces to a
+  * pure map-reduce pipeline, which is the 100 TB shape:
+  *
+  *  1. shingle: every k-token window of every doc → (doc_id, pos, digest).
+  *     Lambda-free fan-out (k shifted `slice`s + `arrays_zip` +
+  *     `posexplode` — the `text_contamination` pattern, TextOps.scala), one
+  *     row per token, travelling as an 8-byte xxhash64 digest. A digest
+  *     collision only bridges two unrelated grams with probability
+  *     ≈ pairs·2⁻⁶⁴ (the standing sim_ngram_jaccard argument).
+  *  2. share counts: groupBy(digest) → distinct-doc count, keep >1. Partial
+  *     aggregation bounds the exchange by distinct-gram cardinality; unlike
+  *     the doc×doc contamination join there is NO pair fan-out anywhere, so
+  *     no df cap is needed — a phrase shared by 10⁶ docs costs 10⁶ rows
+  *     (linear), not 10¹² pairs.
+  *  3. join back on digest: both sides are already hash-partitioned on the
+  *     digest from step 2, and only duplicated shingles survive.
+  *  4. span merge per doc: shingles at p₁ < p₂ cover contiguously iff
+  *     p₂ − p₁ ≤ k, so a doc_id-partitioned window (`lag` + running sum of
+  *     breaks) assigns maximal covered runs — gaps-and-islands, no
+  *     running-max needed because all spans have equal length k. This
+  *     shuffle carries only the duplicated positions, a small fraction of
+  *     the corpus in any corpus worth training on.
+  *
+  * Every step is deterministic integer arithmetic → DuckDB-oracle eligible
+  * (the oracle groups the raw gram strings; Spark groups digests — same
+  * final spans, the contamination precedent).
+  */
+object SubstringDedup {
+
+  /** Matches the repo-wide whitespace tokenizer (TextOps.tokens). */
+  private def tokens: Column = split(col("text"), " ")
+
+  /** (doc_id, pos, gh): one row per k-token shingle, pos 1-based. */
+  def shingles(docs: DataFrame, k: Int): DataFrame = {
+    val t = tokens
+    val n = size(t)
+    val parts = (1 to k).map(i =>
+      slice(t, lit(i), greatest(n - (k - 1), lit(0))).as(s"s$i"))
+    val gram = concat_ws(" ", (1 to k).map(i => col(s"p.s$i")): _*)
+    docs
+      .select(col("doc_id") +: parts: _*)
+      .select(col("doc_id"),
+        posexplode(arrays_zip((1 to k).map(i => col(s"s$i")): _*)).as(Seq("p0", "p")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), xxhash64(gram).as("gh"))
+  }
+
+  /** Maximal duplicated-token spans per document:
+    * (doc_id, span_start, span_len, n_sharers) where span tokens
+    * [span_start, span_start+span_len-1] (1-based) are entirely covered by
+    * k-token shingles each appearing verbatim in ≥2 distinct documents, and
+    * n_sharers is the distinct-document count of the span's most-shared
+    * shingle (self included). */
+  def dupSpans(docs: DataFrame, k: Int): DataFrame = {
+    val g = shingles(docs, k)
+    val nd = g.groupBy("gh")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+    val dup = g.join(nd, "gh")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val lagPos = lag(col("pos"), 1).over(w)
+    val brk = when(lagPos.isNull || col("pos") - lagPos > k, 1).otherwise(0)
+    dup
+      .withColumn("island",
+        sum(brk).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(k) - min(col("pos"))).as("span_len"),
+        max(col("nd")).as("n_sharers"))
+      .select("doc_id", "span_start", "span_len", "n_sharers")
+  }
+
+  /** Per-document duplication budget over the WHOLE corpus (every doc gets a
+    * row): token count, duplicated-token count, duplicated fraction, and the
+    * keep verdict of the standard "drop docs that are mostly copies" filter.
+    * The spans aggregate is doc-keyed and joined back to the slim
+    * (doc_id, n_tokens) projection — the corpus text never shuffles. */
+  def dedupStats(docs: DataFrame, k: Int, maxDupFrac: Double): DataFrame = {
+    val perDoc = dupSpans(docs, k)
+      .groupBy("doc_id")
+      .agg(sum(col("span_len")).as("dup_tokens"))
+    docs.select(col("doc_id"), size(tokens).as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("dup_tokens", coalesce(col("dup_tokens"), lit(0L)))
+      .withColumn("dup_frac",
+        col("dup_tokens").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("keep", col("dup_frac") < maxDupFrac)
+      .select("doc_id", "n_tokens", "dup_tokens", "dup_frac", "keep")
+  }
+
+  /** Corpus with every duplicated span's tokens removed (the Lee et al.
+    * "remove all copies" variant): docs keep only tokens outside every
+    * flagged span, rejoined by single spaces. Library/test surface, not a
+    * declared query — the index-lambda filter runs interpreted, which is
+    * fine for a corpus-rewrite stage that runs once per ingest. */
+  def maskSpans(docs: DataFrame, k: Int): DataFrame = {
+    val spansByDoc = dupSpans(docs, k)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_len"))).as("spans"))
+    docs.join(spansByDoc, Seq("doc_id"), "left")
+      .withColumn("spans", coalesce(col("spans"),
+        array().cast("array<struct<span_start:int,span_len:int>>")))
+      .withColumn("kept", filter(tokens, (tok, i) =>
+        !exists(col("spans"), sp =>
+          (i + 1 >= sp.getField("span_start")) &&
+            (i + 1 < sp.getField("span_start") + sp.getField("span_len")))))
+      .select(col("doc_id"), concat_ws(" ", col("kept")).as("text"))
+  }
+
+  // ------------------------------------------------------------------
+  // declared queries + oracles
+  // ------------------------------------------------------------------
+
+  private val K = 8
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_substring_dedup" -> ((s, d) =>
+      dupSpans(Tables.documents(s, d), K)
+        .orderBy("doc_id", "span_start")),
+    "text_substring_dedup_filter" -> ((s, d) =>
+      dedupStats(Tables.documents(s, d), K, 0.5)
+        .orderBy("doc_id"))
+  )
+
+  /** The oracle rebuilds the same pipeline on raw gram STRINGS (DuckDB has
+    * no xxhash64); the compared output carries no hashes, so the two
+    * formulations agree exactly — the text_contamination precedent. */
+  private val spanCte: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+       |  FROM documents),
+       |g AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(t) - ${K - 2}),
+       |      i -> {'pos': CAST(i AS INTEGER),
+       |            'gram': ${(0 until K).map(j => s"t[i + $j]").mkString(" || ' ' || ")}})) AS u
+       |    FROM toks)),
+       |nd AS (SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM g
+       |  GROUP BY gram HAVING COUNT(DISTINCT doc_id) > 1),
+       |dup AS (SELECT g.doc_id, g.pos, nd.nd FROM g JOIN nd USING (gram)),
+       |brks AS (SELECT doc_id, pos, nd,
+       |    CASE WHEN lag(pos) OVER w IS NULL
+       |      OR pos - lag(pos) OVER w > $K THEN 1 ELSE 0 END AS brk
+       |  FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |isl AS (SELECT doc_id, pos, nd,
+       |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM brks),
+       |spans AS (SELECT doc_id, MIN(pos) AS span_start,
+       |    CAST(MAX(pos) + $K - MIN(pos) AS INTEGER) AS span_len,
+       |    CAST(MAX(nd) AS BIGINT) AS n_sharers
+       |  FROM isl GROUP BY doc_id, island)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "text_substring_dedup" ->
+      s"""$spanCte
+         |SELECT doc_id, span_start, span_len, n_sharers
+         |FROM spans ORDER BY doc_id, span_start""".stripMargin,
+
+    "text_substring_dedup_filter" ->
+      s"""$spanCte,
+         |per_doc AS (SELECT doc_id, CAST(SUM(span_len) AS BIGINT)
+         |    AS dup_tokens FROM spans GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(len(string_split(d.text, ' ')) AS INTEGER) AS n_tokens,
+         |  COALESCE(p.dup_tokens, 0) AS dup_tokens,
+         |  CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE)
+         |    / CAST(len(string_split(d.text, ' ')) AS DOUBLE) AS dup_frac,
+         |  (CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE)
+         |    / CAST(len(string_split(d.text, ' ')) AS DOUBLE)) < 0.5 AS keep
+         |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+  )
+}

@@ -31,7 +31,9 @@ class DeterminismSpec extends SparkSpec {
       val differing = a.keys.toSeq.sorted.filter(k => a(k) != b(k))
       assert(differing.isEmpty,
         s"partition-dependent output in: ${differing.mkString(", ")}")
-      assert(a.keySet.size >= 101, s"expected the full surface, got ${a.size}")
+      // the declared map IS the surface — no hand-maintained count to rot
+      assert(a.keySet == SparkEntry.queries.keySet,
+        "a declared query was skipped by the gate run")
     } finally spark.conf.set(key, prev)
   }
 }

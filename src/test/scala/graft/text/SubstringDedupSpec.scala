@@ -1,0 +1,132 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SubstringDedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val k = 5
+
+  /** Brute-force model of the operator: all k-gram positions whose gram
+    * occurs in ≥2 distinct docs, merged into maximal covered spans. */
+  private def bruteSpans(docs: Seq[(Long, String)])
+      : Set[(Long, Int, Int, Long)] = {
+    val grams = docs.flatMap { case (id, text) =>
+      val t = text.split(" ", -1)
+      (0 to t.length - k).map(p => (id, p + 1, t.slice(p, p + k).mkString(" ")))
+    }
+    val nd = grams.groupBy(_._3).map { case (g, occ) =>
+      g -> occ.map(_._1).distinct.size.toLong
+    }
+    docs.flatMap { case (id, _) =>
+      val hits = grams.filter(g => g._1 == id && nd(g._3) > 1)
+        .map(g => (g._2, nd(g._3))).sortBy(_._1)
+      // gaps-and-islands with equal-length spans: break when gap > k
+      val islands = hits.foldLeft(List.empty[List[(Int, Long)]]) {
+        case (acc, h) => acc match {
+          case cur :: rest if h._1 - cur.head._1 <= k => (h :: cur) :: rest
+          case _ => List(h) :: acc
+        }
+      }
+      islands.map { isl =>
+        val ps = isl.map(_._1)
+        (id, ps.min, ps.max + k - ps.min, isl.map(_._2).max)
+      }
+    }.toSet
+  }
+
+  private def spansOf(docs: Seq[(Long, String)]): Set[(Long, Int, Int, Long)] =
+    SubstringDedup.dupSpans(docs.toDF("doc_id", "text"), k)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toSet
+
+  test("planted copied passage is found in every sharing doc, exactly") {
+    // Unique filler (per-doc token prefixes) + one 7-token passage planted
+    // in docs 1 and 3 at different offsets. k=5 ⇒ the passage yields 3
+    // overlapping shingles merging into ONE span of length 7 per doc.
+    val passage = "alpha beta gamma delta epsilon zeta eta"
+    val docs = Seq(
+      1L -> s"a1 a2 a3 $passage a4 a5 a6 a7 a8",
+      2L -> "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12",
+      3L -> s"c1 $passage c2 c3 c4 c5 c6 c7 c8 c9",
+      4L -> "d1 d2 d3 d4 d5 d6 d7 d8 d9 d10 d11 d12"
+    )
+    val got = spansOf(docs)
+    assert(got === Set(
+      (1L, 4, 7, 2L),   // after 3 filler tokens
+      (3L, 2, 7, 2L)))  // after 1 filler token
+    assert(got === bruteSpans(docs))
+  }
+
+  test("no span shorter than k ever emits; self-repeats don't count") {
+    val docs = Seq(
+      // shares only a (k-1)-token run with doc 2 — below threshold
+      1L -> "x1 x2 p1 p2 p3 p4 x3 x4 x5 x6",
+      2L -> "y1 y2 y3 p1 p2 p3 p4 y4 y5 y6",
+      // repeats its own 6-token run twice, but no OTHER doc has it
+      3L -> "q1 q2 q3 q4 q5 q6 z1 q1 q2 q3 q4 q5 q6 z2"
+    )
+    assert(spansOf(docs).isEmpty)
+    assert(bruteSpans(docs).isEmpty)
+  }
+
+  test("adjacent distinct passages merge into one maximal span") {
+    // Docs 1/2 share passage A; docs 1/3 share passage B; in doc 1 they
+    // are adjacent, so doc 1 reports ONE merged span covering both, with
+    // n_sharers = max over the span's shingles.
+    val pa = "m1 m2 m3 m4 m5"   // exactly k tokens
+    val pb = "n1 n2 n3 n4 n5"
+    val docs = Seq(
+      1L -> s"u1 u2 $pa $pb u3 u4",
+      2L -> s"v1 v2 v3 $pa v4 v5",
+      3L -> s"w1 $pb w2 w3 w4 w5"
+    )
+    val got = spansOf(docs)
+    assert(got === bruteSpans(docs))
+    assert(got.filter(_._1 == 1L) === Set((1L, 3, 10, 2L)))
+  }
+
+  test("random planted corpora: spans match the brute-force model") {
+    val rnd = new scala.util.Random(8)
+    for (trial <- 1 to 5) {
+      val nDocs = 12
+      val passages = Seq.tabulate(3)(i =>
+        Seq.tabulate(k + rnd.nextInt(4))(j => s"P${i}_$j").mkString(" "))
+      val docs = (1L to nDocs).map { id =>
+        val toks = scala.collection.mutable.Buffer
+          .tabulate(10 + rnd.nextInt(10))(j => s"d${id}_$j")
+        // plant 0-2 passages at random token offsets
+        (0 until rnd.nextInt(3)).foreach { _ =>
+          val p = passages(rnd.nextInt(passages.size))
+          toks.insert(rnd.nextInt(toks.size + 1), p)
+        }
+        id -> toks.mkString(" ")
+      }
+      assert(spansOf(docs) === bruteSpans(docs), s"trial $trial: $docs")
+    }
+  }
+
+  test("dedupStats budgets and maskSpans removes exactly the flagged spans") {
+    val passage = "alpha beta gamma delta epsilon zeta eta"
+    val docs = Seq(
+      1L -> s"a1 a2 a3 $passage a4",
+      2L -> s"b1 $passage b2 b3 b4 b5 b6 b7 b8 b9 b10 b11",
+      3L -> "c1 c2 c3 c4 c5 c6"
+    )
+    val df = docs.toDF("doc_id", "text")
+    val stats = SubstringDedup.dedupStats(df, k, maxDupFrac = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getBoolean(4))).toMap
+    assert(stats(1L) === ((11, 7L, false)))  // 7/11 ≥ 0.5 → drop
+    assert(stats(2L) === ((18, 7L, true)))   // 7/18 < 0.5 → keep
+    assert(stats(3L) === ((6, 0L, true)))    // untouched doc keeps
+    val masked = SubstringDedup.maskSpans(df, k)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(masked(1L) === "a1 a2 a3 a4")
+    assert(masked(2L) === "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11")
+    assert(masked(3L) === "c1 c2 c3 c4 c5 c6")
+  }
+}
