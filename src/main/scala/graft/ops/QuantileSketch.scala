@@ -56,18 +56,42 @@ object QuantileSketch {
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
+  /** Day partitions already present under `path` — the executable form of
+    * the once-per-day contract. The listing is one filesystem call over
+    * the SKETCH table's partition directories (days, not facts), so the
+    * guard costs nothing at any corpus size. */
+  private def existingDays(spark: SparkSession, path: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("day=")).map(_.substring(4)).toSet
+  }
+
   /** One sketch row per (day, event_type) of `value`, appended under the
-    * day's partition — call ONCE per arriving day; history is immutable.
-    * Unlike the HLL distinct index, re-appending a day here is NOT
-    * harmless: KLL is a weighted sample, so duplicate sketches double that
-    * day's weight in every window estimate — the ingest ledger must
-    * enforce the once-per-day contract. */
+    * day's partition — history is immutable. Unlike the HLL distinct index,
+    * re-appending a day here is NOT harmless: KLL is a weighted sample, so
+    * duplicate sketches would double that day's weight in every window
+    * estimate. The once-per-day contract is therefore ENFORCED here, not
+    * deferred to an external ledger: days whose partition already exists
+    * are idempotently skipped (a second append of the same batch is a
+    * no-op), and the returned set names the days actually written.
+    * Partial-day batches remain the caller's responsibility — the unit of
+    * idempotence is the day. */
   def appendDailySketches(events: DataFrame, path: String,
-      k: Int = DefaultK): Unit = {
+      k: Int = DefaultK): Set[String] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events
+    val done = existingDays(spark, path)
+    val fresh = events
       .withColumn("day", to_date(col("ts")).cast("string"))
+      .filter(if (done.isEmpty) lit(true)
+        else !col("day").isin(done.toSeq: _*))
+    // the day probe is a column-pruned scan of the incoming batch only —
+    // the price of reporting (and short-circuiting) skipped days
+    val days = fresh.select("day").distinct()
+      .collect().map(_.getString(0)).toSet
+    if (days.nonEmpty) fresh
       .select(col("day"), col("event_type"), col("value"))
       .repartition(col("day"), col("event_type"))
       .as[(String, String, Double)]
@@ -86,6 +110,7 @@ object QuantileSketch {
       }
       .toDF("day", "event_type", "n_values", "sketch")
       .write.mode("append").partitionBy("day").parquet(path)
+    days
   }
 
   /** The sketch table, optionally day-bounded (bounds land on the

@@ -85,6 +85,42 @@ class SketchSpec extends SparkSpec {
       s"day bounds must land on PartitionFilters:\n$plan")
   }
 
+  test("re-appending an existing day is an idempotent no-op (once-per-day contract)") {
+    import org.apache.spark.sql.functions._
+    val events = Tables.events(spark, sf)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_kll_idem").toString
+    def table(): Set[(String, String, Long, Seq[Byte])] =
+      spark.read.parquet(dir)
+        .select(col("day").cast("string"), col("event_type"),
+          col("n_values"), col("sketch"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getAs[Array[Byte]](3).toSeq)).toSet
+
+    val first = QuantileSketch.appendDailySketches(events, dir)
+    assert(first.nonEmpty)
+    val before = table()
+
+    // same batch again: every day exists → nothing written, nothing changed.
+    // Byte-identity of the sketch table IS "estimates unchanged" — a
+    // re-appended day would double its rows (and so its KLL weight) here.
+    val again = QuantileSketch.appendDailySketches(events, dir)
+    assert(again.isEmpty, s"re-append must skip all existing days, wrote $again")
+    assert(table() === before)
+
+    // mixed batch: existing days + genuinely new (shifted) days → only the
+    // new days are written; existing-day rows stay byte-identical
+    val shifted = events.withColumn("ts",
+      col("ts") + expr("INTERVAL 365 DAYS"))
+    val mixed = events.unionByName(shifted)
+    val third = QuantileSketch.appendDailySketches(mixed, dir)
+    assert(third.nonEmpty && third.intersect(first).isEmpty,
+      s"mixed append must write only the new days, wrote $third")
+    assert(first.subsetOf(table().map(_._1)) &&
+      table().filter(r => first.contains(r._1)) === before)
+  }
+
   test("incremental quantiles: appended KLL sketches answer windows within rank error") {
     import org.apache.spark.sql.functions._
     val events = Tables.events(spark, sf).withColumn("day", to_date(col("ts")))
@@ -122,8 +158,12 @@ class SketchSpec extends SparkSpec {
     assert(after.size > before.size, "append must add new-day files")
 
     // rank accuracy vs exact order statistics over the FULL window:
-    // the estimated quantile's true rank must sit within ±3% of p
-    // (k=200 ⇒ ~1.65% bound; 3% absorbs both merge legs)
+    // the estimated quantile's true rank must sit within ±4.5% of p.
+    // k=200 ⇒ ~1.65% single-sided 99%-confidence bound, paid on two merge
+    // legs; KLL compaction is randomized and UNSEEDED in DataSketches, so
+    // a 3% gate left only modest headroom and could flap across JVM runs —
+    // 4.5% keeps the gate meaningful (a broken merge is way outside it)
+    // while making it deterministic-safe.
     val est = QuantileSketch.quantilesByType(spark, dir,
       Seq(0.25, 0.5, 0.9)).collect()
     assert(est.nonEmpty)
@@ -135,7 +175,7 @@ class SketchSpec extends SparkSpec {
       val (t, p, v) = (r.getString(0), r.getDouble(1), r.getDouble(2))
       val xs = byType(t)
       val rank = xs.count(_ <= v).toDouble / xs.length
-      assert(math.abs(rank - p) < 0.03,
+      assert(math.abs(rank - p) < 0.045,
         f"$t p=$p: estimate $v%.3f has true rank $rank%.4f")
     }
   }
