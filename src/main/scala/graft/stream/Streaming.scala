@@ -112,7 +112,7 @@ object Streaming {
     * (InMemoryFileIndex), so an index republished in place is NOT picked
     * up mid-stream (and deleting its files can fail the query); to roll
     * the index, restart the stream (checkpoint-cheap: no state store) or
-    * re-read it inside a foreachBatch — and the verify is a row filter —
+    * use [[streamCorpusDupFlagsLive]] — and the verify is a row filter —
     * no watermark, no state store, nothing to size or evict. The price is
     * multiplicity: a doc matching a corpus member in several bands emits
     * that flag once per colliding band, so consumers must be idempotent on
@@ -123,8 +123,18 @@ object Streaming {
     * probe's on identical input. */
   def streamCorpusDupFlags(docs: DataFrame, indexPath: String,
       threshold: Double = 0.8, numHashes: Int = 32, bands: Int = 8,
-      shingleK: Int = 3): DataFrame = {
-    val index = docs.sparkSession.read.parquet(indexPath)
+      shingleK: Int = 3): DataFrame =
+    probeAgainstIndex(docs,
+      docs.sparkSession.read.parquet(indexPath),
+      threshold, numHashes, bands, shingleK)
+
+  /** The probe join itself, static-DataFrame-typed on the index side so
+    * [[streamCorpusDupFlags]] (fixed snapshot) and
+    * [[streamCorpusDupFlagsLive]] (fresh read per batch) share one body —
+    * the same cannot-drift discipline as `probeBands`. */
+  private def probeAgainstIndex(docs: DataFrame, index: DataFrame,
+      threshold: Double, numHashes: Int, bands: Int,
+      shingleK: Int): DataFrame = {
     val probe = graft.sim.IncrementalDedup.probeBands(docs, "doc_id", "text",
       numHashes, bands, shingleK)
     probe.alias("p").join(index.alias("i"),
@@ -136,6 +146,27 @@ object Streaming {
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** [[streamCorpusDupFlags]] against a LIVE index: the snapshot variant
+    * resolves the index file listing ONCE at stream definition, so an
+    * index republished in place is invisible until restart. Here each
+    * micro-batch re-reads the index path inside `foreachBatch` — a
+    * republish (an atomic `mode("overwrite")` like
+    * [[graft.sim.IncrementalDedup.writeIndex]]) takes effect at the next
+    * batch boundary, at the cost of re-listing (not re-reading) the index
+    * per batch. The flags for each batch go to `sink` with the batch id —
+    * foreachBatch's usual at-least-once contract, which matches the
+    * (doc_id, dup_of)-idempotent consumer this op already requires. */
+  def streamCorpusDupFlagsLive(docs: DataFrame, indexPath: String,
+      sink: (DataFrame, Long) => Unit, threshold: Double = 0.8,
+      numHashes: Int = 32, bands: Int = 8, shingleK: Int = 3)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val index = batch.sparkSession.read.parquet(indexPath)
+      sink(probeAgainstIndex(batch, index,
+        threshold, numHashes, bands, shingleK), id)
+    }
 
   // ------------------------------------------------------------ B10.6
 

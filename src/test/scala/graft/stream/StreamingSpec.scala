@@ -510,4 +510,52 @@ class StreamingSpec extends SparkSpec {
     assert(pairRows.filter(col("count") > 1).count() === 0L,
       "a (doc, dup_of) pair must have exactly one distinct jaccard")
   }
+
+  test("live corpus-dup flags pick up an index republished between batches") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.core.Tables.documents(spark, sf)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_live_index").toString
+    // index v1: corpus = docs < 200; v2 republish: corpus = docs < 400.
+    // The probe batch (docs >= 400) is identical both times, so any flag
+    // difference is attributable ONLY to the index refresh.
+    graft.sim.IncrementalDedup.writeIndex(
+      docs.filter(col("doc_id") < 200), "doc_id", "text", dir)
+    val shardRows = docs.filter(col("doc_id") >= 400)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+
+    val sunk = scala.collection.mutable.Map.empty[Long, Set[(Long, Long)]]
+    val stream = MemoryStream[(Long, String)](43, spark, None)
+    val q = Streaming.streamCorpusDupFlagsLive(
+        stream.toDF().toDF("doc_id", "text"), dir,
+        (flags, id) => sunk(id) = flags.select("doc_id", "dup_of")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+      .start()
+    stream.addData(shardRows); q.processAllAvailable()
+    // republish IN PLACE (atomic overwrite, the writeIndex contract)
+    graft.sim.IncrementalDedup.writeIndex(
+      docs.filter(col("doc_id") < 400), "doc_id", "text", dir)
+    stream.addData(shardRows); q.processAllAvailable()
+    q.stop()
+
+    def batchExpected(corpusMax: Long): Set[(Long, Long)] =
+      Streaming.streamCorpusDupFlags(
+          docs.filter(col("doc_id") >= 400).select("doc_id", "text"), dir)
+        .select("doc_id", "dup_of").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // after the test's final republish the on-disk index is v2 — the batch
+    // probe against it must equal the live stream's SECOND batch
+    val expectedV2 = batchExpected(400)
+    assert(sunk(1L) === expectedV2,
+      "batch after republish must see the refreshed index")
+    // the first batch ran against v1: strictly fewer corpus members to hit,
+    // and a strict subset of the v2 flags (v1's corpus ⊂ v2's)
+    assert(sunk(0L).subsetOf(expectedV2))
+    assert(sunk(0L) !== expectedV2,
+      "fixture must add new dup targets in the republished index half")
+    assert(sunk(0L).forall(_._2 < 200) &&
+      expectedV2.exists(f => f._2 >= 200 && f._2 < 400))
+  }
 }
