@@ -70,7 +70,15 @@ object SubstringDedup {
     val nd = g.groupBy("gh")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") > 1)
-    val dup = g.join(nd, "gh")
+    mergeSpans(g.join(nd, "gh"), k)
+  }
+
+  /** Gaps-and-islands merge of flagged shingle positions `(doc_id, pos,
+    * nd)` into maximal covered spans — shared by the whole-corpus and
+    * index-probe paths so their span semantics cannot drift. Equal-length
+    * (k) spans cover contiguously iff the position gap is ≤ k, so no
+    * running-max is needed. */
+  private def mergeSpans(dup: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val lagPos = lag(col("pos"), 1).over(w)
     val brk = when(lagPos.isNull || col("pos") - lagPos > k, 1).otherwise(0)
@@ -82,6 +90,44 @@ object SubstringDedup {
         (max(col("pos")) + lit(k) - min(col("pos"))).as("span_len"),
         max(col("nd")).as("n_sharers"))
       .select("doc_id", "span_start", "span_len", "n_sharers")
+  }
+
+  // ------------------------------------------------------------------
+  // incremental form: probe a persisted corpus shingle index
+  // ------------------------------------------------------------------
+
+  /** Append one corpus shard's shingles to the persisted index at `path`:
+    * ONE row per distinct k-shingle digest with its distinct-doc count —
+    * gram-cardinality-sized, never raw positions or text. Under the
+    * monotonic-id ingest contract (shards are doc-disjoint, the
+    * [[graft.sim.IncrementalDedup]] precedent) summing `nd` across
+    * appended rows equals the distinct-doc count over the union, so the
+    * index needs no compaction to stay exact — append is the only write. */
+  def appendShingleIndex(docs: DataFrame, k: Int, path: String): Unit =
+    shingles(docs, k)
+      .groupBy("gh").agg(countDistinct(col("doc_id")).as("nd"))
+      .write.mode("append").parquet(path)
+
+  /** Spans of a NEW SHARD copied verbatim (≥k tokens) from the indexed
+    * corpus — the incremental/contamination form of [[dupSpans]], with
+    * shard cost ∝ shard: the corpus contributes only its shingle index,
+    * which is Bloom-pruned MAP-SIDE to the shard's digests
+    * ([[graft.ops.JoinPrefilter.bloomReduce]] — at 100 TB the index is the
+    * big side and the shard's digest set is the small one, so the index
+    * never shuffles unpruned) before the exact digest join. Emits
+    * (doc_id, span_start, span_len, n_sharers) where n_sharers counts
+    * CORPUS documents sharing the span's most-shared shingle (the shard
+    * doc itself is not in the index, so 1 means one corpus doc has it).
+    * Shard-internal duplication is deliberately out of scope here — that
+    * is [[dupSpans]] over the shard, the orthogonal axis. */
+  def shardDupSpans(shard: DataFrame, k: Int, path: String,
+      estShardGrams: Long = 1000000L): DataFrame = {
+    val g = shingles(shard, k)
+    val idx = shard.sparkSession.read.parquet(path)
+    val pruned = graft.ops.JoinPrefilter
+      .bloomReduce(idx, col("gh"), g, col("gh"), estShardGrams)
+      .groupBy("gh").agg(sum(col("nd")).as("nd"))
+    mergeSpans(g.join(pruned, "gh"), k)
   }
 
   /** Per-document duplication budget over the WHOLE corpus (every doc gets a

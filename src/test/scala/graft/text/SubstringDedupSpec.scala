@@ -109,6 +109,86 @@ class SubstringDedupSpec extends SparkSpec {
     }
   }
 
+  /** Brute model of the index probe: shard positions whose k-gram appears
+    * in ANY corpus doc, merged into islands; n_sharers = max distinct
+    * corpus docs over the island's grams. */
+  private def bruteShardSpans(corpus: Seq[(Long, String)],
+      shard: Seq[(Long, String)]): Set[(Long, Int, Int, Long)] = {
+    def grams(text: String) = {
+      val t = text.split(" ", -1)
+      (0 to t.length - k).map(p => (p + 1, t.slice(p, p + k).mkString(" ")))
+    }
+    val nd = corpus.flatMap { case (id, tx) => grams(tx).map(g => (g._2, id)) }
+      .groupBy(_._1).map { case (g, occ) => g -> occ.map(_._2).distinct.size.toLong }
+    shard.flatMap { case (id, tx) =>
+      val hits = grams(tx).collect { case (p, g) if nd.contains(g) => (p, nd(g)) }
+      val islands = hits.foldLeft(List.empty[List[(Int, Long)]]) {
+        case (acc, h) => acc match {
+          case cur :: rest if h._1 - cur.head._1 <= k => (h :: cur) :: rest
+          case _ => List(h) :: acc
+        }
+      }
+      islands.map { isl =>
+        val ps = isl.map(_._1)
+        (id, ps.min, ps.max + k - ps.min, isl.map(_._2).max)
+      }
+    }.toSet
+  }
+
+  test("shard probe against the shingle index matches the corpus-copy model") {
+    import spark.implicits._
+    val passage = "alpha beta gamma delta epsilon zeta eta"  // in corpus
+    val both = "k1 k2 k3 k4 k5 k6"                           // in BOTH corpus docs
+    val shardOnly = "s1 s2 s3 s4 s5 s6"                      // shard-internal only
+    val corpus = Seq(
+      1L -> s"a1 a2 $passage $both a3 a4",
+      2L -> s"b1 b2 b3 b4 $both b5 b6 b7 b8")
+    val shard = Seq(
+      10L -> s"c1 $passage c2 $shardOnly c3 c4 c5",
+      11L -> s"d1 d2 $shardOnly $both d3 d4",
+      12L -> "e1 e2 e3 e4 e5 e6 e7 e8 e9 e10")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_shingle_idx").toString
+    SubstringDedup.appendShingleIndex(corpus.toDF("doc_id", "text"), k, dir)
+
+    val df = SubstringDedup.shardDupSpans(shard.toDF("doc_id", "text"), k, dir)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    val want = bruteShardSpans(corpus, shard)
+    assert(got === want, s"got $got\nwant $want")
+    // the shard-internal shared passage must NOT flag (not in the corpus),
+    // the corpus-shared one must flag in both shard docs, and the passage
+    // present in BOTH corpus docs must carry n_sharers = 2
+    assert(!got.exists(_._1 == 12L))
+    assert(got.exists(_._1 == 10L) && got.exists(_._1 == 11L))
+    assert(got.filter(_._1 == 11L).forall(_._4 === 2L))
+    // the corpus index arrives Bloom-pruned map-side, never joined raw
+    assert(df.queryExecution.executedPlan.toString.contains("might_contain"))
+  }
+
+  test("disjoint index appends compose exactly (sum of nd = distinct over union)") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val half1 = Seq(1L -> s"a1 a2 $shared a3 a4 a5")
+    val half2 = Seq(2L -> s"b1 $shared b2 b3 b4 b5")
+    val shard = Seq(10L -> s"c1 c2 c3 $shared c4")
+    def spansAfter(appends: Seq[Seq[(Long, String)]]): Set[(Long, Int, Int, Long)] = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_shingle_inc").toString
+      appends.foreach(a =>
+        SubstringDedup.appendShingleIndex(a.toDF("doc_id", "text"), k, dir))
+      SubstringDedup.shardDupSpans(shard.toDF("doc_id", "text"), k, dir)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    }
+    val oneShot = spansAfter(Seq(half1 ++ half2))
+    val incremental = spansAfter(Seq(half1, half2))
+    assert(incremental === oneShot)
+    assert(incremental === bruteShardSpans(half1 ++ half2, shard))
+    // the shared passage is in one doc per half → summed nd = 2
+    assert(incremental.forall(_._4 === 2L))
+  }
+
   test("dedupStats budgets and maskSpans removes exactly the flagged spans") {
     val passage = "alpha beta gamma delta epsilon zeta eta"
     val docs = Seq(
