@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
   * pipelines end-to-end. Usage:
   *   runMain graft.EntrySmoke                      — flagship only
   *   runMain graft.EntrySmoke <logPath> <confPath> — raw fw pipeline
-  *   runMain graft.EntrySmoke neardup|ann|dedup|incremental|stream <sfDir>
+  *   runMain graft.EntrySmoke neardup|ann|dedup|incremental|stream|substring|semdedup <sfDir>
   */
 object EntrySmoke {
   def main(args: Array[String]): Unit = {
@@ -85,6 +85,37 @@ object EntrySmoke {
         println("STREAM_TUMBLING:")
         spark.table("stream_demo")
           .orderBy("bucket_start", "event_type").show(8, false)
+      case Array("substring", dir) =>
+        // passage-level dedup: whole-corpus spans, then the incremental
+        // probe of a held-out shard against the corpus shingle index
+        import org.apache.spark.sql.functions.col
+        val docs = core.Tables.documents(spark, dir)
+        println("SUBSTRING_SPANS:")
+        text.SubstringDedup.dupSpans(docs, 8)
+          .orderBy("doc_id", "span_start").show(10, false)
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft_sub_idx").toString
+        val split = 400L
+        text.SubstringDedup.appendShingleIndex(
+          docs.filter(col("doc_id") < split), 8, idx)
+        println("SHARD_SPANS (vs corpus index):")
+        text.SubstringDedup.shardDupSpans(
+            docs.filter(col("doc_id") >= split), 8, idx)
+          .orderBy("doc_id", "span_start").show(10, false)
+      case Array("semdedup", dir) =>
+        // semantic dedup demo: plant scaled duplicates so the cluster-local
+        // pass has something to drop (cosine is scale-invariant)
+        import org.apache.spark.sql.functions.{col, transform}
+        val emb = core.Tables.embeddings(spark, dir)
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("embedding"))
+        val copies = emb.filter(col("vec_id") % 25 === 0)
+          .select((col("vec_id") + 10000L).as("vec_id"),
+            transform(col("embedding"), x => x * 0.5).as("embedding"))
+        val corpus = emb.union(copies)
+        val kept = sim.SemDedup.semDedupCorpus(corpus, 0.99, 16, iters = 3)
+        println(s"SEMDEDUP: kept ${kept.count()} of ${corpus.count()} " +
+          s"(${copies.count()} planted duplicates)")
       case Array(logPath, confPath) =>
         val report = domain.LogParse.usageReportFromRaw(spark, logPath, confPath)
         println("RAW_REPORT:")
