@@ -150,9 +150,12 @@ object SubstringDedup {
 
   /** Corpus with every duplicated span's tokens removed (the Lee et al.
     * "remove all copies" variant): docs keep only tokens outside every
-    * flagged span, rejoined by single spaces. Library/test surface, not a
-    * declared query — the index-lambda filter runs interpreted, which is
-    * fine for a corpus-rewrite stage that runs once per ingest. */
+    * flagged span, rejoined by single spaces. Declared as
+    * `text_substring_mask` — the index-lambda filter runs interpreted,
+    * which is acceptable for a corpus-rewrite stage that runs once per
+    * ingest (everything upstream of it is the codegen'd span pipeline;
+    * the lambda only touches each token once against a per-doc span list
+    * that near-dup density keeps tiny). */
   def maskSpans(docs: DataFrame, k: Int): DataFrame = {
     val spansByDoc = dupSpans(docs, k)
       .groupBy("doc_id")
@@ -179,6 +182,9 @@ object SubstringDedup {
         .orderBy("doc_id", "span_start")),
     "text_substring_dedup_filter" -> ((s, d) =>
       dedupStats(Tables.documents(s, d), K, 0.5)
+        .orderBy("doc_id")),
+    "text_substring_mask" -> ((s, d) =>
+      maskSpans(Tables.documents(s, d), K)
         .orderBy("doc_id"))
   )
 
@@ -227,6 +233,24 @@ object SubstringDedup {
          |  (CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE)
          |    / CAST(len(string_split(d.text, ' ')) AS DOUBLE)) < 0.5 AS keep
          |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // DuckDB list_filter lambdas are 1-indexed; the span membership test
+    // mirrors Spark's (i+1)-based one exactly. list() order is arbitrary
+    // but the predicate is an existence check — order-free on both engines.
+    "text_substring_mask" ->
+      s"""$spanCte,
+         |sp AS (SELECT doc_id,
+         |    list({'s': span_start, 'l': span_len}) AS spans
+         |  FROM spans GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(array_to_string(
+         |    list_filter(string_split(d.text, ' '), (t, i) ->
+         |      len(list_filter(COALESCE(sp.spans,
+         |            CAST([] AS STRUCT(s INTEGER, l INTEGER)[])),
+         |          x -> i >= x.s AND i < x.s + x.l)) = 0),
+         |    ' '), '') AS text
+         |FROM documents d LEFT JOIN sp ON d.doc_id = sp.doc_id
          |ORDER BY d.doc_id""".stripMargin
   )
 }
