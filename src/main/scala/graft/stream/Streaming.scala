@@ -168,6 +168,29 @@ object Streaming {
         threshold, numHashes, bands, shingleK), id)
     }
 
+  /** Online passage-contamination spans — the streaming twin of
+    * [[graft.text.SubstringDedup.shardDupSpans]] (B10.13): each arriving
+    * document is checked for ≥k-token passages copied verbatim from the
+    * indexed corpus, the span-level contamination filter in front of an
+    * ingest queue (the corpus-dup flags above catch whole-document
+    * near-dups; this catches embedded copies).
+    *
+    * foreachBatch, not a streaming plan: the span merge is a per-doc
+    * window, illegal in an append stream but exact inside a micro-batch
+    * BECAUSE documents arrive whole (one row per doc — spans never span
+    * batches). Sharing `shardDupSpans` verbatim keeps batch and stream
+    * from drifting, and the per-batch index re-read means corpus shards
+    * appended via `appendShingleIndex` are picked up at the next batch
+    * boundary — append-only, so unlike an overwritten index there is no
+    * listing-staleness hazard to work around. */
+  def streamPassageSpans(docs: DataFrame, k: Int, indexPath: String,
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      sink(graft.text.SubstringDedup.shardDupSpans(batch, k, indexPath), id)
+    }
+
   // ------------------------------------------------------------ B10.6
 
   final case class UserEvent(event_id: Long, ts: java.sql.Timestamp,

@@ -511,6 +511,43 @@ class StreamingSpec extends SparkSpec {
       "a (doc, dup_of) pair must have exactly one distinct jaccard")
   }
 
+  test("streaming passage spans equal the batch shingle-index probe (B10.13)") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.core.Tables.documents(spark, sf)
+    val split = 400L
+    val k = 8
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_passage_idx").toString
+    graft.text.SubstringDedup.appendShingleIndex(
+      docs.filter(col("doc_id") < split), k, dir)
+    val shard = docs.filter(col("doc_id") >= split)
+    val shardRows = shard.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+
+    val sunk = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Int, Int, Long)]
+    val stream = MemoryStream[(Long, String)](44, spark, None)
+    val q = Streaming.streamPassageSpans(
+        stream.toDF().toDF("doc_id", "text"), k, dir,
+        (spans, _) => sunk ++= spans.collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))))
+      .start()
+    // documents arrive whole, split across two micro-batches — spans are
+    // per-doc, so batching must not change the union of emitted spans
+    val (first, rest) = shardRows.splitAt(50)
+    stream.addData(first); q.processAllAvailable()
+    stream.addData(rest); q.processAllAvailable()
+    q.stop()
+
+    val expected = graft.text.SubstringDedup.shardDupSpans(shard, k, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    assert(sunk.toSet === expected)
+    assert(sunk.size === sunk.toSet.size, "no span may be emitted twice")
+    assert(expected.nonEmpty, "fixture must contain cross-corpus passages")
+  }
+
   test("live corpus-dup flags pick up an index republished between batches") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"
