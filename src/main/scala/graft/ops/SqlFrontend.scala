@@ -79,12 +79,29 @@ object SqlFrontend {
       |    AS n_last_hour
       |FROM events ORDER BY user_id, ts, event_id""".stripMargin
 
+  /** Correlated LATERAL derived table (B3.11): per-nation top-2 customers
+    * by balance. Catalyst plans the correlated ORDER BY+LIMIT subquery via
+    * its lateral-join machinery (DecorrelateInnerQuery); DuckDB runs the
+    * identical ANSI text, so the agreement proves LATERAL semantics, not
+    * just the window-function rewrite the `topk_per_group` query already
+    * covers. Inner lateral: nations with no customers drop on both
+    * engines. c_acctbal is a source DOUBLE — compared verbatim, no
+    * arithmetic to diverge. */
+  private val lateralTopPerGroup =
+    """SELECT n.n_name, t.c_name, t.c_acctbal
+      |FROM nation n, LATERAL (
+      |  SELECT c_name, c_acctbal FROM customer
+      |  WHERE c_nationkey = n.n_nationkey
+      |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+      |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "subq_scalar_corr" -> ((s, d) => sql(s, d, scalarCorr)),
     "subq_in" -> ((s, d) => sql(s, d, inSubq)),
     "subq_exists_corr" -> ((s, d) => sql(s, d, existsCorr)),
     "funnel_conversion" -> ((s, d) => sql(s, d, funnel)),
-    "win_range_time" -> ((s, d) => sql(s, d, winRangeTime))
+    "win_range_time" -> ((s, d) => sql(s, d, winRangeTime)),
+    "join_lateral" -> ((s, d) => sql(s, d, lateralTopPerGroup))
   )
 
   /** Same ANSI text — both engines run the identical query. */
@@ -93,6 +110,7 @@ object SqlFrontend {
     "subq_in" -> inSubq,
     "subq_exists_corr" -> existsCorr,
     "funnel_conversion" -> funnel,
-    "win_range_time" -> winRangeTime
+    "win_range_time" -> winRangeTime,
+    "join_lateral" -> lateralTopPerGroup
   )
 }

@@ -11,7 +11,7 @@ class SubstringDedupSpec extends SparkSpec {
 
   /** Brute-force model of the operator: all k-gram positions whose gram
     * occurs in ≥2 distinct docs, merged into maximal covered spans. */
-  private def bruteSpans(docs: Seq[(Long, String)])
+  private def bruteSpans(docs: Seq[(Long, String)], k: Int = k)
       : Set[(Long, Int, Int, Long)] = {
     val grams = docs.flatMap { case (id, text) =>
       val t = text.split(" ", -1)
@@ -37,7 +37,8 @@ class SubstringDedupSpec extends SparkSpec {
     }.toSet
   }
 
-  private def spansOf(docs: Seq[(Long, String)]): Set[(Long, Int, Int, Long)] =
+  private def spansOf(docs: Seq[(Long, String)],
+      k: Int = k): Set[(Long, Int, Int, Long)] =
     SubstringDedup.dupSpans(docs.toDF("doc_id", "text"), k)
       .collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
@@ -89,12 +90,15 @@ class SubstringDedupSpec extends SparkSpec {
     assert(got.filter(_._1 == 1L) === Set((1L, 3, 10, 2L)))
   }
 
-  test("random planted corpora: spans match the brute-force model") {
+  test("random planted corpora: spans match the brute-force model at every k") {
     val rnd = new scala.util.Random(8)
-    for (trial <- 1 to 5) {
+    // sweep the shingle width too — the declared query pins k=8, but the
+    // operator is parameterized and the island-merge arithmetic (break at
+    // gap > k) must hold for any k, not just the one the fixture uses
+    for (kk <- Seq(3, 5, 8); trial <- 1 to 3) {
       val nDocs = 12
       val passages = Seq.tabulate(3)(i =>
-        Seq.tabulate(k + rnd.nextInt(4))(j => s"P${i}_$j").mkString(" "))
+        Seq.tabulate(kk + rnd.nextInt(4))(j => s"P${i}_$j").mkString(" "))
       val docs = (1L to nDocs).map { id =>
         val toks = scala.collection.mutable.Buffer
           .tabulate(10 + rnd.nextInt(10))(j => s"d${id}_$j")
@@ -105,7 +109,8 @@ class SubstringDedupSpec extends SparkSpec {
         }
         id -> toks.mkString(" ")
       }
-      assert(spansOf(docs) === bruteSpans(docs), s"trial $trial: $docs")
+      assert(spansOf(docs, kk) === bruteSpans(docs, kk),
+        s"k=$kk trial $trial: $docs")
     }
   }
 
