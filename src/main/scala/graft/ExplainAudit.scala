@@ -17,7 +17,13 @@ import org.apache.spark.sql.SparkSession
 object ExplainAudit {
 
   /** AdaptiveSparkPlan.toString repeats every node under "== Initial
-    * Plan ==" — structural COUNTS must only see the final-plan section. */
+    * Plan ==" — structural COUNTS must only see the final-plan section.
+    * CAVEAT: splits at the FIRST marker, which is only correct for plans
+    * WITHOUT adaptive scalar subqueries — a subquery nests its own
+    * "== Initial Plan ==" earlier in the string and would truncate the
+    * main final plan (measured on the bloom-prefiltered shingle probe;
+    * SubstringDedupSpec counts via formatted explain instead). Every
+    * query gated through this helper today is subquery-free. */
   private[graft] def finalPlan(p: String): String =
     p.split("== Initial Plan ==").head
 

@@ -108,6 +108,29 @@ object SubstringDedup {
       .groupBy("gh").agg(countDistinct(col("doc_id")).as("nd"))
       .write.mode("append").parquet(path)
 
+  /** [[appendShingleIndex]] as a BUCKETED managed table: the index is
+    * written `bucketBy(gh)`, so the probe's digest aggregation AND the
+    * index side of the probe join consume the bucketing as their hash
+    * distribution — at 100 TB the (huge) index never shuffles, only the
+    * shard side exchanges to match the bucket count. Same append-only
+    * compose-exactly contract as the path form (bucketed appends with an
+    * identical bucket spec are legal; summed `nd` stays exact under
+    * disjoint shards). */
+  def appendShingleIndexBucketed(docs: DataFrame, k: Int, table: String,
+      buckets: Int = 64): Unit =
+    shingles(docs, k)
+      .groupBy("gh").agg(countDistinct(col("doc_id")).as("nd"))
+      .write.mode("append").bucketBy(buckets, "gh").sortBy("gh")
+      .saveAsTable(table)
+
+  /** [[shardDupSpans]] against the bucketed index table — identical
+    * semantics (shared probe body), minus the index-side exchange;
+    * SubstringDedupSpec proves result equality with the path form and
+    * counts the exchanges the bucketing removes. */
+  def shardDupSpansBucketed(shard: DataFrame, k: Int, table: String,
+      estShardGrams: Long = 1000000L): DataFrame =
+    probeSpans(shard, k, shard.sparkSession.table(table), estShardGrams)
+
   /** Spans of a NEW SHARD copied verbatim (≥k tokens) from the indexed
     * corpus — the incremental/contamination form of [[dupSpans]], with
     * shard cost ∝ shard: the corpus contributes only its shingle index,
@@ -121,9 +144,12 @@ object SubstringDedup {
     * Shard-internal duplication is deliberately out of scope here — that
     * is [[dupSpans]] over the shard, the orthogonal axis. */
   def shardDupSpans(shard: DataFrame, k: Int, path: String,
-      estShardGrams: Long = 1000000L): DataFrame = {
+      estShardGrams: Long = 1000000L): DataFrame =
+    probeSpans(shard, k, shard.sparkSession.read.parquet(path), estShardGrams)
+
+  private def probeSpans(shard: DataFrame, k: Int, idx: DataFrame,
+      estShardGrams: Long): DataFrame = {
     val g = shingles(shard, k)
-    val idx = shard.sparkSession.read.parquet(path)
     val pruned = graft.ops.JoinPrefilter
       .bloomReduce(idx, col("gh"), g, col("gh"), estShardGrams)
       .groupBy("gh").agg(sum(col("nd")).as("nd"))

@@ -194,6 +194,56 @@ class SubstringDedupSpec extends SparkSpec {
     assert(incremental.forall(_._4 === 2L))
   }
 
+  test("bucketed shingle index: same spans, index side never shuffles") {
+    import spark.implicits._
+    val passage = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val corpus = Seq(
+      1L -> s"a1 a2 $passage a3 a4 a5 a6",
+      2L -> s"b1 b2 b3 $passage b4 b5")
+    val shard = Seq(
+      10L -> s"c1 $passage c2 c3 c4 c5",
+      11L -> "d1 d2 d3 d4 d5 d6 d7 d8 d9")
+    val pathDir = java.nio.file.Files
+      .createTempDirectory("graft_shingle_path").toString
+    SubstringDedup.appendShingleIndex(corpus.toDF("doc_id", "text"), k, pathDir)
+    SubstringDedup.appendShingleIndexBucketed(
+      corpus.toDF("doc_id", "text"), k, "shingle_idx_b", buckets = 4)
+    // keep the SMJ shape this test is about (AQE would broadcast the tiny
+    // fixture sides and make the exchange comparison vacuous)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val viaPath = SubstringDedup.shardDupSpans(
+        shard.toDF("doc_id", "text"), k, pathDir)
+      val viaBucket = SubstringDedup.shardDupSpansBucketed(
+        shard.toDF("doc_id", "text"), k, "shingle_idx_b")
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+      val (rp, rb) = (rows(viaPath), rows(viaBucket))
+      assert(rb === rp && rb.nonEmpty)
+      // count hash exchanges via FORMATTED explain: the raw toString nests
+      // the bloom subquery's own "== Initial Plan ==" marker BEFORE the
+      // main plan's, so a split-at-first-marker truncates the final plan
+      // (this very test caught that); formatted mode prints the final
+      // adaptive plan only, and the subquery's bloom exchange is
+      // SinglePartition so it never matches
+      def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+        "Arguments: hashpartitioning".r.findAllIn(
+          df.queryExecution.explainString(org.apache.spark.sql.execution
+            .ExplainMode.fromString("formatted"))).size
+      val planB = viaBucket.queryExecution.executedPlan.toString
+      assert(planB.contains("SelectedBucketsCount"),
+        s"index scan must be bucket-aware:\n$planB")
+      // bucketing feeds the digest agg AND the probe join's index side its
+      // hash distribution, so the bucketed plan drops exchanges vs path
+      assert(exchanges(viaBucket) < exchanges(viaPath),
+        s"bucketed=${exchanges(viaBucket)} path=${exchanges(viaPath)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS shingle_idx_b")
+    }
+  }
+
   test("dedupStats budgets and maskSpans removes exactly the flagged spans") {
     val passage = "alpha beta gamma delta epsilon zeta eta"
     val docs = Seq(
