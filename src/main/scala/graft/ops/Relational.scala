@@ -290,6 +290,21 @@ object Relational {
             .as("worst_order"))
         .orderBy("o_custkey")),
 
+    // Deterministic MODE: built-in mode() picks an arbitrary tie winner on
+    // both engines, so the declared form composes it from exact pieces —
+    // count per (group, value), then arg-max with a (count, value) ordering
+    // key. Two partial-aggregated map-side stages; the per-(type, value)
+    // keyspace bounds the first shuffle, the second is group-cardinality.
+    "agg_mode" -> ((s, d) => {
+      val c = Tables.events(s, d)
+        .groupBy("event_type", "value").agg(count(lit(1)).as("n"))
+      c.groupBy("event_type")
+        .agg(max_by(col("value"), struct(col("n"), col("value")))
+          .as("mode_value"),
+          max(col("n")).as("n_occurrences"))
+        .orderBy("event_type")
+    }),
+
     "agg_grouping_sets" -> ((s, d) =>
       // subtotal lattice: rollup → (region, nation), (region), (grand).
       // Subtotal NULLs are coalesced to a sentinel so null-ordering semantics
@@ -681,6 +696,18 @@ object Relational {
     "agg_count_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "agg_mode" ->
+      // same struct-ordering workaround as agg_minmax_by: the window picks
+      // the (n, value)-max row exactly like Spark's max_by struct key
+      """WITH c AS (SELECT event_type, value, COUNT(*) AS n
+        |  FROM events GROUP BY event_type, value),
+        |r AS (SELECT event_type, value, n,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY n DESC, value DESC) AS rk
+        |  FROM c)
+        |SELECT event_type, value AS mode_value, n AS n_occurrences
+        |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin,
 
     "agg_minmax_by" ->
       // DuckDB 1.0's arg_max can't order by a struct; the window formulation
