@@ -187,6 +187,16 @@ object ExplainAudit {
     ("text_substring_dedup_filter", "digest shingles + keyed budget join",
       p => p.contains("xxhash64") && !p.contains("CartesianProduct")
         && !p.contains("BroadcastNestedLoopJoin")),
+    // the correlated LATERAL top-2 must decorrelate into the pruned
+    // window (WindowGroupLimit) with the tiny nation side broadcast — a
+    // per-nation re-executed subquery or a rank-filter over the full
+    // customer list would both be scale regressions
+    ("join_lateral", "decorrelated to WindowGroupLimit + broadcast",
+      p => p.contains("WindowGroupLimit") && p.contains("BroadcastHashJoin")),
+    // composed mode: both aggregation stages must partial-aggregate
+    // map-side — the (type, value) keyspace bounds the only real shuffle
+    ("agg_mode", "two-stage partial aggregation",
+      p => p.contains("partial_count") || p.contains("partial_max")),
     // rfm: the quartile thresholds ride a 1-row broadcast back onto the
     // per-customer table (never a global ntile window single-partitioning
     // the dimension), and the percentiles aggregate map-side
