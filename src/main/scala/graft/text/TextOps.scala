@@ -52,6 +52,13 @@ object TextOps {
   private val mixWeights: Seq[(String, Int)] = Seq("en" -> 8, "de" -> 4,
     "fr" -> 2)
   private val mixDefault = 1
+
+  /** Token budget for `sample_budget`: each language's quota is its
+    * [[mixWeights]] share in sixteenths of this total. Sized so every
+    * language has both selected and excluded documents on the fixture —
+    * the interesting regime for a budget filter. */
+  private val budgetTokens = 20000L
+  private def quotaOf(w: Int): Long = budgetTokens * w / 16
   private def hexChars(n: Int): Seq[String] =
     "0123456789abcdef".take(n).map(_.toString)
   private def mixSqlArm(w: Int): String =
@@ -105,6 +112,29 @@ object TextOps {
       }
       Tables.documents(s, d).filter(keep)
         .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // Token-budget sampler — the other half of data mixing: sample_mix
+    // draws each language at a RATE; this fills each language's token
+    // QUOTA (its mixture share of a fixed total) and stops, the "assemble
+    // a training mix of B tokens" op. Selection is a per-lang running
+    // token sum (doc_id order — deterministic, growth-stable for already
+    // selected docs) against a broadcast-free literal quota; prefix
+    // selection means one lang-partitioned window, no global sort, no
+    // second pass. The same constants feed Spark and the oracle CASE.
+    "sample_budget" -> ((s, d) => {
+      val quota = mixWeights.foldRight(lit(quotaOf(mixDefault))) {
+        case ((lang, w), els) =>
+          when(col("lang") === lang, lit(quotaOf(w))).otherwise(els)
+      }
+      val wWin = Window.partitionBy("lang").orderBy("doc_id")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(tokens).cast("long").as("n_tokens"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(wWin))
+        .withColumn("quota", quota)
+        .filter(col("cum_tokens") <= col("quota"))
         .orderBy("doc_id")
     }),
 
@@ -469,6 +499,24 @@ object TextOps {
       s"""SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE CASE $whens ELSE ${mixSqlArm(mixDefault)} END
          |ORDER BY doc_id""".stripMargin
+    },
+
+    "sample_budget" -> {
+      val whens = mixWeights.map { case (l, w) =>
+        s"WHEN lang = '$l' THEN ${quotaOf(w)}"
+      }.mkString(" ")
+      s"""WITH t AS (SELECT doc_id, lang,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, lang, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_tokens,
+         |    CAST(CASE $whens ELSE ${quotaOf(mixDefault)} END AS BIGINT)
+         |      AS quota
+         |  FROM t)
+         |SELECT doc_id, lang, n_tokens, cum_tokens, quota FROM c
+         |WHERE cum_tokens <= quota ORDER BY doc_id""".stripMargin
     },
 
     "text_repetition" ->
