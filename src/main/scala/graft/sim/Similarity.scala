@@ -136,8 +136,9 @@ object Similarity {
     // `dedup_near_embedding` and exact within the block — the same
     // fixture-honesty trade documented there (this corpus is measured
     // unblockable at background angles), so this stays the oracle twin
-    // while the scale path is IVF/LSH candidate generation feeding the
-    // SAME per-vector top-k window. Plan shape: the per-vector top-3 must
+    // while the scale path is [[Ann.knnGraph]] (round 8): IVF candidates
+    // feeding the SAME per-vector top-k window, recall-gated vs this
+    // exact graph in SemDedupSpec. Plan shape: the per-vector top-3 must
     // prune inside the window (WindowGroupLimit, plan-gated) rather than
     // rank-then-filter the full neighbor list.
     "sim_knn_graph" -> ((s, d) => {
