@@ -134,4 +134,84 @@ object LogParse {
     ruleReport.unionByName(denyReport)
       .orderBy(desc("hits"), asc("acl"), asc("rule_seq"))
   }
+
+  /** ENTRY-level usage — the finer-grained report under A6/A13: for each
+    * object-group member (network-object / port-object / inline entry) of
+    * each configured rule, how much of the rule's traffic that MEMBER
+    * covered, including the zero rows — the "which group members are dead
+    * weight" question that rule-level usage cannot answer (a rule can be
+    * hot while half its group entries never match anything).
+    *
+    * Attribution: the firing rule is first-match (rule order, the scalar
+    * matcher); within it, each dimension (src / dst / port) attributes to
+    * its FIRST covering entry in config order — per dimension, not the
+    * src×dst×port cartesian, because "is this member dead" is a
+    * per-member question and the cartesian would smear one packet across
+    * combinations. All attribution is CASE folds over the driver-side
+    * config constants — map-side, LINEAR in the config's entry count, no
+    * join and no per-event exchange (the only shuffle keys on the
+    * (rule, entry-index) aggregate, whose keyspace is config-sized).
+    * Unparsed/unmatched lines aggregate under sentinel indexes and drop in
+    * the entry-dimension join — never a filter above the parse projection
+    * (the pushdown-regex hazard documented in [[usageReportFromRaw]]).
+    *
+    * Returns (acl, rule_seq, dim, entry_ix, entry, hits) with one row per
+    * configured entry, hits ≥ 0, ordered for report stability. */
+  def entryUsageFromRaw(spark: SparkSession, logPath: String,
+      confPath: String): DataFrame = {
+    import spark.implicits._
+    val confLines = scala.util.Using.resource(
+      scala.io.Source.fromFile(confPath))(_.getLines().toSeq)
+    val rules = Ruleset.parseConfig(confLines)
+    require(rules.nonEmpty, "empty ruleset")
+
+    def firstIx(spans: Seq[(Long, Long)], v: Column): Column =
+      spans.zipWithIndex.foldRight(lit(-1)) {
+        case (((lo, hi), ix), els) => when(v.between(lo, hi), lit(ix)).otherwise(els)
+      }
+    def dimIx(pick: Ruleset.RawRule => Seq[(Long, Long)], v: Column): Column =
+      rules.foldRight(lit(-1)) { case (r, els) =>
+        when(col("acl") === r.acl && col("rule_seq") === r.ruleSeq,
+          firstIx(pick(r), v)).otherwise(els)
+      }
+
+    val combos = parse106100(raw = readLogs(spark, logPath))
+      .withColumn("rule_seq",
+        coalesce(Fw.firstMatchColRaw(rules), lit(-2)))
+      .withColumn("acl", coalesce(col("acl"), lit("")))
+      .withColumn("six",
+        dimIx(_.srcs.map(e => (e.lo, e.hi)), col("src_ip")))
+      .withColumn("dix",
+        dimIx(_.dsts.map(e => (e.lo, e.hi)), col("dst_ip")))
+      .withColumn("pix",
+        dimIx(_.ports.map(p => (p.lo.toLong, p.hi.toLong)),
+          col("dst_port").cast("long")))
+      .groupBy("acl", "rule_seq", "six", "dix", "pix")
+      .agg(count(lit(1)).as("cnt"))
+
+    def rollup(dim: String, ixCol: String): DataFrame =
+      combos.groupBy(col("acl"), col("rule_seq"),
+          col(ixCol).as("entry_ix"))
+        .agg(sum(col("cnt")).as("hits"))
+        .withColumn("dim", lit(dim))
+    val hitRoll = rollup("src", "six")
+      .unionByName(rollup("dst", "dix"))
+      .unionByName(rollup("port", "pix"))
+
+    // the full entry dimension from the same parsed constants — zero-hit
+    // members appear with hits = 0; sentinel traffic never joins
+    val entryDim = rules.flatMap { r =>
+      r.srcs.zipWithIndex.map { case (e, i) =>
+        (r.acl, r.ruleSeq, "src", i, e.cidr) } ++
+      r.dsts.zipWithIndex.map { case (e, i) =>
+        (r.acl, r.ruleSeq, "dst", i, e.cidr) } ++
+      r.ports.zipWithIndex.map { case (p, i) =>
+        (r.acl, r.ruleSeq, "port", i, s"${p.lo}-${p.hi}") }
+    }.toDF("acl", "rule_seq", "dim", "entry_ix", "entry")
+
+    entryDim.join(hitRoll, Seq("acl", "rule_seq", "dim", "entry_ix"), "left")
+      .select(col("acl"), col("rule_seq"), col("dim"), col("entry_ix"),
+        col("entry"), coalesce(col("hits"), lit(0L)).as("hits"))
+      .orderBy("acl", "rule_seq", "dim", "entry_ix")
+  }
 }

@@ -119,6 +119,79 @@ class DomainSpec extends SparkSpec {
     assert(denyRow.getAs[String]("action") === "implicit-deny")
   }
 
+  test("entry-level usage: dead group members report zero; brute-force equality") {
+    import scala.jdk.CollectionConverters._
+    // self-contained config with PLANTED dead members (a host and a port
+    // range no traffic touches) — the report's reason to exist
+    val conf = Seq(
+      "object-group network targets",
+      " network-object host 192.168.0.10",
+      " network-object host 192.168.9.99", // dead
+      "object-group service svc tcp",
+      " port-object eq 80",
+      " port-object range 9000 9100", // dead
+      "access-list acl_a extended permit tcp 10.0.0.0 255.0.0.0 object-group targets object-group svc",
+      "access-list acl_a extended deny ip any any")
+    val log = Seq(
+      "%ASA-6-106100: access-list acl_a permitted tcp inside/10.0.0.5(1024) -> outside/192.168.0.10(80) hit-cnt 1 first hit [0x0, 0x0]",
+      "%ASA-6-106100: access-list acl_a permitted tcp inside/10.0.0.6(1025) -> outside/192.168.0.10(80) hit-cnt 1 first hit [0x0, 0x0]",
+      "%ASA-6-106100: access-list acl_a denied tcp inside/10.0.0.7(1026) -> outside/1.2.3.4(22) hit-cnt 1 first hit [0x0, 0x0]")
+    val dir = java.nio.file.Files.createTempDirectory("graft_entry")
+    val confP = dir.resolve("c.conf"); java.nio.file.Files.write(confP, conf.asJava)
+    val logP = dir.resolve("l.log"); java.nio.file.Files.write(logP, log.asJava)
+    val got = LogParse.entryUsageFromRaw(spark, logP.toString, confP.toString)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getInt(3)) ->
+        ((r.getString(4), r.getLong(5)))).toMap
+    assert(got.size === 5 + 3) // one row per configured entry, nothing else
+    assert(got(("acl_a", 10, "src", 0)) === (("10.0.0.0/8", 2L)))
+    assert(got(("acl_a", 10, "dst", 0)) === (("192.168.0.10/32", 2L)))
+    assert(got(("acl_a", 10, "dst", 1)) === (("192.168.9.99/32", 0L)))
+    assert(got(("acl_a", 10, "port", 0)) === (("80-80", 2L)))
+    assert(got(("acl_a", 10, "port", 1)) === (("9000-9100", 0L)))
+    assert(got(("acl_a", 20, "src", 0)) === (("0.0.0.0/0", 1L)))
+    assert(got(("acl_a", 20, "port", 0)) === (("0-65535", 1L)))
+
+    // shared multi-group fixture: full equivalence with a brute-force
+    // first-match + first-entry attribution model
+    val sconf = scala.io.Source.fromFile(resource("fwconf/sample.conf"))
+      .getLines().toSeq
+    val rules = Ruleset.parseConfig(sconf)
+    val parsed = LogParse.parse106100(
+        LogParse.readLogs(spark, resource("fwlogs/sample.log")))
+      .select("acl", "proto", "src_ip", "dst_ip", "dst_port").collect()
+    val exp = scala.collection.mutable.Map
+      .empty[(String, Int, String, Int), Long].withDefaultValue(0L)
+    parsed.foreach { r =>
+      val (acl, proto, s, d, p) = (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getInt(4).toLong)
+      rules.find(rr => rr.acl == acl
+          && (rr.proto == "ip" || rr.proto == proto)
+          && rr.srcs.exists(e => s >= e.lo && s <= e.hi)
+          && rr.dsts.exists(e => d >= e.lo && d <= e.hi)
+          && rr.ports.exists(e => p >= e.lo && p <= e.hi))
+        .foreach { rr =>
+          exp((acl, rr.ruleSeq, "src",
+            rr.srcs.indexWhere(e => s >= e.lo && s <= e.hi))) += 1
+          exp((acl, rr.ruleSeq, "dst",
+            rr.dsts.indexWhere(e => d >= e.lo && d <= e.hi))) += 1
+          exp((acl, rr.ruleSeq, "port",
+            rr.ports.indexWhere(e => p >= e.lo && p <= e.hi))) += 1
+        }
+    }
+    val got2 = LogParse.entryUsageFromRaw(spark,
+        resource("fwlogs/sample.log"), resource("fwconf/sample.conf"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getInt(3)) ->
+        r.getLong(5)).toMap
+    val allEntries = rules.flatMap(rr =>
+      rr.srcs.indices.map(i => (rr.acl, rr.ruleSeq, "src", i)) ++
+      rr.dsts.indices.map(i => (rr.acl, rr.ruleSeq, "dst", i)) ++
+      rr.ports.indices.map(i => (rr.acl, rr.ruleSeq, "port", i))).toSet
+    assert(got2.keySet === allEntries)
+    allEntries.foreach(k => assert(got2(k) === exp(k), s"entry $k"))
+  }
+
   test("raw-config scalar matcher: OR-chains equal the cartesian join form") {
     import spark.implicits._
     // parsed rules have entry LISTS per side; firstMatchColRaw folds each
