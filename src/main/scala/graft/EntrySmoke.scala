@@ -120,6 +120,9 @@ object EntrySmoke {
         val report = domain.LogParse.usageReportFromRaw(spark, logPath, confPath)
         println("RAW_REPORT:")
         report.show(50, false)
+        println("ENTRY_REPORT (per object-group member):")
+        domain.LogParse.entryUsageFromRaw(spark, logPath, confPath)
+          .show(50, false)
       case _ =>
     }
     spark.stop()

@@ -59,6 +59,25 @@ object TextOps {
     * the interesting regime for a budget filter. */
   private val budgetTokens = 20000L
   private def quotaOf(w: Int): Long = budgetTokens * w / 16
+
+  /** The `sample_budget` selection as a library function: per-lang running
+    * token sum in doc_id order against the mixture-share quota. Prefix
+    * selection in a stable order makes membership GROWTH-STABLE for
+    * already selected documents (new docs only ever append after the
+    * prefix under monotonic ids) — TextOpsSpec pins that property. */
+  def budgetSample(docs: DataFrame): DataFrame = {
+    val quota = mixWeights.foldRight(lit(quotaOf(mixDefault))) {
+      case ((lang, w), els) =>
+        when(col("lang") === lang, lit(quotaOf(w))).otherwise(els)
+    }
+    val wWin = Window.partitionBy("lang").orderBy("doc_id")
+    docs
+      .select(col("doc_id"), col("lang"),
+        size(tokens).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(wWin))
+      .withColumn("quota", quota)
+      .filter(col("cum_tokens") <= col("quota"))
+  }
   private def hexChars(n: Int): Seq[String] =
     "0123456789abcdef".take(n).map(_.toString)
   private def mixSqlArm(w: Int): String =
@@ -123,20 +142,8 @@ object TextOps {
     // selected docs) against a broadcast-free literal quota; prefix
     // selection means one lang-partitioned window, no global sort, no
     // second pass. The same constants feed Spark and the oracle CASE.
-    "sample_budget" -> ((s, d) => {
-      val quota = mixWeights.foldRight(lit(quotaOf(mixDefault))) {
-        case ((lang, w), els) =>
-          when(col("lang") === lang, lit(quotaOf(w))).otherwise(els)
-      }
-      val wWin = Window.partitionBy("lang").orderBy("doc_id")
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"),
-          size(tokens).cast("long").as("n_tokens"))
-        .withColumn("cum_tokens", sum(col("n_tokens")).over(wWin))
-        .withColumn("quota", quota)
-        .filter(col("cum_tokens") <= col("quota"))
-        .orderBy("doc_id")
-    }),
+    "sample_budget" -> ((s, d) =>
+      budgetSample(Tables.documents(s, d)).orderBy("doc_id")),
 
     // Repetition-based quality signals (the Gopher/MassiveText rule
     // family): per-document duplicate-token fraction and top-bigram

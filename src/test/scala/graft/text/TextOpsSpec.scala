@@ -42,4 +42,24 @@ class TextOpsSpec extends SparkSpec {
     assert(small === full.filter(_ < 250),
       "growing the corpus must not reassign existing docs")
   }
+
+  test("budget sampling: selected docs stay selected as the corpus grows") {
+    // prefix selection in doc_id order: appending documents (monotonic
+    // ids) can only extend each language's prefix, never evict from it —
+    // the curation-stability property a training-mix assembler needs
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val half = docs.filter(col("doc_id") < 250)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").as[Long](spark.implicits.newLongEncoder)
+        .collect().toSet
+    val selHalf = ids(TextOps.budgetSample(half))
+    val selFull = ids(TextOps.budgetSample(docs))
+    assert(selHalf === selFull.filter(_ < 250),
+      "growth must not change the fate of already-selected docs")
+    assert(selHalf.nonEmpty && selFull.size >= selHalf.size)
+    // and the budget is respected per language on the full corpus
+    val over = TextOps.budgetSample(docs)
+      .filter(col("cum_tokens") > col("quota")).count()
+    assert(over === 0L)
+  }
 }
