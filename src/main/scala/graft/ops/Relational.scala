@@ -290,6 +290,20 @@ object Relational {
             .as("worst_order"))
         .orderBy("o_custkey")),
 
+    // Ordered string aggregation (SQL:2016 LISTAGG, new in Spark 4): the
+    // WITHIN GROUP (ORDER BY) clause is what makes a concatenation
+    // oracle-eligible at all — unordered listagg/string_agg concatenates
+    // in partition-arrival order on both engines
+    "agg_listagg" -> ((s, d) =>
+      Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)")
+          .as("nations"),
+          count(lit(1)).as("n_nations"))
+        .orderBy("r_name")),
+
     // Deterministic MODE: built-in mode() picks an arbitrary tie winner on
     // both engines, so the declared form composes it from exact pieces —
     // count per (group, value), then arg-max with a (count, value) ordering
@@ -696,6 +710,13 @@ object Relational {
     "agg_count_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "agg_listagg" ->
+      """SELECT r_name,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |  COUNT(*) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
 
     "agg_mode" ->
       // same struct-ordering workaround as agg_minmax_by: the window picks

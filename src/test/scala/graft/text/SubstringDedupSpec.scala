@@ -194,6 +194,20 @@ class SubstringDedupSpec extends SparkSpec {
     assert(incremental.forall(_._4 === 2L))
   }
 
+  test("a boilerplate gram in EVERY doc stays linear and correct (no df cap)") {
+    // the design claim behind dropping text_contamination's df≤16 cap:
+    // there is no pair fan-out anywhere, so a gram shared by ALL n docs
+    // costs n rows, not n² — functionally: 200 docs opening with the same
+    // k-token boilerplate header plus unique bodies must each report
+    // exactly the header span with n_sharers = 200, quickly
+    val header = "sys log line fmt ver"  // k = 5 tokens
+    val docs = (1L to 200L).map(id =>
+      id -> s"$header u${id}_1 u${id}_2 u${id}_3 u${id}_4")
+    val got = spansOf(docs)
+    assert(got === (1L to 200L).map(id => (id, 1, 5, 200L)).toSet)
+    assert(got === bruteSpans(docs))
+  }
+
   test("bucketed shingle index: same spans, index side never shuffles") {
     import spark.implicits._
     val passage = "alpha beta gamma delta epsilon zeta eta theta iota"
