@@ -17,15 +17,38 @@ import org.apache.spark.sql.SparkSession
 object ExplainAudit {
 
   /** AdaptiveSparkPlan.toString repeats every node under "== Initial
-    * Plan ==" — structural COUNTS must only see the final-plan section.
-    * CAVEAT: splits at the FIRST marker, which is only correct for plans
-    * WITHOUT adaptive scalar subqueries — a subquery nests its own
-    * "== Initial Plan ==" earlier in the string and would truncate the
-    * main final plan (measured on the bloom-prefiltered shingle probe;
-    * SubstringDedupSpec counts via formatted explain instead). Every
-    * query gated through this helper today is subquery-free. */
-  private[graft] def finalPlan(p: String): String =
-    p.split("== Initial Plan ==").head
+    * Plan ==" — structural COUNTS must only see the final-plan sections.
+    * A split at the FIRST marker is NOT enough: an adaptive scalar
+    * subquery (e.g. the bloom-prefiltered shingle probe) nests its own
+    * Final/Initial pair mid-string, and the first-marker split would
+    * truncate the rest of the MAIN final plan — every negative gate after
+    * the subquery would then pass vacuously (ADVICE r8). The sweep is
+    * indentation-aware because the main plan RESUMES after a nested
+    * initial section at a shallower indent with no re-opening marker: an
+    * "== Initial Plan ==" marker at indent k owns every following line
+    * indented deeper than k (its subtree — including any doubly-nested
+    * markers, which must not re-enable keeping); the first line back at
+    * ≤ k exits the section. Plans without markers pass through whole.
+    * ExplainAuditSpec pins the real resume-after-subquery shape against
+    * the first-marker split. */
+  private[graft] def finalPlan(p: String): String = {
+    val sb = new StringBuilder
+    var skipAt = -1 // when ≥ 0: inside an initial-plan subtree, drop lines indented ≥ skipAt
+    p.linesIterator.foreach { l =>
+      // a line's tree depth is where its NODE text starts — ':' continuation
+      // pipes belong to shallower ancestors and must not count as content
+      val indent = l.indexWhere(c => c != ' ' && c != ':') match {
+        case -1 => Int.MaxValue // blank/pipe-only line: belongs to the open region
+        case i  => i
+      }
+      if (skipAt < 0 || indent < skipAt) {
+        skipAt = -1
+        if (l.contains("== Initial Plan ==")) skipAt = indent + 1
+        else sb.append(l).append('\n')
+      }
+    }
+    sb.toString
+  }
 
   /** The fw scalar matcher must be evaluated EXACTLY once per row: its
     * `least(CASE WHEN` spans appear [[graft.domain.Fw.matcherLeastCount]]

