@@ -1,6 +1,6 @@
 package graft.sim
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** SemDeDup-style semantic deduplication — SURVEY.md §2 B9.29 (round 8).
@@ -54,16 +54,126 @@ object SemDedup {
         cosine(col("va"), col("vb")).as("cosine"))
       .filter(col("cosine") >= threshold)
 
+  /** [[semDedupCorpus]] against an EXPLICIT centroid set — the form the
+    * incremental path is proven against (the centroids there are frozen at
+    * index-build time, so the equality statement needs both sides clustered
+    * by the same centroid table). */
+  def semDedupCorpusWith(emb: DataFrame, centroids: DataFrame,
+      threshold: Double): DataFrame = {
+    val drop = Dedup.clusters(semDedupPairs(emb, centroids, threshold),
+        "vec_a", "vec_b")
+      .filter(!col("keep")).select(col("member"))
+    emb.join(drop, emb("vec_id") === drop("member"), "left_anti")
+  }
+
   /** End-to-end semantic dedup: train centroids (seeded Lloyd), find
     * cluster-local pairs, cluster them transitively, keep each component's
     * canonical (min-id) member. Returns the kept rows of `emb` unchanged —
     * the same schema-preserving-filter contract as [[Dedup.dedupCorpus]]. */
   def semDedupCorpus(emb: DataFrame, threshold: Double, nCentroids: Int,
-      iters: Int = 5): DataFrame = {
-    val centroids = Ann.kmeansCentroids(emb, nCentroids, iters)
-    val drop = Dedup.clusters(semDedupPairs(emb, centroids, threshold),
-        "vec_a", "vec_b")
-      .filter(!col("keep")).select(col("member"))
-    emb.join(drop, emb("vec_id") === drop("member"), "left_anti")
+      iters: Int = 5): DataFrame =
+    semDedupCorpusWith(emb, Ann.kmeansCentroids(emb, nCentroids, iters),
+      threshold)
+
+  // ------------------------------------------------------------------
+  // incremental form: probe a persisted cluster-partitioned index
+  // ------------------------------------------------------------------
+
+  /** Build the persisted semantic-dedup index at `path` — the embedding
+    * modality's twin of [[IncrementalDedup.writeIndex]] (B9.32, round 9):
+    *
+    *  - `path/centroids`: the trained (centroid_id, cv) table, frozen.
+    *    Re-training means re-partitioning the whole index, so centroids
+    *    are fixed at build time — the standard IVF serving shape; a
+    *    periodic rebuild absorbs drift.
+    *  - `path/assigned`: every corpus vector with its cluster assignment,
+    *    PARTITIONED ON DISK by `centroid_id`. At 100 TB this layout is the
+    *    whole point: a shard probe touches only the partitions of the
+    *    clusters its own vectors fall in, never the full corpus.
+    *
+    * Assignment runs against the READ-BACK centroids, not the in-memory
+    * ones, so index and every later probe see byte-identical centroid
+    * doubles (parquet round-trips IEEE754 exactly; the guard is against a
+    * future re-train racing the write). Corpus-internal near-dups stay in
+    * the index — a shard doc matching ANY corpus member must drop, same
+    * contract as the MinHash index. */
+  def writeIndex(corpus: DataFrame, path: String, nCentroids: Int,
+      iters: Int = 5): Unit = {
+    val spark = corpus.sparkSession
+    Ann.kmeansCentroids(corpus, nCentroids, iters)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    Ann.ivfAssignWith(Ann.vecsOf(corpus),
+        spark.read.parquet(s"$path/centroids"))
+      .withColumn("centroid_id", col("centroid_id").cast("int"))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$path/assigned")
+  }
+
+  /** The frozen centroid table of the index at `path`. */
+  def indexCentroids(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/centroids")
+
+  /** Shard ids with a verified (exact-cosine) near-dup in the indexed
+    * corpus. Exposed so SemDedupSpec can plan-gate the partition pruning
+    * on exactly the join that reads the index.
+    *
+    * The index scan is pruned STATICALLY to the shard's probed cluster
+    * set: the distinct assigned centroid ids (≤ the centroid count — a
+    * table that is broadcast-sized by construction, so the driver list is
+    * k-bounded, the [[graft.ops.QuantileSketch]] day-probe precedent)
+    * become an IN filter on the partition column, visible as
+    * `PartitionFilters` on the scan. Dynamic partition pruning is NOT
+    * relied on deliberately: Spark only inserts it when the probe side
+    * carries a likely-selective predicate, so an unfiltered shard — the
+    * normal ingest shape — would silently scan the FULL index (measured
+    * on this very plan). The probe is checkpointed once and reused for
+    * the cluster list and the join, and its key is cast to the index's
+    * inferred partition type so the scan side compares the bare partition
+    * attribute. Shard cost ∝ shard at 100 TB. */
+  private[sim] def corpusHits(spark: SparkSession, shard: DataFrame,
+      path: String, threshold: Double): DataFrame = {
+    val probe = Ann.ivfAssignWith(Ann.vecsOf(shard),
+        indexCentroids(spark, path))
+      .withColumn("centroid_id", col("centroid_id").cast("int"))
+      .localCheckpoint()
+    val probed = probe.select("centroid_id").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val index = spark.read.parquet(s"$path/assigned")
+      .filter(col("centroid_id").isin(probed: _*))
+    broadcast(probe).alias("p").join(index.alias("i"),
+        col("p.centroid_id") === col("i.centroid_id"))
+      .select(col("p.vec_id").as("id"),
+        cosine(col("p.v"), col("i.v")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .select("id").distinct()
+  }
+
+  /** Dedupe `shard` against the persisted index AND against itself;
+    * returns the kept shard rows unchanged (schema-preserving filter).
+    * Semantics equal whole-corpus [[semDedupCorpusWith]] over
+    * corpus ∪ shard under the index's frozen centroids, restricted to the
+    * shard, PROVIDED every shard id exceeds every corpus id (the
+    * monotonic-id ingest contract — min-id keep means corpus members
+    * always win, so corpus verdicts never change): the drop classes and
+    * the transitivity argument are [[IncrementalDedup.dedupShard]]'s,
+    * verbatim — direct corpus hits, whole within-shard clusters containing
+    * a hit, and non-min members of clean within-shard clusters. The
+    * boundary-straddle recall trade is the batch one (scaladoc above) and
+    * cannot split an exact-direction duplicate, which is what keeps the
+    * SemDedupSpec equality exact. */
+  def semDedupShard(spark: SparkSession, shard: DataFrame, path: String,
+      threshold: Double): DataFrame = {
+    val hits = corpusHits(spark, shard, path, threshold)
+    val within = semDedupPairs(shard, indexCentroids(spark, path), threshold)
+      .select("vec_a", "vec_b")
+    val comp = Dedup.connectedComponents(within, "vec_a", "vec_b")
+    val hitClusters = comp.join(hits, Seq("id"), "left_semi")
+      .select("label").distinct()
+    val dropContested = comp.join(hitClusters, Seq("label"), "left_semi")
+      .select("id")
+      .union(comp.join(hitClusters, Seq("label"), "left_anti")
+        .filter(col("id") =!= col("label")).select("id"))
+    val drop = dropContested.union(hits.select("id"))
+    shard.join(drop, shard("vec_id") === drop("id"), "left_anti")
   }
 }

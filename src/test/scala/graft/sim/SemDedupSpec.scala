@@ -79,6 +79,74 @@ class SemDedupSpec extends SparkSpec {
     assert(fFull <= 0.2, f"full-corpus candidate fraction $fFull%.3f")
   }
 
+  test("incremental semantic dedup equals whole-corpus dedup restricted to the shard") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    // monotonic-id ingest contract: every shard id > every corpus id.
+    // corpus = lower half of the fixture; shard = upper half re-id'd above
+    // the corpus PLUS planted structure exercising all three drop classes:
+    //   - scaled copies of corpus vectors  → direct corpus hits
+    //   - scaled copies of shard vectors   → clean within-shard clusters
+    //   - second copies of corpus vectors  → contaminated within-shard
+    //     clusters (both members also hit the corpus — exact-direction
+    //     copies are transitively exact, so the contested branch runs)
+    val split = 64L
+    val offset = 10000L
+    val corpus = emb.filter(col("vec_id") < split).localCheckpoint()
+    val rest = emb.filter(col("vec_id") >= split)
+    val shard = rest
+      .select((col("vec_id") + offset).as("vec_id"), col("embedding"))
+      .union(corpus.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 2 * offset).as("vec_id"),
+          transform(col("embedding"), x => x * 0.5).as("embedding")))
+      .union(corpus.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 3 * offset).as("vec_id"),
+          transform(col("embedding"), x => x * 0.25).as("embedding")))
+      .union(rest.filter(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 4 * offset).as("vec_id"),
+          transform(col("embedding"), x => x * 2.0).as("embedding")))
+      .localCheckpoint()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sem_index").toString
+
+    SemDedup.writeIndex(corpus, dir, nCentroids = 16, iters = 3)
+    val got = SemDedup.semDedupShard(spark, shard, dir, 0.99)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // the reference side: whole-corpus dedup under the SAME frozen
+    // centroids (the index's), restricted to the shard
+    val frozen = SemDedup.indexCentroids(spark, dir).localCheckpoint()
+    val expected = SemDedup
+      .semDedupCorpusWith(corpus.union(shard), frozen, 0.99)
+      .filter(col("vec_id") >= offset)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got === expected,
+      s"missed=${expected.diff(got).size} extra=${got.diff(expected).size}")
+    // fixture must both keep and drop, and exercise each planted class
+    val shardN = shard.count()
+    assert(got.nonEmpty && got.size < shardN.toInt,
+      s"fixture must both keep and drop shard docs (kept ${got.size}/$shardN)")
+    assert(got.forall(_ < 2 * offset),
+      "every planted copy must drop: corpus copies are direct hits, " +
+        "shard copies lose to their lower-id twins")
+
+    // scale gate: the index scan must be STATICALLY pruned to the probed
+    // cluster set — shard cost ∝ shard, never a full-corpus scan. A tiny
+    // sub-shard probes ≤ 3 clusters, so its IN-list partition filter is
+    // visibly narrower than the 16-cluster index. (Dynamic pruning is
+    // deliberately not the mechanism: it needs a selective predicate on
+    // the probe side and would silently full-scan on a bare shard.)
+    val tiny = shard.orderBy("vec_id").limit(3).localCheckpoint()
+    val hits = SemDedup.corpusHits(spark, tiny, dir, 0.99)
+    hits.collect()
+    val physical = hits.queryExecution.executedPlan.toString
+    val partFilter = physical.linesIterator
+      .filter(l => l.contains("assigned") || l.contains("PartitionFilters"))
+      .find(l => l.contains("PartitionFilters: [") && l.contains("IN ("))
+    assert(partFilter.isDefined,
+      s"index scan must carry a static IN partition filter on centroid_id:\n" +
+        physical.linesIterator.take(40).mkString("\n"))
+  }
+
   test("IVF knnGraph: recall vs exact graph, monotone in nprobe") {
     val emb = graft.core.Tables.embeddings(spark, sfDir)
     import VectorMath.cosine
