@@ -106,6 +106,42 @@ object Fw {
 
   def rulesSqlCte: String = rulesSqlCteFor("rules", ruleset)
 
+  /** Entry-expanded revision of [[ruleset]] for the ENTRY-level usage
+    * report (`fw_entry_usage`, A6/A13): each dimension's single range is
+    * split into a PARTITION of sub-entries (the object-group members), so
+    * rule-level first-match semantics are IDENTICAL to [[ruleset]] — a
+    * rule matches iff some member of each dimension covers the event, and
+    * the members union exactly to the original range. Derived by
+    * TRANSFORMING the live constants (the [[prevRuleset]] discipline:
+    * never a second hand-copied list that could drift). Naturally-dead
+    * members make the report non-trivial: derived traffic sources live in
+    * 10.0.0.0/16 and ports in {22,80,443,8080,8443}, so the upper half of
+    * every split source group (and most split port bands) is dead weight —
+    * exactly what the entry report exists to find. */
+  val entryRuleset: Seq[Ruleset.RawRule] = ruleset.map { r =>
+    def ip(v: Long) =
+      s"${(v >> 24) & 255}.${(v >> 16) & 255}.${(v >> 8) & 255}.${v & 255}"
+    def halves(cidr: String, lo: Long, hi: Long): Seq[Ruleset.NetEntry] = {
+      val pfx = cidr.split('/')(1).toInt
+      if (pfx >= 32) Seq(Ruleset.NetEntry(cidr, lo, hi))
+      else {
+        val mid = lo + (hi - lo) / 2
+        Seq(Ruleset.NetEntry(s"${ip(lo)}/${pfx + 1}", lo, mid),
+          Ruleset.NetEntry(s"${ip(mid + 1)}/${pfx + 1}", mid + 1, hi))
+      }
+    }
+    def portSplit(lo: Int, hi: Int): Seq[Ruleset.PortEntry] =
+      if (lo >= hi) Seq(Ruleset.PortEntry(lo, hi))
+      else {
+        val mid = (lo + hi) / 2
+        Seq(Ruleset.PortEntry(lo, mid), Ruleset.PortEntry(mid + 1, hi))
+      }
+    Ruleset.RawRule(r.acl, r.ruleSeq, r.action, r.proto,
+      halves(r.srcCidr, r.srcLo, r.srcHi),
+      halves(r.dstCidr, r.dstLo, r.dstHi),
+      portSplit(r.portLo, r.portHi))
+  }
+
   /** The "previous revision" of the fixture ruleset for the churn report —
     * derived by TRANSFORMING the live [[ruleset]] constants (never a second
     * hand-copied list, so the two revisions cannot drift apart): since this
@@ -333,6 +369,7 @@ object Fw {
         .select("acl", "rule_seq", "action", "src_cidr", "dst_cidr")
         .orderBy("acl", "rule_seq")),
     "fw_usage_report" -> ((s, d) => usageReport(s, d)),
+    "fw_entry_usage" -> ((s, d) => entryUsage(s, d)),
     "fw_top_talkers" -> ((s, d) =>
       // heaviest sources: per src_ip event count + distinct ACLs touched
       matchedScalar(s, d).groupBy("src_ip")
@@ -449,6 +486,74 @@ object Fw {
         .orderBy("acl", "dst_port"))
   )
 
+  /** ENTRY-level usage over the parquet fixture — the oracled twin of
+    * [[LogParse.entryUsageFromRaw]] (which serves the raw-config path,
+    * brute-force-tested in DomainSpec): for each object-group member of
+    * each configured rule, how much of the rule's traffic that MEMBER
+    * covered, including the zero rows. Attribution is per dimension
+    * (src / dst / port), each event crediting its FIRST covering entry in
+    * config order — never the src×dst×port cartesian. All attribution is
+    * CASE folds over the [[entryRuleset]] driver constants stacked on the
+    * scalar matcher — map-side, linear in the config's entry count; the
+    * only exchange keys on the (rule, entry-index) combo aggregate, whose
+    * keyspace is config-sized, and the three dimension rollups reuse that
+    * one combo exchange. */
+  def entryUsage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def firstIx(spans: Seq[(Long, Long)], v: Column): Column =
+      spans.zipWithIndex.foldRight(lit(-1)) {
+        case (((lo, hi), ix), els) =>
+          when(v.between(lo, hi), lit(ix)).otherwise(els)
+      }
+    def dimIx(pick: Ruleset.RawRule => Seq[(Long, Long)], v: Column): Column =
+      entryRuleset.foldRight(lit(-1)) { case (r, els) =>
+        when(col("acl") === r.acl && col("rule_seq") === r.ruleSeq,
+          firstIx(pick(r), v)).otherwise(els)
+      }
+    val combos = matchedScalar(spark, dir)
+      .withColumn("six", dimIx(_.srcs.map(e => (e.lo, e.hi)), col("src_ip")))
+      .withColumn("dix", dimIx(_.dsts.map(e => (e.lo, e.hi)), col("dst_ip")))
+      .withColumn("pix", dimIx(_.ports.map(p => (p.lo.toLong, p.hi.toLong)),
+        col("dst_port").cast("long")))
+      .groupBy("acl", "rule_seq", "six", "dix", "pix")
+      .agg(count(lit(1)).as("cnt"))
+    def rollup(dim: String, ixCol: String): DataFrame =
+      combos.groupBy(col("acl"), col("rule_seq"), col(ixCol).as("entry_ix"))
+        .agg(sum(col("cnt")).as("hits"))
+        .withColumn("dim", lit(dim))
+    val hitRoll = rollup("src", "six")
+      .unionByName(rollup("dst", "dix"))
+      .unionByName(rollup("port", "pix"))
+    val entryDim = entryRuleset.flatMap { r =>
+      r.srcs.zipWithIndex.map { case (e, i) =>
+        (r.acl, r.ruleSeq, "src", i, e.cidr) } ++
+      r.dsts.zipWithIndex.map { case (e, i) =>
+        (r.acl, r.ruleSeq, "dst", i, e.cidr) } ++
+      r.ports.zipWithIndex.map { case (p, i) =>
+        (r.acl, r.ruleSeq, "port", i, s"${p.lo}-${p.hi}") }
+    }.toDF("acl", "rule_seq", "dim", "entry_ix", "entry")
+    entryDim.join(hitRoll, Seq("acl", "rule_seq", "dim", "entry_ix"), "left")
+      .select(col("acl"), col("rule_seq"), col("dim"), col("entry_ix"),
+        col("entry"), coalesce(col("hits"), lit(0L)).as("hits"))
+      .orderBy("acl", "rule_seq", "dim", "entry_ix")
+  }
+
+  /** [[entryRuleset]] flattened to a SQL VALUES CTE
+    * `entries(acl, rule_seq, dim, entry_ix, entry, lo, hi)` — generated
+    * from the same constants as the DataFrame side so Spark and the
+    * DuckDB oracle can never drift (the [[rulesSqlCteFor]] discipline). */
+  def entriesSqlCte: String = {
+    val rows = entryRuleset.flatMap { r =>
+      r.srcs.zipWithIndex.map { case (e, i) =>
+        s"('${r.acl}', ${r.ruleSeq}, 'src', $i, '${e.cidr}', ${e.lo}, ${e.hi})" } ++
+      r.dsts.zipWithIndex.map { case (e, i) =>
+        s"('${r.acl}', ${r.ruleSeq}, 'dst', $i, '${e.cidr}', ${e.lo}, ${e.hi})" } ++
+      r.ports.zipWithIndex.map { case (p, i) =>
+        s"('${r.acl}', ${r.ruleSeq}, 'port', $i, '${p.lo}-${p.hi}', ${p.lo}, ${p.hi})" }
+    }.mkString(", ")
+    s"entries(acl, rule_seq, dim, entry_ix, entry, lo, hi) AS (SELECT * FROM (VALUES $rows))"
+  }
+
   /** The flagship: every configured rule with its hit count (0 if never hit),
     * busiest first — the reference's final report (SURVEY §7.2). */
   def usageReport(spark: SparkSession, dir: String): DataFrame =
@@ -476,6 +581,36 @@ object Fw {
         |       r.port_lo, r.port_hi, COALESCE(h.hits, 0) AS hits
         |FROM rules r LEFT JOIN hits h ON h.acl = r.acl AND h.rule_seq = r.rule_seq
         |ORDER BY COALESCE(h.hits, 0) DESC, r.acl, r.rule_seq""".stripMargin),
+    // the matched CTE here is local (not the shared firstMatchSqlCte)
+    // because entry attribution needs dst_ip/dst_port carried through the
+    // per-event first-match disambiguation; per-dim attribution is the
+    // min covering entry_ix — identical to the Spark side's first-in-
+    // config-order CASE, since entries are checked in index order
+    "fw_entry_usage" ->
+      s"""WITH $fwSqlCte, $rulesSqlCte, $entriesSqlCte,
+         |m AS (
+         |  SELECT e.event_id, e.acl, MIN(r.rule_seq) AS rule_seq,
+         |         MIN(e.src_ip) AS src_ip, MIN(e.dst_ip) AS dst_ip,
+         |         MIN(e.dst_port) AS dst_port
+         |  FROM fw e JOIN rules r ON $matchCondSql
+         |  GROUP BY e.event_id, e.acl),
+         |att AS (
+         |  SELECT m.event_id, m.acl, m.rule_seq, en.dim,
+         |         MIN(en.entry_ix) AS entry_ix
+         |  FROM m JOIN entries en
+         |    ON en.acl = m.acl AND en.rule_seq = m.rule_seq
+         |   AND ((en.dim = 'src' AND m.src_ip BETWEEN en.lo AND en.hi)
+         |     OR (en.dim = 'dst' AND m.dst_ip BETWEEN en.lo AND en.hi)
+         |     OR (en.dim = 'port' AND m.dst_port BETWEEN en.lo AND en.hi))
+         |  GROUP BY 1, 2, 3, 4),
+         |h AS (SELECT acl, rule_seq, dim, entry_ix, COUNT(*) AS hits
+         |  FROM att GROUP BY 1, 2, 3, 4)
+         |SELECT en.acl, en.rule_seq, en.dim, en.entry_ix, en.entry,
+         |       COALESCE(h.hits, 0) AS hits
+         |FROM entries en LEFT JOIN h
+         |  ON h.acl = en.acl AND h.rule_seq = en.rule_seq
+         |  AND h.dim = en.dim AND h.entry_ix = en.entry_ix
+         |ORDER BY en.acl, en.rule_seq, en.dim, en.entry_ix""".stripMargin,
     "fw_top_talkers" -> withCtes(
       """SELECT src_ip, COUNT(*) AS hits, COUNT(DISTINCT acl) AS n_acls
         |FROM matched GROUP BY src_ip

@@ -192,6 +192,65 @@ class DomainSpec extends SparkSpec {
     allEntries.foreach(k => assert(got2(k) === exp(k), s"entry $k"))
   }
 
+  test("fw_entry_usage equals the brute-force first-match + first-entry model") {
+    val d = "/root/testdata/sf0.001"
+    // fixture sanity: the entry expansion PARTITIONS each original range
+    // (rule-level semantics unchanged) and contains multi-entry dims
+    Fw.ruleset.zip(Fw.entryRuleset).foreach { case (r, er) =>
+      assert(er.srcs.map(e => (e.lo, e.hi)).foldLeft(r.srcLo) {
+        case (next, (lo, hi)) => assert(lo === next); hi + 1
+      } === r.srcHi + 1)
+      assert(er.ports.map(p => (p.lo, p.hi)).foldLeft(r.portLo) {
+        case (next, (lo, hi)) => assert(lo === next); hi + 1
+      } === r.portHi + 1)
+    }
+    assert(Fw.entryRuleset.exists(_.srcs.length > 1))
+
+    val events = Fw.fwEvents(spark, d)
+      .select("acl", "proto", "src_ip", "dst_ip", "dst_port").collect()
+    val exp = scala.collection.mutable.Map
+      .empty[(String, Int, String, Int), Long].withDefaultValue(0L)
+    events.foreach { r =>
+      val (acl, proto, s, dst, p) = (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getInt(4).toLong)
+      Fw.entryRuleset.filter(_.acl == acl).sortBy(_.ruleSeq)
+        .find(rr => (rr.proto == "ip" || rr.proto == proto)
+          && rr.srcs.exists(e => s >= e.lo && s <= e.hi)
+          && rr.dsts.exists(e => dst >= e.lo && dst <= e.hi)
+          && rr.ports.exists(e => p >= e.lo && p <= e.hi))
+        .foreach { rr =>
+          exp((acl, rr.ruleSeq, "src",
+            rr.srcs.indexWhere(e => s >= e.lo && s <= e.hi))) += 1
+          exp((acl, rr.ruleSeq, "dst",
+            rr.dsts.indexWhere(e => dst >= e.lo && dst <= e.hi))) += 1
+          exp((acl, rr.ruleSeq, "port",
+            rr.ports.indexWhere(e => p >= e.lo && p <= e.hi))) += 1
+        }
+    }
+    val got = Fw.entryUsage(spark, d).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getInt(3)) ->
+        r.getLong(5)).toMap
+    val allEntries = Fw.entryRuleset.flatMap(rr =>
+      rr.srcs.indices.map(i => (rr.acl, rr.ruleSeq, "src", i)) ++
+      rr.dsts.indices.map(i => (rr.acl, rr.ruleSeq, "dst", i)) ++
+      rr.ports.indices.map(i => (rr.acl, rr.ruleSeq, "port", i))).toSet
+    assert(got.keySet === allEntries,
+      "one row per configured entry, dead members included")
+    allEntries.foreach(k => assert(got(k) === exp(k), s"entry $k"))
+    // the report must be non-trivial on the fixture: live entries, dead
+    // members of LIVE rules (the question rule-level usage can't answer),
+    // and a split dimension with both halves exercised
+    assert(got.values.exists(_ > 0))
+    val liveRules = got.filter(_._2 > 0).keySet.map(k => (k._1, k._2))
+    assert(got.exists { case (k, h) =>
+      h === 0L && liveRules.contains((k._1, k._2)) },
+      "a live rule must carry a dead member")
+    assert(liveRules.exists { case (acl, seq) =>
+      got.getOrElse((acl, seq, "dst", 0), 0L) > 0 &&
+        got.getOrElse((acl, seq, "dst", 1), 0L) > 0 },
+      "a split dst group must have both halves hit")
+  }
+
   test("raw-config scalar matcher: OR-chains equal the cartesian join form") {
     import spark.implicits._
     // parsed rules have entry LISTS per side; firstMatchColRaw folds each
