@@ -62,4 +62,41 @@ class TextOpsSpec extends SparkSpec {
       .filter(col("cum_tokens") > col("quota")).count()
     assert(over === 0L)
   }
+
+  test("subword token estimate: exact arithmetic, bracketed by ws tokens and chars") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val rows = docs
+      .select(col("doc_id"), col("text"),
+        TextOps.subwordTokenEst(col("text")).as("est"),
+        size(split(col("text"), " ")).cast("long").as("ws"),
+        length(col("text")).cast("long").as("chars"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (text, est, ws, chars) =
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      // the estimate IS the documented arithmetic: Σ ceil(len(word)/4)
+      val model = text.split(' ').map(w => (w.length + 3) / 4).sum.toLong
+      assert(est === model, s"doc ${r.getLong(0)}")
+      // every word costs ≥ 1 token; no word costs more than its chars
+      assert(ws <= est && est <= chars,
+        s"doc ${r.getLong(0)}: ws=$ws est=$est chars=$chars")
+    }
+    // the meter must actually bite: on this corpus real words are longer
+    // than 4 chars often enough that the estimate strictly exceeds the
+    // whitespace count somewhere (else the variant would be a no-op twin)
+    assert(rows.exists(r => r.getLong(2) > r.getLong(3)))
+
+    // the subword-metered budget keeps the growth-stability property
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").as[Long](spark.implicits.newLongEncoder)
+        .collect().toSet
+    val half = docs.filter(col("doc_id") < 250)
+    val selHalf = ids(TextOps.budgetSampleSubword(half))
+    val selFull = ids(TextOps.budgetSampleSubword(docs))
+    assert(selHalf === selFull.filter(_ < 250))
+    // metering subword estimates (≥ ws count per doc) can only shorten
+    // each language's selected prefix relative to the ws-metered fill
+    assert(selFull.subsetOf(ids(TextOps.budgetSample(docs))))
+  }
 }
