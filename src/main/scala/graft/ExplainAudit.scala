@@ -210,6 +210,11 @@ object ExplainAudit {
     ("text_substring_dedup_filter", "digest shingles + keyed budget join",
       p => p.contains("xxhash64") && !p.contains("CartesianProduct")
         && !p.contains("BroadcastNestedLoopJoin")),
+    // the corpus-rewrite mask must run the codegen'd two-pointer sweep,
+    // never the interpreted filter+exists HOF pair it replaced (which
+    // also broke the enclosing whole-stage span)
+    ("text_substring_mask", "codegen mask_spans sweep (no interpreted lambda)",
+      p => p.contains("mask_spans") && !finalPlan(p).contains("lambdafunction")),
     // the correlated LATERAL top-2 must decorrelate into the pruned
     // window (WindowGroupLimit) with the tiny nation side broadcast — a
     // per-nation re-executed subquery or a rank-filter over the full
