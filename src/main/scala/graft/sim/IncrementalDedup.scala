@@ -75,12 +75,26 @@ object IncrementalDedup {
 
   /** Shard ids with a verified near-dup in the indexed corpus. Exposed so
     * DedupSpec can plan-gate the pruning on exactly the join that reads
-    * the index. */
+    * the index.
+    *
+    * The index scan is pruned STATICALLY to the shard's probed bucket set
+    * (≤ [[IndexParts]] values — the probe's distinct `pb` list is bounded
+    * by the partition count, so the driver list is trivial). Round 9
+    * hardening, the [[SemDedup.corpusHits]] discipline: the previous form
+    * relied on dynamic partition pruning, which Spark only inserts when
+    * the probe side carries a likely-selective predicate — true for the
+    * spec's filtered shard, FALSE for a bare shard read from files (the
+    * normal ingest shape), which would silently scan the full index. The
+    * static IN filter prunes regardless, and DPP on top is free when it
+    * does fire. */
   private[graft] def corpusHits(spark: SparkSession, shard: DataFrame,
       idCol: String, textCol: String, indexPath: String, threshold: Double,
       numHashes: Int, bands: Int, shingleK: Int): DataFrame = {
-    val index = spark.read.parquet(indexPath)
     val probe = probeBands(shard, idCol, textCol, numHashes, bands, shingleK)
+      .localCheckpoint()
+    val buckets = probe.select("pb").distinct().collect().map(_.getInt(0)).toSeq
+    val index = spark.read.parquet(indexPath)
+      .filter(col("pb").isin(buckets: _*))
     probe.alias("p").join(index.alias("i"),
         col("p.pb") === col("i.pb")
           && col("p.band_id") === col("i.band_id")

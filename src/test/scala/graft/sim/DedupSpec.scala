@@ -149,16 +149,26 @@ class DedupSpec extends SparkSpec {
     assert(got.nonEmpty && got.size < shardN.toInt,
       s"fixture must both keep and drop shard docs (kept ${got.size}/$shardN)")
 
-    // scale gate: the probe's index scan must be runtime-pruned to the
-    // band-key buckets the shard actually hashes into (DPP delivers the
-    // probe's bucket set via the reused broadcast) — at 100 TB this is
-    // what makes shard cost ∝ shard, not ∝ corpus
-    val hits = IncrementalDedup.corpusHits(spark, shard, "doc_id", "text",
+    // scale gate: the probe's index scan must be STATICALLY pruned to the
+    // band-key buckets the shard actually hashes into — at 100 TB this is
+    // what makes shard cost ∝ shard, not ∝ corpus. (Round 9: was a
+    // dynamicpruning gate, but DPP only fires when the probe side carries
+    // a likely-selective predicate — true for this test's filtered shard,
+    // false for a bare shard read from files, which would have silently
+    // full-scanned the index. The static IN prune holds either way; the
+    // probe here is deliberately UNFILTERED to pin exactly that case.)
+    val bare = spark.createDataFrame(shard.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq)
+      .toDF("doc_id", "text")
+    val hits = IncrementalDedup.corpusHits(spark, bare, "doc_id", "text",
       dir, 0.8, 32, 8, 3)
     hits.collect()
     val physical = hits.queryExecution.executedPlan.toString
-    assert(physical.contains("dynamicpruning"),
-      s"index scan must carry a runtime partition-pruning filter:\n" +
+    val partFilter = physical.linesIterator
+      .find(l => l.contains("PartitionFilters: [") && l.contains("pb")
+        && (l.contains("INSET") || l.contains(" IN (")))
+    assert(partFilter.isDefined,
+      s"index scan must carry a static IN partition filter on pb:\n" +
         physical.linesIterator.take(40).mkString("\n"))
   }
 }
