@@ -10,6 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // capture the box's 1-min load BEFORE the warmup — the bench itself
+    // drives load to ~2 on local[32], so a report-time reading would
+    // describe the bench, not the box it started on
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     // warm the session (codegen, file index, shuffle machinery) so the
     // first measured query doesn't absorb one-time startup cost
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -33,12 +38,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // record the box's 1-min load average INTO the artifact: the r7/r8
+    // the start-of-run load average goes INTO the artifact: the r7/r8
     // variance protocol (BASELINE.md) showed load is the dominant term of
     // bench drift (±30% band at load ~2), so a judge normalizing across
     // rounds needs the load of THIS run, not forensics over uptime logs
-    val loadAvg = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","load_avg":$loadAvg,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
