@@ -159,6 +159,14 @@ object ExplainAudit {
         .findAllIn(finalPlan(p)).size <= 2),
     ("fw_usage_report", "no per-event exchange + matcher evaluated exactly once",
       p => !p.contains("hashpartitioning(event_id") && matcherOnce(p)),
+    // the entry report's three dimension attributions must ride ONE fact
+    // scan (explode into (dim, entry_ix) rows → one config-sized
+    // aggregate); the rejected rollup-union form scanned the fact table
+    // once PER DIMENSION because per-branch column pruning made the
+    // three combo subtrees non-identical and killed exchange reuse
+    ("fw_entry_usage", "single fact scan + matcher evaluated exactly once",
+      p => matcherOnce(p) && !p.contains("hashpartitioning(event_id")
+        && "FileScan parquet".r.findAllIn(finalPlan(p)).size == 1),
     ("fw_action_share", "no per-event exchange + matcher evaluated exactly once",
       p => !p.contains("hashpartitioning(event_id") && matcherOnce(p)),
     ("fw_hits_timeseries", "no per-event exchange + matcher evaluated exactly once",

@@ -494,10 +494,16 @@ object Fw {
     * (src / dst / port), each event crediting its FIRST covering entry in
     * config order — never the src×dst×port cartesian. All attribution is
     * CASE folds over the [[entryRuleset]] driver constants stacked on the
-    * scalar matcher — map-side, linear in the config's entry count; the
-    * only exchange keys on the (rule, entry-index) combo aggregate, whose
-    * keyspace is config-sized, and the three dimension rollups reuse that
-    * one combo exchange. */
+    * scalar matcher — map-side, linear in the config's entry count. The
+    * three dimension attributions leave the matcher as ONE explode into
+    * (dim, entry_ix) rows feeding ONE partial-aggregated groupBy whose
+    * keyspace is config-sized: one fact scan, one matcher evaluation, one
+    * exchange (plan-gated). A rollup-per-dimension union formulation read
+    * 3× here — Catalyst prunes each union branch to its own dimension
+    * column, making the three combo subtrees non-identical, so exchange
+    * reuse never fires and the FACT TABLE is scanned once per dimension
+    * (measured: 3 parquet scans in the final plan — the difference
+    * between one 100 TB pass and three). */
   def entryUsage(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     def firstIx(spans: Seq[(Long, Long)], v: Column): Column =
@@ -510,20 +516,19 @@ object Fw {
         when(col("acl") === r.acl && col("rule_seq") === r.ruleSeq,
           firstIx(pick(r), v)).otherwise(els)
       }
-    val combos = matchedScalar(spark, dir)
-      .withColumn("six", dimIx(_.srcs.map(e => (e.lo, e.hi)), col("src_ip")))
-      .withColumn("dix", dimIx(_.dsts.map(e => (e.lo, e.hi)), col("dst_ip")))
-      .withColumn("pix", dimIx(_.ports.map(p => (p.lo.toLong, p.hi.toLong)),
-        col("dst_port").cast("long")))
-      .groupBy("acl", "rule_seq", "six", "dix", "pix")
-      .agg(count(lit(1)).as("cnt"))
-    def rollup(dim: String, ixCol: String): DataFrame =
-      combos.groupBy(col("acl"), col("rule_seq"), col(ixCol).as("entry_ix"))
-        .agg(sum(col("cnt")).as("hits"))
-        .withColumn("dim", lit(dim))
-    val hitRoll = rollup("src", "six")
-      .unionByName(rollup("dst", "dix"))
-      .unionByName(rollup("port", "pix"))
+    val hitRoll = matchedScalar(spark, dir)
+      .select(col("acl"), col("rule_seq"), explode(array(
+        struct(lit("src").as("dim"),
+          dimIx(_.srcs.map(e => (e.lo, e.hi)), col("src_ip")).as("entry_ix")),
+        struct(lit("dst").as("dim"),
+          dimIx(_.dsts.map(e => (e.lo, e.hi)), col("dst_ip")).as("entry_ix")),
+        struct(lit("port").as("dim"),
+          dimIx(_.ports.map(p => (p.lo.toLong, p.hi.toLong)),
+            col("dst_port").cast("long")).as("entry_ix")))).as("e"))
+      .select(col("acl"), col("rule_seq"),
+        col("e.dim").as("dim"), col("e.entry_ix").as("entry_ix"))
+      .groupBy("acl", "rule_seq", "dim", "entry_ix")
+      .agg(count(lit(1)).as("hits"))
     val entryDim = entryRuleset.flatMap { r =>
       r.srcs.zipWithIndex.map { case (e, i) =>
         (r.acl, r.ruleSeq, "src", i, e.cidr) } ++
