@@ -131,6 +131,19 @@ object SemDedup {
     * inferred partition type so the scan side compares the bare partition
     * attribute. Shard cost ∝ shard at 100 TB. */
   private[sim] def corpusHits(spark: SparkSession, shard: DataFrame,
+      path: String, threshold: Double): DataFrame =
+    corpusDupFlags(spark, shard, path, threshold)
+      .select(col("vec_id").as("id")).distinct()
+
+  /** The flag-emitting form of the index probe: one
+    * `(vec_id, dup_of, cosine)` row per shard vector × corpus vector pair
+    * with cosine ≥ threshold inside the shard vector's assigned cluster —
+    * the embedding analog of the MinHash probe's `(doc_id, dup_of,
+    * jaccard)` flags, shared verbatim by the streaming twin
+    * ([[graft.stream.Streaming]] `streamSemDupFlags`) so batch and stream
+    * cannot drift. [[corpusHits]] reduces these flags to distinct shard
+    * ids for the dedup verdict. */
+  def corpusDupFlags(spark: SparkSession, shard: DataFrame,
       path: String, threshold: Double): DataFrame = {
     val probe = Ann.ivfAssignWith(Ann.vecsOf(shard),
         indexCentroids(spark, path))
@@ -142,10 +155,9 @@ object SemDedup {
       .filter(col("centroid_id").isin(probed: _*))
     broadcast(probe).alias("p").join(index.alias("i"),
         col("p.centroid_id") === col("i.centroid_id"))
-      .select(col("p.vec_id").as("id"),
+      .select(col("p.vec_id").as("vec_id"), col("i.vec_id").as("dup_of"),
         cosine(col("p.v"), col("i.v")).as("cosine"))
       .filter(col("cosine") >= threshold)
-      .select("id").distinct()
   }
 
   /** Dedupe `shard` against the persisted index AND against itself;

@@ -191,6 +191,29 @@ object Streaming {
       sink(graft.text.SubstringDedup.shardDupSpans(batch, k, indexPath), id)
     }
 
+  /** Online SEMANTIC near-dup flags (round 9) — the embedding modality's
+    * streaming twin, completing the set (MinHash flags:
+    * [[streamCorpusDupFlags]]; passage spans: [[streamPassageSpans]]):
+    * arriving embedded documents `(vec_id, embedding)` are probed against
+    * the persisted [[graft.sim.SemDedup]] IVF index and emitted as
+    * `(vec_id, dup_of, cosine)` flag rows per micro-batch. foreachBatch
+    * rather than a stream-static join because the probe both aggregates
+    * per vector (the arg-max cluster assignment) and statically prunes
+    * the index scan from the batch's cluster set — neither is legal on an
+    * unbounded stream, and both are exact per micro-batch since vectors
+    * arrive whole. Shares [[graft.sim.SemDedup.corpusDupFlags]] verbatim
+    * with the batch path, so the two cannot drift; the StreamingSpec gate
+    * asserts flag-set equality with the batch probe. Same at-least-once /
+    * (vec_id, dup_of)-idempotent consumer contract as the MinHash twin. */
+  def streamSemDupFlags(docs: DataFrame, indexPath: String,
+      sink: (DataFrame, Long) => Unit, threshold: Double = 0.99)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      sink(graft.sim.SemDedup.corpusDupFlags(batch.sparkSession, batch,
+        indexPath, threshold), id)
+    }
+
   // ------------------------------------------------------------ B10.6
 
   final case class UserEvent(event_id: Long, ts: java.sql.Timestamp,

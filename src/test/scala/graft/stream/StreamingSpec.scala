@@ -548,6 +548,54 @@ class StreamingSpec extends SparkSpec {
     assert(expected.nonEmpty, "fixture must contain cross-corpus passages")
   }
 
+  test("streaming semantic dup flags equal the batch IVF-index probe (B10.14)") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.core.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val split = 64L
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sem_stream_idx").toString
+    graft.sim.SemDedup.writeIndex(
+      emb.filter(col("vec_id") < split), dir, nCentroids = 16, iters = 3)
+    // shard = fresh vectors + planted scaled copies of corpus vectors
+    // (exact-direction → cosine 1 → must flag against their originals)
+    val offset = 10000L
+    val shard = emb.filter(col("vec_id") >= split)
+      .select((col("vec_id") + offset).as("vec_id"), col("embedding"))
+      .union(emb.filter(col("vec_id") < split && col("vec_id") % 4 === 0)
+        .select((col("vec_id") + 2 * offset).as("vec_id"),
+          transform(col("embedding"), x => x * 0.5).as("embedding")))
+      .localCheckpoint()
+    val shardRows = shard.as[(Long, Seq[Double])].collect().toSeq
+
+    val sunk = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val stream = MemoryStream[(Long, Seq[Double])](45, spark, None)
+    val q = Streaming.streamSemDupFlags(
+        stream.toDF().toDF("vec_id", "embedding"), dir,
+        (flags, _) => sunk ++= flags.select("vec_id", "dup_of").collect()
+          .map(r => (r.getLong(0), r.getLong(1))))
+      .start()
+    // vectors arrive whole, split across two micro-batches — the cluster
+    // assignment and index prune are per-batch, so batching must not
+    // change the union of emitted flags
+    val (first, rest) = shardRows.splitAt(shardRows.size / 2)
+    stream.addData(first); q.processAllAvailable()
+    stream.addData(rest); q.processAllAvailable()
+    q.stop()
+
+    val expected = graft.sim.SemDedup
+      .corpusDupFlags(spark, shard, dir, 0.99)
+      .select("vec_id", "dup_of").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sunk.toSet === expected)
+    assert(expected.nonEmpty, "fixture must flag the planted copies")
+    // every planted copy flags its original; fresh vectors stay clean
+    assert(expected.forall { case (v, d) =>
+      v >= 2 * offset && d === v - 2 * offset })
+    assert(sunk.size === sunk.toSet.size, "no flag may be emitted twice")
+  }
+
   test("live corpus-dup flags pick up an index republished between batches") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"
