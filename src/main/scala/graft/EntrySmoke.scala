@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
   * pipelines end-to-end. Usage:
   *   runMain graft.EntrySmoke                      — flagship only
   *   runMain graft.EntrySmoke <logPath> <confPath> — raw fw pipeline
-  *   runMain graft.EntrySmoke neardup|ann|dedup|incremental|stream|substring|semdedup <sfDir>
+  *   runMain graft.EntrySmoke neardup|ann|dedup|incremental|stream|substring|semdedup|semshard <sfDir>
   */
 object EntrySmoke {
   def main(args: Array[String]): Unit = {
@@ -116,6 +116,22 @@ object EntrySmoke {
         val kept = sim.SemDedup.semDedupCorpus(corpus, 0.99, 16, iters = 3)
         println(s"SEMDEDUP: kept ${kept.count()} of ${corpus.count()} " +
           s"(${copies.count()} planted duplicates)")
+      case Array("semshard", dir) =>
+        // incremental semantic dedup demo (round 9): index the corpus once,
+        // then dedupe a shard of planted copies at shard cost
+        import org.apache.spark.sql.functions.{col, transform}
+        val emb = core.Tables.embeddings(spark, dir)
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("embedding"))
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft_sem_demo").toString
+        sim.SemDedup.writeIndex(emb, idx, nCentroids = 16, iters = 3)
+        val shard = emb.filter(col("vec_id") % 25 === 0)
+          .select((col("vec_id") + 10000L).as("vec_id"),
+            transform(col("embedding"), x => x * 0.5).as("embedding"))
+        val kept2 = sim.SemDedup.semDedupShard(spark, shard, idx, 0.99)
+        println(s"SEMSHARD: kept ${kept2.count()} of ${shard.count()} " +
+          "shard vectors (planted copies of indexed corpus members drop)")
       case Array(logPath, confPath) =>
         val report = domain.LogParse.usageReportFromRaw(spark, logPath, confPath)
         println("RAW_REPORT:")
