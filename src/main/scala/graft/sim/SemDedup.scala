@@ -151,9 +151,14 @@ object SemDedup {
       .localCheckpoint()
     val probed = probe.select("centroid_id").distinct()
       .collect().map(_.getInt(0)).toSeq
+    // no broadcast hint on the probe: a daily shard can be GBs of vectors
+    // (forcing it driver-side would OOM at scale), and the checkpointed
+    // probe has size stats, so AQE broadcasts exactly when it actually
+    // fits — the static partition prune above is independent of the join
+    // strategy either way
     val index = spark.read.parquet(s"$path/assigned")
       .filter(col("centroid_id").isin(probed: _*))
-    broadcast(probe).alias("p").join(index.alias("i"),
+    probe.alias("p").join(index.alias("i"),
         col("p.centroid_id") === col("i.centroid_id"))
       .select(col("p.vec_id").as("vec_id"), col("i.vec_id").as("dup_of"),
         cosine(col("p.v"), col("i.v")).as("cosine"))
