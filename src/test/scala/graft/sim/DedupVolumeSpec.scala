@@ -1,0 +1,59 @@
+package graft.sim
+
+import org.apache.spark.sql.functions._
+
+import graft.{DedupVolume, SparkSpec}
+
+/** CI-sized run of the MinHash/semantic volume-proof corpora: planted
+  * ground truth is deterministic, so the recall gates are (near-)exact.
+  * The million-row measurement lives in dev/dedup_volume.json
+  * (runMain graft.DedupVolume). */
+class DedupVolumeSpec extends SparkSpec {
+
+  test("minhash volume corpus: exact copies always drop, near copies >=99%, no false drops") {
+    val n = 10000L
+    val docs = DedupVolume.docCorpus(spark, n).localCheckpoint()
+    val kept = Dedup.dedupCorpus(docs, "doc_id", "text")
+      .select("doc_id").localCheckpoint()
+    val exactPlanted = n / 10
+    val exactKept = kept.filter(col("doc_id") % 10 === 1).count()
+    assert(exactKept === 0L,
+      "exact copies share every band key — banding must catch all of them")
+    val nearPlanted = n / 10
+    val nearKept = kept.filter(col("doc_id") % 10 === 2).count()
+    val nearRecall = 1.0 - nearKept.toDouble / nearPlanted
+    info(f"near-copy recall $nearRecall%.4f (banding bound ~0.9997)")
+    assert(nearRecall >= 0.99, f"near recall $nearRecall%.4f")
+    // every base and every unique filler doc must survive: the exact
+    // verify step makes false drops impossible, and each planted group's
+    // min id is its base
+    assert(kept.filter(col("doc_id") % 10 =!= 1 && col("doc_id") % 10 =!= 2)
+      .count() === n - exactPlanted - nearPlanted)
+    // fixture sanity: a near copy really shares 17 of its 19 3-gram
+    // shingles with its base (Jaccard 17/19 ≈ 0.895 — above the 0.8
+    // threshold, below exact)
+    def shingleSet(id: Long): Set[String] = {
+      val toks = docs.filter(col("doc_id") === id)
+        .head.getAs[String]("text").split(' ')
+      toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val (a, b) = (shingleSet(0), shingleSet(2))
+    val j = a.intersect(b).size.toDouble / a.union(b).size
+    assert(j > 0.85 && j < 0.95, f"planted near-copy jaccard $j%.3f")
+  }
+
+  test("semantic volume corpus: planted shard copies all drop against the index") {
+    val n = 2000L
+    val emb = DedupVolume.embCorpus(spark, n).localCheckpoint()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dedupvol_sem").toString
+    SemDedup.writeIndex(emb, dir, nCentroids = 16, iters = 2)
+    val shard = emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 2 * n).as("vec_id"),
+        transform(col("embedding"), x => x * 0.25).as("embedding"))
+    val keptN = SemDedup.semDedupShard(spark, shard, dir, 0.999999).count()
+    assert(shard.count() === n / 10)
+    assert(keptN === 0L,
+      "every shard vector is a scaled copy of an indexed base — all drop")
+  }
+}
