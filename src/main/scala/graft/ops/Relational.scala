@@ -476,6 +476,45 @@ object Relational {
           max(col("ts")).as("max_ts"),
           dsum(col("value")).as("total_value"))),
 
+    // Robust outlier report (round 9) — the data-quality screen a
+    // training pipeline runs over numeric features before trusting them:
+    // per group, median and MAD (median absolute deviation — the robust
+    // spread statistic that a few wild values cannot poison, unlike
+    // stddev), and the count/extremes of values outside the standard
+    // |x − median| > 3·MAD fence. Both statistics are percentile_disc —
+    // element-SELECTING, so every compared number is a source value or an
+    // exact double subtract/multiply of two (no interpolation, the
+    // text_quality_filter discipline). Scale shape: two map-side
+    // ObjectHashAggregate passes over the fact stream with the tiny
+    // per-type statistics BROADCAST back between them — the events table
+    // shuffles zero times; cost is two scans (or one + cache) at any
+    // volume, and the fence filter is a narrow map.
+    "profile_outliers" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+      val med = ev.groupBy("event_type")
+        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)")
+          .as("med"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("adev", abs(col("value") - col("med")))
+      val mad = dev.groupBy("event_type")
+        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)")
+          .as("mad"), count(lit(1)).as("n"))
+      // conditional aggregation keeps EVERY type in the report (a clean
+      // type shows n_outliers = 0 and NULL extremes on both engines)
+      val out = col("adev") > col("mad") * 3.0
+      dev.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"), col("med"), col("mad"), col("n"))
+        .agg(count(when(out, 1)).as("n_outliers"),
+          min(when(out, col("value"))).as("min_outlier"),
+          max(when(out, col("value"))).as("max_outlier"))
+        .select(col("event_type"), col("n"), col("med"), col("mad"),
+          col("n_outliers"),
+          (col("n_outliers").cast("double") / col("n"))
+            .as("outlier_frac"),
+          col("min_outlier"), col("max_outlier"))
+        .orderBy("event_type")
+    }),
+
     // Key-skew diagnostic — the "will this key explode my shuffle" check
     // run before any big groupBy/join: per-key counts reduced to
     // max/avg/ratio. Exact-integer sums divided once keep the doubles
@@ -842,6 +881,27 @@ object Relational {
         |FROM orders
         |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
         |ORDER BY o_orderkey""".stripMargin,
+
+    // the MAD fence comparison and outlier_frac are exact double ops over
+    // element-selected percentiles — bit-identical cross-engine
+    "profile_outliers" ->
+      """WITH med AS (SELECT event_type,
+        |    quantile_disc(value, 0.5) AS med FROM events GROUP BY event_type),
+        |dev AS (SELECT e.event_type, e.value, m.med,
+        |    abs(e.value - m.med) AS adev
+        |  FROM events e JOIN med m ON e.event_type = m.event_type),
+        |mad AS (SELECT event_type, quantile_disc(adev, 0.5) AS mad,
+        |    COUNT(*) AS n
+        |  FROM dev GROUP BY event_type)
+        |SELECT d.event_type, s.n, d.med, s.mad,
+        |  COUNT(CASE WHEN d.adev > s.mad * 3.0 THEN 1 END) AS n_outliers,
+        |  CAST(COUNT(CASE WHEN d.adev > s.mad * 3.0 THEN 1 END) AS DOUBLE)
+        |    / s.n AS outlier_frac,
+        |  MIN(CASE WHEN d.adev > s.mad * 3.0 THEN d.value END) AS min_outlier,
+        |  MAX(CASE WHEN d.adev > s.mad * 3.0 THEN d.value END) AS max_outlier
+        |FROM dev d JOIN mad s ON d.event_type = s.event_type
+        |GROUP BY d.event_type, s.n, d.med, s.mad
+        |ORDER BY d.event_type""".stripMargin,
 
     "profile_events" ->
       """SELECT COUNT(*) AS n_rows,
