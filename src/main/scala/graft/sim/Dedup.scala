@@ -149,31 +149,75 @@ object Dedup {
     "dedup_keep_best" -> ((s, d) =>
       keepBest(clusters(Similarity.tokenJaccardPairs(s, d), "doc_a", "doc_b"),
           Tables.documents(s, d), "doc_id", "n_chars")
-        .orderBy("cluster"))
+        .orderBy("cluster")),
+
+    // Corpus-duplication dashboard (round 9) — the summary a curation run
+    // reports before anyone trusts a dedup pass: corpus size, how many
+    // docs sit in dup clusters, how many clusters, the worst cluster, and
+    // the fraction the min-id policy would drop. Composes the SAME
+    // cluster table as dedup_clusters reduced to one row; the per-cluster
+    // sizes and the 1-row corpus count are each tiny aggregates, the
+    // count rides a broadcast crossJoin — nothing corpus-sized shuffles
+    // beyond the shared pair detector.
+    "dedup_report" -> ((s, d) => {
+      val per = clusters(Similarity.tokenJaccardPairs(s, d), "doc_a", "doc_b")
+        .groupBy("cluster").agg(count(lit(1)).as("sz"))
+      val docsN = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      per.agg(sum(col("sz")).as("n_clustered"),
+          count(lit(1)).as("n_clusters"),
+          max(col("sz")).as("max_cluster_size"))
+        .crossJoin(broadcast(docsN))
+        .select(col("n_docs"), col("n_clustered"), col("n_clusters"),
+          col("max_cluster_size"),
+          (col("n_clustered") - col("n_clusters")).as("n_dropped"),
+          ((col("n_clustered") - col("n_clusters")).cast("double")
+            / col("n_docs")).as("dup_frac"))
+    })
   )
+
+  /** The shared recursive-CTE pipeline text (pairs → symmetric edges →
+    * reachability fixpoint), reused by every cluster-derived oracle so
+    * the component semantics cannot drift between them. */
+  private val reachCte: String =
+    """WITH RECURSIVE docs AS (SELECT doc_id, source,
+      |    list_distinct(string_split(text, ' ')) AS toks,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter,
+      |    a.n + b.n AS sum_n
+      |  FROM docs a JOIN docs b ON a.source = b.source AND a.doc_id < b.doc_id
+      |    AND CAST(least(a.n, b.n) AS DOUBLE) / greatest(a.n, b.n) >= 0.8),
+      |good AS (SELECT doc_a, doc_b FROM pairs
+      |  WHERE CAST(inter AS DOUBLE) / (sum_n - inter) >= 0.8),
+      |edges AS (SELECT doc_a AS u, doc_b AS v FROM good
+      |  UNION ALL SELECT doc_b, doc_a FROM good),
+      |reach(id, root) AS (
+      |  SELECT DISTINCT u, u FROM edges
+      |  UNION
+      |  SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "dedup_clusters" ->
-      """WITH RECURSIVE docs AS (SELECT doc_id, source,
-        |    list_distinct(string_split(text, ' ')) AS toks,
-        |    CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n
-        |  FROM documents),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter,
-        |    a.n + b.n AS sum_n
-        |  FROM docs a JOIN docs b ON a.source = b.source AND a.doc_id < b.doc_id
-        |    AND CAST(least(a.n, b.n) AS DOUBLE) / greatest(a.n, b.n) >= 0.8),
-        |good AS (SELECT doc_a, doc_b FROM pairs
-        |  WHERE CAST(inter AS DOUBLE) / (sum_n - inter) >= 0.8),
-        |edges AS (SELECT doc_a AS u, doc_b AS v FROM good
-        |  UNION ALL SELECT doc_b, doc_a FROM good),
-        |reach(id, root) AS (
-        |  SELECT DISTINCT u, u FROM edges
-        |  UNION
-        |  SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.id)
+      s"""$reachCte
         |SELECT id AS member, MIN(root) AS cluster, (id = MIN(root)) AS keep
         |FROM reach GROUP BY id ORDER BY member""".stripMargin,
+
+    "dedup_report" ->
+      s"""$reachCte,
+        |cl AS (SELECT id, MIN(root) AS cluster FROM reach GROUP BY id),
+        |per AS (SELECT cluster, COUNT(*) AS sz FROM cl GROUP BY cluster),
+        |agg AS (SELECT CAST(SUM(sz) AS BIGINT) AS n_clustered,
+        |    COUNT(*) AS n_clusters,
+        |    CAST(MAX(sz) AS BIGINT) AS max_cluster_size FROM per),
+        |nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT nd.n_docs, agg.n_clustered, agg.n_clusters,
+        |  agg.max_cluster_size,
+        |  agg.n_clustered - agg.n_clusters AS n_dropped,
+        |  CAST(agg.n_clustered - agg.n_clusters AS DOUBLE) / nd.n_docs
+        |    AS dup_frac
+        |FROM agg CROSS JOIN nd""".stripMargin,
 
     "dedup_keep_best" ->
       """WITH RECURSIVE docs AS (SELECT doc_id, source,
