@@ -143,6 +143,12 @@ object ExplainAudit {
     // must run map-side (ObjectHashAggregate), not single-node
     ("agg_percentile", "map-side partial percentile (ObjectHashAggregate)",
       p => p.contains("ObjectHashAggregate")),
+    // the MAD outlier report's per-type stats must broadcast back onto
+    // the fact stream (a sort-merge join here would shuffle the events
+    // table twice), with both percentile passes partial-aggregated
+    ("profile_outliers", "broadcast stats + map-side percentiles, no SMJ",
+      p => p.contains("ObjectHashAggregate") && p.contains("BroadcastHashJoin")
+        && !finalPlan(p).contains("SortMergeJoin")),
     // the fw COUNT family must never exchange one row per fact event: the
     // scalar matcher reduces first-match in the map stage, so the only
     // exchanges key on tiny aggregation keyspaces. A reintroduced
