@@ -35,15 +35,22 @@ object Ann {
 
   /** Nearest-centroid assignment against an explicit `(centroid_id, cv)`
     * table — ONE broadcast join + arg-max, the shared step of the IVF
-    * bootstrap, every Lloyd iteration, and the final list build. */
-  def ivfAssignWith(vecs: DataFrame, centroids: DataFrame): DataFrame =
+    * bootstrap, every Lloyd iteration, and the final list build. The
+    * vector rides along as a second `max_by` over the same total ordering
+    * key: v is constant per vec_id so ANY row's copy is correct, and
+    * max_by carries the value without ordering on it — the earlier
+    * `min(col("v"))` form compared the k candidate arrays
+    * LEXICOGRAPHICALLY element-by-element per vector just to pick among
+    * identical copies (r7 what's-wrong item, closed round 9). */
+  def ivfAssignWith(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    val ord = struct(col("csim"), col("centroid_id"))
     vecs.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("v"), col("centroid_id"),
         cosine(col("v"), col("cv")).as("csim"))
       .groupBy("vec_id")
-      .agg(max_by(col("centroid_id"), struct(col("csim"), col("centroid_id")))
-        .as("centroid_id"),
-        min(col("v")).as("v")) // v constant per vec_id
+      .agg(max_by(col("centroid_id"), ord).as("centroid_id"),
+        max_by(col("v"), ord).as("v"))
+  }
 
   /** Spherical k-means (Lloyd) refinement of the IVF centroid set — the
     * standard IVF build, replacing the random-sample bootstrap with
