@@ -584,6 +584,13 @@ class StreamingSpec extends SparkSpec {
     stream.addData(rest); q.processAllAvailable()
     q.stop()
 
+    // production streams deliver EMPTY micro-batches too: the probe's
+    // cluster-set collect is then empty and the index filter is an
+    // empty IN — must yield zero flags, never throw
+    val emptyFlags = graft.sim.SemDedup.corpusDupFlags(spark,
+      shard.filter(col("vec_id") < 0), dir, 0.99)
+    assert(emptyFlags.count() === 0L)
+
     val expected = graft.sim.SemDedup
       .corpusDupFlags(spark, shard, dir, 0.99)
       .select("vec_id", "dup_of").collect()
