@@ -165,6 +165,45 @@ object SemDedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** k-NN neighbors of a NEW SHARD drawn from the persisted index — the
+    * incremental form of [[Ann.knnGraph]] (maintain a corpus k-NN graph
+    * as data arrives: new vectors get their neighbor lists at shard cost
+    * instead of re-running the whole-corpus build). Each shard vector's
+    * candidates are its `nprobe` nearest frozen centroids' inverted
+    * lists, read partition-pruned from the cluster-partitioned index
+    * (the [[corpusDupFlags]] static-prune discipline), then ranked in
+    * the same per-vector WindowGroupLimit window as every other k-NN
+    * path. Returns (vec_id, nbr_id, cosine, rank). Recall follows the
+    * batch IVF trade (more nprobe, more recall — monotone by
+    * construction); SemDedupSpec gates it against the exact
+    * shard-vs-corpus graph. */
+  def knnShard(spark: SparkSession, shard: DataFrame, path: String,
+      nprobe: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = indexCentroids(spark, path)
+    val wProbe = Window.partitionBy("vec_id")
+      .orderBy(desc("csim"), asc("centroid_id"))
+    val probes = Ann.vecsOf(shard).crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("v"), col("centroid_id"),
+        cosine(col("v"), col("cv")).as("csim"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("vec_id"), col("v"),
+        col("centroid_id").cast("int").as("centroid_id"))
+      .localCheckpoint()
+    val probed = probes.select("centroid_id").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val index = spark.read.parquet(s"$path/assigned")
+      .filter(col("centroid_id").isin(probed: _*))
+    val wK = Window.partitionBy("vec_id").orderBy(desc("cosine"), asc("nbr_id"))
+    probes.alias("q").join(index.alias("c"),
+        col("q.centroid_id") === col("c.centroid_id"))
+      .select(col("q.vec_id").as("vec_id"), col("c.vec_id").as("nbr_id"),
+        cosine(col("q.v"), col("c.v")).as("cosine"))
+      .withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= k)
+  }
+
   /** Dedupe `shard` against the persisted index AND against itself;
     * returns the kept shard rows unchanged (schema-preserving filter).
     * Semantics equal whole-corpus [[semDedupCorpusWith]] over

@@ -147,6 +147,58 @@ class SemDedupSpec extends SparkSpec {
         physical.linesIterator.take(40).mkString("\n"))
   }
 
+  test("incremental kNN: shard neighbors from the persisted index, recall-gated") {
+    import VectorMath.cosine
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val split = 96L
+    val offset = 10000L
+    val corpus = emb.filter(col("vec_id") < split).localCheckpoint()
+    val shard = emb.filter(col("vec_id") >= split)
+      .select((col("vec_id") + offset).as("vec_id"), col("embedding"))
+      .localCheckpoint()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_knn_shard_idx").toString
+    SemDedup.writeIndex(corpus, dir, nCentroids = 16, iters = 3)
+
+    val k = 10
+    // exact shard-vs-corpus top-k graph (brute force)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(desc("cosine"), asc("nbr_id"))
+    val exact = shard.alias("a").crossJoin(corpus.alias("b"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
+        cosine(col("a.embedding"), col("b.embedding")).as("cosine"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("vec_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+    def meanRecall(nprobe: Int): Double = {
+      val approx = SemDedup.knnShard(spark, shard, dir, nprobe, k)
+        .select("vec_id", "nbr_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      exact.map { case (id, truth) =>
+        approx.getOrElse(id, Set.empty).intersect(truth).size.toDouble / k
+      }.sum / exact.size
+    }
+    val r2 = meanRecall(2)
+    val r6 = meanRecall(6)
+    info(f"knnShard mean recall@10: nprobe=2 $r2%.3f, nprobe=6 $r6%.3f")
+    assert(r6 >= r2, "recall must be monotone in nprobe")
+    assert(r2 >= 0.2 && r6 >= 0.5,
+      f"recall floors (batch knnGraph precedent): $r2%.3f / $r6%.3f")
+    // scale shape: the per-vector top-k prunes inside the window and the
+    // index scan is statically pruned to the probed clusters
+    val g = SemDedup.knnShard(spark, shard, dir, 2, k)
+    g.collect()
+    val plan = g.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"))
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PartitionFilters: [") &&
+        (l.contains("INSET") || l.contains(" IN ("))))
+  }
+
   test("IVF knnGraph: recall vs exact graph, monotone in nprobe") {
     val emb = graft.core.Tables.embeddings(spark, sfDir)
     import VectorMath.cosine
