@@ -73,6 +73,44 @@ object IncrementalDedup {
         shingleK))
       .write.mode("overwrite").partitionBy("pb").parquet(path)
 
+  /** Fold one ingested shard into the persisted index at SHARD cost — the
+    * write half of the probe→drop→fold-in production loop ([[ingestShard]]),
+    * closing the same loop the substring index already closes
+    * ([[graft.text.SubstringDedup.appendShingleIndex]]). Band rows are a
+    * pure per-document function and shards are doc-disjoint under the
+    * monotonic-id ingest contract, so appending the shard's band rows under
+    * its `pb=` partitions yields BYTE-THE-SAME index contents as rebuilding
+    * from the union — `writeIndex(corpus)` + `appendIndex(shard)` ≡
+    * `writeIndex(corpus ∪ shard)` (DedupSpec pins probe-result equality on
+    * random planted-dup corpora). Pass the FULL probed shard, not just its
+    * kept rows: the index contract deliberately includes internal dups
+    * ([[writeIndex]] scaladoc — a later doc matching ANY earlier member
+    * must drop, and transitivity through a dropped member only holds if
+    * that member stays probe-able). Single writer assumed, the
+    * [[graft.ops.QuantileSketch]] append discipline. */
+  def appendIndex(shard: DataFrame, idCol: String, textCol: String,
+      path: String, numHashes: Int = 32, bands: Int = 8,
+      shingleK: Int = 3): Unit =
+    withBucket(MinHash.bandTable(shard, idCol, textCol, numHashes, bands,
+        shingleK))
+      .write.mode("append").partitionBy("pb").parquet(path)
+
+  /** The complete ingest step: dedupe `shard` against the index (and
+    * itself), fold the shard into the index, return the kept rows. The
+    * kept result is MATERIALIZED (eager localCheckpoint; cluster:
+    * checkpoint) strictly BEFORE the append — [[dedupShard]] is a lazy
+    * plan over the index files, and evaluating it after the append would
+    * re-probe the grown index, where every shard doc now matches itself
+    * (Jaccard 1) and would silently drop. */
+  def ingestShard(spark: SparkSession, shard: DataFrame, idCol: String,
+      textCol: String, indexPath: String, threshold: Double = 0.8,
+      numHashes: Int = 32, bands: Int = 8, shingleK: Int = 3): DataFrame = {
+    val kept = dedupShard(spark, shard, idCol, textCol, indexPath, threshold,
+      numHashes, bands, shingleK).localCheckpoint()
+    appendIndex(shard, idCol, textCol, indexPath, numHashes, bands, shingleK)
+    kept
+  }
+
   /** Shard ids with a verified near-dup in the indexed corpus. Exposed so
     * DedupSpec can plan-gate the pruning on exactly the join that reads
     * the index.

@@ -123,6 +123,94 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("index append == full rebuild: ingest loop runs at shard cost (property)") {
+    import org.apache.spark.sql.functions._
+    // The round-10 ingest loop: probe shard A, drop its dups, FOLD A into
+    // the index, then probe shard B — proven equal to (a) rebuilding the
+    // index from corpus∪A and (b) whole-corpus dedup over everything,
+    // restricted to B. Random planted-dup corpora (the incremental
+    // property-test generator) stress arbitrary near-dup structure, not
+    // just exact copies — the equality is exact because append writes the
+    // same pure-function band rows a rebuild would.
+    val rng = new scala.util.Random(2026)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    def freshText(): String =
+      Seq.fill(12 + rng.nextInt(8))(vocab(rng.nextInt(vocab.size)))
+        .mkString(" ")
+    def mutate(t: String): String = {
+      val toks = t.split(" ")
+      toks(rng.nextInt(toks.length)) = vocab(rng.nextInt(vocab.size))
+      toks.mkString(" ")
+    }
+    for (trial <- 1 to 2) {
+      val n = 60 + rng.nextInt(30)
+      val texts = new scala.collection.mutable.ArrayBuffer[String]
+      for (i <- 0 until n) {
+        val t =
+          if (i > 0 && rng.nextDouble() < 0.4) {
+            val src = texts(rng.nextInt(texts.size))
+            if (rng.nextBoolean()) src else mutate(src)
+          } else freshText()
+        texts += t
+      }
+      val docs = spark.createDataFrame(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toSeq)
+        .toDF("doc_id", "text")
+      val cut1 = n / 3; val cut2 = 2 * n / 3
+      val corpus = docs.filter(col("doc_id") < cut1)
+      val shardA = docs.filter(col("doc_id") >= cut1 && col("doc_id") < cut2)
+      val shardB = docs.filter(col("doc_id") >= cut2)
+      val dirInc = java.nio.file.Files
+        .createTempDirectory(s"graft_mh_append$trial").toString
+      val dirReb = java.nio.file.Files
+        .createTempDirectory(s"graft_mh_rebuild$trial").toString
+
+      IncrementalDedup.writeIndex(corpus, "doc_id", "text", dirInc)
+      val keptA = IncrementalDedup
+        .ingestShard(spark, shardA, "doc_id", "text", dirInc)
+        .select("doc_id").as[Long].collect().toSet
+      // ingestShard's kept set must be the pre-append probe verdict —
+      // self-matching against the grown index would empty it
+      val keptAExpected = Dedup.dedupCorpus(docs.filter(col("doc_id") < cut2),
+          "doc_id", "text")
+        .filter(col("doc_id") >= cut1)
+        .select("doc_id").as[Long].collect().toSet
+      assert(keptA === keptAExpected,
+        s"trial $trial ingest verdict: missed=${keptAExpected.diff(keptA).size} " +
+          s"extra=${keptA.diff(keptAExpected).size}")
+
+      val gotB = IncrementalDedup
+        .dedupShard(spark, shardB, "doc_id", "text", dirInc)
+        .select("doc_id").as[Long].collect().toSet
+      IncrementalDedup.writeIndex(docs.filter(col("doc_id") < cut2),
+        "doc_id", "text", dirReb)
+      val rebuiltB = IncrementalDedup
+        .dedupShard(spark, shardB, "doc_id", "text", dirReb)
+        .select("doc_id").as[Long].collect().toSet
+      assert(gotB === rebuiltB,
+        s"trial $trial append-vs-rebuild: missed=${rebuiltB.diff(gotB).size} " +
+          s"extra=${gotB.diff(rebuiltB).size}")
+      val wholeB = Dedup.dedupCorpus(docs, "doc_id", "text")
+        .filter(col("doc_id") >= cut2)
+        .select("doc_id").as[Long].collect().toSet
+      assert(gotB === wholeB,
+        s"trial $trial append-vs-whole: missed=${wholeB.diff(gotB).size} " +
+          s"extra=${gotB.diff(wholeB).size}")
+
+      // the appended index must still prune statically — partition
+      // discovery over mixed original+appended files is the scale posture
+      val hits = IncrementalDedup.corpusHits(spark, shardB, "doc_id", "text",
+        dirInc, 0.8, 32, 8, 3)
+      hits.collect()
+      val physical = hits.queryExecution.executedPlan.toString
+      assert(physical.linesIterator.exists(l =>
+        l.contains("PartitionFilters: [") && l.contains("pb")
+          && (l.contains("INSET") || l.contains(" IN ("))),
+        s"trial $trial: appended index scan lost its static partition prune")
+    }
+  }
+
   test("incremental dedup == whole-corpus dedup restricted to the shard") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
