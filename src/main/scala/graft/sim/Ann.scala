@@ -147,13 +147,23 @@ object Ann {
     * assumed: SimSpec gates mean recall@k vs the exact graph at two nprobe
     * settings (monotone in nprobe by construction — more lists can only
     * add candidates). */
+  /** The canonical centroid-probe ordering, shared by every multi-probe
+    * window in the repo (knnGraph here, the [[SemDedup]] index probes and
+    * probe-rank table): descending cosine, ties to the HIGHER centroid id —
+    * exactly the total order `ivfAssignWith`'s `max_by(struct(csim,
+    * centroid_id))` maximizes, so rank 1 of any probe window coincides with
+    * the arg-max ASSIGNMENT even on exact ties (two centroids equidistant
+    * from a vector — e.g. duplicated centroids after a degenerate Lloyd
+    * collapse — previously sent the assignment to the higher id but the
+    * probe to the lower, an empty-partition systematic miss). */
+  private[sim] def probeOrder = Seq(desc("csim"), desc("centroid_id"))
+
   def knnGraph(emb: DataFrame, centroids: DataFrame, nprobe: Int,
       k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val vecs = vecsOf(emb)
     val assigned = ivfAssignWith(vecs, centroids)
-    val wProbe = Window.partitionBy("vec_id")
-      .orderBy(desc("csim"), asc("centroid_id"))
+    val wProbe = Window.partitionBy("vec_id").orderBy(probeOrder: _*)
     val probes = vecs.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("v"), col("centroid_id"),
         cosine(col("v"), col("cv")).as("csim"))

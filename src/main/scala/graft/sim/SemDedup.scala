@@ -1,6 +1,7 @@
 package graft.sim
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SemDeDup-style semantic deduplication — SURVEY.md §2 B9.29 (round 8).
@@ -25,8 +26,8 @@ import org.apache.spark.sql.functions._
   * against every centroid and the deterministic arg-max assigns both ends
   * to the same cluster), which is what the planted-equality test pins;
   * noisy near-dups near a boundary are the recall price, bought down with
-  * more Lloyd iterations or multi-assignment, never paid in precision
-  * (the within-cluster verify is exact cosine). */
+  * the incremental probe's `nprobe` knob (below) or more Lloyd iterations,
+  * never paid in precision (the within-cluster verify is exact cosine). */
 object SemDedup {
 
   import VectorMath.cosine
@@ -78,76 +79,292 @@ object SemDedup {
   // ------------------------------------------------------------------
   // incremental form: probe a persisted cluster-partitioned index
   // ------------------------------------------------------------------
+  //
+  // On-disk layout (round 10 — versioned, atomically published):
+  //
+  //   path/_CURRENT            one-line pointer "v<N>", flipped LAST
+  //   path/v<N>/centroids      the trained (centroid_id, cv) table, frozen
+  //   path/v<N>/assigned       every vector + arg-max cluster, PARTITIONED
+  //                            on disk by centroid_id
+  //   path/v<N>/probes         (only when maxProbes > 1) each vector in its
+  //                            rank-2..maxProbes nearest centroids' lists,
+  //                            partitioned by the PROBED centroid — the
+  //                            multi-probe inverted lists reverse k-NN
+  //                            maintenance reads ([[knnMaintainCorpus]])
+  //   path/v<N>/meta           one row: (max_id, max_probes) — the
+  //                            monotonic-id high-water mark + probe depth
+  //
+  // A rebuild writes a complete new v<N+1> and only then renames the
+  // pointer (FileContext atomic rename-overwrite), so a live reader — the
+  // streaming twin probes between micro-batches — always resolves a fully
+  // committed version; centroids and assignments can never be observed
+  // from different builds (the r9 two-overwrite race). Appends mutate the
+  // CURRENT version in place under the single-writer contract (the
+  // [[graft.ops.QuantileSketch]] discipline).
 
-  /** Build the persisted semantic-dedup index at `path` — the embedding
-    * modality's twin of [[IncrementalDedup.writeIndex]] (B9.32, round 9):
-    *
-    *  - `path/centroids`: the trained (centroid_id, cv) table, frozen.
-    *    Re-training means re-partitioning the whole index, so centroids
-    *    are fixed at build time — the standard IVF serving shape; a
-    *    periodic rebuild absorbs drift.
-    *  - `path/assigned`: every corpus vector with its cluster assignment,
-    *    PARTITIONED ON DISK by `centroid_id`. At 100 TB this layout is the
-    *    whole point: a shard probe touches only the partitions of the
-    *    clusters its own vectors fall in, never the full corpus.
-    *
-    * Assignment runs against the READ-BACK centroids, not the in-memory
-    * ones, so index and every later probe see byte-identical centroid
-    * doubles (parquet round-trips IEEE754 exactly; the guard is against a
-    * future re-train racing the write). Corpus-internal near-dups stay in
-    * the index — a shard doc matching ANY corpus member must drop, same
-    * contract as the MinHash index. */
-  def writeIndex(corpus: DataFrame, path: String, nCentroids: Int,
-      iters: Int = 5): Unit = {
-    val spark = corpus.sparkSession
-    Ann.kmeansCentroids(corpus, nCentroids, iters)
-      .write.mode("overwrite").parquet(s"$path/centroids")
-    Ann.ivfAssignWith(Ann.vecsOf(corpus),
-        spark.read.parquet(s"$path/centroids"))
-      .withColumn("centroid_id", col("centroid_id").cast("int"))
-      .write.mode("overwrite").partitionBy("centroid_id")
-      .parquet(s"$path/assigned")
+  private val Pointer = "_CURRENT"
+
+  private def hadoopFs(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
 
-  /** The frozen centroid table of the index at `path`. */
+  /** Root directory of the PUBLISHED index version at `path`. */
+  private[graft] def resolveRoot(spark: SparkSession, path: String): String = {
+    val (fs, p) = hadoopFs(spark, path)
+    val ptr = new org.apache.hadoop.fs.Path(p, Pointer)
+    require(fs.exists(ptr),
+      s"no published semantic index at $path (missing $Pointer pointer)")
+    val in = fs.open(ptr)
+    val v =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    s"$path/$v"
+  }
+
+  /** Next unused version name under `path` (staging dirs count too, so a
+    * dead unpublished build is never overwritten — it is inert debris). */
+  private def nextVersion(spark: SparkSession, path: String): String = {
+    val (fs, p) = hadoopFs(spark, path)
+    val n =
+      if (!fs.exists(p)) 0
+      else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+        .collect { case s if s.matches("v\\d+") => s.drop(1).toInt }
+        .foldLeft(0)(math.max)
+    "v" + (n + 1)
+  }
+
+  /** Atomically flip the pointer to `version`: write a temp file, then a
+    * FileContext rename with OVERWRITE — readers see the old version or
+    * the new one, never a missing or half-written pointer. */
+  private def publish(spark: SparkSession, path: String,
+      version: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val (fs, p) = hadoopFs(spark, path)
+    val tmp = new org.apache.hadoop.fs.Path(p, s"$Pointer.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(version.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext
+      .getFileContext(fs.makeQualified(tmp).toUri, conf)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(
+        new org.apache.hadoop.fs.Path(p, Pointer)),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private case class IndexMeta(maxId: Long, maxProbes: Int)
+
+  private def readMeta(spark: SparkSession, root: String): IndexMeta = {
+    val r = spark.read.parquet(s"$root/meta").head()
+    IndexMeta(r.getAs[Long]("max_id"), r.getAs[Int]("max_probes"))
+  }
+
+  private def writeMeta(spark: SparkSession, root: String, maxId: Long,
+      maxProbes: Int): Unit = {
+    import spark.implicits._
+    Seq((maxId, maxProbes)).toDF("max_id", "max_probes")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+  }
+
+  /** The cheap loud form of the monotonic-id ingest contract (ADVICE r9):
+    * every shard id must exceed the index's recorded high-water mark, or
+    * the min-id keep policy would need to change CORPUS verdicts — which
+    * the incremental probe cannot do, so it would silently corrupt the
+    * dedup instead. One narrow min/max aggregate over the shard. Returns
+    * the shard max for the meta update (None on an empty shard). */
+  private def requireMonotonic(shard: DataFrame, maxId: Long,
+      what: String): Option[Long] = {
+    val b = shard.agg(min(col("vec_id").cast("long")),
+      max(col("vec_id").cast("long"))).head()
+    if (b.isNullAt(0)) None
+    else {
+      require(b.getLong(0) > maxId,
+        s"$what violates the monotonic-id ingest contract: shard min id " +
+          s"${b.getLong(0)} <= index max id $maxId (ids must only grow — " +
+          "an older or reused id would require changing corpus verdicts, " +
+          "which the shard probe cannot do)")
+      Some(b.getLong(1))
+    }
+  }
+
+  /** (vec_id, centroid_id, pr): each vector's `upTo` nearest centroids in
+    * the canonical [[Ann.probeOrder]] (rank 1 ≡ the arg-max assignment,
+    * ties included). Slim — the embedding is dropped before the rank
+    * window, so the window shuffle carries k small rows per vector, never
+    * k copies of the vector payload. */
+  private def probeRanksSlim(vecs: DataFrame, centroids: DataFrame,
+      upTo: Int): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(Ann.probeOrder: _*)
+    vecs.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("centroid_id"),
+        cosine(col("v"), col("cv")).as("csim"))
+      .withColumn("pr", row_number().over(w))
+      .filter(col("pr") <= upTo)
+      .select(col("vec_id"),
+        col("centroid_id").cast("int").as("centroid_id"), col("pr"))
+  }
+
+  /** The secondary-probe inverted lists: ranks 2..maxProbes only (rank 1
+    * IS the `assigned` table — [[Ann.probeOrder]] makes the orders agree
+    * even on ties — so storing it again would just duplicate the primary
+    * partitioning). The vector rides along once via a vec_id join, giving
+    * (maxProbes−1) extra copies of the corpus payload — the standard IVF
+    * multi-assignment storage trade, paid at build time so reverse k-NN
+    * maintenance can find every corpus vector that PROBES a shard's
+    * cluster without scanning the corpus. */
+  private def writeProbes(spark: SparkSession, root: String,
+      vecs: DataFrame, centroids: DataFrame, maxProbes: Int,
+      mode: String): Unit =
+    probeRanksSlim(vecs, centroids, maxProbes).filter(col("pr") >= 2)
+      .join(vecs, "vec_id")
+      .select(col("vec_id"), col("v"), col("pr"),
+        col("centroid_id").as("probe_id"))
+      .write.mode(mode).partitionBy("probe_id").parquet(s"$root/probes")
+
+  /** Build and PUBLISH the persisted semantic-dedup index at `path` — the
+    * embedding modality's twin of [[IncrementalDedup.writeIndex]] (B9.32).
+    * Centroids are trained once and frozen (re-training means
+    * re-partitioning the whole index — the standard IVF serving shape; a
+    * periodic rebuild absorbs drift, and the version pointer makes that
+    * rebuild atomic for live readers). Assignment runs against the
+    * READ-BACK centroids, not the in-memory ones, so index and every later
+    * probe see byte-identical centroid doubles. Corpus-internal near-dups
+    * stay in the index — a shard doc matching ANY corpus member must drop,
+    * same contract as the MinHash index.
+    *
+    * `maxProbes` > 1 additionally writes the secondary-probe lists that
+    * [[knnMaintainCorpus]] needs (storage ∝ maxProbes × corpus — leave at
+    * 1 when only dedup probes will run). */
+  def writeIndex(corpus: DataFrame, path: String, nCentroids: Int,
+      iters: Int = 5, maxProbes: Int = 1): Unit = {
+    require(maxProbes >= 1, s"maxProbes must be >= 1, got $maxProbes")
+    val spark = corpus.sparkSession
+    val version = nextVersion(spark, path)
+    val root = s"$path/$version"
+    Ann.kmeansCentroids(corpus, nCentroids, iters)
+      .write.mode("overwrite").parquet(s"$root/centroids")
+    val centroids = spark.read.parquet(s"$root/centroids")
+    Ann.ivfAssignWith(Ann.vecsOf(corpus), centroids)
+      .withColumn("centroid_id", col("centroid_id").cast("int"))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$root/assigned")
+    if (maxProbes > 1)
+      // read the assignment back for the probe build: one (vec_id, v)
+      // copy, not a recompute of the Lloyd-assigned corpus
+      writeProbes(spark, root,
+        spark.read.parquet(s"$root/assigned").select(col("vec_id"), col("v")),
+        centroids, maxProbes, "overwrite")
+    val maxId = corpus.agg(max(col("vec_id").cast("long"))).head() match {
+      case r if r.isNullAt(0) => Long.MinValue // empty corpus: any id ok
+      case r                  => r.getLong(0)
+    }
+    writeMeta(spark, root, maxId, maxProbes)
+    publish(spark, path, version)
+  }
+
+  /** Fold one ingested shard into the PUBLISHED index at SHARD cost — the
+    * write half of the probe→drop→fold-in loop ([[ingestShard]]), mirroring
+    * [[IncrementalDedup.appendIndex]]. Frozen centroids make the append
+    * exact: each shard vector's assignment (and secondary probes) is a pure
+    * function of (vector, centroids), so appending into the existing
+    * `centroid_id=`/`probe_id=` partitions yields the same index contents a
+    * rebuild over the union under the same centroids would —
+    * SemDedupSpec pins probe-result equality. Pass the FULL probed shard
+    * (the dups-included [[writeIndex]] contract: transitivity through a
+    * dropped member only holds if that member stays probe-able). Enforces
+    * the monotonic-id contract against the recorded high-water mark and
+    * advances it. Single writer; readers of an index being appended to see
+    * file-level-committed rows only. */
+  def appendIndex(shard: DataFrame, path: String): Unit = {
+    val spark = shard.sparkSession
+    val root = resolveRoot(spark, path)
+    val meta = readMeta(spark, root)
+    requireMonotonic(shard, meta.maxId, "appendIndex").foreach { shardMax =>
+      val centroids = spark.read.parquet(s"$root/centroids")
+      // scanned by the assignment, the probe build, and nothing else —
+      // one materialization (cluster: checkpoint)
+      val vecs = Ann.vecsOf(shard).localCheckpoint()
+      Ann.ivfAssignWith(vecs, centroids)
+        .withColumn("centroid_id", col("centroid_id").cast("int"))
+        .write.mode("append").partitionBy("centroid_id")
+        .parquet(s"$root/assigned")
+      if (meta.maxProbes > 1)
+        writeProbes(spark, root, vecs, centroids, meta.maxProbes, "append")
+      // the high-water mark is a tiny overwrite strictly AFTER the data
+      // commit: a crash in between leaves it stale-low, which can only
+      // make the guard stricter-to-wrong-side loud on the NEXT shard, not
+      // silently corrupt a verdict
+      writeMeta(spark, root, math.max(meta.maxId, shardMax), meta.maxProbes)
+    }
+  }
+
+  /** The complete ingest step: dedupe `shard` against the index (and
+    * itself), fold the FULL shard into the index, return the kept rows.
+    * The verdict is MATERIALIZED (eager localCheckpoint; cluster:
+    * checkpoint) strictly before the append — [[semDedupShard]] is a lazy
+    * plan over the index files, and evaluating it after the append would
+    * re-probe the grown index, where every shard vector matches itself at
+    * cosine 1 and would silently drop. */
+  def ingestShard(spark: SparkSession, shard: DataFrame, path: String,
+      threshold: Double, nprobe: Int = 1): DataFrame = {
+    val kept = semDedupShard(spark, shard, path, threshold, nprobe)
+      .localCheckpoint()
+    appendIndex(shard, path)
+    kept
+  }
+
+  /** The frozen centroid table of the published index at `path`. */
   def indexCentroids(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/centroids")
+    spark.read.parquet(s"${resolveRoot(spark, path)}/centroids")
 
   /** Shard ids with a verified (exact-cosine) near-dup in the indexed
     * corpus. Exposed so SemDedupSpec can plan-gate the partition pruning
     * on exactly the join that reads the index.
     *
     * The index scan is pruned STATICALLY to the shard's probed cluster
-    * set: the distinct assigned centroid ids (≤ the centroid count — a
-    * table that is broadcast-sized by construction, so the driver list is
-    * k-bounded, the [[graft.ops.QuantileSketch]] day-probe precedent)
-    * become an IN filter on the partition column, visible as
+    * set: the distinct probed centroid ids (≤ nprobe × the centroid
+    * count — a table that is broadcast-sized by construction, so the
+    * driver list is k-bounded, the [[graft.ops.QuantileSketch]] day-probe
+    * precedent) become an IN filter on the partition column, visible as
     * `PartitionFilters` on the scan. Dynamic partition pruning is NOT
     * relied on deliberately: Spark only inserts it when the probe side
     * carries a likely-selective predicate, so an unfiltered shard — the
     * normal ingest shape — would silently scan the FULL index (measured
-    * on this very plan). The probe is checkpointed once and reused for
-    * the cluster list and the join, and its key is cast to the index's
-    * inferred partition type so the scan side compares the bare partition
-    * attribute. Shard cost ∝ shard at 100 TB. */
+    * on this very plan). Shard cost ∝ shard at 100 TB. */
   private[sim] def corpusHits(spark: SparkSession, shard: DataFrame,
-      path: String, threshold: Double): DataFrame =
-    corpusDupFlags(spark, shard, path, threshold)
+      path: String, threshold: Double, nprobe: Int = 1): DataFrame =
+    corpusDupFlags(spark, shard, path, threshold, nprobe)
       .select(col("vec_id").as("id")).distinct()
 
   /** The flag-emitting form of the index probe: one
     * `(vec_id, dup_of, cosine)` row per shard vector × corpus vector pair
-    * with cosine ≥ threshold inside the shard vector's assigned cluster —
-    * the embedding analog of the MinHash probe's `(doc_id, dup_of,
-    * jaccard)` flags, shared verbatim by the streaming twin
+    * with cosine ≥ threshold inside the shard vector's `nprobe` nearest
+    * clusters — the embedding analog of the MinHash probe's `(doc_id,
+    * dup_of, jaccard)` flags, shared verbatim by the streaming twin
     * ([[graft.stream.Streaming]] `streamSemDupFlags`) so batch and stream
     * cannot drift. [[corpusHits]] reduces these flags to distinct shard
-    * ids for the dedup verdict. */
+    * ids for the dedup verdict.
+    *
+    * `nprobe` is the recall/cost knob for NOISY near-dups sitting at a
+    * cluster boundary (round-10, VERDICT what's-missing #2): the default 1
+    * probes only the arg-max cluster and preserves the exact equality with
+    * whole-corpus single-assignment dedup (exact-direction copies cannot
+    * straddle — scale-invariance scaladoc above); nprobe ≥ 2 widens the
+    * probe to the next-nearest clusters, reading proportionally more index
+    * partitions. Each (shard, corpus) pair still flags at most once: a
+    * corpus vector lives in exactly one `assigned` partition. */
   def corpusDupFlags(spark: SparkSession, shard: DataFrame,
-      path: String, threshold: Double): DataFrame = {
-    val probe = Ann.ivfAssignWith(Ann.vecsOf(shard),
-        indexCentroids(spark, path))
-      .withColumn("centroid_id", col("centroid_id").cast("int"))
+      path: String, threshold: Double, nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val root = resolveRoot(spark, path)
+    val centroids = spark.read.parquet(s"$root/centroids")
+    val w = Window.partitionBy("vec_id").orderBy(Ann.probeOrder: _*)
+    val probe = Ann.vecsOf(shard).crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("v"), col("centroid_id"),
+        cosine(col("v"), col("cv")).as("csim"))
+      .withColumn("pr", row_number().over(w))
+      .filter(col("pr") <= nprobe)
+      .select(col("vec_id"), col("v"),
+        col("centroid_id").cast("int").as("centroid_id"))
       .localCheckpoint()
     val probed = probe.select("centroid_id").distinct()
       .collect().map(_.getInt(0)).toSeq
@@ -156,7 +373,7 @@ object SemDedup {
     // probe has size stats, so AQE broadcasts exactly when it actually
     // fits — the static partition prune above is independent of the join
     // strategy either way
-    val index = spark.read.parquet(s"$path/assigned")
+    val index = spark.read.parquet(s"$root/assigned")
       .filter(col("centroid_id").isin(probed: _*))
     probe.alias("p").join(index.alias("i"),
         col("p.centroid_id") === col("i.centroid_id"))
@@ -166,23 +383,22 @@ object SemDedup {
   }
 
   /** k-NN neighbors of a NEW SHARD drawn from the persisted index — the
-    * incremental form of [[Ann.knnGraph]] (maintain a corpus k-NN graph
-    * as data arrives: new vectors get their neighbor lists at shard cost
-    * instead of re-running the whole-corpus build). Each shard vector's
-    * candidates are its `nprobe` nearest frozen centroids' inverted
-    * lists, read partition-pruned from the cluster-partitioned index
-    * (the [[corpusDupFlags]] static-prune discipline), then ranked in
-    * the same per-vector WindowGroupLimit window as every other k-NN
-    * path. Returns (vec_id, nbr_id, cosine, rank). Recall follows the
-    * batch IVF trade (more nprobe, more recall — monotone by
-    * construction); SemDedupSpec gates it against the exact
+    * forward half of incremental k-NN graph maintenance (new vectors get
+    * their neighbor lists at shard cost instead of re-running the
+    * whole-corpus [[Ann.knnGraph]]); [[knnMaintainCorpus]] is the reverse
+    * half. Each shard vector's candidates are its `nprobe` nearest frozen
+    * centroids' inverted lists, read partition-pruned from the
+    * cluster-partitioned index (the [[corpusDupFlags]] static-prune
+    * discipline), then ranked in the same per-vector WindowGroupLimit
+    * window as every other k-NN path. Returns (vec_id, nbr_id, cosine,
+    * rank). Recall follows the batch IVF trade (more nprobe, more recall —
+    * monotone by construction); SemDedupSpec gates it against the exact
     * shard-vs-corpus graph. */
   def knnShard(spark: SparkSession, shard: DataFrame, path: String,
       nprobe: Int, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val centroids = indexCentroids(spark, path)
-    val wProbe = Window.partitionBy("vec_id")
-      .orderBy(desc("csim"), asc("centroid_id"))
+    val root = resolveRoot(spark, path)
+    val centroids = spark.read.parquet(s"$root/centroids")
+    val wProbe = Window.partitionBy("vec_id").orderBy(Ann.probeOrder: _*)
     val probes = Ann.vecsOf(shard).crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("v"), col("centroid_id"),
         cosine(col("v"), col("cv")).as("csim"))
@@ -193,7 +409,7 @@ object SemDedup {
       .localCheckpoint()
     val probed = probes.select("centroid_id").distinct()
       .collect().map(_.getInt(0)).toSeq
-    val index = spark.read.parquet(s"$path/assigned")
+    val index = spark.read.parquet(s"$root/assigned")
       .filter(col("centroid_id").isin(probed: _*))
     val wK = Window.partitionBy("vec_id").orderBy(desc("cosine"), asc("nbr_id"))
     probes.alias("q").join(index.alias("c"),
@@ -204,22 +420,93 @@ object SemDedup {
       .filter(col("rank") <= k)
   }
 
+  /** REVERSE k-NN maintenance (round 10, VERDICT what's-missing #3): when
+    * a shard arrives, a new vector may be a better neighbor for an
+    * existing corpus vector than that vector's current k-th — [[knnShard]]
+    * alone leaves corpus lists stale. This emits the UPDATED top-k lists
+    * for exactly the corpus vectors the shard can touch, at shard cost:
+    *
+    *  1. assign the shard (arg-max, frozen centroids) → its cluster set S
+    *     (k-bounded, collected for the static prune);
+    *  2. the touched corpus vectors are those PROBING any s ∈ S at rank ≤
+    *     nprobe — rank 1 read partition-pruned from `assigned`, ranks
+    *     2..nprobe from the secondary `probes` lists (which exist exactly
+    *     for this query; the index must be built with maxProbes ≥ nprobe);
+    *  3. new candidate pairs: touched corpus vector × shard vectors
+    *     assigned to the probed cluster — the same candidate rule the
+    *     batch [[Ann.knnGraph]] applies, so per touched vector the
+    *     incremental candidate set IS the batch one restricted to the
+    *     shard;
+    *  4. re-rank each touched vector's STORED list ∪ new pairs (top-k of a
+    *     union is the top-k of per-side top-k's — the stored list loses
+    *     nothing).
+    *
+    * `graph` is the stored corpus graph — `Ann.knnGraph(corpus, frozen,
+    * nprobe, k)` at build time, or the result of prior maintenance rounds.
+    * Returns (vec_id, nbr_id, cosine, rank) rows for TOUCHED corpus
+    * vectors only; untouched vectors' lists are provably unchanged (no
+    * shard vector enters their candidate set). SemDedupSpec pins equality
+    * with the batch graph over corpus ∪ shard at the same nprobe. */
+  def knnMaintainCorpus(spark: SparkSession, shard: DataFrame, path: String,
+      graph: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val root = resolveRoot(spark, path)
+    val meta = readMeta(spark, root)
+    require(nprobe <= meta.maxProbes,
+      s"index at $path was built with maxProbes=${meta.maxProbes}; " +
+        s"reverse maintenance at nprobe=$nprobe needs maxProbes >= $nprobe " +
+        "(rebuild the index with a deeper probe table)")
+    val centroids = spark.read.parquet(s"$root/centroids")
+    val shardAssigned = Ann.ivfAssignWith(Ann.vecsOf(shard), centroids)
+      .withColumn("centroid_id", col("centroid_id").cast("int"))
+      .localCheckpoint()
+    val s = shardAssigned.select("centroid_id").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val primary = spark.read.parquet(s"$root/assigned")
+      .filter(col("centroid_id").isin(s: _*))
+      .select(col("vec_id"), col("v"), col("centroid_id").as("probe_id"))
+    val touched =
+      if (nprobe == 1) primary
+      else primary.union(
+        spark.read.parquet(s"$root/probes")
+          .filter(col("probe_id").isin(s: _*) && col("pr") <= nprobe)
+          .select(col("vec_id"), col("v"), col("probe_id")))
+    // (c, q) appears at most once: q has ONE arg-max cluster and c's
+    // probed clusters are distinct, so no pair-level dedup is needed
+    val newPairs = touched.alias("c").join(shardAssigned.alias("q"),
+        col("c.probe_id") === col("q.centroid_id"))
+      .select(col("c.vec_id").as("vec_id"), col("q.vec_id").as("nbr_id"),
+        cosine(col("c.v"), col("q.v")).as("cosine"))
+    val touchedIds = touched.select("vec_id").distinct()
+    val stored = graph.join(touchedIds, Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("nbr_id"), col("cosine"))
+    val wK = Window.partitionBy("vec_id").orderBy(desc("cosine"), asc("nbr_id"))
+    stored.union(newPairs)
+      .withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= k)
+  }
+
   /** Dedupe `shard` against the persisted index AND against itself;
     * returns the kept shard rows unchanged (schema-preserving filter).
-    * Semantics equal whole-corpus [[semDedupCorpusWith]] over
-    * corpus ∪ shard under the index's frozen centroids, restricted to the
-    * shard, PROVIDED every shard id exceeds every corpus id (the
-    * monotonic-id ingest contract — min-id keep means corpus members
-    * always win, so corpus verdicts never change): the drop classes and
-    * the transitivity argument are [[IncrementalDedup.dedupShard]]'s,
-    * verbatim — direct corpus hits, whole within-shard clusters containing
-    * a hit, and non-min members of clean within-shard clusters. The
-    * boundary-straddle recall trade is the batch one (scaladoc above) and
-    * cannot split an exact-direction duplicate, which is what keeps the
-    * SemDedupSpec equality exact. */
+    * Semantics at the default nprobe=1 equal whole-corpus
+    * [[semDedupCorpusWith]] over corpus ∪ shard under the index's frozen
+    * centroids, restricted to the shard, under the monotonic-id ingest
+    * contract — now ENFORCED against the index's recorded high-water mark
+    * rather than assumed (a violation throws instead of silently
+    * corrupting verdicts; min-id keep means corpus members always win, so
+    * corpus verdicts never change). The drop classes and the transitivity
+    * argument are [[IncrementalDedup.dedupShard]]'s, verbatim — direct
+    * corpus hits, whole within-shard clusters containing a hit, and
+    * non-min members of clean within-shard clusters. nprobe ≥ 2 widens
+    * the CORPUS probe to catch boundary-straddling noisy near-dups (the
+    * batch single-assignment contract deliberately misses them; the
+    * within-shard leg stays single-assignment so the nprobe=1 equality
+    * stays exact). */
   def semDedupShard(spark: SparkSession, shard: DataFrame, path: String,
-      threshold: Double): DataFrame = {
-    val hits = corpusHits(spark, shard, path, threshold)
+      threshold: Double, nprobe: Int = 1): DataFrame = {
+    val root = resolveRoot(spark, path)
+    requireMonotonic(shard, readMeta(spark, root).maxId, "semDedupShard")
+    val hits = corpusHits(spark, shard, path, threshold, nprobe)
     val within = semDedupPairs(shard, indexCentroids(spark, path), threshold)
       .select("vec_a", "vec_b")
     val comp = Dedup.connectedComponents(within, "vec_a", "vec_b")

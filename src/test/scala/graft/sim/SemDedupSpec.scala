@@ -199,6 +199,232 @@ class SemDedupSpec extends SparkSpec {
         (l.contains("INSET") || l.contains(" IN ("))))
   }
 
+  test("semantic index append == whole-corpus dedup under frozen centroids") {
+    // The round-10 ingest loop for the embedding modality: probe shard A,
+    // drop its dups, FOLD the full shard into the index (appendIndex), then
+    // probe shard B — proven equal to whole-corpus dedup over
+    // corpus ∪ A ∪ B under the index's frozen centroids, restricted to each
+    // shard. Full-shard append makes the equality hold for ARBITRARY
+    // near-dup structure (a dropped A member stays probe-able, so
+    // transitivity through it survives), matching writeIndex's
+    // dups-included contract.
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val split = 64L
+    val offset = 10000L
+    val corpus = emb.filter(col("vec_id") < split).localCheckpoint()
+    val rest = emb.filter(col("vec_id") >= split)
+    val shardA = rest
+      .select((col("vec_id") + offset).as("vec_id"), col("embedding"))
+      .union(corpus.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 2 * offset).as("vec_id"),
+          transform(col("embedding"), x => x * 0.5).as("embedding")))
+      .localCheckpoint()
+    val shardB = corpus.filter(col("vec_id") % 3 === 0)
+      .select((col("vec_id") + 3 * offset).as("vec_id"),
+        transform(col("embedding"), x => x * 0.25).as("embedding"))
+      .union(shardA.filter(col("vec_id") % 2 === 0)
+        .select((col("vec_id") + 4 * offset).as("vec_id"),
+          transform(col("embedding"), x => x * 2.0).as("embedding")))
+      .union(rest
+        .select((col("vec_id") + 6 * offset).as("vec_id"),
+          transform(col("embedding"), x => x + 1.5).as("embedding")))
+      .localCheckpoint()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sem_append").toString
+
+    SemDedup.writeIndex(corpus, dir, nCentroids = 16, iters = 3)
+    val frozen = SemDedup.indexCentroids(spark, dir).localCheckpoint()
+    val keptA = SemDedup.ingestShard(spark, shardA, dir, 0.99)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val expectA = SemDedup
+      .semDedupCorpusWith(corpus.union(shardA), frozen, 0.99)
+      .filter(col("vec_id") >= offset)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(keptA === expectA,
+      s"ingest verdict: missed=${expectA.diff(keptA).size} " +
+        s"extra=${keptA.diff(expectA).size}")
+
+    val gotB = SemDedup.semDedupShard(spark, shardB, dir, 0.99)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val expectB = SemDedup
+      .semDedupCorpusWith(corpus.union(shardA).union(shardB), frozen, 0.99)
+      .filter(col("vec_id") >= 3 * offset)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(gotB === expectB,
+      s"append-vs-whole: missed=${expectB.diff(gotB).size} " +
+        s"extra=${gotB.diff(expectB).size}")
+    assert(gotB.nonEmpty && gotB.size < shardB.count().toInt,
+      s"fixture must both keep and drop (kept ${gotB.size})")
+    // every B copy of an A member must drop — those hits exist ONLY via
+    // the appended rows, so this pins that the append is live
+    assert(!gotB.exists(id => id >= 4 * offset && id < 6 * offset),
+      "copies of appended shard-A members must all drop")
+
+    // the appended index must still prune statically (OptimizeIn renders a
+    // single-cluster probe's IN-list as an equality, so accept all three
+    // shapes of the pruned-scan filter)
+    val tiny = shardB.orderBy(desc("vec_id")).limit(3).localCheckpoint()
+    val hits = SemDedup.corpusHits(spark, tiny, dir, 0.99)
+    hits.collect()
+    assert(hits.queryExecution.executedPlan.toString.linesIterator.exists(l =>
+      l.contains("PartitionFilters: [")
+        && (l.contains("INSET") || l.contains(" IN (")
+          || l.contains("centroid_id") && l.contains(" = "))),
+      "appended index scan lost its static partition prune")
+  }
+
+  test("rebuild republishes atomically: versioned dirs + pointer flip") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      .localCheckpoint()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sem_version").toString
+    SemDedup.writeIndex(emb, dir, nCentroids = 8, iters = 2)
+    assert(SemDedup.resolveRoot(spark, dir) === s"$dir/v1")
+    // a rebuild (e.g. drift absorption) writes a COMPLETE v2 and only then
+    // flips the pointer — a reader can never see v2 centroids with v1
+    // assignments (the r9 two-overwrite race)
+    SemDedup.writeIndex(emb, dir, nCentroids = 16, iters = 3)
+    assert(SemDedup.resolveRoot(spark, dir) === s"$dir/v2")
+    assert(new java.io.File(s"$dir/v1/assigned").isDirectory,
+      "old version stays on disk until explicitly retired")
+    assert(SemDedup.indexCentroids(spark, dir).count() === 16L,
+      "reads resolve to the republished version")
+  }
+
+  test("monotonic-id guard: violating shard fails loudly, not silently") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      .localCheckpoint()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sem_guard").toString
+    SemDedup.writeIndex(emb.filter(col("vec_id") < 64), dir,
+      nCentroids = 8, iters = 2)
+    // id 50 is already in the index: a re-ingest (or id reuse) would need
+    // to change corpus verdicts, which the shard probe cannot do
+    val bad = emb.filter(col("vec_id") === 50)
+    val e = intercept[IllegalArgumentException] {
+      SemDedup.semDedupShard(spark, bad, dir, 0.99).collect()
+    }
+    assert(e.getMessage.contains("monotonic-id"))
+    val e2 = intercept[IllegalArgumentException] {
+      SemDedup.appendIndex(bad, dir)
+    }
+    assert(e2.getMessage.contains("monotonic-id"))
+    // a clean shard passes and advances the high-water mark
+    val good = emb.filter(col("vec_id") >= 64)
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+    SemDedup.appendIndex(good, dir)
+    val e3 = intercept[IllegalArgumentException] {
+      SemDedup.appendIndex(good, dir) // replaying the same shard now trips
+    }
+    assert(e3.getMessage.contains("monotonic-id"))
+  }
+
+  test("nprobe widens the dedup probe across a cluster boundary") {
+    import spark.implicits._
+    // Handcrafted two-cluster geometry: corpus vectors hug two orthogonal
+    // directions u1/u2 (interleaved ids so the seeded Lloyd bootstrap gets
+    // one of each), plus corpus vector `a` just on the u1 side of the
+    // decision boundary. The shard vector `b` sits just on the u2 side:
+    // cos(a, b) ≈ 0.9992 — a genuine noisy near-dup — but arg-max sends a
+    // to the u1 cluster and b to the u2 cluster, the exact recall hole the
+    // single-assignment contract documents. nprobe=2 probes b's
+    // second-nearest cluster and finds it; nprobe=1 provably cannot.
+    val corpusRows = (0 until 40).map { i =>
+      val j = 0.02 * (i / 2)
+      if (i % 2 == 0) (i.toLong, Seq(1.0, j, 0.0, 0.0))
+      else (i.toLong, Seq(j, 1.0, 0.0, 0.0))
+    } :+ (40L, Seq(0.51, 0.49, 0.0, 0.0))
+    val corpus = corpusRows.toDF("vec_id", "embedding").localCheckpoint()
+    val shard = Seq((10040L, Seq(0.49, 0.51, 0.0, 0.0)))
+      .toDF("vec_id", "embedding").localCheckpoint()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sem_nprobe").toString
+    SemDedup.writeIndex(corpus, dir, nCentroids = 2, iters = 4)
+
+    // fixture sanity: the pair really straddles the two clusters
+    val frozen = SemDedup.indexCentroids(spark, dir)
+    val aCl = Ann.ivfAssignWith(Ann.vecsOf(corpus.filter(col("vec_id") === 40)),
+      frozen).head.getAs[Long]("centroid_id")
+    val bCl = Ann.ivfAssignWith(Ann.vecsOf(shard), frozen)
+      .head.getAs[Long]("centroid_id")
+    assert(aCl !== bCl, s"fixture: pair must straddle (a->$aCl, b->$bCl)")
+
+    val kept1 = SemDedup.semDedupShard(spark, shard, dir, 0.995)
+      .count()
+    val kept2 = SemDedup.semDedupShard(spark, shard, dir, 0.995, nprobe = 2)
+      .count()
+    assert(kept1 === 1L,
+      "nprobe=1 (the batch-equality contract) misses the straddling pair")
+    assert(kept2 === 0L,
+      "nprobe=2 must find the near-dup across the boundary and drop b")
+    // flag-level view: the nprobe=2 probe attributes the dup to `a`
+    val flags = SemDedup.corpusDupFlags(spark, shard, dir, 0.995, nprobe = 2)
+      .collect()
+    assert(flags.length === 1 && flags.head.getAs[Long]("dup_of") === 40L)
+  }
+
+  test("reverse kNN maintenance equals the batch graph over corpus+shard") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val split = 96L
+    val offset = 10000L
+    val corpus = emb.filter(col("vec_id") < split).localCheckpoint()
+    // small shard → few probed clusters → provably LOCAL maintenance
+    val shard = emb.filter(col("vec_id") >= split && col("vec_id") < split + 6)
+      .select((col("vec_id") + offset).as("vec_id"), col("embedding"))
+      .localCheckpoint()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_knn_maintain").toString
+    SemDedup.writeIndex(corpus, dir, nCentroids = 16, iters = 3,
+      maxProbes = 5)
+    val frozen = SemDedup.indexCentroids(spark, dir).localCheckpoint()
+    val k = 10
+
+    for (nprobe <- Seq(1, 3)) {
+      val stored = Ann.knnGraph(corpus, frozen, nprobe, k).localCheckpoint()
+      val updated = SemDedup.knnMaintainCorpus(spark, shard, dir, stored,
+        nprobe, k)
+      val upd = updated.select("vec_id", "rank", "nbr_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val touchedIds = upd.map(_._1)
+      assert(touchedIds.nonEmpty && touchedIds.size < split,
+        s"nprobe=$nprobe: maintenance must be local " +
+          s"(touched ${touchedIds.size}/$split)")
+      // batch truth: the full rebuild over corpus ∪ shard, corpus rows only
+      val batch = Ann.knnGraph(corpus.union(shard), frozen, nprobe, k)
+        .filter(col("vec_id") < split)
+        .select("vec_id", "rank", "nbr_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val storedSet = stored.select("vec_id", "rank", "nbr_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val merged = storedSet.filterNot(t => touchedIds(t._1)) ++ upd
+      assert(merged === batch,
+        s"nprobe=$nprobe: stored⊕updated must equal the batch rebuild — " +
+          s"missing=${batch.diff(merged).size} extra=${merged.diff(batch).size}")
+      // untouched lists really were unchanged by the rebuild (the locality
+      // claim is two-sided: we update everything the shard can touch and
+      // nothing it cannot)
+      assert(storedSet.filterNot(t => touchedIds(t._1))
+        === batch.filterNot(t => touchedIds(t._1)))
+      // and the shard genuinely displaced someone's old neighbor
+      assert(upd.exists(_._3 >= offset),
+        s"nprobe=$nprobe: some touched list must now contain a shard vector")
+    }
+
+    // an index built without the secondary probe lists refuses deep probes
+    val shallow = java.nio.file.Files
+      .createTempDirectory("graft_knn_shallow").toString
+    SemDedup.writeIndex(corpus, shallow, nCentroids = 16, iters = 2)
+    val err = intercept[IllegalArgumentException] {
+      SemDedup.knnMaintainCorpus(spark, shard, shallow,
+        Ann.knnGraph(corpus, frozen, 2, k), 2, k).collect()
+    }
+    assert(err.getMessage.contains("maxProbes"))
+  }
+
   test("IVF knnGraph: recall vs exact graph, monotone in nprobe") {
     val emb = graft.core.Tables.embeddings(spark, sfDir)
     import VectorMath.cosine
