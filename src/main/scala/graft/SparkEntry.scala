@@ -20,7 +20,8 @@ object SparkEntry {
     text.TextOps.queries,
     text.SubstringDedup.queries,
     sim.Similarity.queries,
-    sim.Dedup.queries
+    sim.Dedup.queries,
+    sim.Curation.queries
   )
 
   private def oracleModules = Seq(
@@ -32,7 +33,8 @@ object SparkEntry {
     text.TextOps.oracleSql,
     text.SubstringDedup.oracleSql,
     sim.Similarity.oracleSql,
-    sim.Dedup.oracleSql
+    sim.Dedup.oracleSql,
+    sim.Curation.oracleSql
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -72,16 +72,22 @@ object QuantileSketch {
     * treating it as done would skip that day forever with no error
     * (ADVICE r8). A day counts only when its [[CommitMarker]] exists —
     * written strictly AFTER the job commit in [[appendDailySketches]].
-    * The listing is two filesystem calls over the SKETCH table's
-    * partition directories (days, not facts), so the guard costs nothing
-    * at any corpus size. */
+    * The check is ONE recursive listing of the SKETCH table (days × a few
+    * sketch files, not facts) filtered for marker entries — not a
+    * per-day= `exists` probe, which would cost N round-trips per append
+    * on an object store (ADVICE r9). */
   private def existingDays(spark: SparkSession, path: String): Set[String] = {
     val (fs, p) = fsOf(spark, path)
-    if (!fs.exists(p)) Set.empty
-    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
-      .filter(_.getName.startsWith("day="))
-      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d, CommitMarker)))
-      .map(_.getName.substring(4)).toSet
+    if (!fs.exists(p)) return Set.empty
+    val out = Set.newBuilder[String]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      val parent = f.getParent.getName
+      if (f.getName == CommitMarker && parent.startsWith("day="))
+        out += parent.substring(4)
+    }
+    out.result()
   }
 
   /** One sketch row per (day, event_type) of `value`, appended under the

@@ -487,10 +487,13 @@ object Relational {
     // text_quality_filter discipline). Scale shape: two map-side
     // ObjectHashAggregate passes over the fact stream with the tiny
     // per-type statistics BROADCAST back between them — the events table
-    // shuffles zero times; cost is two scans (or one + cache) at any
-    // volume, and the fence filter is a narrow map.
+    // shuffles zero times, and the projected 2-column input is
+    // localCheckpointed (cluster: `checkpoint`) so the fact file is READ
+    // ONCE: the three downstream passes re-read the materialized blocks,
+    // not the scan (ADVICE r9). The fence filter is a narrow map.
     "profile_outliers" -> ((s, d) => {
       val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+        .localCheckpoint()
       val med = ev.groupBy("event_type")
         .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)")
           .as("med"))

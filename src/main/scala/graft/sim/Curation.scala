@@ -1,0 +1,385 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.text.SubstringDedup
+
+/** End-to-end corpus curation (round 10) — the release pipeline a real
+  * training-data run executes, composed from the four dedup modalities this
+  * repo ships, IN THE ORDER THAT MAKES THEM SOUND, with a per-stage drop
+  * ledger (the report a corpus release needs before anyone trusts it):
+  *
+  *  1. exact       — keep the min-id copy of each byte-identical text.
+  *                   MUST run first: to every later stage a pair of exact
+  *                   copies is 100%-mutual duplication, so the substring
+  *                   filter would drop BOTH (each is entirely covered by
+  *                   spans shared with the other) and no copy survives.
+  *  2. substring   — drop docs whose duplicated-span budget exceeds
+  *                   `maxDupFrac` ([[SubstringDedup.dedupStats]] verdict
+  *                   over the exact-dedup survivors).
+  *  3. near-dup    — pair detector → transitive clusters → keep each
+  *                   component's min-id member ([[Dedup]]). The detector is
+  *                   pluggable: MinHash banding by default (the unbounded
+  *                   scale path), the exact token-Jaccard block join for the
+  *                   oracled report ([[Similarity.tokenJaccardPairsOf]] —
+  *                   the `dedup_clusters` anchor discipline).
+  *  4. semantic    — SemDeDup over the embeddings of the surviving docs
+  *                   ([[SemDedup.semDedupCorpus]]); docs without a vector
+  *                   pass through (the stage can only judge what it can
+  *                   see). Held out of the declared report (k-means is not
+  *                   SQL-expressible; its own equality specs live in
+  *                   SemDedupSpec).
+  *
+  * Each stage sees only the SURVIVORS of the previous one — the ordering is
+  * semantic, not cosmetic (stage 2 depends on stage 1 as above; running the
+  * pair stages on pre-shrunk input is also the cost order: the cheap exact
+  * digest groupBy deflates the corpus before the shingle fan-out runs).
+  *
+  * Scale shape: every stage reduces to operators whose 100 TB posture is
+  * already proven elsewhere in the repo (digest groupBy; shingle pipeline
+  * with no pair fan-out; banded LSH with candidates ∝ answer;
+  * cluster-partitioned IVF). The composition adds only slim id-set
+  * semi-joins between stages. Stage survivor id sets are localCheckpointed
+  * (cluster: `checkpoint`) — they are read twice each (next stage + ledger)
+  * and the checkpoint caps the composed lineage at one stage deep, the
+  * [[Dedup.connectedComponents]] discipline. The doc payload is fetched
+  * once at the end by a single semi-join of the original corpus against the
+  * final id set — full texts never flow THROUGH the stage chain. */
+object Curation {
+
+  /** `kept`: the surviving rows of `docs`, schema-preserving. `ledger`: one
+    * row per executed stage — (stage_id, stage, n_in, n_dropped, n_out),
+    * chained so each stage's n_in is the previous stage's n_out. */
+  final case class Result(kept: DataFrame, ledger: DataFrame)
+
+  /** The default near-dup pair detector: MinHash-banded candidates with the
+    * exact-Jaccard verify — the corpus-size-unbounded path
+    * ([[Dedup.dedupCorpus]]'s stage, volume-proven at 1M docs). */
+  def minhashPairs(threshold: Double)(docs: DataFrame): DataFrame =
+    MinHash.nearDupPairsUnordered(docs, "doc_id", "text", threshold = threshold)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+
+  /** Run the four-stage pipeline over `docs` (+ optional `emb` keyed by
+    * vec_id == doc_id for the semantic stage; `None` runs stages 1–3).
+    * `semCentroids`: an explicit frozen centroid table for the semantic
+    * stage (the [[SemDedup.semDedupCorpusWith]] form) — the shape the
+    * incremental equality is stated against; `None` trains fresh ones. */
+  def curate(docs: DataFrame, emb: Option[DataFrame],
+      shingleK: Int = SubstringDedup.declaredK, maxDupFrac: Double = 0.5,
+      nearDupPairs: DataFrame => DataFrame = minhashPairs(0.8),
+      cosineThreshold: Double = 0.99, nCentroids: Int = 16,
+      lloydIters: Int = 3, semCentroids: Option[DataFrame] = None): Result = {
+    val ids0 = docs.select("doc_id")
+
+    // 1. exact: one digest-keyed aggregate; the 8-byte xxhash64 carries the
+    // text's equality structure through the exchange (the dedup_exact
+    // argument — collisions ≈ n²·2⁻⁶⁵).
+    val ids1 = docs.groupBy(xxhash64(col("text")).as("th"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id").localCheckpoint()
+
+    // 2. substring budget over the stage-1 survivors
+    val d1 = docs.join(ids1, Seq("doc_id"), "left_semi")
+    val ids2 = SubstringDedup.dedupStats(d1, shingleK, maxDupFrac)
+      .filter(col("keep")).select("doc_id").localCheckpoint()
+
+    // 3. near-dup pairs → components → min-id keep over stage-2 survivors
+    val d2 = docs.join(ids2, Seq("doc_id"), "left_semi")
+    val drop3 = Dedup.clusters(nearDupPairs(d2), "doc_a", "doc_b")
+      .filter(!col("keep")).select(col("member").as("doc_id"))
+    val ids3 = ids2.join(drop3, Seq("doc_id"), "left_anti").localCheckpoint()
+
+    // 4. semantic (optional): SemDeDup the survivors' vectors; a doc with
+    // no vector is kept — only ids that LOSE a semantic verdict drop.
+    val ids4 = emb match {
+      case None => ids3
+      case Some(e) =>
+        val vecs = e
+          .select(col("vec_id"), col("embedding").cast("array<double>")
+            .as("embedding"))
+          .join(ids3.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+            "left_semi")
+          .localCheckpoint()
+        val keptVec = (semCentroids match {
+          case Some(c) => SemDedup.semDedupCorpusWith(vecs, c, cosineThreshold)
+          case None =>
+            SemDedup.semDedupCorpus(vecs, cosineThreshold, nCentroids,
+              lloydIters)
+        }).select(col("vec_id").as("doc_id"))
+        val drop4 = vecs.select(col("vec_id").as("doc_id"))
+          .join(keptVec, Seq("doc_id"), "left_anti")
+        ids3.join(drop4, Seq("doc_id"), "left_anti").localCheckpoint()
+    }
+
+    val stages = Seq(("exact", ids0, ids1), ("substring", ids1, ids2),
+        ("near_dup", ids2, ids3)) ++
+      (if (emb.isDefined) Seq(("semantic", ids3, ids4)) else Nil)
+    val ledger = stages.zipWithIndex.map { case ((name, in, out), i) =>
+      in.agg(count(lit(1)).as("n_in"))
+        .crossJoin(out.agg(count(lit(1)).as("n_out")))
+        .select(lit(i + 1).as("stage_id"), lit(name).as("stage"),
+          col("n_in"), (col("n_in") - col("n_out")).as("n_dropped"),
+          col("n_out"))
+    }.reduce(_ union _).orderBy("stage_id")
+
+    Result(docs.join(ids4, Seq("doc_id"), "left_semi"), ledger)
+  }
+
+  /** The one-row release summary: corpus size, per-stage drops, final keep
+    * count and fraction — a conditional-aggregation pivot of the ledger
+    * (≤4 tiny rows). Declared as `curation_report` with the deterministic
+    * stages only (emb = None, token-Jaccard detector). */
+  def report(docs: DataFrame, emb: Option[DataFrame],
+      nearDupPairs: DataFrame => DataFrame = minhashPairs(0.8)): DataFrame =
+    curate(docs, emb, nearDupPairs = nearDupPairs).ledger.agg(
+        sum(when(col("stage") === "exact", col("n_in"))).as("n_docs"),
+        sum(when(col("stage") === "exact", col("n_dropped")))
+          .as("exact_dropped"),
+        sum(when(col("stage") === "substring", col("n_dropped")))
+          .as("substring_dropped"),
+        sum(when(col("stage") === "near_dup", col("n_dropped")))
+          .as("neardup_dropped"),
+        coalesce(sum(when(col("stage") === "semantic", col("n_dropped"))),
+          lit(0L)).as("semantic_dropped"),
+        max_by(col("n_out"), col("stage_id")).as("n_kept"))
+      .withColumn("kept_frac", col("n_kept").cast("double") / col("n_docs"))
+
+  // ------------------------------------------------------------------
+  // incremental form: curate new shards against a persisted RELEASE
+  // ------------------------------------------------------------------
+  //
+  // On-disk layout under `dir` — one sub-index per stage, each the stage's
+  // own persisted-index format so every probe inherits that stage's proven
+  // scale shape (static partition pruning, Bloom map-side prune, frozen
+  // centroids):
+  //
+  //   dir/exact      (pb, th) — distinct xxhash64 text digests of the
+  //                  release, partitioned by pb = th mod ExactParts
+  //   dir/substring  the [[SubstringDedup.appendShingleIndex]] gram table
+  //   dir/minhash    the [[IncrementalDedup.writeIndex]] band table
+  //   dir/semantic   the [[SemDedup.writeIndex]] versioned IVF index
+  //                  (only when the release has embeddings)
+  //   dir/meta       one row (max_id) — the composition-level monotonic-id
+  //                  high-water mark, checked and advanced on every ingest
+  //
+  // THE INDEX IS THE RELEASE. [[writeIndexes]] takes the already-curated
+  // corpus ([[curate]]'s `kept`), and [[ingestShard]] folds in only the
+  // shard rows that SURVIVE — deliberately unlike the single-stage ingest
+  // helpers, which append the full probed shard so transitivity through a
+  // dropped member keeps working. A release pipeline must not let
+  // documents it DID NOT PUBLISH influence future verdicts: a shard doc
+  // sharing spans only with a rejected doc is not duplicating the release.
+  // The two contracts coincide on the initial write because a curated
+  // corpus is a FIXPOINT of [[curate]] (exact: no equal texts survive;
+  // substring: removing docs only shrinks budgets; near-dup/semantic: two
+  // surviving reps of different clusters are non-dups by construction) —
+  // it contains no internal dups, so "all corpus docs" and "kept docs"
+  // are the same set, and each stage's probe-equality theorem applies
+  // verbatim with the release as the corpus.
+  //
+  // CONTRACT (CurationIngestSpec pins both): under monotonic ids,
+  //   ingestShard(shard) ≡ curate(release ∪ shard, semCentroids = frozen)
+  // restricted to the shard's doc ids — and iterating ingest is
+  // self-consistent because release ∪ kept stays a fixpoint. Corpus
+  // verdicts are FROZEN (the published release is immutable); the one
+  // batch-vs-incremental divergence that freezing creates is the
+  // substring back-channel — a shard doc's spans can push a BATCH corpus
+  // doc over budget — and it is exactly the behavior a release pipeline
+  // must not have.
+
+  private val ExactParts = 64
+
+  private def digests(docs: DataFrame): DataFrame =
+    docs.select(xxhash64(col("text")).as("th"))
+      .distinct()
+      .withColumn("pb", pmod(col("th"), lit(ExactParts)).cast("int"))
+
+  private def metaOf(spark: SparkSession, dir: String): Long = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/meta").as[Long].head()
+  }
+
+  private def writeMetaOf(spark: SparkSession, dir: String, maxId: Long): Unit = {
+    import spark.implicits._
+    Seq(maxId).toDF("max_id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Persist the per-stage release indexes for `release` (the `kept` of a
+    * [[curate]] run — the fixpoint argument above is what makes building
+    * from the kept rows sound). `emb` carries the release's embeddings;
+    * `None` skips the semantic index and [[ingestShard]] then runs
+    * stages 1–3. */
+  def writeIndexes(release: DataFrame, emb: Option[DataFrame], dir: String,
+      shingleK: Int = SubstringDedup.declaredK, nCentroids: Int = 16,
+      lloydIters: Int = 3): Unit = {
+    val spark = release.sparkSession
+    digests(release).write.mode("overwrite").partitionBy("pb")
+      .parquet(s"$dir/exact")
+    // the gram table is append-only by design; the initial build IS the
+    // first append
+    SubstringDedup.appendShingleIndex(release, shingleK, s"$dir/substring")
+    IncrementalDedup.writeIndex(release, "doc_id", "text", s"$dir/minhash")
+    emb.foreach { e =>
+      SemDedup.writeIndex(
+        e.join(release.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+          "left_semi"),
+        s"$dir/semantic", nCentroids, lloydIters)
+    }
+    val maxId = release.agg(max(col("doc_id").cast("long"))).head() match {
+      case r if r.isNullAt(0) => Long.MinValue
+      case r                  => r.getLong(0)
+    }
+    writeMetaOf(spark, dir, maxId)
+  }
+
+  /** Shard doc_ids whose digest is already in the release — exposed so the
+    * spec can plan-gate the static `pb` pruning on exactly the join that
+    * reads the exact index (the [[IncrementalDedup.corpusHits]]
+    * discipline: an IN list over ≤ [[ExactParts]] driver-side values, so
+    * a bare unfiltered shard still never scans the full digest table). */
+  private[graft] def exactHits(spark: SparkSession, shard: DataFrame,
+      dir: String): DataFrame = {
+    val sh = shard
+      .select(col("doc_id"), xxhash64(col("text")).as("th"),
+        pmod(xxhash64(col("text")), lit(ExactParts)).cast("int").as("pb"))
+      .localCheckpoint()
+    val buckets = sh.select("pb").distinct().collect().map(_.getInt(0)).toSeq
+    val idx = spark.read.parquet(s"$dir/exact")
+      .filter(col("pb").isin(buckets: _*))
+    sh.join(idx, Seq("th"), "left_semi").select("doc_id")
+  }
+
+  /** Curate one new shard against the persisted release at `dir`, at shard
+    * cost, and fold the survivors in: probe → per-stage drop ledger →
+    * append. Returns the same [[Result]] shape as [[curate]]. The kept
+    * verdict is MATERIALIZED before any append (the
+    * [[IncrementalDedup.ingestShard]] discipline — a lazy plan evaluated
+    * after the fold-in would re-probe the grown index and every survivor
+    * would match itself). `nprobe` widens the semantic corpus probe
+    * ([[SemDedup.semDedupShard]]'s recall/cost knob). */
+  def ingestShard(shard: DataFrame, emb: Option[DataFrame], dir: String,
+      shingleK: Int = SubstringDedup.declaredK, maxDupFrac: Double = 0.5,
+      minhashThreshold: Double = 0.8, cosineThreshold: Double = 0.99,
+      nprobe: Int = 1): Result = {
+    val spark = shard.sparkSession
+    val maxSeen = metaOf(spark, dir)
+    val bounds = shard.agg(min(col("doc_id").cast("long")),
+      max(col("doc_id").cast("long"))).head()
+    require(bounds.isNullAt(0) || bounds.getLong(0) > maxSeen,
+      s"monotonic-id ingest contract violated: shard min id " +
+        s"${bounds.getLong(0)} <= release high-water mark $maxSeen")
+    val ids0 = shard.select("doc_id")
+
+    // 1. exact — within-shard min-id per digest, minus release hits
+    val within1 = shard
+      .groupBy(xxhash64(col("text")).as("th"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val ids1 = within1.join(exactHits(spark, shard, dir), Seq("doc_id"),
+      "left_anti").localCheckpoint()
+
+    // 2. substring budget over corpus∪shard counts, shard cost
+    val d1 = shard.join(ids1, Seq("doc_id"), "left_semi")
+    val ids2 = SubstringDedup
+      .shardDedupStats(d1, shingleK, s"$dir/substring", maxDupFrac)
+      .filter(col("keep")).select("doc_id").localCheckpoint()
+
+    // 3. MinHash near-dup against the band index and within the shard
+    val d2 = shard.join(ids2, Seq("doc_id"), "left_semi").localCheckpoint()
+    val ids3 = IncrementalDedup.dedupShard(spark, d2, "doc_id", "text",
+        s"$dir/minhash", minhashThreshold)
+      .select("doc_id").localCheckpoint()
+
+    // 4. semantic probe of the survivors' vectors against the IVF index;
+    // vectorless docs pass through ([[curate]]'s stage-4 contract)
+    val ids4 = emb match {
+      case None => ids3
+      case Some(e) =>
+        val vecs = e
+          .select(col("vec_id"), col("embedding").cast("array<double>")
+            .as("embedding"))
+          .join(ids3.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+            "left_semi")
+          .localCheckpoint()
+        val keptVec = SemDedup.semDedupShard(spark, vecs, s"$dir/semantic",
+          cosineThreshold, nprobe).select(col("vec_id").as("doc_id"))
+        val drop4 = vecs.select(col("vec_id").as("doc_id"))
+          .join(keptVec, Seq("doc_id"), "left_anti")
+        ids3.join(drop4, Seq("doc_id"), "left_anti").localCheckpoint()
+    }
+
+    // fold the SURVIVORS into every index (the-index-is-the-release
+    // contract above), verdict already materialized via localCheckpoint
+    val kept = shard.join(ids4, Seq("doc_id"), "left_semi").localCheckpoint()
+    digests(kept).write.mode("append").partitionBy("pb")
+      .parquet(s"$dir/exact")
+    SubstringDedup.appendShingleIndex(kept, shingleK, s"$dir/substring")
+    IncrementalDedup.appendIndex(kept, "doc_id", "text", s"$dir/minhash")
+    emb.foreach { e =>
+      SemDedup.appendIndex(
+        e.join(kept.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+          "left_semi"),
+        s"$dir/semantic")
+    }
+    if (!bounds.isNullAt(1)) writeMetaOf(spark, dir, bounds.getLong(1))
+
+    val stages = Seq(("exact", ids0, ids1), ("substring", ids1, ids2),
+        ("near_dup", ids2, ids3)) ++
+      (if (emb.isDefined) Seq(("semantic", ids3, ids4)) else Nil)
+    val ledger = stages.zipWithIndex.map { case ((name, in, out), i) =>
+      in.agg(count(lit(1)).as("n_in"))
+        .crossJoin(out.agg(count(lit(1)).as("n_out")))
+        .select(lit(i + 1).as("stage_id"), lit(name).as("stage"),
+          col("n_in"), (col("n_in") - col("n_out")).as("n_dropped"),
+          col("n_out"))
+    }.reduce(_ union _).orderBy("stage_id")
+    Result(kept, ledger)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // One-row curation dashboard over the three DETERMINISTIC stages
+    // (exact → substring → token-Jaccard near-dup), hash-checked end to
+    // end against a DuckDB rebuild of the same three stages — the
+    // composition is what's under test here; each stage's own query
+    // family (`dedup_exact`, `text_substring_dedup_filter`,
+    // `dedup_clusters`) anchors its internals separately.
+    "curation_report" -> ((s, d) =>
+      report(Tables.documents(s, d), None,
+        nearDupPairs = Similarity.tokenJaccardPairsOf(_)))
+  )
+
+  /** DuckDB rebuild of the three deterministic stages, composed from the
+    * SAME CTE bodies the per-stage oracles use
+    * ([[SubstringDedup.spanCteBodyOver]], [[Dedup.reachCteBodyOver]]) so
+    * the stage semantics cannot drift between the standalone queries and
+    * the composition. */
+  def oracleSql: Map[String, String] = Map(
+    "curation_report" ->
+      s"""WITH RECURSIVE
+         |k1 AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+         |d1 AS (SELECT d.* FROM documents d JOIN k1 USING (doc_id)),
+         |${SubstringDedup.spanCteBodyOver("d1")},
+         |per_doc AS (SELECT doc_id, CAST(SUM(span_len) AS BIGINT)
+         |    AS dup_tokens FROM spans GROUP BY doc_id),
+         |d2 AS (SELECT d.* FROM d1 d LEFT JOIN per_doc p USING (doc_id)
+         |  WHERE CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE)
+         |    / CAST(len(string_split(d.text, ' ')) AS DOUBLE) < 0.5),
+         |${Dedup.reachCteBodyOver("d2")},
+         |cl AS (SELECT id, MIN(root) AS cluster FROM reach GROUP BY id),
+         |dropped3 AS (SELECT id FROM cl WHERE id <> cluster),
+         |n0 AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |n1 AS (SELECT COUNT(*) AS c1 FROM d1),
+         |n2 AS (SELECT COUNT(*) AS c2 FROM d2),
+         |n3 AS (SELECT COUNT(*) AS d3 FROM dropped3)
+         |SELECT n0.n_docs,
+         |  n0.n_docs - n1.c1 AS exact_dropped,
+         |  n1.c1 - n2.c2 AS substring_dropped,
+         |  n3.d3 AS neardup_dropped,
+         |  CAST(0 AS BIGINT) AS semantic_dropped,
+         |  n2.c2 - n3.d3 AS n_kept,
+         |  CAST(n2.c2 - n3.d3 AS DOUBLE) / n0.n_docs AS kept_frac
+         |FROM n0, n1, n2, n3""".stripMargin
+  )
+}

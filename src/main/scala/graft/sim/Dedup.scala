@@ -175,14 +175,17 @@ object Dedup {
     })
   )
 
-  /** The shared recursive-CTE pipeline text (pairs → symmetric edges →
-    * reachability fixpoint), reused by every cluster-derived oracle so
-    * the component semantics cannot drift between them. */
-  private val reachCte: String =
-    """WITH RECURSIVE docs AS (SELECT doc_id, source,
+  /** The shared recursive-CTE pipeline BODY (pairs → symmetric edges →
+    * reachability fixpoint) over an arbitrary source relation, reused by
+    * every cluster-derived oracle — including [[Curation]]'s, where the
+    * source is the survivors of the upstream stages — so the component
+    * semantics cannot drift between them. Callers prepend `WITH RECURSIVE`
+    * (the `reach` CTE is the recursive one). */
+  private[graft] def reachCteBodyOver(src: String): String =
+    s"""docs AS (SELECT doc_id, source,
       |    list_distinct(string_split(text, ' ')) AS toks,
       |    CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n
-      |  FROM documents),
+      |  FROM $src),
       |pairs AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |    CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter,
@@ -197,6 +200,8 @@ object Dedup {
       |  SELECT DISTINCT u, u FROM edges
       |  UNION
       |  SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.id)""".stripMargin
+
+  private val reachCte: String = s"WITH RECURSIVE ${reachCteBodyOver("documents")}"
 
   def oracleSql: Map[String, String] = Map(
     "dedup_clusters" ->

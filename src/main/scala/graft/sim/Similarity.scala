@@ -191,7 +191,16 @@ object Similarity {
     * localCheckpoints an unordered projection). */
   private[graft] def tokenJaccardPairs(s: SparkSession, d: String,
       minJaccard: Double = 0.8): DataFrame =
-    tokenJaccardCandidates(s, d)
+    tokenJaccardPairsOf(Tables.documents(s, d), minJaccard)
+
+  /** [[tokenJaccardPairs]] over an ARBITRARY document set (same schema as
+    * the documents table) — the form [[Curation]]'s near-dup stage needs,
+    * where the input is the survivors of the upstream exact + substring
+    * stages rather than the raw table. The (s, d) form above delegates
+    * here so the two can never drift. */
+  private[graft] def tokenJaccardPairsOf(docs: DataFrame,
+      minJaccard: Double = 0.8): DataFrame =
+    tokenJaccardCandidatesOf(docs)
       // |A∪B| = |A|+|B|-|A∩B| — never materialize the union array. The
       // intersection is the custom codegen'd merge scan over the sorted
       // id arrays (SortedIntersectSizeExpr): array_intersect would build
@@ -211,8 +220,11 @@ object Similarity {
     * Exposed so tests can assert candidate volume directly (candidates ≪
     * C(n,2) is the property that makes the dedup subquadratic; the verify
     * threshold can't hide a bloated block). */
-  private[graft] def tokenJaccardCandidates(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+  private[graft] def tokenJaccardCandidates(s: SparkSession, d: String): DataFrame =
+    tokenJaccardCandidatesOf(Tables.documents(s, d))
+
+  private[graft] def tokenJaccardCandidatesOf(input: DataFrame): DataFrame = {
+    val docs = input
       .select(col("doc_id"), col("source"),
         array_sort(transform(array_distinct(split(col("text"), " ")),
           t => xxhash64(t))).as("toks"))

@@ -161,8 +161,15 @@ object SubstringDedup {
     * keep verdict of the standard "drop docs that are mostly copies" filter.
     * The spans aggregate is doc-keyed and joined back to the slim
     * (doc_id, n_tokens) projection — the corpus text never shuffles. */
-  def dedupStats(docs: DataFrame, k: Int, maxDupFrac: Double): DataFrame = {
-    val perDoc = dupSpans(docs, k)
+  def dedupStats(docs: DataFrame, k: Int, maxDupFrac: Double): DataFrame =
+    statsOfSpans(docs, dupSpans(docs, k), maxDupFrac)
+
+  /** The budget arithmetic shared by [[dedupStats]] and
+    * [[shardDedupStats]] — per-doc duplicated-token sum over `spans`
+    * joined back to the slim (doc_id, n_tokens) projection. */
+  private def statsOfSpans(docs: DataFrame, spans: DataFrame,
+      maxDupFrac: Double): DataFrame = {
+    val perDoc = spans
       .groupBy("doc_id")
       .agg(sum(col("span_len")).as("dup_tokens"))
     docs.select(col("doc_id"), size(tokens).as("n_tokens"))
@@ -172,6 +179,37 @@ object SubstringDedup {
         col("dup_tokens").cast("double") / col("n_tokens").cast("double"))
       .withColumn("keep", col("dup_frac") < maxDupFrac)
       .select("doc_id", "n_tokens", "dup_tokens", "dup_frac", "keep")
+  }
+
+  /** [[dedupStats]] of a NEW SHARD against corpus∪shard, at shard cost —
+    * the incremental form [[graft.sim.Curation.ingestShard]]'s substring
+    * stage needs: a shard doc's budget must count spans it shares with
+    * the indexed corpus AND with other shard docs (the batch stage sees
+    * both). Shards are doc-disjoint from the corpus under the
+    * monotonic-id contract, so the union's distinct-doc count per gram
+    * decomposes exactly: nd(corpus∪shard) = nd_index + nd_shard. The
+    * index side is the [[appendShingleIndex]] table, Bloom-pruned
+    * map-side to the shard's digests before the join (the
+    * [[shardDupSpans]] shape — the corpus never shuffles); the shard-side
+    * count is a shard-sized aggregate. EQUALS
+    * `dedupStats(corpus ∪ shard, k, f)` restricted to the shard's doc ids
+    * (CurationIngestSpec pins it), because [[mergeSpans]] and the budget
+    * arithmetic are shared verbatim with the batch path. */
+  def shardDedupStats(shard: DataFrame, k: Int, path: String,
+      maxDupFrac: Double, estShardGrams: Long = 1000000L): DataFrame = {
+    // grams feed three consumers (shard count, index join, span merge):
+    // one materialization (cluster: checkpoint)
+    val g = shingles(shard, k).localCheckpoint()
+    val ndS = g.groupBy("gh").agg(countDistinct(col("doc_id")).as("nd_s"))
+    val idx = shard.sparkSession.read.parquet(path)
+    val ndC = graft.ops.JoinPrefilter
+      .bloomReduce(idx, col("gh"), g, col("gh"), estShardGrams)
+      .groupBy("gh").agg(sum(col("nd")).as("nd_c"))
+    val nd = ndS.join(ndC, Seq("gh"), "left")
+      .select(col("gh"),
+        (col("nd_s") + coalesce(col("nd_c"), lit(0L))).as("nd"))
+      .filter(col("nd") > 1)
+    statsOfSpans(shard, mergeSpans(g.join(nd, "gh"), k), maxDupFrac)
   }
 
   /** Corpus with every duplicated span's tokens removed (the Lee et al.
@@ -218,10 +256,13 @@ object SubstringDedup {
 
   /** The oracle rebuilds the same pipeline on raw gram STRINGS (DuckDB has
     * no xxhash64); the compared output carries no hashes, so the two
-    * formulations agree exactly — the text_contamination precedent. */
-  private val spanCte: String =
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
-       |  FROM documents),
+    * formulations agree exactly — the text_contamination precedent. The
+    * BODY form is parameterized on the source relation so
+    * [[graft.sim.Curation]]'s oracle can run the identical span pipeline
+    * over its exact-dedup survivors; callers prepend `WITH`. */
+  private[graft] def spanCteBodyOver(src: String): String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t
+       |  FROM $src),
        |g AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
        |    SELECT doc_id, unnest(list_transform(range(1, len(t) - ${K - 2}),
        |      i -> {'pos': CAST(i AS INTEGER),
@@ -242,6 +283,13 @@ object SubstringDedup {
        |    CAST(MAX(pos) + $K - MIN(pos) AS INTEGER) AS span_len,
        |    CAST(MAX(nd) AS BIGINT) AS n_sharers
        |  FROM isl GROUP BY doc_id, island)""".stripMargin
+
+  private val spanCte: String = s"WITH ${spanCteBodyOver("documents")}"
+
+  /** The declared shingle length — shared with [[graft.sim.Curation]] so
+    * the curation report's substring stage and the standalone
+    * `text_substring_dedup*` queries agree on k. */
+  private[graft] def declaredK: Int = K
 
   def oracleSql: Map[String, String] = Map(
     "text_substring_dedup" ->

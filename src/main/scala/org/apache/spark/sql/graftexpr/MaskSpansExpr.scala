@@ -25,7 +25,12 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Intege
   * on randomized inputs, overlapping and unsorted spans included): token
   * at array index i is kept iff no span satisfies
   * `span_start ≤ i+1 < span_start + span_len`. Null array on either side
-  * → NULL; span fields are non-null by construction (aggregate output).
+  * → NULL. A null span ELEMENT (or a null span field) also mirrors the
+  * lambda's three-valued logic: the `exists` predicate is then null for
+  * every token it doesn't positively match, `!exists` is never true, and
+  * `filter` keeps nothing — so the whole output is the EMPTY array, not
+  * an NPE or a silent 0-position span (ADVICE r9; dupSpans output is
+  * non-null in practice, but the kernel is a public generic).
   */
 case class MaskSpansExpr(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -44,7 +49,12 @@ case class MaskSpansExpr(left: Expression, right: Expression)
     val starts = new Array[Int](m); val ends = new Array[Int](m)
     var k = 0
     while (k < m) {
+      // tri-state mirror: one null span/field poisons every token's
+      // exists-predicate → the lambda form keeps nothing (scaladoc)
+      if (spans.isNullAt(k)) return new GenericArrayData(new Array[AnyRef](0))
       val sp = spans.getStruct(k, 2)
+      if (sp.isNullAt(0) || sp.isNullAt(1))
+        return new GenericArrayData(new Array[AnyRef](0))
       starts(k) = sp.getInt(0); ends(k) = sp.getInt(0) + sp.getInt(1) - 1
       k += 1
     }
@@ -80,14 +90,23 @@ case class MaskSpansExpr(left: Expression, right: Expression)
       val kept = ctx.freshName("kept"); val cnt = ctx.freshName("cnt")
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val pos = ctx.freshName("pos")
+      val poisoned = ctx.freshName("poisoned")
       s"""
          |int $n = $t.numElements(); int $m = $s.numElements();
          |int[] $starts = new int[$m]; int[] $ends = new int[$m];
-         |for (int $k = 0; $k < $m; $k++) {
-         |  org.apache.spark.sql.catalyst.InternalRow $sp = $s.getStruct($k, 2);
-         |  $starts[$k] = $sp.getInt(0);
-         |  $ends[$k] = $sp.getInt(0) + $sp.getInt(1) - 1;
+         |boolean $poisoned = false;
+         |for (int $k = 0; $k < $m && !$poisoned; $k++) {
+         |  org.apache.spark.sql.catalyst.InternalRow $sp =
+         |    $s.isNullAt($k) ? null : $s.getStruct($k, 2);
+         |  if ($sp == null || $sp.isNullAt(0) || $sp.isNullAt(1)) {
+         |    // tri-state mirror: null span/field => lambda keeps nothing
+         |    $poisoned = true;
+         |  } else {
+         |    $starts[$k] = $sp.getInt(0);
+         |    $ends[$k] = $sp.getInt(0) + $sp.getInt(1) - 1;
+         |  }
          |}
+         |if ($poisoned) { $n = 0; $m = 0; }
          |for (int $a = 1; $a < $m; $a++) {
          |  int $sv = $starts[$a]; int $ev2 = $ends[$a]; int $b = $a - 1;
          |  while ($b >= 0 && $starts[$b] > $sv) {

@@ -70,6 +70,41 @@ class MaskSpansSpec extends SparkSpec {
     assert(out(4) === Some(Seq("a", "b", "c")))
   }
 
+  test("null span elements/fields mirror the lambda's tri-state: keep nothing") {
+    import spark.implicits._
+    // a null span (or null field) makes the lambda's exists-predicate null
+    // for every token it doesn't positively match — !exists is never true,
+    // filter keeps nothing. The kernel must return the EMPTY array (not
+    // NPE, not treat the null as a 0-length span) on both codegen paths.
+    val df = Seq(1, 2, 3).toDF("id")
+      .withColumn("text", lit("a b c d"))
+      .withColumn("spans", expr(
+        """CASE id
+          |  WHEN 1 THEN array(named_struct('span_start', 2, 'span_len', 1),
+          |                    CAST(NULL AS STRUCT<span_start: INT, span_len: INT>))
+          |  WHEN 2 THEN array(named_struct('span_start', CAST(NULL AS INT),
+          |                    'span_len', 2))
+          |  ELSE array(named_struct('span_start', 1,
+          |             'span_len', CAST(NULL AS INT)))
+          |END""".stripMargin))
+    def run(): Map[Int, (Seq[String], Seq[String])] = df.select(col("id"),
+        MaskSpansExpr.column(split(col("text"), " "), col("spans")).as("got"),
+        lambdaForm.as("want"))
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getSeq[String](1), r.getSeq[String](2))))
+      .toMap
+    val on = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val off = try run()
+      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    Seq(on, off).foreach { out =>
+      (1 to 3).foreach { id =>
+        assert(out(id)._1 === out(id)._2, s"row $id diverges from lambda")
+        assert(out(id)._1 === Seq.empty, s"row $id")
+      }
+    }
+  }
+
   test("codegen and interpreted paths agree (whole-stage on, off)") {
     import spark.implicits._
     val df = Seq((1L, "x y z w v", Seq((2, 2), (5, 1))))
