@@ -7,6 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -69,6 +70,25 @@ object Bench {
         "above cwd; set SPARK_GRAFT_REPO_DIR"))
     java.nio.file.Files.write(repoRoot.resolve("BENCH_FULL.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // FINAL line: a compact variant sized to survive the driver's ~2,000
+    // char log-tail window (the full 114-query map is ~3.4 kB, which is
+    // why BENCH_r10.json came back "parsed": null). Same shape, values
+    // rounded to ms, `queries` truncated to the slowest 30 (the ones
+    // regression tracking needs); the full map lives in the committed
+    // BENCH_FULL.json and target/bench.json. Printed LAST so a
+    // tail-window parse finds a complete line.
+    val root = java.util.Locale.ROOT // %.3f must emit '.' whatever the locale
+    val slow = results.sortBy(-_._2).take(30)
+      .map { case (k, v) => "\"%s\":%s".format(k, String.format(root, "%.3f",
+        Double.box(v))) }
+      .mkString("{", ",", "}")
+    val compact = String.format(root,
+      "{\"metric\":\"total\",\"value\":%.3f,\"unit\":\"sec\"," +
+        "\"load_avg\":%.3f,\"n_queries\":%d,\"queries\":%s," +
+        "\"full\":\"BENCH_FULL.json\",\"sf\":\"%s\"}",
+      Double.box(total), Double.box(loadAvg),
+      Integer.valueOf(results.size), slow, sfDir)
+    println(compact)
     spark.stop()
   }
 }

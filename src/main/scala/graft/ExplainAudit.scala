@@ -245,7 +245,19 @@ object ExplainAudit {
     ("composite_rfm", "broadcast thresholds + map-side percentile, no Window",
       p => p.contains("BroadcastNestedLoopJoin")
         && p.contains("ObjectHashAggregate")
-        && !finalPlan(p).contains("Window"))
+        && !finalPlan(p).contains("Window")),
+    // chunking is a per-row explode: no join, no hash exchange (the only
+    // exchange is the declared ORDER BY's range partitioning), and the
+    // window slice must stay lambda-free (slice, not a transform())
+    ("text_chunk", "map-only explode fan-out (no join/hash exchange)",
+      p => !p.contains("Join")
+        && !finalPlan(p).contains("Exchange hashpartitioning")
+        && !p.contains("lambdafunction")),
+    // split assignment is a pure projection of doc_id: nothing but the
+    // scan and the determinism sort may appear
+    ("split_assign", "map-only projection (no join/hash exchange)",
+      p => !p.contains("Join")
+        && !finalPlan(p).contains("Exchange hashpartitioning"))
   )
 
   /** Executes each checked query (collect(), so AQE finalizes — codegen

@@ -20,15 +20,41 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    // Deterministic (sorted) order + per-query timing + an end-of-run
+    // failure roll-up: round 10 lost 38 queries to a single root cause
+    // (events schema change) and the only evidence was 38 interleaved
+    // stderr lines the driver's log tail didn't keep. The summary line is
+    // the LAST thing printed, so any tail capture shows what failed.
+    // SPARK_GRAFT_VERIFY_PAR (default 4) runs queries concurrently on the
+    // shared session — each query writes its own directory and the only
+    // shared mutable state (temp-view registration, Tables plan cache) is
+    // idempotent, so overlap is safe and hides per-query plan/codegen
+    // latency behind execution.
+    val todo = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    val par = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "4").toInt.max(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+    val failed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    todo.foreach { case (name, fn) =>
+      pool.execute { () =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          System.err.println(
+            f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        } catch { case e: Throwable =>
+          failed.add(name)
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
       }
     }
+    pool.shutdown()
+    pool.awaitTermination(2, java.util.concurrent.TimeUnit.HOURS)
+    val nFail = failed.size()
+    System.err.println(s"[verify] done: ${todo.size - nFail}/${todo.size} ok" +
+      (if (nFail == 0) "" else
+        s"; FAILED: ${failed.toArray.mkString(", ")}"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -48,9 +48,18 @@ object Tables {
     perSession.getOrElseUpdate(s"$dir/$name", {
       if (name == "events") {
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.read
-          .parquet(s"$dir/events.parquet")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val raw = spark.read.parquet(s"$dir/events.parquet")
+        raw.schema("ts").dataType match {
+          // timestamp[ns] files (nanosAsLong): truncate to µs in Long space
+          case org.apache.spark.sql.types.LongType =>
+            raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          // timestamp[us] files arrive as TIMESTAMP_NTZ; reinterpret the
+          // wall-clock as UTC instant (sessions run with UTC timezone, so
+          // the cast is value-preserving and matches DuckDB's TIMESTAMP)
+          case _: org.apache.spark.sql.types.TimestampNTZType =>
+            raw.withColumn("ts", col("ts").cast("timestamp"))
+          case _ => raw
+        }
       } else spark.read.parquet(s"$dir/$name.parquet")
     })
   }

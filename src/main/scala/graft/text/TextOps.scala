@@ -60,6 +60,30 @@ object TextOps {
   private val budgetTokens = 20000L
   private def quotaOf(w: Int): Long = budgetTokens * w / 16
 
+  /** `text_chunk` geometry: windows of ≤ [[chunkWindow]] tokens starting
+    * every [[chunkStride]] tokens (overlap = window − stride = 8). */
+  private val chunkWindow = 32
+  private val chunkStride = 24
+
+  /** `split_assign` projection, one SQL string per output column, valid in
+    * BOTH Spark SQL and DuckDB (md5 / substr / instr / CASE agree): bucket
+    * = the id's first two md5 hex nibbles as an int in 0..255, split by
+    * [[splitTrainLt]]/[[splitValLt]]. Single source for query and oracle. */
+  private val splitTrainLt = 204 // 204/256 ≈ 79.7% train
+  private val splitValLt = 230   //  26/256 ≈ 10.2% val; rest test
+  private def md5Bucket256Sql(idExpr: String): String = {
+    val hx = "'0123456789abcdef'"
+    val m = s"md5(CAST($idExpr AS STRING))"
+    s"(instr($hx, substr($m, 1, 1)) - 1) * 16 + (instr($hx, substr($m, 2, 1)) - 1)"
+  }
+  private[text] def splitAssignCols: Seq[String] = {
+    val b = md5Bucket256Sql("doc_id")
+    Seq("doc_id",
+      s"CAST($b AS BIGINT) AS bucket",
+      s"CASE WHEN ($b) < $splitTrainLt THEN 'train' " +
+        s"WHEN ($b) < $splitValLt THEN 'val' ELSE 'test' END AS split")
+  }
+
   /** Deterministic subword-token estimate — the budget-meter realism fix
     * (VERDICT r8 what's-missing #2). Whitespace tokens undercount what a
     * subword tokenizer (BPE/unigram) actually bills: long words split into
@@ -510,7 +534,47 @@ object TextOps {
         .agg(min(col("doc_id")).as("canonical_doc"),
           count(lit(1)).as("n_copies"))
         .select(col("canonical_doc"), col("n_copies"))
-        .orderBy("canonical_doc"))
+        .orderBy("canonical_doc")),
+
+    // Overlapping token-window chunking — the context-window prep op: every
+    // document becomes chunks of ≤ chunkWindow tokens starting every
+    // chunkStride tokens (overlap = window − stride carries context across
+    // chunk boundaries; the tail chunk may be short). Pure per-row explode:
+    // no shuffle of its own (the orderBy is output determinism, not the
+    // op), so at 100 TB it pipelines inside the scan stage and output
+    // volume is input × window/stride. Every token lands in ≥1 chunk and
+    // consecutive chunks overlap by exactly window − stride (ChunkSplitSpec
+    // pins coverage, overlap, and reconstruction).
+    "text_chunk" -> ((s, d) => {
+      val n = size(tokens).cast("long")
+      Tables.documents(s, d)
+        .select(col("doc_id"), tokens.as("toks"), n.as("n"))
+        .select(col("doc_id"), col("toks"), col("n"),
+          explode(sequence(lit(0L), greatest(col("n") - 1L, lit(0L)),
+            lit(chunkStride.toLong))).as("start"))
+        .select(col("doc_id"),
+          expr(s"start div $chunkStride").as("chunk_id"),
+          array_join(slice(col("toks"), (col("start") + 1).cast("int"),
+            lit(chunkWindow)), " ").as("chunk_text"),
+          least(lit(chunkWindow.toLong), col("n") - col("start"))
+            .as("n_tokens"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    // Deterministic train/val/test assignment — the md5-bucket form of
+    // [[hashSplit]] (xxhash64 is not oracle-portable; the md5 nibble pair
+    // is, the `sample_mix` discipline). bucket = first two md5 hex nibbles
+    // of the id → 0..255; train < 204 (79.7%), val < 230 (10.2%), test
+    // rest (10.2%). Membership is a pure function of doc_id: stable across
+    // runs, engines, partitionings, and corpus growth — a document never
+    // changes split as the corpus evolves, which is what keeps a held-out
+    // eval set contamination-free over a living corpus. Map-only (no
+    // shuffle beyond the determinism orderBy). The WHOLE projection is one
+    // shared SQL string evaluated by both engines, so the rule cannot
+    // drift.
+    "split_assign" -> ((s, d) =>
+      Tables.documents(s, d).selectExpr(splitAssignCols: _*)
+        .orderBy("doc_id"))
   )
 
   /** Deterministic train/holdout split: bucket = xxhash64(id, salt) mod 100,
@@ -778,6 +842,21 @@ object TextOps {
         |  FROM t)
         |SELECT source, CAST((cum - toks) // 512 AS BIGINT) AS bin,
         |  COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS bin_tokens
-        |FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin
+        |FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+
+    "text_chunk" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+         |s AS (SELECT doc_id, toks, n,
+         |    unnest(range(0, n, $chunkStride)) AS start FROM t)
+         |SELECT doc_id, start // $chunkStride AS chunk_id,
+         |  array_to_string(list_slice(toks, start + 1, start + $chunkWindow),
+         |    ' ') AS chunk_text,
+         |  least($chunkWindow, n - start) AS n_tokens
+         |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "split_assign" ->
+      s"""SELECT ${splitAssignCols.mkString(", ")}
+         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -259,10 +259,14 @@ class CurationIngestSpec extends SparkSpec {
     val hits = Curation.exactHits(spark, tiny, fx.dir)
     hits.collect()
     val physical = hits.queryExecution.executedPlan.toString
+    // a single-digest shard folds the one-element IN list to `pb = k`, so
+    // accept either spelling — the property is a static pb filter beyond
+    // the bare isnotnull, not the IN surface form
     val partFilter = physical.linesIterator
-      .find(l => l.contains("PartitionFilters: [") && l.contains("IN ("))
+      .find(l => l.contains("PartitionFilters: [") &&
+        (l.contains("pb") && (l.contains("IN (") || l.contains(" = "))))
     assert(partFilter.isDefined,
-      "the exact-digest scan must carry a static IN partition filter on " +
+      "the exact-digest scan must carry a static partition filter on " +
         s"pb:\n${physical.linesIterator.take(40).mkString("\n")}")
   }
 
