@@ -214,6 +214,46 @@ object Streaming {
         indexPath, threshold), id)
     }
 
+  // ------------------------------------------------------------ B10.15
+
+  /** Online release curation — the full probe → drop → fold-in ingest loop
+    * (SURVEY B9.36) as a stream: each micro-batch of arriving documents is
+    * curated against the persisted release index at `dir` and its
+    * survivors appended back, via [[graft.sim.Curation.ingestShard]]
+    * VERBATIM so batch and stream cannot drift. The sink receives each
+    * batch's (kept, ledger, batchId).
+    *
+    * foreachBatch, not a streaming plan: every stage aggregates within the
+    * batch (within-shard exact groupBy, span windows, pair components) and
+    * then MUTATES the index — neither legal on an unbounded stream, both
+    * exact per micro-batch since documents arrive whole. The monotonic-id
+    * ingest contract now spans batches: each batch's min doc_id must
+    * exceed the high-water mark the previous batch advanced — id-ordered
+    * arrival, the natural shape of an append-only upstream log. Under
+    * foreachBatch's at-least-once contract a REPLAYED batch trips that
+    * same guard rather than double-appending: the loop fails loudly
+    * instead of corrupting the release (the recovery is re-publishing the
+    * index from its last good version — the semantic index is versioned
+    * for exactly this).
+    *
+    * `emb`: the batch-keyed embeddings side (vec_id == doc_id) as a STATIC
+    * table — ingestShard semi-joins it down to the batch's survivors, so
+    * only batch vectors are probed or appended; `None` runs stages 1–3. */
+  def streamCurationIngest(docs: DataFrame, emb: Option[DataFrame],
+      dir: String, sink: (DataFrame, DataFrame, Long) => Unit,
+      shingleK: Int = graft.text.SubstringDedup.declaredK,
+      maxDupFrac: Double = 0.5, minhashThreshold: Double = 0.8,
+      cosineThreshold: Double = 0.99, nprobe: Int = 1)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      if (!batch.isEmpty) {
+        val r = graft.sim.Curation.ingestShard(batch, emb, dir, shingleK,
+          maxDupFrac, minhashThreshold, cosineThreshold, nprobe)
+        sink(r.kept, r.ledger, id)
+      }
+    }
+
   // ------------------------------------------------------------ B10.6
 
   final case class UserEvent(event_id: Long, ts: java.sql.Timestamp,
