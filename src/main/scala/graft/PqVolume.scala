@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Volume proof for the PQ index ([[graft.sim.Pq]], SURVEY B9.39) — the
+  * [[DedupVolume]] discipline for the compressed-ANN claim: measured
+  * throughput, compression, and retrieval recall at a million vectors,
+  * with planted ground truth.
+  *
+  *  - corpus: 1M 64-dim unit vectors, pure hash functions of the row id.
+  *    Ids ≡ 3 (mod 10) are 0.25-scaled copies of vec id−3 — after
+  *    normalization their direction is EXACTLY the base's, so each held-out
+  *    copy's true cosine top-1 over the index is its base, by construction.
+  *  - index: ids ≢ 3 (mod 10) (900k vectors) → frozen router (64 spherical
+  *    centroids) + frozen per-subspace codebooks (M=8, K=64) + codes
+  *    partitioned by centroid_id. 64 floats → 8 ints per vector.
+  *  - probes: the 100k held-out copies. Recall@1 is measured two ways:
+  *    the BATCHED flat ADC scan (every probe × every code row — the
+  *    throughput number: row·probes/s of the pq_adc kernel) on a probe
+  *    sample, and the end-to-end pruned [[graft.sim.Pq.probeIndexTopK]]
+  *    latency on a handful.
+  *  - compression is reported from the actual parquet bytes on disk
+  *    (codes index vs the float corpus it replaces).
+  *
+  * PqVolumeSpec asserts recall at a CI-sized corpus; the committed
+  * artifact (dev/pq_volume.json) records the million-row run.
+  * Usage: runMain graft.PqVolume [nVecs] [workDir]
+  */
+object PqVolume {
+
+  val Dim = 64
+  val M = 8
+  val K = 64
+  val NCentroids = 64
+
+  /** (vec_id, embedding): 64-dim unit vectors; ids ≡ 3 (mod 10) are
+    * scaled copies of vec id−3 (identical direction after normalize). */
+  def corpus(spark: SparkSession, nVecs: Long): DataFrame = {
+    val id = col("id")
+    val eid = when(id % 10 === 3, id - 3).otherwise(id)
+    val scale = when(id % 10 === 3, lit(0.25)).otherwise(lit(1.0))
+    val raw = array((1 to Dim).map(i =>
+      (pmod(xxhash64(eid, lit(i)), lit(1000L)).cast("double") / 500.0 - 1.0)
+        * scale): _*)
+    val norm = sqrt(graft.sim.VectorMath.dot(raw, raw))
+    spark.range(nVecs).select(id.as("vec_id"),
+      transform(raw, x => x / norm).as("embedding"))
+  }
+
+  /** Batched flat ADC: one scan scoring every (code row × probe) pair via
+    * a stride-sliced literal of all probe LUTs, arg-max per probe —
+    * the pq_adc kernel's throughput shape. Returns (probe_id, top1). */
+  def batchedTop1(codes: DataFrame, luts: Seq[Seq[Double]]): DataFrame = {
+    val stride = luts.head.length
+    val flat = typedLit(luts.flatten)
+    val scored = codes
+      .select(col("vec_id"), col("codes"),
+        explode(sequence(lit(0), lit(luts.size - 1))).as("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        org.apache.spark.sql.graftexpr.PqAdcExpr.column(col("codes"),
+          slice(flat, (col("probe_id") * stride + 1).cast("int"),
+            lit(stride))).as("score"))
+    scored.groupBy("probe_id")
+      .agg(max_by(col("vec_id"), struct(col("score"), -col("vec_id")))
+        .as("top1"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nVecs = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val workDir = args.lift(1).getOrElse("/tmp/graft_pqvol")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.sim.Pq
+
+    corpus(spark, nVecs).write.mode("overwrite").parquet(s"$workDir/vecs")
+    val all = spark.read.parquet(s"$workDir/vecs")
+    val base = all.filter(col("vec_id") % 10 =!= 3)
+    val probes = all.filter(col("vec_id") % 10 === 3)
+
+    val t0 = System.nanoTime()
+    Pq.writeIndex(base, s"$workDir/pqidx", M, K, NCentroids,
+      routerIters = 2, pqIters = 2)
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    val nIndexed = base.count()
+
+    // compression from actual bytes on disk
+    def bytesOf(p: String): Long = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.getContentSummary(path).getLength
+    }
+    val floatBytes = bytesOf(s"$workDir/vecs")
+    val codeBytes = bytesOf(s"$workDir/pqidx/codes")
+
+    // batched flat ADC over a probe sample: the kernel throughput number
+    val nSample = 64
+    val sample = probes.filter(col("vec_id") % 1000 === 3).limit(nSample)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toSeq
+    val cb = spark.read.parquet(s"$workDir/pqidx/codebooks").localCheckpoint()
+    val luts = sample.map { case (_, v) => Pq.lutFor(cb, v, M) }
+    val codes = spark.read.parquet(s"$workDir/pqidx/codes")
+      .select("vec_id", "codes").localCheckpoint()
+    val t1 = System.nanoTime()
+    val top1 = batchedTop1(codes, luts).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val adcSec = (System.nanoTime() - t1) / 1e9
+    val hits = sample.zipWithIndex.count { case ((pid, _), i) =>
+      top1(i) == pid - 3 } // each probe's true top-1 is its base, id−3
+    val recall = hits.toDouble / sample.size
+
+    // end-to-end pruned probe latency (nprobe 4 of 64 lists)
+    val t2 = System.nanoTime()
+    val prunedHits = sample.take(5).count { case (pid, v) =>
+      Pq.probeIndexTopK(spark, s"$workDir/pqidx", v, 1, nprobe = 4)
+        .head().getLong(0) == pid - 3 }
+    val prunedSec = (System.nanoTime() - t2) / 1e9 / 5
+
+    val ok = recall >= 0.95 && prunedHits >= 4
+    val line =
+      f"""{"metric":"pq_adc_row_probes_per_sec",""" +
+      f""""value":${nIndexed * sample.size / adcSec}%.0f,"unit":"rows*probes/s",""" +
+      f""""n_indexed":$nIndexed,"dim":$Dim,"m":$M,"k":$K,""" +
+      f""""build_sec":$buildSec%.1f,""" +
+      f""""float_bytes":$floatBytes,"code_bytes":$codeBytes,""" +
+      f""""compression":${floatBytes.toDouble / codeBytes}%.1f,""" +
+      f""""probes":${sample.size},"recall_at1":$recall%.4f,""" +
+      f""""pruned_probe_sec":$prunedSec%.2f,""" +
+      f""""pruned_hits":$prunedHits,"pruned_probes":5,""" +
+      s""""all_ok":$ok}"""
+    println(line)
+    Artifacts.write("pq_volume.json", line)
+    spark.stop()
+    if (!ok) { System.err.println(s"[pqvol] RECALL MISS"); sys.exit(1) }
+  }
+}
