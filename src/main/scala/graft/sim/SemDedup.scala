@@ -297,6 +297,40 @@ object SemDedup {
     }
   }
 
+  /** Compact an append-heavy index into a freshly PUBLISHED version.
+    * Every [[appendIndex]] lands one file set per shard inside each
+    * `centroid_id=`/`probe_id=` partition, so after S shards a pruned
+    * probe opens O(S) small files per partition — the classic ingest-loop
+    * tax at 100 TB (file-open latency starts dominating the scan).
+    * Compaction rewrites the CURRENT version's contents into v<N+1> with
+    * ONE file per partition (`repartition` on the partition column: each
+    * key hashes to exactly one task) and flips the pointer last — live
+    * readers see the old version or the new, never a mix, and the content
+    * is row-identical under the same frozen centroids (probe equality +
+    * file-count drop are SemDedupSpec-pinned). The superseded version dir
+    * stays on disk as inert debris, the same policy as dead unpublished
+    * builds; a retention sweep is an operational concern, not index
+    * logic. */
+  def compactIndex(spark: SparkSession, path: String): Unit = {
+    val root = resolveRoot(spark, path)
+    val meta = readMeta(spark, root)
+    val version = nextVersion(spark, path)
+    val newRoot = s"$path/$version"
+    spark.read.parquet(s"$root/centroids").coalesce(1)
+      .write.mode("overwrite").parquet(s"$newRoot/centroids")
+    spark.read.parquet(s"$root/assigned")
+      .repartition(col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$newRoot/assigned")
+    if (meta.maxProbes > 1)
+      spark.read.parquet(s"$root/probes")
+        .repartition(col("probe_id"))
+        .write.mode("overwrite").partitionBy("probe_id")
+        .parquet(s"$newRoot/probes")
+    writeMeta(spark, newRoot, meta.maxId, meta.maxProbes)
+    publish(spark, path, version)
+  }
+
   /** The complete ingest step: dedupe `shard` against the index (and
     * itself), fold the FULL shard into the index, return the kept rows.
     * The verdict is MATERIALIZED (eager localCheckpoint; cluster:

@@ -274,6 +274,65 @@ class SemDedupSpec extends SparkSpec {
       "appended index scan lost its static partition prune")
   }
 
+  test("compaction republishes row-identical content with one file per " +
+      "partition; probes and appends continue unchanged") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      .localCheckpoint()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sem_compact").toString
+    val corpus = emb.filter(col("vec_id") < 200).localCheckpoint()
+    SemDedup.writeIndex(corpus, dir, nCentroids = 8, iters = 2)
+    // three small appends — each lands its own file set in the partitions
+    val off = 10000L
+    for (i <- 1 to 3) {
+      val shard = corpus.filter(col("vec_id") % 7 === i)
+        .select((col("vec_id") + i * off).as("vec_id"),
+          transform(col("embedding"), x => x * 0.5).as("embedding"))
+      SemDedup.appendIndex(shard, dir)
+    }
+    def parquetFiles(root: String): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(root))
+    }
+    val before = parquetFiles(s"${SemDedup.resolveRoot(spark, dir)}/assigned")
+    // a probe shard whose verdict mixes drops (copies) and keeps (novel)
+    val probe = corpus.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 9 * off).as("vec_id"),
+        transform(col("embedding"), x => x * 0.25).as("embedding"))
+      .union(emb.filter(col("vec_id") >= 400)
+        .select((col("vec_id") + 9 * off).as("vec_id"),
+          transform(col("embedding"), x => x + 2.0).as("embedding")))
+      .localCheckpoint()
+    val keptBefore = SemDedup.semDedupShard(spark, probe, dir, 0.99)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+
+    SemDedup.compactIndex(spark, dir)
+    val rootAfter = SemDedup.resolveRoot(spark, dir)
+    val after = parquetFiles(s"$rootAfter/assigned")
+    assert(after.size < before.size,
+      s"compaction must shrink the file count (${before.size} → ${after.size})")
+    // one file per partition directory
+    val perDir = after.groupBy(_.getParentFile.getName).values.map(_.size)
+    assert(perDir.forall(_ == 1), s"expected 1 file/partition, got $perDir")
+    // identical probe verdicts over the compacted version
+    val keptAfter = SemDedup.semDedupShard(spark, probe, dir, 0.99)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(keptAfter === keptBefore)
+    assert(keptAfter.nonEmpty && keptAfter.size < probe.count(),
+      "fixture must both keep and drop")
+    // the loop continues: an append after compaction still guards and lands
+    val next = corpus.filter(col("vec_id") % 11 === 4)
+      .select((col("vec_id") + 20 * off).as("vec_id"), col("embedding"))
+    SemDedup.ingestShard(spark, next, dir, 0.99)
+    val e = intercept[IllegalArgumentException] {
+      SemDedup.appendIndex(next, dir)
+    }
+    assert(e.getMessage.contains("monotonic-id"))
+  }
+
   test("rebuild republishes atomically: versioned dirs + pointer flip") {
     val emb = graft.core.Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
