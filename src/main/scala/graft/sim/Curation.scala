@@ -338,6 +338,42 @@ object Curation {
     Result(kept, ledger)
   }
 
+  /** Compact the release indexes after an ingest run — the loop's
+    * maintenance step: every [[ingestShard]] appends one file set per
+    * stage index, so after S shards each probe opens O(S) small files.
+    *
+    * The semantic sub-index is versioned and republishes atomically
+    * ([[SemDedup.compactIndex]]); the other three layouts are unversioned,
+    * so they compact by MATERIALIZE-then-overwrite under the release
+    * pipeline's single-writer contract (probes and compaction never run
+    * concurrently; the indexes are derived data, rebuildable from the
+    * release corpus via [[writeIndexes]] in the worst mid-overwrite
+    * crash). Exact and MinHash rewrite row-identical with one file per
+    * `pb=` partition; the substring gram table additionally MERGES its
+    * per-append rows — probes SUM `nd` per gram, so pre-summing
+    * duplicates is an identity the probe can no longer tell apart, and
+    * both file count and row count shrink. */
+  def compactRelease(spark: SparkSession, dir: String): Unit = {
+    def rewrite(path: String, df: DataFrame, partCol: Option[String]): Unit = {
+      val mat = df.localCheckpoint() // cluster: checkpoint — the content
+      // must be fully materialized before its own source is overwritten
+      partCol match {
+        case Some(c) => mat.repartition(col(c)).write.mode("overwrite")
+          .partitionBy(c).parquet(path)
+        case None => mat.coalesce(1).write.mode("overwrite").parquet(path)
+      }
+    }
+    rewrite(s"$dir/exact", spark.read.parquet(s"$dir/exact"), Some("pb"))
+    rewrite(s"$dir/minhash", spark.read.parquet(s"$dir/minhash"), Some("pb"))
+    rewrite(s"$dir/substring",
+      spark.read.parquet(s"$dir/substring")
+        .groupBy("gh").agg(sum(col("nd")).as("nd")),
+      None)
+    if (java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$dir/semantic", "_CURRENT")))
+      SemDedup.compactIndex(spark, s"$dir/semantic")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // One-row curation dashboard over the three DETERMINISTIC stages
     // (exact → substring → token-Jaccard near-dup), hash-checked end to

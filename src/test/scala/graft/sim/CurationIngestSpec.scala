@@ -308,4 +308,89 @@ class CurationIngestSpec extends SparkSpec {
     assert(plant.getLong(2) > 0L && !plant.getBoolean(4),
       s"corpus-only spans must drive the plant over budget: $plant")
   }
+
+  test("compactRelease: probe/ingest verdicts identical on the compacted " +
+      "twin; exact files drop to one per partition; gram rows merge") {
+    import spark.implicits._
+    val all = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text").localCheckpoint()
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val release = Curation.curate(all.filter(col("doc_id") < 200), Some(emb))
+      .kept.localCheckpoint()
+    val dirX = java.nio.file.Files
+      .createTempDirectory("graft_curation_compactX").toString
+    val dirY = java.nio.file.Files
+      .createTempDirectory("graft_curation_compactY").toString
+    Curation.writeIndexes(release, Some(emb), dirX)
+    Curation.writeIndexes(release, Some(emb), dirY)
+
+    def shardOf(base: Long) = all.filter(col("doc_id") >= 200)
+      .select((col("doc_id") + base).as("doc_id"), col("source"), col("text"))
+      .localCheckpoint()
+    def resultOf(r: Curation.Result) = (
+      r.kept.select("doc_id").collect().map(_.getLong(0)).toSet,
+      r.ledger.collect().map(x =>
+        (x.getString(1), x.getLong(2), x.getLong(3), x.getLong(4))).toSeq)
+    // a SURVIVOR sharing a sub-budget 10-token passage with the release:
+    // its appended gram rows duplicate release grams, which is what gives
+    // the substring compaction real rows to merge (appends from gram-
+    // disjoint shards compose without duplication by design)
+    val relText = release.orderBy("doc_id").select("text").head().getString(0)
+    val overlap = (relText.split(" ").take(10) ++
+      (1 to 15).map(i => s"zq$i")).mkString(" ")
+    // two ingests on each twin → multiple file sets per index (shard 2's
+    // docs are exact copies of shard 1's fold-ins and all drop — itself a
+    // probe of the appended exact index)
+    for (base <- Seq(300000L, 600000L)) {
+      val s = shardOf(base)
+        .union(Seq((base + 99999L, "plant", overlap))
+          .toDF("doc_id", "source", "text"))
+        .localCheckpoint()
+      val rX = resultOf(Curation.ingestShard(s, Some(emb), dirX))
+      assert(rX === resultOf(Curation.ingestShard(s, Some(emb), dirY)))
+      if (base == 300000L)
+        assert(rX._1.contains(base + 99999L),
+          "the partial-overlap plant must SURVIVE (0.4 < 0.5 budget) so " +
+            "its shared grams are appended")
+    }
+    def parquetFiles(root: String): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(root))
+    }
+    val exactBefore = parquetFiles(s"$dirX/exact").size
+    val gramFilesBefore = parquetFiles(s"$dirX/substring").size
+    val gramRowsBefore = spark.read.parquet(s"$dirX/substring").count()
+
+    Curation.compactRelease(spark, dirX)
+
+    val exactAfter = parquetFiles(s"$dirX/exact")
+    assert(exactAfter.size < exactBefore,
+      s"exact index files must shrink ($exactBefore → ${exactAfter.size})")
+    assert(exactAfter.groupBy(_.getParentFile.getName).values
+      .forall(_.size == 1), "expected one file per pb= partition")
+    val gramFilesAfter = parquetFiles(s"$dirX/substring").size
+    assert(gramFilesAfter < gramFilesBefore,
+      s"gram files must shrink ($gramFilesBefore → $gramFilesAfter)")
+    val gramRowsAfter = spark.read.parquet(s"$dirX/substring").count()
+    assert(gramRowsAfter < gramRowsBefore,
+      s"per-append gram rows must merge ($gramRowsBefore → $gramRowsAfter)")
+
+    // the next ingest sees identical verdicts and ledgers on both twins —
+    // compaction was invisible to the pipeline. s3's copies of earlier
+    // fold-ins all drop (probing the compacted exact index); the one
+    // novel doc survives.
+    val s3 = shardOf(900000L)
+      .union(Seq((900000L + 99998L, "plant",
+        (1 to 20).map(i => s"nv$i").mkString(" ")))
+        .toDF("doc_id", "source", "text"))
+      .localCheckpoint()
+    val rX = resultOf(Curation.ingestShard(s3, Some(emb), dirX))
+    val rY = resultOf(Curation.ingestShard(s3, Some(emb), dirY))
+    assert(rX === rY)
+    assert(rX._1 === Set(900000L + 99998L),
+      "copies of fold-ins drop via the compacted index; the novel doc keeps")
+  }
 }
