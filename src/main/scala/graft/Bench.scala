@@ -31,11 +31,20 @@ object Bench {
     val ordered =
       first.flatMap(n => sorted.find(_._1 == n)) ++
         sorted.filterNot { case (n, _) => first.contains(n) }
+    // a throwing query must be VISIBLE in the artifact, not just a cheap
+    // timing: round 10's Verify lost 38 queries to silent throws, and a
+    // bench that times the exception path would under-report them as
+    // suspiciously fast successes
+    val failed = scala.collection.mutable.ArrayBuffer[String]()
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
@@ -44,7 +53,7 @@ object Bench {
     // bench drift (±30% band at load ~2), so a judge normalizing across
     // rounds needs the load of THIS run, not forensics over uptime logs
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","load_avg":$loadAvg,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","load_avg":$loadAvg,"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // stderr too: the two channels truncate independently, doubling the
     // chance a log-tail parse finds the line
@@ -84,10 +93,12 @@ object Bench {
       .mkString("{", ",", "}")
     val compact = String.format(root,
       "{\"metric\":\"total\",\"value\":%.3f,\"unit\":\"sec\"," +
-        "\"load_avg\":%.3f,\"n_queries\":%d,\"queries\":%s," +
+        "\"load_avg\":%.3f,\"n_queries\":%d,\"n_failed\":%d," +
+        "\"failed\":%s,\"queries\":%s," +
         "\"full\":\"BENCH_FULL.json\",\"sf\":\"%s\"}",
       Double.box(total), Double.box(loadAvg),
-      Integer.valueOf(results.size), slow, sfDir)
+      Integer.valueOf(results.size), Integer.valueOf(failed.size),
+      failedJson, slow, sfDir)
     println(compact)
     spark.stop()
   }
