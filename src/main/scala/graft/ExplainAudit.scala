@@ -257,7 +257,22 @@ object ExplainAudit {
     // scan and the determinism sort may appear
     ("split_assign", "map-only projection (no join/hash exchange)",
       p => !p.contains("Join")
-        && !finalPlan(p).contains("Exchange hashpartitioning"))
+        && !finalPlan(p).contains("Exchange hashpartitioning")),
+    // the 4-stage composition's heavy stages execute inside their
+    // localCheckpoint materializations (each stage's own query family
+    // plan-gates them: text_substring_dedup digests, sim_ngram_jaccard's
+    // codegen merge scan, dedup_exact's xxhash64 keying), so the report's
+    // OWN executed plan must be only the slim residue: the ledger's
+    // partial+final aggregate over checkpointed id-set scans — no
+    // sort-merge join, no interpreted lambda, and no text column may
+    // survive into the final aggregation
+    ("curation_report", "composition residue: slim ledger aggregate only",
+      p => {
+        val f = finalPlan(p)
+        "HashAggregate".r.findAllIn(f).size >= 2 &&
+          !f.contains("SortMergeJoin") && !f.contains("lambdafunction") &&
+          !f.contains("text#")
+      })
   )
 
   /** Executes each checked query (collect(), so AQE finalizes — codegen
