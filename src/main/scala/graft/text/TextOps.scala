@@ -76,6 +76,25 @@ object TextOps {
     val m = s"md5(CAST($idExpr AS STRING))"
     s"(instr($hx, substr($m, 1, 1)) - 1) * 16 + (instr($hx, substr($m, 2, 1)) - 1)"
   }
+  /** The chunking projection over any documents-shaped input — shared by
+    * the declared `text_chunk` query (which adds the determinism orderBy)
+    * and the streaming twin (per-row explode is append-mode legal as-is),
+    * so the two can never drift. */
+  def chunk(docs: DataFrame): DataFrame = {
+    val n = size(tokens).cast("long")
+    docs
+      .select(col("doc_id"), tokens.as("toks"), n.as("n"))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0L), greatest(col("n") - 1L, lit(0L)),
+          lit(chunkStride.toLong))).as("start"))
+      .select(col("doc_id"),
+        expr(s"start div $chunkStride").as("chunk_id"),
+        array_join(slice(col("toks"), (col("start") + 1).cast("int"),
+          lit(chunkWindow)), " ").as("chunk_text"),
+        least(lit(chunkWindow.toLong), col("n") - col("start"))
+          .as("n_tokens"))
+  }
+
   private[text] def splitAssignCols: Seq[String] = {
     val b = md5Bucket256Sql("doc_id")
     Seq("doc_id",
@@ -545,21 +564,8 @@ object TextOps {
     // volume is input × window/stride. Every token lands in ≥1 chunk and
     // consecutive chunks overlap by exactly window − stride (ChunkSplitSpec
     // pins coverage, overlap, and reconstruction).
-    "text_chunk" -> ((s, d) => {
-      val n = size(tokens).cast("long")
-      Tables.documents(s, d)
-        .select(col("doc_id"), tokens.as("toks"), n.as("n"))
-        .select(col("doc_id"), col("toks"), col("n"),
-          explode(sequence(lit(0L), greatest(col("n") - 1L, lit(0L)),
-            lit(chunkStride.toLong))).as("start"))
-        .select(col("doc_id"),
-          expr(s"start div $chunkStride").as("chunk_id"),
-          array_join(slice(col("toks"), (col("start") + 1).cast("int"),
-            lit(chunkWindow)), " ").as("chunk_text"),
-          least(lit(chunkWindow.toLong), col("n") - col("start"))
-            .as("n_tokens"))
-        .orderBy("doc_id", "chunk_id")
-    }),
+    "text_chunk" -> ((s, d) =>
+      chunk(Tables.documents(s, d)).orderBy("doc_id", "chunk_id")),
 
     // Deterministic train/val/test assignment — the md5-bucket form of
     // [[hashSplit]] (xxhash64 is not oracle-portable; the md5 nibble pair

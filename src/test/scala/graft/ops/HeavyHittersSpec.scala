@@ -96,6 +96,36 @@ class HeavyHittersSpec extends SparkSpec {
     }
   }
 
+  test("streaming: the sketch aggregates in update mode and the invariant " +
+      "holds on the final state") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val k = 8
+    val stream = MemoryStream[String](94, spark, None)
+    val q = stream.toDF().toDF("tok")
+      .agg(HeavyHitters.heavyHitters(col("tok"), k).as("hh"))
+      .writeStream.format("memory").queryName("hh_sink")
+      .outputMode("complete").start()
+    val data = Seq.fill(60)("hot") ++ (1 to 40).map(i => s"cold$i") ++
+      Seq.fill(25)("warm")
+    val (a, b) = data.splitAt(data.size / 2)
+    stream.addData(a); q.processAllAvailable()
+    stream.addData(b); q.processAllAvailable()
+    q.stop()
+    val exact = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val row = spark.table("hh_sink").select("hh.*").collect().last
+    assert(row.getLong(0) === data.size.toLong)
+    val delta = row.getLong(2)
+    val items = row.getSeq[org.apache.spark.sql.Row](3)
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((item, est) <- items) {
+      val t = exact(item)
+      assert(est <= t && t - est <= delta, s"$item: est $est true $t Δ $delta")
+    }
+    // both dominant tokens clear n/(k+1) = 125/9 ≈ 13.9 and MUST be present
+    assert(items.contains("hot") && items.contains("warm"))
+  }
+
   test("plan shape: two-phase aggregate, k-bounded buffers through the " +
       "exchange") {
     val df = tokens.groupBy("lang")

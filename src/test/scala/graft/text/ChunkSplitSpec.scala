@@ -76,6 +76,30 @@ class ChunkSplitSpec extends SparkSpec {
     }
   }
 
+  test("chunking runs as an append-mode stream, chunk-set equal to batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val stream = MemoryStream[(Long, String)](93, spark, None)
+    val q = TextOps.chunk(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("chunk_sink")
+      .outputMode("append").start()
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val (a, b) = docs.splitAt(docs.size / 2)
+    stream.addData(a); q.processAllAvailable()
+    stream.addData(b); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("chunk_sink").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSet
+    val expected = chunks.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(got === expected)
+    assert(got.size > docs.size, "multi-chunk docs must fan out")
+  }
+
   test("split_assign: total, disjoint by construction, near-nominal fractions") {
     val a = TextOps.queries("split_assign")(spark, sfDir)
     val counts = a.groupBy("split").count().collect()
