@@ -374,6 +374,48 @@ object Curation {
       SemDedup.compactIndex(spark, s"$dir/semantic")
   }
 
+  /** One row per release-index component — the operational view of what
+    * the ingest loop has built: row count, parquet file count (the
+    * compaction trigger: files ≫ partitions means appends have fragmented
+    * the index), bytes on disk, and the monotonic-id high-water mark.
+    * Driver-side listing of index DIRECTORIES only (k-bounded — never
+    * reads data files); row counts are one metadata-only Spark count per
+    * component. */
+  def manifest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def stats(path: String): Option[(Long, Long, Long)] = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(p)) None
+      else {
+        val it = fs.listFiles(p, true)
+        var files = 0L; var bytes = 0L
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getPath.getName.endsWith(".parquet")) {
+            files += 1; bytes += f.getLen
+          }
+        }
+        Some((spark.read.parquet(path).count(), files, bytes))
+      }
+    }
+    val semRoot =
+      if (java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$dir/semantic", "_CURRENT")))
+        Some(SemDedup.resolveRoot(spark, s"$dir/semantic"))
+      else None
+    val components =
+      Seq("exact" -> s"$dir/exact", "substring" -> s"$dir/substring",
+        "minhash" -> s"$dir/minhash") ++
+        semRoot.map(r => "semantic" -> s"$r/assigned")
+    val maxId = metaOf(spark, dir)
+    components.flatMap { case (name, path) =>
+      stats(path).map { case (rows, files, bytes) =>
+        (name, rows, files, bytes, maxId)
+      }
+    }.toDF("component", "n_rows", "n_files", "bytes", "max_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // One-row curation dashboard over the three DETERMINISTIC stages
     // (exact → substring → token-Jaccard near-dup), hash-checked end to

@@ -392,5 +392,23 @@ class CurationIngestSpec extends SparkSpec {
     assert(rX === rY)
     assert(rX._1 === Set(900000L + 99998L),
       "copies of fold-ins drop via the compacted index; the novel doc keeps")
+
+    // the manifest reads the operational truth of both twins: same rows
+    // and high-water mark everywhere (content identical), fewer files on
+    // the compacted twin for the indexes s3's tiny fold-in didn't refragment
+    def mf(d: String) = Curation.manifest(spark, d).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val mX = mf(dirX); val mY = mf(dirY)
+    assert(mX.keySet === Set("exact", "substring", "minhash", "semantic"))
+    for (c <- mX.keySet) {
+      assert(mX(c)._4 === 900000L + 99998L, s"$c high-water mark " +
+        "(= s3's max id, the planted novel doc)")
+      assert(mX(c)._4 === mY(c)._4)
+      if (c != "substring") // compacted substring MERGED rows (by design)
+        assert(mX(c)._1 === mY(c)._1, s"$c rows must match the twin")
+    }
+    assert(mX("exact")._2 < mY("exact")._2,
+      "the compacted twin must carry fewer exact-index files")
   }
 }
