@@ -48,23 +48,43 @@ object PqVolume {
       transform(raw, x => x / norm).as("embedding"))
   }
 
-  /** Batched flat ADC: one scan scoring every (code row × probe) pair via
-    * a stride-sliced literal of all probe LUTs, arg-max per probe —
-    * the pq_adc kernel's throughput shape. Returns (probe_id, top1). */
-  def batchedTop1(codes: DataFrame, luts: Seq[Seq[Double]]): DataFrame = {
+  /** Batched flat ADC over RESIDUAL codes: one scan scoring every
+    * (code row × probe) pair via a stride-sliced literal of all probe
+    * LUTs plus each row's broadcast-joined ⟨probe, centroid⟩ offset (the
+    * IVFADC decomposition — `offs(p)` maps centroid_id → ⟨probe_p, c⟩),
+    * arg-max per probe — the pq_adc kernel's throughput shape. Returns
+    * (probe_id, top1). */
+  def batchedTop1(codes: DataFrame, luts: Seq[Seq[Double]],
+      offs: Seq[Map[Int, Double]]): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
     val stride = luts.head.length
     val flat = typedLit(luts.flatten)
+    val offDf = offs.zipWithIndex.flatMap { case (m, pid) =>
+      m.toSeq.map { case (cid, off) => (pid, cid, off) } }
+      .toDF("probe_id", "centroid_id", "off")
     val scored = codes
-      .select(col("vec_id"), col("codes"),
+      .select(col("vec_id"), col("codes"), col("centroid_id"),
         explode(sequence(lit(0), lit(luts.size - 1))).as("probe_id"))
+      .join(broadcast(offDf), Seq("probe_id", "centroid_id"))
       .select(col("probe_id"), col("vec_id"),
-        org.apache.spark.sql.graftexpr.PqAdcExpr.column(col("codes"),
-          slice(flat, (col("probe_id") * stride + 1).cast("int"),
-            lit(stride))).as("score"))
+        (col("off") + org.apache.spark.sql.graftexpr.PqAdcExpr
+          .column(col("codes"),
+            slice(flat, (col("probe_id") * stride + 1).cast("int"),
+              lit(stride)))).as("score"))
     scored.groupBy("probe_id")
       .agg(max_by(col("vec_id"), struct(col("score"), -col("vec_id")))
         .as("top1"))
   }
+
+  /** centroid_id → ⟨probe, c⟩ for one probe over the collected router. */
+  def offsetsFor(cents: Seq[(Int, Seq[Double])],
+      probe: Seq[Double]): Map[Int, Double] =
+    cents.map { case (cid, cv) =>
+      var d = 0.0; var i = 0
+      while (i < cv.length) { d += probe(i) * cv(i); i += 1 }
+      cid -> d
+    }.toMap
 
   def main(args: Array[String]): Unit = {
     val nVecs = args.headOption.map(_.toLong).getOrElse(1000000L)
@@ -89,26 +109,31 @@ object PqVolume {
     val buildSec = (System.nanoTime() - t0) / 1e9
     val nIndexed = base.count()
 
-    // compression from actual bytes on disk
+    // compression from actual bytes on disk (codes under the PUBLISHED
+    // version root — the index is versioned as of round 12)
+    val root = graft.core.Versioned.resolveRoot(spark, s"$workDir/pqidx")
     def bytesOf(p: String): Long = {
       val path = new org.apache.hadoop.fs.Path(p)
       val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
       fs.getContentSummary(path).getLength
     }
     val floatBytes = bytesOf(s"$workDir/vecs")
-    val codeBytes = bytesOf(s"$workDir/pqidx/codes")
+    val codeBytes = bytesOf(s"$root/codes")
 
     // batched flat ADC over a probe sample: the kernel throughput number
     val nSample = 64
     val sample = probes.filter(col("vec_id") % 1000 === 3).limit(nSample)
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toSeq
-    val cb = spark.read.parquet(s"$workDir/pqidx/codebooks").localCheckpoint()
+    val cb = spark.read.parquet(s"$root/codebooks").localCheckpoint()
+    val cents = spark.read.parquet(s"$root/centroids").collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1))).toSeq
     val luts = sample.map { case (_, v) => Pq.lutFor(cb, v, M) }
-    val codes = spark.read.parquet(s"$workDir/pqidx/codes")
-      .select("vec_id", "codes").localCheckpoint()
+    val offs = sample.map { case (_, v) => offsetsFor(cents, v) }
+    val codes = spark.read.parquet(s"$root/codes")
+      .select("vec_id", "codes", "centroid_id").localCheckpoint()
     val t1 = System.nanoTime()
-    val top1 = batchedTop1(codes, luts).collect()
+    val top1 = batchedTop1(codes, luts, offs).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val adcSec = (System.nanoTime() - t1) / 1e9
     val hits = sample.zipWithIndex.count { case ((pid, _), i) =>
@@ -126,6 +151,7 @@ object PqVolume {
     val line =
       f"""{"metric":"pq_adc_row_probes_per_sec",""" +
       f""""value":${nIndexed * sample.size / adcSec}%.0f,"unit":"rows*probes/s",""" +
+      f""""encoding":"residual",""" +
       f""""n_indexed":$nIndexed,"dim":$Dim,"m":$M,"k":$K,""" +
       f""""build_sec":$buildSec%.1f,""" +
       f""""float_bytes":$floatBytes,"code_bytes":$codeBytes,""" +

@@ -50,9 +50,20 @@ object Verify {
       }
     }
     pool.shutdown()
-    pool.awaitTermination(2, java.util.concurrent.TimeUnit.HOURS)
+    // awaitTermination's result matters (ADVICE r11): on timeout the
+    // unfinished queries are in NEITHER the ok nor the FAILED list, so a
+    // log-tail parse would mistake a truncated run for a clean one. Print
+    // an explicit marker and stop the stragglers before summarizing.
+    val finished =
+      pool.awaitTermination(2, java.util.concurrent.TimeUnit.HOURS)
+    if (!finished) {
+      val cut = pool.shutdownNow().size()
+      System.err.println(s"[verify] TIMED OUT after 2h: ~$cut queries " +
+        "never started, in-flight ones abandoned — results are INCOMPLETE")
+    }
     val nFail = failed.size()
     System.err.println(s"[verify] done: ${todo.size - nFail}/${todo.size} ok" +
+      (if (finished) "" else " (TIMED OUT — incomplete)") +
       (if (nFail == 0) "" else
         s"; FAILED: ${failed.toArray.mkString(", ")}"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -26,11 +26,25 @@ import org.apache.spark.sql.functions.udaf
   *
   * Plan shape: partial+final two-phase aggregate like any HashAggregate —
   * the shuffle carries one k-entry map per partition per group, never the
-  * key space.
+  * key space. The buffer is a MUTABLE map (r11 what's-wrong #2: the
+  * earlier immutable `Map.updated` per input row allocated a fresh trie
+  * node path per token — fine at spec scale, dominant at 10⁹ rows).
+  * Spark's typed-Aggregator path (`ScalaAggregator`, a
+  * `TypedImperativeAggregate`) keeps the buffer as a live JVM object
+  * inside the hash map and only serializes it at the partial→final
+  * exchange, so in-place mutation is both legal and the intended shape;
+  * the kryo buffer encoder serializes the java.util.HashMap directly
+  * instead of converting it to Catalyst rows per shuffle row.
+  * Throughput is measured, not assumed: [[graft.HhVolume]] feeds ≥10M
+  * tokens through one aggregate and records tokens/s
+  * (dev/hh_volume.json).
   */
 object HeavyHitters {
 
-  final case class MgBuf(n: Long, counts: Map[String, Long])
+  /** Mutable Misra–Gries state: `n` inputs seen, ≤k stored counters. */
+  final class MgBuf(var n: Long, val counts: java.util.HashMap[String, Long])
+      extends Serializable
+
   final case class ItemCount(item: String, count: Long)
   final case class Result(n: Long, stored: Long, maxError: Long,
       items: Seq[ItemCount])
@@ -39,48 +53,63 @@ object HeavyHitters {
       extends Aggregator[String, MgBuf, Result] {
     require(k >= 1)
 
-    override def zero: MgBuf = MgBuf(0L, Map.empty)
+    override def zero: MgBuf = new MgBuf(0L, new java.util.HashMap)
 
     override def reduce(b: MgBuf, x: String): MgBuf = {
-      val n = b.n + 1
-      b.counts.get(x) match {
-        case Some(c) => MgBuf(n, b.counts.updated(x, c + 1))
-        case None if b.counts.size < k => MgBuf(n, b.counts.updated(x, 1L))
-        case None =>
-          // classic decrement: the incoming item cancels against one unit
-          // of every stored counter (k+1 count units retired)
-          MgBuf(n, b.counts.flatMap { case (i, c) =>
-            if (c > 1) Some(i -> (c - 1)) else None
-          })
+      b.n += 1
+      // null unboxes to 0L, and 0-valued counters are never stored, so
+      // cur == 0 ⇔ absent — one hash lookup on the hot path
+      val cur = b.counts.get(x)
+      if (cur != 0L) b.counts.put(x, cur + 1L)
+      else if (b.counts.size < k) b.counts.put(x, 1L)
+      else {
+        // classic decrement: the incoming item cancels against one unit
+        // of every stored counter (k+1 count units retired)
+        val it = b.counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue > 1L) e.setValue(e.getValue - 1L) else it.remove()
+        }
       }
+      b
     }
 
     override def merge(a: MgBuf, b: MgBuf): MgBuf = {
-      val summed = b.counts.foldLeft(a.counts) { case (m, (i, c)) =>
-        m.updated(i, m.getOrElse(i, 0L) + c)
+      val bi = b.counts.entrySet().iterator()
+      while (bi.hasNext) {
+        val e = bi.next()
+        a.counts.merge(e.getKey, e.getValue, (x, y) => x + y)
       }
-      val pruned =
-        if (summed.size <= k) summed
-        else {
-          // subtract the (k+1)-th largest count from everything, drop ≤0 —
-          // ≥ k+1 count units retired per unit subtracted, preserving the
-          // Δ accounting (Agarwal et al. 2012)
-          val kth = summed.values.toSeq.sorted(Ordering[Long].reverse)(k)
-          summed.flatMap { case (i, c) =>
-            if (c > kth) Some(i -> (c - kth)) else None
-          }
+      if (a.counts.size > k) {
+        // subtract the (k+1)-th largest count from everything, drop ≤0 —
+        // ≥ k+1 count units retired per unit subtracted, preserving the
+        // Δ accounting (Agarwal et al. 2012)
+        val vals = new Array[Long](a.counts.size)
+        var i = 0
+        val vi = a.counts.values().iterator()
+        while (vi.hasNext) { vals(i) = vi.next(); i += 1 }
+        java.util.Arrays.sort(vals)
+        val kth = vals(vals.length - 1 - k)
+        val it = a.counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue > kth) e.setValue(e.getValue - kth) else it.remove()
         }
-      MgBuf(a.n + b.n, pruned)
+      }
+      a.n += b.n
+      a
     }
 
     override def finish(b: MgBuf): Result = {
-      val stored = b.counts.values.sum
+      import scala.jdk.CollectionConverters._
+      var stored = 0L
+      b.counts.values().asScala.foreach(stored += _)
       Result(b.n, stored, (b.n - stored) / (k + 1),
-        b.counts.toSeq.map { case (i, c) => ItemCount(i, c) }
+        b.counts.asScala.toSeq.map { case (i, c) => ItemCount(i, c) }
           .sortBy(ic => (-ic.count, ic.item)))
     }
 
-    override def bufferEncoder: Encoder[MgBuf] = Encoders.product[MgBuf]
+    override def bufferEncoder: Encoder[MgBuf] = Encoders.kryo[MgBuf]
     override def outputEncoder: Encoder[Result] = Encoders.product[Result]
   }
 

@@ -28,10 +28,14 @@ object Ann {
   private[sim] def vecsOf(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
-  /** The fixed-sample centroid bootstrap: first `n` vectors by vec_id. */
+  /** The fixed-sample centroid bootstrap: first `n` vectors by vec_id.
+    * Sampled by RANK, not by raw id value (ADVICE r11): `vec_id < n` seeds
+    * fewer than n centroids on sparse ids and none at all when ids start
+    * above n. centroid_id keeps the seed's vec_id (rank order ≡ id order,
+    * so downstream tie-breaks are unchanged on dense ids). */
   private def bootstrapCentroids(vecs: DataFrame, n: Int): DataFrame =
-    vecs.filter(col("vec_id") < n)
-      .select(col("vec_id").as("centroid_id"), col("v").as("cv"))
+    vecs.select(col("vec_id").as("centroid_id"), col("v").as("cv"))
+      .orderBy("centroid_id").limit(n)
 
   /** Nearest-centroid assignment against an explicit `(centroid_id, cv)`
     * table — ONE broadcast join + arg-max, the shared step of the IVF

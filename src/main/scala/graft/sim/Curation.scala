@@ -153,12 +153,18 @@ object Curation {
   // On-disk layout under `dir` — one sub-index per stage, each the stage's
   // own persisted-index format so every probe inherits that stage's proven
   // scale shape (static partition pruning, Bloom map-side prune, frozen
-  // centroids):
+  // centroids). As of round 12 ALL four stage indexes are VERSIONED
+  // ([[graft.core.Versioned]]: `_CURRENT` pointer + `v<N>` roots), so
+  // compaction republishes atomically instead of overwriting in place —
+  // the r11 crash-window fix:
   //
-  //   dir/exact      (pb, th) — distinct xxhash64 text digests of the
-  //                  release, partitioned by pb = th mod ExactParts
-  //   dir/substring  the [[SubstringDedup.appendShingleIndex]] gram table
-  //   dir/minhash    the [[IncrementalDedup.writeIndex]] band table
+  //   dir/exact      versioned; (pb, th, doc_id) — xxhash64 text digests
+  //                  of the release (one per digest, min doc_id),
+  //                  partitioned by pb = th mod ExactParts
+  //   dir/substring  versioned; the [[SubstringDedup.appendShingleIndex]]
+  //                  gram table
+  //   dir/minhash    versioned; the [[IncrementalDedup.writeIndex]] band
+  //                  table
   //   dir/semantic   the [[SemDedup.writeIndex]] versioned IVF index
   //                  (only when the release has embeddings)
   //   dir/meta       one row (max_id) — the composition-level monotonic-id
@@ -191,20 +197,33 @@ object Curation {
 
   private val ExactParts = 64
 
+  import graft.core.Versioned
+
+  /** One row per distinct text digest with the digest's kept doc_id (the
+    * release is a [[curate]] fixpoint, so digest ↔ doc is 1:1) — the
+    * doc_id is what makes a digest RETRACTABLE ([[retract]]). */
   private def digests(docs: DataFrame): DataFrame =
-    docs.select(xxhash64(col("text")).as("th"))
-      .distinct()
+    docs.groupBy(xxhash64(col("text")).as("th"))
+      .agg(min(col("doc_id")).as("doc_id"))
       .withColumn("pb", pmod(col("th"), lit(ExactParts)).cast("int"))
 
   private def metaOf(spark: SparkSession, dir: String): Long = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/meta").as[Long].head()
+    spark.read.parquet(s"$dir/meta").select("max_id").as[Long].head()
   }
 
   private def writeMetaOf(spark: SparkSession, dir: String, maxId: Long): Unit = {
     import spark.implicits._
+    // staged write + atomic rename (the [[Pq]] meta discipline): the old
+    // high-water mark stays readable until one FS rename replaces it
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val next = new org.apache.hadoop.fs.Path(s"$dir/meta.next")
+    val dst = new org.apache.hadoop.fs.Path(s"$dir/meta")
     Seq(maxId).toDF("max_id").coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/meta")
+      .write.mode("overwrite").parquet(next.toString)
+    fs.delete(dst, true)
+    require(fs.rename(next, dst), s"meta publish rename failed under $dir")
   }
 
   /** Persist the per-stage release indexes for `release` (the `kept` of a
@@ -214,19 +233,31 @@ object Curation {
     * stages 1–3. */
   def writeIndexes(release: DataFrame, emb: Option[DataFrame], dir: String,
       shingleK: Int = SubstringDedup.declaredK, nCentroids: Int = 16,
-      lloydIters: Int = 3): Unit = {
+      lloydIters: Int = 3, pqM: Int = 0): Unit = {
     val spark = release.sparkSession
-    digests(release).write.mode("overwrite").partitionBy("pb")
-      .parquet(s"$dir/exact")
+    // each stage index writes a complete v1 and publishes it — the same
+    // build-then-flip discipline as [[SemDedup.writeIndex]]
+    def versioned(path: String)(build: String => Unit): Unit = {
+      val version = Versioned.nextVersion(spark, path)
+      build(s"$path/$version")
+      Versioned.publish(spark, path, version)
+    }
+    versioned(s"$dir/exact") { root =>
+      digests(release).write.mode("overwrite").partitionBy("pb").parquet(root)
+    }
     // the gram table is append-only by design; the initial build IS the
     // first append
-    SubstringDedup.appendShingleIndex(release, shingleK, s"$dir/substring")
-    IncrementalDedup.writeIndex(release, "doc_id", "text", s"$dir/minhash")
+    versioned(s"$dir/substring") { root =>
+      SubstringDedup.appendShingleIndex(release, shingleK, root)
+    }
+    versioned(s"$dir/minhash") { root =>
+      IncrementalDedup.writeIndex(release, "doc_id", "text", root)
+    }
     emb.foreach { e =>
       SemDedup.writeIndex(
         e.join(release.select(col("doc_id").as("vec_id")), Seq("vec_id"),
           "left_semi"),
-        s"$dir/semantic", nCentroids, lloydIters)
+        s"$dir/semantic", nCentroids, lloydIters, pqM = pqM)
     }
     val maxId = release.agg(max(col("doc_id").cast("long"))).head() match {
       case r if r.isNullAt(0) => Long.MinValue
@@ -235,11 +266,23 @@ object Curation {
     writeMetaOf(spark, dir, maxId)
   }
 
+  /** The release's tombstone set (doc_id), `None` before any
+    * [[retract]]. Probes anti-join it; compaction physically drops the
+    * tombstoned rows and clears it. */
+  private def tombstonesOf(spark: SparkSession,
+      dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
   /** Shard doc_ids whose digest is already in the release — exposed so the
     * spec can plan-gate the static `pb` pruning on exactly the join that
     * reads the exact index (the [[IncrementalDedup.corpusHits]]
     * discipline: an IN list over ≤ [[ExactParts]] driver-side values, so
-    * a bare unfiltered shard still never scans the full digest table). */
+    * a bare unfiltered shard still never scans the full digest table).
+    * Retracted digests do not hit (tombstone anti-join on the index's
+    * kept doc_id). */
   private[graft] def exactHits(spark: SparkSession, shard: DataFrame,
       dir: String): DataFrame = {
     val sh = shard
@@ -247,8 +290,11 @@ object Curation {
         pmod(xxhash64(col("text")), lit(ExactParts)).cast("int").as("pb"))
       .localCheckpoint()
     val buckets = sh.select("pb").distinct().collect().map(_.getInt(0)).toSeq
-    val idx = spark.read.parquet(s"$dir/exact")
+    val idx0 = spark.read
+      .parquet(Versioned.resolveRoot(spark, s"$dir/exact"))
       .filter(col("pb").isin(buckets: _*))
+    val idx = tombstonesOf(spark, dir)
+      .fold(idx0)(t => idx0.join(t, Seq("doc_id"), "left_anti"))
     sh.join(idx, Seq("th"), "left_semi").select("doc_id")
   }
 
@@ -263,7 +309,7 @@ object Curation {
   def ingestShard(shard: DataFrame, emb: Option[DataFrame], dir: String,
       shingleK: Int = SubstringDedup.declaredK, maxDupFrac: Double = 0.5,
       minhashThreshold: Double = 0.8, cosineThreshold: Double = 0.99,
-      nprobe: Int = 1): Result = {
+      nprobe: Int = 1, pqMargin: Option[Double] = None): Result = {
     val spark = shard.sparkSession
     val maxSeen = metaOf(spark, dir)
     val bounds = shard.agg(min(col("doc_id").cast("long")),
@@ -272,24 +318,30 @@ object Curation {
       s"monotonic-id ingest contract violated: shard min id " +
         s"${bounds.getLong(0)} <= release high-water mark $maxSeen")
     val ids0 = shard.select("doc_id")
+    val tomb = tombstonesOf(spark, dir)
 
     // 1. exact — within-shard min-id per digest, minus release hits
+    // (exactHits already honors the tombstones)
     val within1 = shard
       .groupBy(xxhash64(col("text")).as("th"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
     val ids1 = within1.join(exactHits(spark, shard, dir), Seq("doc_id"),
       "left_anti").localCheckpoint()
 
-    // 2. substring budget over corpus∪shard counts, shard cost
+    // 2. substring budget over corpus∪shard counts, shard cost (retracted
+    // docs left NEGATIVE gram rows — the probe's per-gram sum already
+    // excludes them, no tombstone plumbing needed)
     val d1 = shard.join(ids1, Seq("doc_id"), "left_semi")
     val ids2 = SubstringDedup
-      .shardDedupStats(d1, shingleK, s"$dir/substring", maxDupFrac)
+      .shardDedupStats(d1, shingleK,
+        Versioned.resolveRoot(spark, s"$dir/substring"), maxDupFrac)
       .filter(col("keep")).select("doc_id").localCheckpoint()
 
     // 3. MinHash near-dup against the band index and within the shard
     val d2 = shard.join(ids2, Seq("doc_id"), "left_semi").localCheckpoint()
     val ids3 = IncrementalDedup.dedupShard(spark, d2, "doc_id", "text",
-        s"$dir/minhash", minhashThreshold)
+        Versioned.resolveRoot(spark, s"$dir/minhash"), minhashThreshold,
+        excludeIds = tomb.map(_.select(col("doc_id").as("id"))))
       .select("doc_id").localCheckpoint()
 
     // 4. semantic probe of the survivors' vectors against the IVF index;
@@ -304,7 +356,10 @@ object Curation {
             "left_semi")
           .localCheckpoint()
         val keptVec = SemDedup.semDedupShard(spark, vecs, s"$dir/semantic",
-          cosineThreshold, nprobe).select(col("vec_id").as("doc_id"))
+            cosineThreshold, nprobe,
+            excludeIds = tomb.map(_.select(col("doc_id").as("vec_id"))),
+            pqMargin = pqMargin)
+          .select(col("vec_id").as("doc_id"))
         val drop4 = vecs.select(col("vec_id").as("doc_id"))
           .join(keptVec, Seq("doc_id"), "left_anti")
         ids3.join(drop4, Seq("doc_id"), "left_anti").localCheckpoint()
@@ -314,9 +369,11 @@ object Curation {
     // contract above), verdict already materialized via localCheckpoint
     val kept = shard.join(ids4, Seq("doc_id"), "left_semi").localCheckpoint()
     digests(kept).write.mode("append").partitionBy("pb")
-      .parquet(s"$dir/exact")
-    SubstringDedup.appendShingleIndex(kept, shingleK, s"$dir/substring")
-    IncrementalDedup.appendIndex(kept, "doc_id", "text", s"$dir/minhash")
+      .parquet(Versioned.resolveRoot(spark, s"$dir/exact"))
+    SubstringDedup.appendShingleIndex(kept, shingleK,
+      Versioned.resolveRoot(spark, s"$dir/substring"))
+    IncrementalDedup.appendIndex(kept, "doc_id", "text",
+      Versioned.resolveRoot(spark, s"$dir/minhash"))
     emb.foreach { e =>
       SemDedup.appendIndex(
         e.join(kept.select(col("doc_id").as("vec_id")), Seq("vec_id"),
@@ -342,36 +399,100 @@ object Curation {
     * maintenance step: every [[ingestShard]] appends one file set per
     * stage index, so after S shards each probe opens O(S) small files.
     *
-    * The semantic sub-index is versioned and republishes atomically
-    * ([[SemDedup.compactIndex]]); the other three layouts are unversioned,
-    * so they compact by MATERIALIZE-then-overwrite under the release
-    * pipeline's single-writer contract (probes and compaction never run
-    * concurrently; the indexes are derived data, rebuildable from the
-    * release corpus via [[writeIndexes]] in the worst mid-overwrite
-    * crash). Exact and MinHash rewrite row-identical with one file per
-    * `pb=` partition; the substring gram table additionally MERGES its
-    * per-append rows — probes SUM `nd` per gram, so pre-summing
-    * duplicates is an identity the probe can no longer tell apart, and
-    * both file count and row count shrink. */
+    * As of round 12 every stage index is versioned, so each compaction
+    * writes a complete `v<N+1>` from the still-live current version and
+    * flips the pointer LAST ([[graft.core.Versioned]]) — a crash at any
+    * point leaves the published version fully intact and the half-built
+    * one as inert debris (CurationIngestSpec's crash-injection block pins
+    * it), closing the r11 materialize-then-overwrite window. Exact and
+    * MinHash rewrite row-identical with one file per `pb=` partition
+    * (minus any tombstoned rows — see below); the substring gram table
+    * additionally MERGES its per-append rows — probes SUM `nd` per gram,
+    * so pre-summing duplicates is an identity the probe can no longer
+    * tell apart, and both file count and row count shrink (fully
+    * retracted grams sum to 0 and drop).
+    *
+    * Compaction is also where [[retract]]ion becomes PHYSICAL: the
+    * tombstoned rows are dropped from the new exact/minhash/semantic
+    * versions, and the tombstone set is cleared LAST — a crash mid-way
+    * leaves some indexes compacted and the tombstones still present, so
+    * probes keep excluding the retracted docs either way (the anti-join
+    * is a no-op once the rows are gone). */
   def compactRelease(spark: SparkSession, dir: String): Unit = {
-    def rewrite(path: String, df: DataFrame, partCol: Option[String]): Unit = {
-      val mat = df.localCheckpoint() // cluster: checkpoint — the content
-      // must be fully materialized before its own source is overwritten
+    val tomb = tombstonesOf(spark, dir).map(_.localCheckpoint())
+    def compact(path: String, transform: DataFrame => DataFrame,
+        partCol: Option[String]): Unit = {
+      val root = Versioned.resolveRoot(spark, path)
+      val version = Versioned.nextVersion(spark, path)
+      val df = transform(spark.read.parquet(root))
       partCol match {
-        case Some(c) => mat.repartition(col(c)).write.mode("overwrite")
-          .partitionBy(c).parquet(path)
-        case None => mat.coalesce(1).write.mode("overwrite").parquet(path)
+        case Some(c) => df.repartition(col(c)).write.mode("overwrite")
+          .partitionBy(c).parquet(s"$path/$version")
+        case None => df.coalesce(1).write.mode("overwrite")
+          .parquet(s"$path/$version")
       }
+      Versioned.publish(spark, path, version)
     }
-    rewrite(s"$dir/exact", spark.read.parquet(s"$dir/exact"), Some("pb"))
-    rewrite(s"$dir/minhash", spark.read.parquet(s"$dir/minhash"), Some("pb"))
-    rewrite(s"$dir/substring",
-      spark.read.parquet(s"$dir/substring")
-        .groupBy("gh").agg(sum(col("nd")).as("nd")),
+    def dropTomb(on: String)(df: DataFrame): DataFrame =
+      tomb.fold(df)(t =>
+        df.join(t.select(col("doc_id").as(on)), Seq(on), "left_anti"))
+    compact(s"$dir/exact", dropTomb("doc_id"), Some("pb"))
+    compact(s"$dir/minhash", dropTomb("id"), Some("pb"))
+    compact(s"$dir/substring",
+      _.groupBy("gh").agg(sum(col("nd")).as("nd"))
+        .filter(col("nd") =!= 0L),
       None)
-    if (java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$dir/semantic", "_CURRENT")))
-      SemDedup.compactIndex(spark, s"$dir/semantic")
+    if (Versioned.isVersioned(spark, s"$dir/semantic"))
+      SemDedup.compactIndex(spark, s"$dir/semantic",
+        dropIds = tomb.map(_.select(col("doc_id").as("vec_id"))))
+    // clear the tombstones LAST — their exclusions are now physical
+    tomb.foreach { _ =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+  }
+
+  /** Retract published documents from the release — the takedown path the
+    * append-only contract cannot express by itself (r11 what's-missing
+    * #3): after `retract(rows)`, no future probe verdict references the
+    * retracted docs, so a NEW shard doc identical to a retracted one is
+    * KEPT (it no longer duplicates anything the release still publishes).
+    * `retracted` must carry the release rows being taken down (doc_id +
+    * text — a takedown request has the content); `emb` is unused today
+    * (vector exclusion rides on the id tombstones) but kept for signature
+    * symmetry with [[ingestShard]].
+    *
+    * Mechanics per stage index:
+    *  - exact / minhash / semantic: the doc_ids land in
+    *    `dir/tombstones`; probes anti-join it ([[exactHits]],
+    *    [[IncrementalDedup.dedupShard]], [[SemDedup.semDedupShard]])
+    *    until the next [[compactRelease]] drops the rows physically and
+    *    clears the set.
+    *  - substring: the gram table stores per-gram COUNTS, not doc ids, so
+    *    retraction appends the retracted docs' gram counts NEGATED
+    *    ([[SubstringDedup.retractShingleIndex]]) — probes sum `nd` per
+    *    gram, so the subtraction is exact under the disjoint-shard
+    *    contract, and compaction drops the zeroed grams.
+    * The high-water mark is untouched: retracted ids stay burned (a
+    * re-ingest under an old id would violate monotonicity anyway).
+    *
+    * Idempotent at doc granularity: already-tombstoned ids are filtered
+    * out first, so a replayed retraction cannot double-subtract gram
+    * counts. Commit order is tombstones THEN gram negatives — a crash
+    * between the two leaves the retracted docs' grams counted stale-high,
+    * which errs CONSERVATIVE (a later identical doc may be over-dropped
+    * by the substring budget, never under-dropped); a rebuild via
+    * [[writeIndexes]] clears the residue. */
+  def retract(retracted: DataFrame, emb: Option[DataFrame], dir: String,
+      shingleK: Int = SubstringDedup.declaredK): Unit = {
+    val spark = retracted.sparkSession
+    val fresh = tombstonesOf(spark, dir)
+      .fold(retracted)(t => retracted.join(t, Seq("doc_id"), "left_anti"))
+      .localCheckpoint()
+    fresh.select(col("doc_id").cast("long").as("doc_id"))
+      .coalesce(1).write.mode("append").parquet(s"$dir/tombstones")
+    SubstringDedup.retractShingleIndex(fresh, shingleK,
+      Versioned.resolveRoot(spark, s"$dir/substring"))
   }
 
   /** One row per release-index component — the operational view of what
@@ -379,35 +500,47 @@ object Curation {
     * compaction trigger: files ≫ partitions means appends have fragmented
     * the index), bytes on disk, and the monotonic-id high-water mark.
     * Driver-side listing of index DIRECTORIES only (k-bounded — never
-    * reads data files); row counts are one metadata-only Spark count per
-    * component. */
+    * reads data PAGES); row counts come from the parquet FOOTERS of the
+    * same files the listing already visits (r11 what's-wrong #3: the
+    * earlier `spark.read.parquet(path).count()` re-listed and re-opened
+    * every footer as a Spark job — exactly the O(files) tax the manifest
+    * exists to expose). */
   def manifest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val conf = spark.sessionState.newHadoopConf()
     def stats(path: String): Option[(Long, Long, Long)] = {
       val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val fs = p.getFileSystem(conf)
       if (!fs.exists(p)) None
       else {
         val it = fs.listFiles(p, true)
-        var files = 0L; var bytes = 0L
+        var files = 0L; var bytes = 0L; var rows = 0L
         while (it.hasNext) {
           val f = it.next()
           if (f.getPath.getName.endsWith(".parquet")) {
             files += 1; bytes += f.getLen
+            val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile
+                .fromStatus(f, conf))
+            try rows += rd.getRecordCount finally rd.close()
           }
         }
-        Some((spark.read.parquet(path).count(), files, bytes))
+        Some((rows, files, bytes))
       }
     }
-    val semRoot =
-      if (java.nio.file.Files.exists(
-          java.nio.file.Paths.get(s"$dir/semantic", "_CURRENT")))
-        Some(SemDedup.resolveRoot(spark, s"$dir/semantic"))
+    // every stage index is versioned: list the PUBLISHED root only —
+    // superseded versions are inert debris the probes never read
+    def published(path: String): Option[String] =
+      if (Versioned.isVersioned(spark, path))
+        Some(Versioned.resolveRoot(spark, path))
       else None
     val components =
-      Seq("exact" -> s"$dir/exact", "substring" -> s"$dir/substring",
-        "minhash" -> s"$dir/minhash") ++
-        semRoot.map(r => "semantic" -> s"$r/assigned")
+      Seq("exact" -> published(s"$dir/exact"),
+        "substring" -> published(s"$dir/substring"),
+        "minhash" -> published(s"$dir/minhash"),
+        "semantic" -> published(s"$dir/semantic").map(r => s"$r/assigned"),
+        "tombstones" -> Some(s"$dir/tombstones"))
+        .collect { case (name, Some(path)) => name -> path }
     val maxId = metaOf(spark, dir)
     components.flatMap { case (name, path) =>
       stats(path).map { case (rows, files, bytes) =>

@@ -127,12 +127,16 @@ object IncrementalDedup {
     * does fire. */
   private[graft] def corpusHits(spark: SparkSession, shard: DataFrame,
       idCol: String, textCol: String, indexPath: String, threshold: Double,
-      numHashes: Int, bands: Int, shingleK: Int): DataFrame = {
+      numHashes: Int, bands: Int, shingleK: Int,
+      excludeIds: Option[DataFrame] = None): DataFrame = {
     val probe = probeBands(shard, idCol, textCol, numHashes, bands, shingleK)
       .localCheckpoint()
     val buckets = probe.select("pb").distinct().collect().map(_.getInt(0)).toSeq
-    val index = spark.read.parquet(indexPath)
+    val index0 = spark.read.parquet(indexPath)
       .filter(col("pb").isin(buckets: _*))
+    // retraction support (round 12): tombstoned corpus ids must not hit
+    val index = excludeIds.fold(index0)(ex =>
+      index0.join(ex.select(col("id")), Seq("id"), "left_anti"))
     probe.alias("p").join(index.alias("i"),
         col("p.pb") === col("i.pb")
           && col("p.band_id") === col("i.band_id")
@@ -145,12 +149,15 @@ object IncrementalDedup {
 
   /** Dedupe `shard` against the persisted index AND against itself;
     * returns the kept shard rows unchanged (schema-preserving filter, the
-    * same contract as [[Dedup.dedupCorpus]]). */
+    * same contract as [[Dedup.dedupCorpus]]). `excludeIds` (one `id`
+    * column) removes retracted corpus docs from the index side before the
+    * probe — the [[graft.sim.Curation.retract]] tombstone hook. */
   def dedupShard(spark: SparkSession, shard: DataFrame, idCol: String,
       textCol: String, indexPath: String, threshold: Double = 0.8,
-      numHashes: Int = 32, bands: Int = 8, shingleK: Int = 3): DataFrame = {
+      numHashes: Int = 32, bands: Int = 8, shingleK: Int = 3,
+      excludeIds: Option[DataFrame] = None): DataFrame = {
     val hits = corpusHits(spark, shard, idCol, textCol, indexPath, threshold,
-      numHashes, bands, shingleK)
+      numHashes, bands, shingleK, excludeIds)
     val within = MinHash.nearDupPairsUnordered(shard, idCol, textCol,
       numHashes, bands, shingleK, threshold)
     // components over the within-shard graph only — corpus docs enter as a

@@ -73,9 +73,17 @@ object Pq {
     require(dim % mSub == 0, s"dim $dim must be divisible by M=$mSub")
     val sub = dim / mSub
     val sv = subvectors(v, mSub, sub).localCheckpoint() // scanned 2×iters
-    var cb = sv.filter(col("vec_id") < k)
-      .select(col("m"), col("vec_id").cast("int").as("code"),
-        col("sv").as("cv"))
+    // seed by RANK, not by raw id value (ADVICE r11): `vec_id < k` seeds
+    // fewer than k codes on sparse ids and an EMPTY codebook when ids
+    // start above k. The first-k-by-vec_id sample is k-bounded, so the
+    // rank window runs on ≤k rows.
+    val seeds = v.select("vec_id").orderBy("vec_id").limit(k)
+      .withColumn("code",
+        (row_number().over(Window.orderBy("vec_id")) - 1).cast("int"))
+    require(seeds.limit(1).count() > 0,
+      "cannot train PQ codebooks over an empty corpus")
+    var cb = sv.join(broadcast(seeds), "vec_id")
+      .select(col("m"), col("code"), col("sv").as("cv"))
     for (_ <- 1 to iters) {
       // element-wise Euclidean mean per (subspace, code) — the Ann.kmeans
       // rebuild pattern, WITHOUT the spherical renormalization
@@ -110,9 +118,17 @@ object Pq {
     * subspaces pad with 0.0 — unreferenced by construction, since every
     * stored code points at a real codebook row of its own subspace). */
   def lutFor(cb: DataFrame, probe: Seq[Double], mSub: Int): Seq[Double] = {
+    require(probe.length % mSub == 0,
+      s"probe dim ${probe.length} is not divisible by M=$mSub — the probe " +
+        "does not match the trained codebooks")
     val rows = cb.collect().map(r =>
       (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
     val sub = probe.length / mSub
+    rows.headOption.foreach { case (_, _, cv) =>
+      require(cv.length == sub,
+        s"probe subvector width $sub != codeword width ${cv.length} — " +
+          "probe dimension does not match the trained codebooks")
+    }
     val width = rows.groupBy(_._1).values.map(_.length).max
     val lut = Array.fill(mSub * width)(0.0)
     rows.foreach { case (m, c, cv) =>
@@ -123,6 +139,36 @@ object Pq {
     }
     lut.toSeq
   }
+
+  /** Per-vector ADC lookup tables built RELATIONALLY — the many-probe
+    * form of [[lutFor]] (that one collects nothing but the codebooks and
+    * serves a single driver-side query; this one serves a whole SHARD of
+    * probe vectors, e.g. the PQ-accelerated semantic-dedup probe,
+    * [[SemDedup.corpusDupFlags]] with a margin). One slim
+    * (vec_id, slot, val) row per (probe, subspace, code) — the vector
+    * payload fans out as `sub`-wide slices, never whole — map-assembled
+    * into the same zero-padded stride-`width` flat array [[lutFor]]
+    * builds. Returns (vec_id, lut). */
+  def lutTable(v: DataFrame, cb: DataFrame, mSub: Int,
+      width: Int): DataFrame = {
+    val dim = v.select(size(col("v"))).head().getInt(0)
+    require(dim % mSub == 0, s"dim $dim must be divisible by M=$mSub")
+    val sv = subvectors(v.select(col("vec_id"), col("v")), mSub, dim / mSub)
+    sv.join(broadcast(cb), "m")
+      .select(col("vec_id"), (col("m") * width + col("code")).as("slot"),
+        dot(col("sv"), col("cv")).as("val"))
+      .groupBy("vec_id")
+      .agg(map_from_entries(collect_list(struct(col("slot"), col("val"))))
+        .as("lm"))
+      .select(col("vec_id"),
+        transform(sequence(lit(0), lit(mSub * width - 1)),
+          s => coalesce(element_at(col("lm"), s), lit(0.0))).as("lut"))
+  }
+
+  /** The stride of [[lutTable]]/[[lutFor]] arrays for `cb`: the widest
+    * subspace's code count. */
+  def lutWidth(cb: DataFrame): Int =
+    cb.groupBy("m").count().agg(max(col("count"))).head().getLong(0).toInt
 
   /** Approximate top-k by ADC score against a literal probe — the PQ scan:
     * M lookups per row, TakeOrderedAndProject for the k. Rank ties break
@@ -164,98 +210,224 @@ object Pq {
   }
 
   // ------------------------------------------------------------------
-  // persisted IVF-PQ index — the production shape
+  // residual encoding (IVFADC) — the quality half of the PQ story
   // ------------------------------------------------------------------
   //
-  //   dir/codebooks   (m, code, cv) — the frozen PQ model
-  //   dir/centroids   (centroid_id, cv) — the frozen spherical router
-  //   dir/codes       (vec_id, codes) PARTITIONED by centroid_id
-  //   dir/meta        one row (max_id) — monotonic-id high-water mark
+  // Raw PQ quantizes the vectors themselves; at M=8 on structureless data
+  // that floor is ~0.30 recall@10 (PqSpec's measured worst case). The
+  // published IVFADC (Jégou et al. 2011 §IV) quantizes each vector's
+  // RESIDUAL x − c(x) against its routed IVF centroid instead: residual
+  // magnitudes are a fraction of vector magnitudes, so the same M·K code
+  // budget spends its resolution on the part of x the router doesn't
+  // already explain. Scoring decomposes exactly:
+  //
+  //   ⟨q, x⟩ = ⟨q, c(x)⟩ + ⟨q, x − c(x)⟩ ≈ ⟨q, c(x)⟩ + ADC(codes(x))
+  //
+  // — the first term is a per-probed-centroid constant (nprobe driver-side
+  // dot products, attached as a tiny literal map / broadcast column), the
+  // second the usual M lookups. One SHARED codebook set over all residuals
+  // (the paper's memory-efficient variant), so the LUT is built once per
+  // query, not once per probed list.
+
+  /** (vec_id, embedding, centroid_id): each vector's residual against its
+    * arg-max routed centroid — the IVFADC training/encoding input. */
+  def residualsRouted(emb: DataFrame, centroids: DataFrame): DataFrame =
+    Ann.ivfAssignWith(vecs(emb), centroids)
+      .join(broadcast(centroids), "centroid_id")
+      .select(col("vec_id"), col("centroid_id").cast("int").as("centroid_id"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("embedding"))
+
+  /** Train the shared residual codebooks under the frozen router. */
+  def residualCodebooks(emb: DataFrame, centroids: DataFrame, mSub: Int,
+      k: Int, iters: Int = 3): DataFrame =
+    codebooks(residualsRouted(emb, centroids), mSub, k, iters)
+
+  /** Residual-encode the corpus: (vec_id, codes, centroid_id). */
+  def encodeResidual(emb: DataFrame, centroids: DataFrame, cb: DataFrame,
+      mSub: Int): DataFrame = {
+    val res = residualsRouted(emb, centroids).localCheckpoint()
+    encode(res, cb, mSub)
+      .join(res.select("vec_id", "centroid_id"), "vec_id")
+  }
+
+  /** The IVFADC scan over residual-encoded rows: the probed inverted
+    * lists join as a broadcast that BOTH prunes and carries each list's
+    * ⟨q, c⟩ offset; score = offset + ADC. Probe-list ordering matches
+    * [[ivfPqTopK]]. */
+  def ivfPqTopKResidual(encodedRes: DataFrame, centroids: DataFrame,
+      cb: DataFrame, probe: Seq[Double], mSub: Int, k: Int,
+      nprobe: Int): DataFrame = {
+    val p = typedLit(probe)
+    val probeLists = centroids
+      .select(col("centroid_id").as("cid"),
+        VectorMath.cosine(col("cv"), p).as("csim"),
+        dot(col("cv"), p).as("off"))
+      .orderBy(desc("csim"), asc("cid"))
+      .limit(nprobe)
+    val lut = typedLit(lutFor(cb, probe, mSub))
+    encodedRes
+      .join(broadcast(probeLists), col("centroid_id") === col("cid"))
+      .select(col("vec_id"),
+        (col("off") + org.apache.spark.sql.graftexpr.PqAdcExpr
+          .column(col("codes"), lut)).as("score"))
+      .orderBy(desc("score"), asc("vec_id"))
+      .limit(k)
+  }
+
+  // ------------------------------------------------------------------
+  // persisted IVFADC index — the production shape
+  // ------------------------------------------------------------------
+  //
+  //   dir/_CURRENT        version pointer ([[graft.core.Versioned]]),
+  //                       flipped LAST — build and compaction both
+  //                       publish atomically (round 12; closes the
+  //                       unversioned materialize-then-overwrite crash
+  //                       window of r11)
+  //   dir/v<N>/codebooks  (m, code, cv) — frozen RESIDUAL codebooks
+  //   dir/v<N>/centroids  (centroid_id, cv) — frozen spherical router
+  //   dir/v<N>/codes      (vec_id, codes) PARTITIONED by centroid_id;
+  //                       codes quantize x − c(x) (IVFADC, round 12)
+  //   dir/v<N>/meta       one row (max_id) — monotonic-id high-water mark
   //
   // Both models are FROZEN at build time, so appends are pure functions of
   // the shard (the SemDedup/IncrementalDedup discipline) and the probe is
   // a static partition prune: the query's nprobe nearest centroids are a
   // driver-side computation over the tiny collected router, and the codes
   // scan carries `centroid_id IN (...)` — never DPP, which would
-  // full-scan on this shape. Unversioned by choice: codes are DERIVED
-  // data cheap to rebuild, appends mutate under the repo's single-writer
-  // contract, and the atomic-publish pattern for indexes with in-place
-  // readers is already demonstrated (and tested) in [[SemDedup]].
+  // full-scan on this shape.
 
   private def mOf(cb: DataFrame): Int =
     cb.agg(max(col("m"))).head().getInt(0) + 1
 
-  /** Train both models over `emb` and write the full index at `dir`. */
+  import graft.core.Versioned
+
+  /** Train router + residual codebooks over `emb`, write and PUBLISH the
+    * full index at `dir`. The codebooks train on residuals against the
+    * READ-BACK router (the [[SemDedup.writeIndex]] discipline: index and
+    * every later probe see byte-identical centroid doubles). */
   def writeIndex(emb: DataFrame, dir: String, mSub: Int, k: Int,
       nCentroids: Int, routerIters: Int = 3, pqIters: Int = 3): Unit = {
-    val cb = codebooks(emb, mSub, k, pqIters).localCheckpoint()
-    val centroids = Ann.kmeansCentroids(emb, nCentroids, routerIters)
-      .localCheckpoint()
-    cb.coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
-    centroids.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-    encodeRouted(emb, cb, centroids, mSub)
+    val spark = emb.sparkSession
+    val version = Versioned.nextVersion(spark, dir)
+    val root = s"$dir/$version"
+    Ann.kmeansCentroids(emb, nCentroids, routerIters).coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/centroids")
+    val centroids = spark.read.parquet(s"$root/centroids")
+    val res = residualsRouted(emb, centroids).localCheckpoint()
+    val cb = codebooks(res, mSub, k, pqIters).localCheckpoint()
+    cb.coalesce(1).write.mode("overwrite").parquet(s"$root/codebooks")
+    encode(res, cb, mSub)
+      .join(res.select("vec_id", "centroid_id"), "vec_id")
       .write.mode("overwrite").partitionBy("centroid_id")
-      .parquet(s"$dir/codes")
-    writeMeta(emb, dir)
+      .parquet(s"$root/codes")
+    writeMeta(spark, root, emb.agg(max(col("vec_id").cast("long")))
+      .head() match { case r if r.isNullAt(0) => Long.MinValue
+                      case r                  => r.getLong(0) })
+    Versioned.publish(spark, dir, version)
   }
 
-  private def encodeRouted(emb: DataFrame, cb: DataFrame,
-      centroids: DataFrame, mSub: Int): DataFrame =
-    encode(emb, cb, mSub).join(
-      Ann.ivfAssignWith(vecs(emb), centroids)
-        .select(col("vec_id"), col("centroid_id")),
-      "vec_id")
+  private def writeMeta(spark: SparkSession, root: String,
+      maxId: Long): Unit = {
+    import spark.implicits._
+    // staged write + atomic rename (ADVICE r11): the old meta stays
+    // readable until the new one replaces it in one FS rename — never a
+    // deleted-but-not-yet-rewritten window
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val next = new org.apache.hadoop.fs.Path(s"$root/meta.next")
+    val dst = new org.apache.hadoop.fs.Path(s"$root/meta")
+    Seq(maxId).toDF("max_id").coalesce(1)
+      .write.mode("overwrite").parquet(next.toString)
+    fs.delete(dst, true)
+    require(fs.rename(next, dst), s"meta publish rename failed under $root")
+  }
 
-  private def writeMeta(emb: DataFrame, dir: String): Unit =
-    emb.agg(max(col("vec_id")).as("max_id")).coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/meta")
-
-  /** Fold a new shard into the index at shard cost: encode + route against
-    * the FROZEN models, append to the routed partitions. Monotonic-id
-    * guard as everywhere: a replayed shard fails loudly. */
+  /** Fold a new shard into the PUBLISHED index at shard cost: residual-
+    * encode + route against the FROZEN models, append to the routed
+    * partitions, then advance the high-water mark. Monotonic-id guard as
+    * everywhere: a replayed shard fails loudly. Honest crash-window note
+    * (ADVICE r11): codes append and meta advance are two commits; a crash
+    * BETWEEN them leaves the mark stale-low, so replaying that same shard
+    * would pass the guard and double-append its codes — recover by
+    * compacting ([[compactIndex]] republishes a coherent version) or
+    * rebuilding; every other crash point either fails loudly or is
+    * invisible. */
   def appendIndex(shard: DataFrame, dir: String): Unit = {
     val spark = shard.sparkSession
-    val maxSeen = spark.read.parquet(s"$dir/meta").head().getLong(0)
-    val bounds = shard.agg(min(col("vec_id")), max(col("vec_id"))).head()
+    val root = Versioned.resolveRoot(spark, dir)
+    val maxSeen = spark.read.parquet(s"$root/meta").head().getLong(0)
+    val bounds = shard.agg(min(col("vec_id").cast("long")),
+      max(col("vec_id").cast("long"))).head()
     if (!bounds.isNullAt(0)) {
       require(bounds.getLong(0) > maxSeen,
         s"monotonic-id ingest contract violated: shard min id " +
           s"${bounds.getLong(0)} <= index high-water mark $maxSeen")
-      val cb = spark.read.parquet(s"$dir/codebooks")
-      val centroids = spark.read.parquet(s"$dir/centroids")
-      encodeRouted(shard, cb, centroids, mOf(cb))
+      val cb = spark.read.parquet(s"$root/codebooks")
+      val centroids = spark.read.parquet(s"$root/centroids")
+      encodeResidual(shard, centroids, cb, mOf(cb))
         .write.mode("append").partitionBy("centroid_id")
-        .parquet(s"$dir/codes")
-      import spark.implicits._
-      Seq(bounds.getLong(1)).toDF("max_id").coalesce(1)
-        .write.mode("overwrite").parquet(s"$dir/meta")
+        .parquet(s"$root/codes")
+      writeMeta(spark, root, bounds.getLong(1))
     }
+  }
+
+  /** Compact the published index into a freshly PUBLISHED version — the
+    * ingest-loop maintenance step ([[SemDedup.compactIndex]]'s shape):
+    * every [[appendIndex]] lands one file set inside each `centroid_id=`
+    * partition, so after S shards a pruned probe opens O(S) small files.
+    * Rewrites codes with ONE file per partition (`repartition` on the
+    * partition column), copies the frozen models and high-water mark, and
+    * flips the pointer last — live readers see the old version or the
+    * new, never a mix; content is row-identical (PqSpec pins probe
+    * equality + the file-count drop). */
+  def compactIndex(spark: SparkSession, dir: String): Unit = {
+    val root = Versioned.resolveRoot(spark, dir)
+    val version = Versioned.nextVersion(spark, dir)
+    val newRoot = s"$dir/$version"
+    spark.read.parquet(s"$root/codebooks").coalesce(1)
+      .write.mode("overwrite").parquet(s"$newRoot/codebooks")
+    spark.read.parquet(s"$root/centroids").coalesce(1)
+      .write.mode("overwrite").parquet(s"$newRoot/centroids")
+    spark.read.parquet(s"$root/codes")
+      .repartition(col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$newRoot/codes")
+    writeMeta(spark,
+      newRoot, spark.read.parquet(s"$root/meta").head().getLong(0))
+    Versioned.publish(spark, dir, version)
   }
 
   /** Query the persisted index: driver-side router scoring over the tiny
     * collected centroid table → `centroid_id IN (...)` static prune of
-    * the codes partitions → ADC scan. Probe-list ordering matches
-    * [[ivfPqTopK]] (desc cosine, ties to the lower id). */
+    * the codes partitions → offset + ADC scan (the IVFADC decomposition
+    * above: each probed list's ⟨q, c⟩ rides in as a literal map on the
+    * partition column). Probe-list ordering matches [[ivfPqTopK]] (desc
+    * cosine, ties to the lower id). */
   def probeIndexTopK(spark: SparkSession, dir: String, probe: Seq[Double],
       k: Int, nprobe: Int): DataFrame = {
-    val cents = spark.read.parquet(s"$dir/centroids").collect()
+    val root = Versioned.resolveRoot(spark, dir)
+    val cents = spark.read.parquet(s"$root/centroids").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
-    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+    def dotN(a: Seq[Double], b: Seq[Double]): (Double, Double) = {
       var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) {
         d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
       }
-      d / math.sqrt(na * nb)
+      (d, d / math.sqrt(na * nb))
     }
-    val probed = cents.map { case (cid, cv) => (cos(probe, cv), cid) }
-      .sortBy { case (c, cid) => (-c, cid) }.take(nprobe).map(_._2)
-    val cb = spark.read.parquet(s"$dir/codebooks")
+    val probed = cents
+      .map { case (cid, cv) => val (d, c) = dotN(probe, cv); (c, cid, d) }
+      .sortBy { case (c, cid, _) => (-c, cid) }.take(nprobe)
+    val cb = spark.read.parquet(s"$root/codebooks")
     val lut = typedLit(lutFor(cb, probe, mOf(cb)))
-    spark.read.parquet(s"$dir/codes")
-      .filter(col("centroid_id").isin(probed: _*))
+    val offMap = map(probed.flatMap { case (_, cid, d) =>
+      Seq(lit(cid.toInt), lit(d)) }: _*)
+    spark.read.parquet(s"$root/codes")
+      .filter(col("centroid_id").isin(probed.map(_._2.toInt): _*))
       .select(col("vec_id"),
-        org.apache.spark.sql.graftexpr.PqAdcExpr.column(col("codes"), lut)
-          .as("score"))
+        (element_at(offMap, col("centroid_id"))
+          + org.apache.spark.sql.graftexpr.PqAdcExpr
+            .column(col("codes"), lut)).as("score"))
       .orderBy(desc("score"), asc("vec_id"))
       .limit(k)
   }

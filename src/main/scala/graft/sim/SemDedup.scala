@@ -102,66 +102,35 @@ object SemDedup {
   // CURRENT version in place under the single-writer contract (the
   // [[graft.ops.QuantileSketch]] discipline).
 
-  private val Pointer = "_CURRENT"
-
-  private def hadoopFs(spark: SparkSession, path: String) = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
-  }
+  // Versioned-pointer mechanics factored into [[graft.core.Versioned]] in
+  // round 12 so the other release indexes (PQ, exact, minhash, substring)
+  // share the exact same publish/resolve discipline.
 
   /** Root directory of the PUBLISHED index version at `path`. */
-  private[graft] def resolveRoot(spark: SparkSession, path: String): String = {
-    val (fs, p) = hadoopFs(spark, path)
-    val ptr = new org.apache.hadoop.fs.Path(p, Pointer)
-    require(fs.exists(ptr),
-      s"no published semantic index at $path (missing $Pointer pointer)")
-    val in = fs.open(ptr)
-    val v =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
-    s"$path/$v"
-  }
+  private[graft] def resolveRoot(spark: SparkSession, path: String): String =
+    graft.core.Versioned.resolveRoot(spark, path)
 
-  /** Next unused version name under `path` (staging dirs count too, so a
-    * dead unpublished build is never overwritten — it is inert debris). */
-  private def nextVersion(spark: SparkSession, path: String): String = {
-    val (fs, p) = hadoopFs(spark, path)
-    val n =
-      if (!fs.exists(p)) 0
-      else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
-        .collect { case s if s.matches("v\\d+") => s.drop(1).toInt }
-        .foldLeft(0)(math.max)
-    "v" + (n + 1)
-  }
+  private def nextVersion(spark: SparkSession, path: String): String =
+    graft.core.Versioned.nextVersion(spark, path)
 
-  /** Atomically flip the pointer to `version`: write a temp file, then a
-    * FileContext rename with OVERWRITE — readers see the old version or
-    * the new one, never a missing or half-written pointer. */
   private def publish(spark: SparkSession, path: String,
-      version: String): Unit = {
-    val conf = spark.sessionState.newHadoopConf()
-    val (fs, p) = hadoopFs(spark, path)
-    val tmp = new org.apache.hadoop.fs.Path(p, s"$Pointer.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(version.getBytes("UTF-8")) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext
-      .getFileContext(fs.makeQualified(tmp).toUri, conf)
-    fc.rename(fs.makeQualified(tmp), fs.makeQualified(
-        new org.apache.hadoop.fs.Path(p, Pointer)),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
+      version: String): Unit =
+    graft.core.Versioned.publish(spark, path, version)
 
-  private case class IndexMeta(maxId: Long, maxProbes: Int)
+  private case class IndexMeta(maxId: Long, maxProbes: Int, pqM: Int)
 
   private def readMeta(spark: SparkSession, root: String): IndexMeta = {
-    val r = spark.read.parquet(s"$root/meta").head()
-    IndexMeta(r.getAs[Long]("max_id"), r.getAs[Int]("max_probes"))
+    val df = spark.read.parquet(s"$root/meta")
+    val r = df.head()
+    // pq_m absent on pre-round-12 indexes: read as "no PQ codes"
+    IndexMeta(r.getAs[Long]("max_id"), r.getAs[Int]("max_probes"),
+      if (df.schema.fieldNames.contains("pq_m")) r.getAs[Int]("pq_m") else 0)
   }
 
   private def writeMeta(spark: SparkSession, root: String, maxId: Long,
-      maxProbes: Int): Unit = {
+      maxProbes: Int, pqM: Int): Unit = {
     import spark.implicits._
-    Seq((maxId, maxProbes)).toDF("max_id", "max_probes")
+    Seq((maxId, maxProbes, pqM)).toDF("max_id", "max_probes", "pq_m")
       .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
   }
 
@@ -235,7 +204,8 @@ object SemDedup {
     * [[knnMaintainCorpus]] needs (storage ∝ maxProbes × corpus — leave at
     * 1 when only dedup probes will run). */
   def writeIndex(corpus: DataFrame, path: String, nCentroids: Int,
-      iters: Int = 5, maxProbes: Int = 1): Unit = {
+      iters: Int = 5, maxProbes: Int = 1, pqM: Int = 0, pqK: Int = 256,
+      pqIters: Int = 3): Unit = {
     require(maxProbes >= 1, s"maxProbes must be >= 1, got $maxProbes")
     val spark = corpus.sparkSession
     val version = nextVersion(spark, path)
@@ -253,12 +223,38 @@ object SemDedup {
       writeProbes(spark, root,
         spark.read.parquet(s"$root/assigned").select(col("vec_id"), col("v")),
         centroids, maxProbes, "overwrite")
+    if (pqM > 0) writePqCodes(spark, root, pqM, pqK, pqIters)
     val maxId = corpus.agg(max(col("vec_id").cast("long"))).head() match {
       case r if r.isNullAt(0) => Long.MinValue // empty corpus: any id ok
       case r                  => r.getLong(0)
     }
-    writeMeta(spark, root, maxId, maxProbes)
+    writeMeta(spark, root, maxId, maxProbes, pqM)
     publish(spark, path, version)
+  }
+
+  /** Residual-encode the ALREADY-ASSIGNED corpus into the optional PQ
+    * sub-index (round 12, the memory half of the semantic probe): train
+    * shared residual codebooks ([[Pq.codebooks]] over x − c(x) under THIS
+    * index's router — routing and code geometry stay consistent, the
+    * IVFADC contract) and write (vec_id, norm, codes) partitioned by the
+    * same centroid_id as `assigned`. `norm` carries |x| so the ADC dot
+    * estimate converts to an approximate COSINE at probe time. */
+  private def writePqCodes(spark: SparkSession, root: String, pqM: Int,
+      pqK: Int, pqIters: Int): Unit = {
+    val centroids = spark.read.parquet(s"$root/centroids")
+    val asg = spark.read.parquet(s"$root/assigned")
+    val res = asg.join(broadcast(centroids), "centroid_id")
+      .select(col("vec_id"), col("centroid_id").cast("int").as("centroid_id"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("embedding"))
+      .localCheckpoint()
+    val cb = Pq.codebooks(res, pqM, pqK, pqIters).localCheckpoint()
+    cb.coalesce(1).write.mode("overwrite").parquet(s"$root/pq_codebooks")
+    Pq.encode(res, cb, pqM)
+      .join(asg.select(col("vec_id"),
+        col("centroid_id").cast("int").as("centroid_id"),
+        sqrt(VectorMath.dot(col("v"), col("v"))).as("norm")), "vec_id")
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$root/codes")
   }
 
   /** Fold one ingested shard into the PUBLISHED index at SHARD cost — the
@@ -283,17 +279,32 @@ object SemDedup {
       // scanned by the assignment, the probe build, and nothing else —
       // one materialization (cluster: checkpoint)
       val vecs = Ann.vecsOf(shard).localCheckpoint()
-      Ann.ivfAssignWith(vecs, centroids)
+      val asg = Ann.ivfAssignWith(vecs, centroids)
         .withColumn("centroid_id", col("centroid_id").cast("int"))
-        .write.mode("append").partitionBy("centroid_id")
+        .localCheckpoint()
+      asg.write.mode("append").partitionBy("centroid_id")
         .parquet(s"$root/assigned")
       if (meta.maxProbes > 1)
         writeProbes(spark, root, vecs, centroids, meta.maxProbes, "append")
+      if (meta.pqM > 0) {
+        // residual-encode against the FROZEN codebooks — the append is a
+        // pure function of (shard, models), like the assignment itself
+        val cb = spark.read.parquet(s"$root/pq_codebooks")
+        val res = asg.join(broadcast(centroids), "centroid_id")
+          .select(col("vec_id"), col("centroid_id"),
+            zip_with(col("v"), col("cv"), (a, b) => a - b).as("embedding"))
+        Pq.encode(res, cb, meta.pqM)
+          .join(asg.select(col("vec_id"), col("centroid_id"),
+            sqrt(VectorMath.dot(col("v"), col("v"))).as("norm")), "vec_id")
+          .write.mode("append").partitionBy("centroid_id")
+          .parquet(s"$root/codes")
+      }
       // the high-water mark is a tiny overwrite strictly AFTER the data
       // commit: a crash in between leaves it stale-low, which can only
       // make the guard stricter-to-wrong-side loud on the NEXT shard, not
       // silently corrupt a verdict
-      writeMeta(spark, root, math.max(meta.maxId, shardMax), meta.maxProbes)
+      writeMeta(spark, root, math.max(meta.maxId, shardMax), meta.maxProbes,
+        meta.pqM)
     }
   }
 
@@ -311,23 +322,37 @@ object SemDedup {
     * stays on disk as inert debris, the same policy as dead unpublished
     * builds; a retention sweep is an operational concern, not index
     * logic. */
-  def compactIndex(spark: SparkSession, path: String): Unit = {
+  def compactIndex(spark: SparkSession, path: String,
+      dropIds: Option[DataFrame] = None): Unit = {
     val root = resolveRoot(spark, path)
     val meta = readMeta(spark, root)
     val version = nextVersion(spark, path)
     val newRoot = s"$path/$version"
+    // retraction becomes physical here (round 12): tombstoned vec_ids
+    // drop out of the rewritten lists ([[graft.sim.Curation.retract]])
+    def minusDropped(df: DataFrame): DataFrame =
+      dropIds.fold(df)(d =>
+        df.join(d.select(col("vec_id")), Seq("vec_id"), "left_anti"))
     spark.read.parquet(s"$root/centroids").coalesce(1)
       .write.mode("overwrite").parquet(s"$newRoot/centroids")
-    spark.read.parquet(s"$root/assigned")
+    minusDropped(spark.read.parquet(s"$root/assigned"))
       .repartition(col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$newRoot/assigned")
     if (meta.maxProbes > 1)
-      spark.read.parquet(s"$root/probes")
+      minusDropped(spark.read.parquet(s"$root/probes"))
         .repartition(col("probe_id"))
         .write.mode("overwrite").partitionBy("probe_id")
         .parquet(s"$newRoot/probes")
-    writeMeta(spark, newRoot, meta.maxId, meta.maxProbes)
+    if (meta.pqM > 0) {
+      spark.read.parquet(s"$root/pq_codebooks").coalesce(1)
+        .write.mode("overwrite").parquet(s"$newRoot/pq_codebooks")
+      minusDropped(spark.read.parquet(s"$root/codes"))
+        .repartition(col("centroid_id"))
+        .write.mode("overwrite").partitionBy("centroid_id")
+        .parquet(s"$newRoot/codes")
+    }
+    writeMeta(spark, newRoot, meta.maxId, meta.maxProbes, meta.pqM)
     publish(spark, path, version)
   }
 
@@ -365,8 +390,11 @@ object SemDedup {
     * normal ingest shape — would silently scan the FULL index (measured
     * on this very plan). Shard cost ∝ shard at 100 TB. */
   private[sim] def corpusHits(spark: SparkSession, shard: DataFrame,
-      path: String, threshold: Double, nprobe: Int = 1): DataFrame =
-    corpusDupFlags(spark, shard, path, threshold, nprobe)
+      path: String, threshold: Double, nprobe: Int = 1,
+      excludeIds: Option[DataFrame] = None,
+      pqMargin: Option[Double] = None): DataFrame =
+    corpusDupFlags(spark, shard, path, threshold, nprobe, excludeIds,
+        pqMargin)
       .select(col("vec_id").as("id")).distinct()
 
   /** The flag-emitting form of the index probe: one
@@ -387,7 +415,9 @@ object SemDedup {
     * partitions. Each (shard, corpus) pair still flags at most once: a
     * corpus vector lives in exactly one `assigned` partition. */
   def corpusDupFlags(spark: SparkSession, shard: DataFrame,
-      path: String, threshold: Double, nprobe: Int = 1): DataFrame = {
+      path: String, threshold: Double, nprobe: Int = 1,
+      excludeIds: Option[DataFrame] = None,
+      pqMargin: Option[Double] = None): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val root = resolveRoot(spark, path)
     val centroids = spark.read.parquet(s"$root/centroids")
@@ -407,13 +437,65 @@ object SemDedup {
     // probe has size stats, so AQE broadcasts exactly when it actually
     // fits — the static partition prune above is independent of the join
     // strategy either way
-    val index = spark.read.parquet(s"$root/assigned")
+    val index0 = spark.read.parquet(s"$root/assigned")
       .filter(col("centroid_id").isin(probed: _*))
-    probe.alias("p").join(index.alias("i"),
-        col("p.centroid_id") === col("i.centroid_id"))
-      .select(col("p.vec_id").as("vec_id"), col("i.vec_id").as("dup_of"),
-        cosine(col("p.v"), col("i.v")).as("cosine"))
-      .filter(col("cosine") >= threshold)
+    // retraction support (round 12): tombstoned corpus vectors must not
+    // flag ([[graft.sim.Curation.retract]])
+    val index = excludeIds.fold(index0)(ex =>
+      index0.join(ex.select(col("vec_id")), Seq("vec_id"), "left_anti"))
+    pqMargin match {
+      case None =>
+        probe.alias("p").join(index.alias("i"),
+            col("p.centroid_id") === col("i.centroid_id"))
+          .select(col("p.vec_id").as("vec_id"), col("i.vec_id").as("dup_of"),
+            cosine(col("p.v"), col("i.v")).as("cosine"))
+          .filter(col("cosine") >= threshold)
+      case Some(margin) =>
+        // PQ-accelerated probe (round 12): the candidate scan reads the
+        // M-byte CODES partitions, not the float vectors — at 100 TB the
+        // codes table is what fits executor memory — and only the
+        // candidates whose approximate cosine clears threshold − margin
+        // touch the float index for the exact verify. Precision is
+        // untouched (the verify below is the same exact cosine); recall
+        // misses only a true pair whose ADC estimate errs by more than
+        // `margin` — SemDedupSpec pins planted-dup equality and measures
+        // the candidate-volume drop.
+        require(margin >= 0, s"pqMargin must be >= 0, got $margin")
+        val meta = readMeta(spark, root)
+        require(meta.pqM > 0,
+          s"index at $path was written without PQ codes (pqM = 0) — " +
+            "rebuild with writeIndex(..., pqM > 0) to use pqMargin")
+        val cb = spark.read.parquet(s"$root/pq_codebooks").localCheckpoint()
+        val luts = Pq.lutTable(probe.select("vec_id", "v").distinct(), cb,
+          meta.pqM, Pq.lutWidth(cb))
+        val probeX = probe.join(luts, "vec_id")
+          .join(broadcast(centroids), "centroid_id")
+          .select(col("vec_id"), col("v"), col("centroid_id"), col("lut"),
+            VectorMath.dot(col("v"), col("cv")).as("qdotc"),
+            sqrt(VectorMath.dot(col("v"), col("v"))).as("qn"))
+        val codes0 = spark.read.parquet(s"$root/codes")
+          .filter(col("centroid_id").isin(probed: _*))
+        val codes = excludeIds.fold(codes0)(ex =>
+          codes0.join(ex.select(col("vec_id")), Seq("vec_id"), "left_anti"))
+        val cands = probeX.alias("p").join(codes.alias("i"),
+            col("p.centroid_id") === col("i.centroid_id"))
+          .select(col("p.vec_id").as("vec_id"),
+            col("i.vec_id").as("dup_of"),
+            ((col("p.qdotc") + org.apache.spark.sql.graftexpr.PqAdcExpr
+              .column(col("i.codes"), col("p.lut")))
+              / (col("p.qn") * col("i.norm"))).as("approx"))
+          .filter(col("approx") >= threshold - margin)
+          .select("vec_id", "dup_of")
+        // exact verify: only the ADC survivors touch the float index
+        cands
+          .join(probe.select(col("vec_id"), col("v").as("pv")).distinct(),
+            "vec_id")
+          .join(index.select(col("vec_id").as("dup_of"),
+            col("v").as("iv")), "dup_of")
+          .select(col("vec_id"), col("dup_of"),
+            cosine(col("pv"), col("iv")).as("cosine"))
+          .filter(col("cosine") >= threshold)
+    }
   }
 
   /** k-NN neighbors of a NEW SHARD drawn from the persisted index — the
@@ -537,10 +619,13 @@ object SemDedup {
     * within-shard leg stays single-assignment so the nprobe=1 equality
     * stays exact). */
   def semDedupShard(spark: SparkSession, shard: DataFrame, path: String,
-      threshold: Double, nprobe: Int = 1): DataFrame = {
+      threshold: Double, nprobe: Int = 1,
+      excludeIds: Option[DataFrame] = None,
+      pqMargin: Option[Double] = None): DataFrame = {
     val root = resolveRoot(spark, path)
     requireMonotonic(shard, readMeta(spark, root).maxId, "semDedupShard")
-    val hits = corpusHits(spark, shard, path, threshold, nprobe)
+    val hits = corpusHits(spark, shard, path, threshold, nprobe, excludeIds,
+      pqMargin)
     val within = semDedupPairs(shard, indexCentroids(spark, path), threshold)
       .select("vec_a", "vec_b")
     val comp = Dedup.connectedComponents(within, "vec_a", "vec_b")

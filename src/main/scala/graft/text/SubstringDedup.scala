@@ -108,6 +108,18 @@ object SubstringDedup {
       .groupBy("gh").agg(countDistinct(col("doc_id")).as("nd"))
       .write.mode("append").parquet(path)
 
+  /** Retract docs from the gram table (round 12, the
+    * [[graft.sim.Curation.retract]] takedown path): append their per-gram
+    * distinct-doc counts NEGATED. Probes SUM `nd` per gram, so the
+    * subtraction is exact under the disjoint-shard contract the appends
+    * already rely on; compaction's merge drops grams whose sum reaches 0.
+    * `docs` must be the previously-appended rows being taken down (same
+    * text — the negative must mirror the positive gram-for-gram). */
+  def retractShingleIndex(docs: DataFrame, k: Int, path: String): Unit =
+    shingles(docs, k)
+      .groupBy("gh").agg((-countDistinct(col("doc_id"))).as("nd"))
+      .write.mode("append").parquet(path)
+
   /** [[appendShingleIndex]] as a BUCKETED managed table: the index is
     * written `bucketBy(gh)`, so the probe's digest aggregation AND the
     * index side of the probe join consume the bucketing as their hash
@@ -153,6 +165,9 @@ object SubstringDedup {
     val pruned = graft.ops.JoinPrefilter
       .bloomReduce(idx, col("gh"), g, col("gh"), estShardGrams)
       .groupBy("gh").agg(sum(col("nd")).as("nd"))
+      // grams fully cancelled by retraction negatives sum to 0 and must
+      // not count as shared ([[retractShingleIndex]])
+      .filter(col("nd") > 0)
     mergeSpans(g.join(pruned, "gh"), k)
   }
 

@@ -360,21 +360,37 @@ class CurationIngestSpec extends SparkSpec {
         else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
       walk(new java.io.File(root))
     }
-    val exactBefore = parquetFiles(s"$dirX/exact").size
-    val gramFilesBefore = parquetFiles(s"$dirX/substring").size
-    val gramRowsBefore = spark.read.parquet(s"$dirX/substring").count()
+    // every stage index is versioned (round 12): measure the PUBLISHED
+    // root only — superseded versions stay on disk as inert debris
+    def pub(path: String): String =
+      graft.core.Versioned.resolveRoot(spark, path)
+    val exactBefore = parquetFiles(pub(s"$dirX/exact")).size
+    val gramFilesBefore = parquetFiles(pub(s"$dirX/substring")).size
+    val gramRowsBefore = spark.read.parquet(pub(s"$dirX/substring")).count()
+
+    // crash injection: a dead half-written compaction build (a bare
+    // version dir that never published) must be invisible to probes and
+    // must not block the real compaction
+    new java.io.File(s"$dirX/exact/v7/pb=0").mkdirs()
+    val preCrash = resultOf(Curation.ingestShard(
+      shardOf(800000L).localCheckpoint(), Some(emb), dirX))
+    assert(resultOf(Curation.ingestShard(
+      shardOf(800000L).localCheckpoint(), Some(emb), dirY)) === preCrash,
+      "an unpublished debris version must not change any verdict")
 
     Curation.compactRelease(spark, dirX)
 
-    val exactAfter = parquetFiles(s"$dirX/exact")
+    val exactAfter = parquetFiles(pub(s"$dirX/exact"))
     assert(exactAfter.size < exactBefore,
       s"exact index files must shrink ($exactBefore → ${exactAfter.size})")
     assert(exactAfter.groupBy(_.getParentFile.getName).values
       .forall(_.size == 1), "expected one file per pb= partition")
-    val gramFilesAfter = parquetFiles(s"$dirX/substring").size
+    assert(pub(s"$dirX/exact").endsWith("/v8"),
+      "compaction must publish PAST the dead debris version")
+    val gramFilesAfter = parquetFiles(pub(s"$dirX/substring")).size
     assert(gramFilesAfter < gramFilesBefore,
       s"gram files must shrink ($gramFilesBefore → $gramFilesAfter)")
-    val gramRowsAfter = spark.read.parquet(s"$dirX/substring").count()
+    val gramRowsAfter = spark.read.parquet(pub(s"$dirX/substring")).count()
     assert(gramRowsAfter < gramRowsBefore,
       s"per-append gram rows must merge ($gramRowsBefore → $gramRowsAfter)")
 

@@ -30,11 +30,15 @@ class PqVolumeSpec extends SparkSpec {
       .filter(col("vec_id") % 100 === 3).limit(20)
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toSeq
-    val cb = spark.read.parquet(s"$dir/pqidx/codebooks").localCheckpoint()
-    val codes = spark.read.parquet(s"$dir/pqidx/codes")
-      .select("vec_id", "codes").localCheckpoint()
+    val root = graft.core.Versioned.resolveRoot(spark, s"$dir/pqidx")
+    val cb = spark.read.parquet(s"$root/codebooks").localCheckpoint()
+    val cents = spark.read.parquet(s"$root/centroids").collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1))).toSeq
+    val codes = spark.read.parquet(s"$root/codes")
+      .select("vec_id", "codes", "centroid_id").localCheckpoint()
     val luts = sample.map { case (_, v) => Pq.lutFor(cb, v, PqVolume.M) }
-    val top1 = PqVolume.batchedTop1(codes, luts).collect()
+    val offs = sample.map { case (_, v) => PqVolume.offsetsFor(cents, v) }
+    val top1 = PqVolume.batchedTop1(codes, luts, offs).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val recall = sample.zipWithIndex.count { case ((pid, _), i) =>
       top1(i) == pid - 3 }.toDouble / sample.size
