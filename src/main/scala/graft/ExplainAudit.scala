@@ -143,6 +143,16 @@ object ExplainAudit {
     // must run map-side (ObjectHashAggregate), not single-node
     ("agg_percentile", "map-side partial percentile (ObjectHashAggregate)",
       p => p.contains("ObjectHashAggregate")),
+    // the Misra–Gries aggregate must run two-phase so the exchange
+    // carries one ≤k-entry sketch per partition per group — a plan that
+    // shuffles raw (group, item) rows first is the 100 TB regression this
+    // operator exists to avoid; and the item fan-out must stay a generate,
+    // not a join
+    ("agg_heavy_hitters",
+      "two-phase sketch aggregate (k counters through the exchange)",
+      p => "ObjectHashAggregate|SortAggregate".r.findAllIn(p).size >= 2
+        && !p.contains("hashpartitioning(o_orderpriority")
+        && !p.contains("Join")),
     // the MAD outlier report's per-type stats must broadcast back onto
     // the fact stream (a sort-merge join here would shuffle the events
     // table twice), with both percentile passes partial-aggregated

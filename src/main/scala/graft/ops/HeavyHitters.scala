@@ -20,9 +20,14 @@ import org.apache.spark.sql.functions.udaf
   *
   * so any item with true frequency > n/(k+1) is GUARANTEED present (if it
   * were absent, est 0 would force true ≤ Δ ≤ n/(k+1)). Counts are
-  * merge-order-dependent WITHIN the bound — like the HLL/KLL sketches this
-  * is TEST-gated, never oracle-declared (SURVEY §7.5.7); the spec asserts
-  * the invariant itself at two partitionings rather than a fixed output.
+  * merge-order-dependent WITHIN the bound — in the approximate regime this
+  * is TEST-gated like the HLL/KLL sketches (SURVEY §7.5.7); the spec
+  * asserts the invariant itself at two partitionings rather than a fixed
+  * output. In the EXACT regime (k ≥ per-group distinct items) no reduce or
+  * merge ever decrements, so estimates equal true counts, Δ = 0, and the
+  * result is merge-order-independent — `agg_heavy_hitters`
+  * ([[Relational.queries]]) declares that regime against the DuckDB
+  * oracle, proving the sketch end-to-end where determinism permits.
   *
   * Plan shape: partial+final two-phase aggregate like any HashAggregate —
   * the shuffle carries one k-entry map per partition per group, never the

@@ -319,6 +319,27 @@ object Relational {
         .orderBy("event_type")
     }),
 
+    // Misra–Gries heavy hitters in its EXACT regime (round 12): with k ≥
+    // the per-group distinct-item count the sketch never decrements, so
+    // estimates equal true counts, max_error is provably 0, and the output
+    // is merge-order-independent — oracle-eligible, unlike the approximate
+    // regime (TEST-gated in HeavyHittersSpec, SURVEY §7.5.7). One typed-
+    // Aggregator pass: the shuffle carries ≤k counters per group, never
+    // the (group × item) keyspace — at 100 TB that is the difference
+    // between this and agg_mode's two-stage groupBy.
+    "agg_heavy_hitters" -> ((s, d) => {
+      val hh = Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(HeavyHitters.heavyHitters(col("o_orderpriority"), 8).as("hh"))
+      hh.select(col("o_orderstatus"), col("hh.n").as("n_orders"),
+          col("hh.maxError").as("max_error"), explode(col("hh.items")).as("it"))
+        .select(col("o_orderstatus"), col("it.item").as("o_orderpriority"),
+          col("it.count").as("n_occurrences"), col("n_orders"),
+          col("max_error"))
+        .orderBy(col("o_orderstatus"), desc("n_occurrences"),
+          col("o_orderpriority"))
+    }),
+
     "agg_grouping_sets" -> ((s, d) =>
       // subtotal lattice: rollup → (region, nation), (region), (grand).
       // Subtotal NULLs are coalesced to a sentinel so null-ordering semantics
@@ -771,6 +792,18 @@ object Relational {
         |  FROM c)
         |SELECT event_type, value AS mode_value, n AS n_occurrences
         |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin,
+
+    "agg_heavy_hitters" ->
+      // exact regime ⇒ the sketch's estimates ARE the group counts; the
+      // CAST keeps DuckDB's window-sum at BIGINT (it widens to HUGEINT)
+      """SELECT o_orderstatus, o_orderpriority,
+        |  COUNT(*) AS n_occurrences,
+        |  CAST(sum(COUNT(*)) OVER (PARTITION BY o_orderstatus) AS BIGINT)
+        |    AS n_orders,
+        |  CAST(0 AS BIGINT) AS max_error
+        |FROM orders GROUP BY o_orderstatus, o_orderpriority
+        |ORDER BY o_orderstatus, n_occurrences DESC, o_orderpriority"""
+        .stripMargin,
 
     "agg_minmax_by" ->
       // DuckDB 1.0's arg_max can't order by a struct; the window formulation

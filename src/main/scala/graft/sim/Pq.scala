@@ -432,6 +432,57 @@ object Pq {
       .limit(k)
   }
 
+  /** IVFADC+R — exact re-rank of the ADC shortlist (the refinement step
+    * of Jégou et al. 2011 §VII, in its common re-read-the-vector form).
+    * PQ codes are a COARSE score: at M=8 their retrieval recall is
+    * bounded by code resolution (PqSpec measures 0.30@10 on the random
+    * worst case). The production answer is not bigger codes, it is a
+    * two-stage scan: ADC ranks a `rerank`-deep shortlist from the codes
+    * partitions (cheap, memory-resident at 100 TB), then ONLY those
+    * `rerank` rows touch the float vectors for the true cosine. Recall
+    * is then bounded by routing (nprobe) and shortlist coverage — not by
+    * quantization — while the float table is read `rerank` rows per
+    * query instead of per-corpus.
+    *
+    * The shortlist ids are collected driver-side — a k-bounded list, the
+    * repo's static-prune discipline — so the float scan carries a pushed
+    * `vec_id IN (...)` instead of a join against the whole table.
+    * `emb` is the caller's float-vector table (vec_id, embedding): the
+    * index deliberately does not store floats, that being its point.
+    * Ties break by vec_id, the [[Ann.bruteTopK]] convention. */
+  def probeIndexTopKRerank(spark: SparkSession, dir: String,
+      emb: DataFrame, probe: Seq[Double], k: Int, nprobe: Int,
+      rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank depth $rerank must be >= k=$k")
+    val ids = probeIndexTopK(spark, dir, probe, rerank, nprobe)
+      .select("vec_id").collect().map(_.getLong(0))
+    val p = typedLit(probe)
+    vecs(emb)
+      .filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id"), VectorMath.cosine(col("v"), p).as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** In-memory IVFADC+R twin of [[probeIndexTopKRerank]] for the
+    * [[ivfPqTopKResidual]] composition — the A/B surface PqSpec gates:
+    * at `rerank` = corpus size this is EXACTLY [[Ann.bruteTopK]] (the
+    * shortlist covers everything and the re-rank is the exact scan). */
+  def ivfPqTopKRerank(encodedRes: DataFrame, centroids: DataFrame,
+      cb: DataFrame, emb: DataFrame, probe: Seq[Double], mSub: Int,
+      k: Int, nprobe: Int, rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank depth $rerank must be >= k=$k")
+    val ids = ivfPqTopKResidual(encodedRes, centroids, cb, probe, mSub,
+        rerank, nprobe)
+      .select("vec_id").collect().map(_.getLong(0))
+    val p = typedLit(probe)
+    vecs(emb)
+      .filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id"), VectorMath.cosine(col("v"), p).as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** Mean squared quantization error |v − decode(codes(v))|² over the
     * corpus — the Lloyd objective; each fixed iteration is non-increasing,
     * the PqSpec monotonicity gate. Computed subspace-wise (the total MSE

@@ -254,6 +254,28 @@ object Streaming {
       }
     }
 
+  /** Takedown requests as a STREAM — the online twin of
+    * [[graft.sim.Curation.retract]], completing the release loop's
+    * streaming symmetry (every other loop operation — curate, ingest,
+    * probe — already has one). Each micro-batch of (doc_id, source, text)
+    * retraction requests applies `retract` verbatim: ids tombstone, the
+    * substring grams subtract, and every subsequent ingest batch (this
+    * stream composes with [[streamCurationIngest]] against the same
+    * index) stops seeing the retracted content. Where the ingest stream
+    * leans on the monotonic-id guard to fail loudly on foreachBatch's
+    * at-least-once replays, retraction leans on `retract`'s doc-level
+    * IDEMPOTENCE: a replayed takedown batch filters down to
+    * already-tombstoned ids and becomes a no-op — replay-safe by
+    * construction, no guard needed. */
+  def streamRetract(requests: DataFrame, dir: String,
+      shingleK: Int = graft.text.SubstringDedup.declaredK)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    requests.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      if (!batch.isEmpty) graft.sim.Curation.retract(batch, None, dir,
+        shingleK)
+    }
+
   // ------------------------------------------------------------ B10.6
 
   final case class UserEvent(event_id: Long, ts: java.sql.Timestamp,

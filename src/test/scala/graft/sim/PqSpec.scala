@@ -281,6 +281,57 @@ class PqSpec extends SparkSpec {
         f"raw $rRaw%.3f vs residual $rRes%.3f")
   }
 
+  test("IVFADC+R: exact re-rank lifts recall above the ADC shortlist's, " +
+      "and full-depth re-rank IS the exact scan — the round-12 rerank " +
+      "gate") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pq_rerank").toString
+    Pq.writeIndex(emb, dir, M, K, nCentroids = 16)
+    val probes = Seq(17L, 42L, 123L, 321L, 499L)
+    def recallOf(top: Long => Set[Long]): Double = probes.map { id =>
+      val exact = Ann.bruteTopK(emb, vecOf(id), 10)
+        .collect().map(_.getLong(0)).toSet
+      exact.intersect(top(id)).size / 10.0
+    }.sum / probes.size
+    val adc = recallOf(id =>
+      Pq.probeIndexTopK(spark, dir, vecOf(id), 10, nprobe = 16)
+        .collect().map(_.getLong(0)).toSet)
+    val rr = recallOf(id =>
+      Pq.probeIndexTopKRerank(spark, dir, emb, vecOf(id), 10, nprobe = 16,
+          rerank = 100)
+        .collect().map(_.getLong(0)).toSet)
+    info(f"recall@10 — ADC shortlist: $adc%.3f, +exact re-rank: $rr%.3f")
+    // code resolution bounds ADC recall (~0.30 on this worst-case
+    // corpus); a 100-deep shortlist re-ranked exactly must recover most
+    // of it — the gate is strict improvement plus a floor with headroom
+    // below the measured value
+    assert(rr > adc, f"re-rank must improve on raw ADC: $adc%.3f vs $rr%.3f")
+    assert(rr >= 0.6, f"re-rank recall collapsed: $rr%.3f")
+    // at rerank = corpus size the shortlist covers everything, so the
+    // two-stage scan IS Ann.bruteTopK — ids AND cosines, exactly
+    for (id <- probes) {
+      val exact = Ann.bruteTopK(emb, vecOf(id), 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val full = Pq.probeIndexTopKRerank(spark, dir, emb, vecOf(id), 10,
+          nprobe = 16, rerank = 500)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(full.map(_._1) === exact.map(_._1), s"probe $id ids")
+      full.zip(exact).foreach { case ((_, a), (_, b)) =>
+        assert(math.abs(a - b) < 1e-12, s"probe $id cosine") }
+    }
+    // the re-rank float scan is a pushed point-lookup, not a corpus
+    // read: vec_id IN (...) reaches the parquet scan
+    val raw = graft.core.Tables.embeddings(spark, sfDir)
+    val planned = Pq.probeIndexTopKRerank(spark, dir, raw, vecOf(17L), 10,
+      nprobe = 16, rerank = 50)
+    planned.collect()
+    val plan = planned.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("vec_id"),
+      s"expected a pushed vec_id IN shortlist filter:\n" +
+        plan.linesIterator.take(20).mkString("\n"))
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
   test("the PQ scan plan: codegen pq_adc + TakeOrderedAndProject") {
     val df = Pq.topK(enc, cb, vecOf(17L), M, 10)
     df.collect()

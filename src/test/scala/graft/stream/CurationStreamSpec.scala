@@ -110,4 +110,54 @@ class CurationStreamSpec extends SparkSpec {
     assert(s3 === t3)
     assert(s3 === Set(300021L))
   }
+
+  test("streamed retraction ≡ one batch retract; a replayed takedown " +
+      "batch is a no-op; the retracted content re-ingests identically") {
+    import spark.implicits._
+    def doc(id: Long, seed: String, n: Int = 30): (Long, String, String) =
+      (id, "src", (1 to n).map(i => s"$seed$i").mkString(" "))
+    val release = Seq(doc(1, "a"), doc(2, "b"), doc(3, "c"))
+      .toDF("doc_id", "source", "text").localCheckpoint()
+    val relText = release.collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val dirS = java.nio.file.Files
+      .createTempDirectory("graft_stream_retract").toString
+    val dirT = java.nio.file.Files
+      .createTempDirectory("graft_stream_retract_twin").toString
+    Curation.writeIndexes(release, None, dirS)
+    Curation.writeIndexes(release, None, dirT)
+
+    // two takedown micro-batches against index S: doc1, then doc3 PLUS a
+    // REPLAY of doc1 (foreachBatch is at-least-once; retraction must
+    // absorb the replay instead of double-subtracting gram counts)
+    val stream = MemoryStream[(Long, String, String)](92, spark, None)
+    val q = Streaming.streamRetract(
+      stream.toDF().toDF("doc_id", "source", "text"), dirS).start()
+    stream.addData(Seq((1L, "src", relText(1))))
+    q.processAllAvailable()
+    stream.addData(Seq((3L, "src", relText(3)), (1L, "src", relText(1))))
+    q.processAllAvailable()
+    q.stop()
+
+    // batch twin: ONE retract of both docs against index T
+    Curation.retract(release.filter(col("doc_id").isin(1, 3)), None, dirT)
+
+    def mf(dir: String) = Curation.manifest(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mf(dirS)("tombstones") === 2L,
+      s"replayed takedown must not re-tombstone: ${mf(dirS)}")
+    assert(mf(dirT)("tombstones") === 2L)
+
+    // verdict equivalence: the same probe shard against the stream- and
+    // batch-retracted indexes — retracted content keeps, live drops
+    val shard = Seq(
+        (100L, "src", relText(1)),  // copy of stream-retracted doc1 → KEPT
+        (101L, "src", relText(2)))  // copy of live doc2 → drops
+      .toDF("doc_id", "source", "text").localCheckpoint()
+    def kept(dir: String) = Curation.ingestShard(shard, None, dir)
+      .kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val kS = kept(dirS)
+    assert(kS === kept(dirT))
+    assert(kS === Set(100L))
+  }
 }
