@@ -98,11 +98,24 @@ object DedupVolume {
     val split = nVecs * 9 / 10
     embCorpus(spark, nVecs).write.mode("overwrite")
       .parquet(s"$workDir/emb")
+    // unit-normalize the semantic leg: every cosine — and therefore every
+    // exact-path verdict below — is scale-invariant, so this changes
+    // nothing about the dedup semantics; it BOUNDS the PQ estimate's
+    // relative error (the ADC error divides by |x|, so an unnormalized
+    // small-norm vector can blow past any fixed margin — the round-12
+    // A/B measured exactly that) and is the standard cosine-ANN
+    // deployment shape (cf. PqSpec).
+    val embV = col("embedding")
+    val embN = sqrt(graft.sim.VectorMath.dot(embV, embV))
     val emb = spark.read.parquet(s"$workDir/emb")
+      .select(col("vec_id"), transform(embV, x => x / embN).as("embedding"))
     val t1 = System.nanoTime()
+    // pqM > 0 co-publishes residual PQ codes beside the float index, so
+    // the probe can be measured BOTH ways below (exact-only vs the
+    // round-12 ADC-prefilter + exact-verify path)
     graft.sim.SemDedup.writeIndex(
       emb.filter(col("vec_id") < split), s"$workDir/semidx",
-      nCentroids = 64, iters = 2)
+      nCentroids = 64, iters = 2, pqM = 4)
     val semIndexSec = (System.nanoTime() - t1) / 1e9
     // shard: scaled copies of INDEXED base vectors, re-id'd above corpus
     val shard = emb.filter(col("vec_id") < split && col("vec_id") % 10 === 0)
@@ -115,8 +128,24 @@ object DedupVolume {
       .count()
     val semSec = (System.nanoTime() - t2) / 1e9
 
+    // the SAME probe through the PQ-accelerated path (round 12): the
+    // candidate scan reads the M-byte codes partitions and only ADC
+    // survivors touch the floats for the exact verify. The margin is the
+    // index's STORED CERTIFICATE (max relative quantization error), so
+    // agreement with the exact-only path is provable, not hoped-for —
+    // the first volume run used a guessed 0.05 margin and measured
+    // exactly the failure mode the certificate closes (planted cosine-1
+    // copies whose ADC estimate erred past the guess).
+    val pqSafe = graft.sim.SemDedup.pqSafeMargin(spark, s"$workDir/semidx")
+    val t3 = System.nanoTime()
+    val semKeptPq = graft.sim.SemDedup
+      .semDedupShard(spark, shard, s"$workDir/semidx", 0.999999,
+        pqMargin = Some(pqSafe))
+      .count()
+    val semPqSec = (System.nanoTime() - t3) / 1e9
+
     val ok = exactKept == 0 && nearRecall >= 0.99 && otherDropped == 0 &&
-      semKept == 0
+      semKept == 0 && semKeptPq == semKept
     val line =
       f"""{"metric":"minhash_dedup_mb_per_sec","value":${mb / mhSec}%.1f,""" +
       f""""unit":"MB/s","mb":$mb%.1f,"sec":$mhSec%.1f,"docs":$nDocs,""" +
@@ -127,6 +156,10 @@ object DedupVolume {
       f""""sem_index_sec":$semIndexSec%.1f,"sem_shard":$shardN,""" +
       f""""sem_probe_sec":$semSec%.1f,""" +
       f""""sem_probe_vecs_per_sec":${shardN / semSec}%.0f,""" +
+      f""""sem_pq_probe_sec":$semPqSec%.1f,""" +
+      f""""sem_pq_probe_vecs_per_sec":${shardN / semPqSec}%.0f,""" +
+      f""""sem_pq_margin":$pqSafe%.4f,""" +
+      s""""sem_pq_agree":${semKeptPq == semKept},""" +
       s""""sem_recall_exact":${semKept == 0L},"all_ok":$ok}"""
     println(line)
     Artifacts.write("dedup_volume.json", line)

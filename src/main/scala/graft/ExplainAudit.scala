@@ -143,6 +143,15 @@ object ExplainAudit {
     // must run map-side (ObjectHashAggregate), not single-node
     ("agg_percentile", "map-side partial percentile (ObjectHashAggregate)",
       p => p.contains("ObjectHashAggregate")),
+    // SQ8 encode is map-only once the frozen params are trained (the
+    // train aggregation runs driver-side at query-construction time):
+    // the declared plan must be projection + the ORDER BY's range
+    // exchange — a join or hash exchange here means the params stopped
+    // riding as literals and the 100 TB pipeline-inside-the-scan claim
+    // is gone
+    ("sim_sq_encode", "map-only encode (params as literals, no join)",
+      p => !finalPlan(p).contains("Join")
+        && !finalPlan(p).contains("Exchange hashpartitioning")),
     // the Misra–Gries aggregate must run two-phase so the exchange
     // carries one ≤k-entry sketch per partition per group — a plan that
     // shuffles raw (group, item) rows first is the 100 TB regression this

@@ -147,7 +147,53 @@ object PqVolume {
         .head().getLong(0) == pid - 3 }
     val prunedSec = (System.nanoTime() - t2) / 1e9 / 5
 
-    val ok = recall >= 0.95 && prunedHits >= 4
+    // IVFADC+R at volume (round 12). Two measurements:
+    //
+    //  1. rerank@1 on the planted-copy contract: RAW encoding retrieved
+    //     every copy's base structurally (probe and base share codes —
+    //     the r11 artifact's recall@1 = 1.0); RESIDUAL encoding trades
+    //     that away (the flat ADC number above, measured 0.95) for the
+    //     clustered-data win PqSpec gates. The production answer is the
+    //     two-stage scan: a 100-deep shortlist re-scored with true
+    //     cosines puts the cosine-1 base back at rank 1 whenever it is
+    //     anywhere in the shortlist — the gate expects 1.0 restored.
+    //  2. recall@10 vs the exact scan, ADC alone vs a 2000-deep rerank
+    //     (0.2% of the corpus re-scored) — the generic-neighbor quality
+    //     number on PQ's worst-case geometry (hash-random directions:
+    //     the true top-10 sit barely above the bulk, so code resolution
+    //     ranks them weakly; this is the regime the honest-docs note in
+    //     PqSpec pins at ~0.30 in-memory at 500 rows).
+    val nR1 = 16
+    val t3 = System.nanoTime()
+    val rr1Hits = sample.take(nR1).count { case (pid, v) =>
+      Pq.probeIndexTopKRerank(spark, s"$workDir/pqidx", base, v, 1,
+          nprobe = 4, rerank = 100)
+        .head().getLong(0) == pid - 3 }
+    val rerank1Sec = (System.nanoTime() - t3) / 1e9 / nR1
+    val rr1 = rr1Hits.toDouble / nR1
+
+    val nR = 8
+    val t4 = System.nanoTime()
+    val rPairs = sample.take(nR).map { case (_, v) =>
+      val exact = graft.sim.Ann.bruteTopK(base, v, 10)
+        .collect().map(_.getLong(0)).toSet
+      val a = Pq.probeIndexTopK(spark, s"$workDir/pqidx", v, 10,
+          nprobe = NCentroids)
+        .collect().map(_.getLong(0)).toSet
+      val r = Pq.probeIndexTopKRerank(spark, s"$workDir/pqidx", base, v, 10,
+          nprobe = NCentroids, rerank = 2000)
+        .collect().map(_.getLong(0)).toSet
+      (exact.intersect(a).size / 10.0, exact.intersect(r).size / 10.0)
+    }
+    val rerankSec = (System.nanoTime() - t4) / 1e9 / nR
+    val adc10 = rPairs.map(_._1).sum / nR
+    val rr10 = rPairs.map(_._2).sum / nR
+
+    // recall >= 0.9 is the COLLAPSE guard on raw ADC copy-retrieval
+    // (residual encoding measured 0.95; a broken LUT/encode reads ~1/n);
+    // the 1.0-contract moves to the reranked form
+    val ok = recall >= 0.9 && prunedHits >= 4 && rr1 >= 0.99 &&
+      rr10 >= adc10
     val line =
       f"""{"metric":"pq_adc_row_probes_per_sec",""" +
       f""""value":${nIndexed * sample.size / adcSec}%.0f,"unit":"rows*probes/s",""" +
@@ -159,6 +205,11 @@ object PqVolume {
       f""""probes":${sample.size},"recall_at1":$recall%.4f,""" +
       f""""pruned_probe_sec":$prunedSec%.2f,""" +
       f""""pruned_hits":$prunedHits,"pruned_probes":5,""" +
+      f""""recall1_rerank":$rr1%.4f,"rerank1_depth":100,""" +
+      f""""rerank1_probes":$nR1,"rerank1_probe_sec":$rerank1Sec%.2f,""" +
+      f""""recall10_adc":$adc10%.4f,"recall10_rerank":$rr10%.4f,""" +
+      f""""rerank_depth":2000,"rerank_probes":$nR,""" +
+      f""""rerank_probe_sec":$rerankSec%.2f,""" +
       s""""all_ok":$ok}"""
     println(line)
     Artifacts.write("pq_volume.json", line)

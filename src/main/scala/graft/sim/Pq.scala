@@ -154,15 +154,29 @@ object Pq {
     val dim = v.select(size(col("v"))).head().getInt(0)
     require(dim % mSub == 0, s"dim $dim must be divisible by M=$mSub")
     val sv = subvectors(v.select(col("vec_id"), col("v")), mSub, dim / mSub)
+    // Zero-padded slots (a subspace with fewer than `width` codes after
+    // degenerate drops) are a DRIVER-KNOWN set — the same for every
+    // probe — so they ride in as a literal and the per-probe assembly is
+    // one sort. The previous map_from_entries + element_at-per-slot form
+    // was O(width²) PER PROBE (element_at on a Catalyst map is a linear
+    // scan): at width 256 and 90k probes that is ~10¹¹ element
+    // comparisons of pure LUT construction — measured 987 s in the
+    // round-12 volume run before this rewrite, seconds after.
+    val present = cb.select("m", "code").collect()
+      .map(r => r.getInt(0) * width + r.getInt(1)).toSet
+    val missing = (0 until mSub * width).filterNot(present)
+    val pad =
+      if (missing.isEmpty) array().cast("array<struct<slot:int,val:double>>")
+      else array(missing.map(s =>
+        struct(lit(s).as("slot"), lit(0.0).as("val"))): _*)
     sv.join(broadcast(cb), "m")
       .select(col("vec_id"), (col("m") * width + col("code")).as("slot"),
         dot(col("sv"), col("cv")).as("val"))
       .groupBy("vec_id")
-      .agg(map_from_entries(collect_list(struct(col("slot"), col("val"))))
-        .as("lm"))
-      .select(col("vec_id"),
-        transform(sequence(lit(0), lit(mSub * width - 1)),
-          s => coalesce(element_at(col("lm"), s), lit(0.0))).as("lut"))
+      .agg(transform(
+        array_sort(concat(collect_list(struct(col("slot"), col("val"))),
+          pad)),
+        s => s.getField("val")).as("lut"))
   }
 
   /** The stride of [[lutTable]]/[[lutFor]] arrays for `cb`: the widest

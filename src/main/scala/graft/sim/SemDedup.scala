@@ -117,21 +117,67 @@ object SemDedup {
       version: String): Unit =
     graft.core.Versioned.publish(spark, path, version)
 
-  private case class IndexMeta(maxId: Long, maxProbes: Int, pqM: Int)
+  private case class IndexMeta(maxId: Long, maxProbes: Int, pqM: Int,
+      pqErr: Double)
 
   private def readMeta(spark: SparkSession, root: String): IndexMeta = {
     val df = spark.read.parquet(s"$root/meta")
     val r = df.head()
-    // pq_m absent on pre-round-12 indexes: read as "no PQ codes"
+    // pq_m absent on pre-round-12 indexes: read as "no PQ codes";
+    // pq_err absent on pre-certificate indexes: NaN ("unknown" — the
+    // safe-margin accessor refuses it loudly)
     IndexMeta(r.getAs[Long]("max_id"), r.getAs[Int]("max_probes"),
-      if (df.schema.fieldNames.contains("pq_m")) r.getAs[Int]("pq_m") else 0)
+      if (df.schema.fieldNames.contains("pq_m")) r.getAs[Int]("pq_m") else 0,
+      if (df.schema.fieldNames.contains("pq_err")) r.getAs[Double]("pq_err")
+      else Double.NaN)
   }
 
   private def writeMeta(spark: SparkSession, root: String, maxId: Long,
-      maxProbes: Int, pqM: Int): Unit = {
+      maxProbes: Int, pqM: Int, pqErr: Double): Unit = {
     import spark.implicits._
-    Seq((maxId, maxProbes, pqM)).toDF("max_id", "max_probes", "pq_m")
+    Seq((maxId, maxProbes, pqM, pqErr))
+      .toDF("max_id", "max_probes", "pq_m", "pq_err")
       .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+  }
+
+  /** Max over encoded rows of |r − decode(codes(r))| / |x| — the ADC
+    * cosine-error CERTIFICATE: for a probe q and indexed x with exact
+    * cosine c, the ADC estimate (⟨q,c(x)⟩ + ADC)/(|q||x|) differs from c
+    * by |⟨q, r − decode(r)⟩|/(|q||x|) ≤ relErr(x) (Cauchy–Schwarz), so a
+    * [[corpusDupFlags]] pqMargin ≥ this max provably loses NO true pair.
+    * One decode-and-diff pass at build/append time; `res` carries the
+    * residuals, `norms` the FULL-vector |x|. */
+  private def pqMaxRelErr(res: DataFrame, enc: DataFrame, norms: DataFrame,
+      cb: DataFrame): Double = {
+    val dec = enc.select(col("vec_id"),
+        posexplode(col("codes")).as(Seq("m", "code")))
+      .join(broadcast(cb), Seq("m", "code"))
+      .groupBy("vec_id")
+      .agg(flatten(transform(array_sort(collect_list(struct(col("m"),
+        col("cv")))), s => s.getField("cv"))).as("dec"))
+    val r = res.select(col("vec_id"), col("embedding").as("r"))
+      .join(dec, "vec_id")
+      .join(norms.select(col("vec_id"), col("norm")), "vec_id")
+      .withColumn("d", zip_with(col("r"), col("dec"), (a, b) => a - b))
+      .select((sqrt(VectorMath.dot(col("d"), col("d"))) / col("norm"))
+        .as("rel"))
+      .agg(max(col("rel"))).head()
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+  }
+
+  /** The stored certificate ([[pqMaxRelErr]]) of the PUBLISHED index: any
+    * `pqMargin` ≥ this value makes the ADC prefilter provably lossless —
+    * recall identical to the exact-only probe, with the candidate-volume
+    * savings intact. Refuses indexes written before the certificate
+    * existed (rebuild, or pass an explicit margin at your own recall
+    * risk). */
+  def pqSafeMargin(spark: SparkSession, path: String): Double = {
+    val meta = readMeta(spark, resolveRoot(spark, path))
+    require(meta.pqM > 0, s"index at $path has no PQ codes")
+    require(!meta.pqErr.isNaN,
+      s"index at $path predates the ADC-error certificate — rebuild with " +
+        "writeIndex(..., pqM > 0) or choose a margin explicitly")
+    meta.pqErr
   }
 
   /** The cheap loud form of the monotonic-id ingest contract (ADVICE r9):
@@ -223,12 +269,13 @@ object SemDedup {
       writeProbes(spark, root,
         spark.read.parquet(s"$root/assigned").select(col("vec_id"), col("v")),
         centroids, maxProbes, "overwrite")
-    if (pqM > 0) writePqCodes(spark, root, pqM, pqK, pqIters)
+    val pqErr = if (pqM > 0) writePqCodes(spark, root, pqM, pqK, pqIters)
+                else 0.0
     val maxId = corpus.agg(max(col("vec_id").cast("long"))).head() match {
       case r if r.isNullAt(0) => Long.MinValue // empty corpus: any id ok
       case r                  => r.getLong(0)
     }
-    writeMeta(spark, root, maxId, maxProbes, pqM)
+    writeMeta(spark, root, maxId, maxProbes, pqM, pqErr)
     publish(spark, path, version)
   }
 
@@ -240,7 +287,7 @@ object SemDedup {
     * same centroid_id as `assigned`. `norm` carries |x| so the ADC dot
     * estimate converts to an approximate COSINE at probe time. */
   private def writePqCodes(spark: SparkSession, root: String, pqM: Int,
-      pqK: Int, pqIters: Int): Unit = {
+      pqK: Int, pqIters: Int): Double = {
     val centroids = spark.read.parquet(s"$root/centroids")
     val asg = spark.read.parquet(s"$root/assigned")
     val res = asg.join(broadcast(centroids), "centroid_id")
@@ -249,12 +296,14 @@ object SemDedup {
       .localCheckpoint()
     val cb = Pq.codebooks(res, pqM, pqK, pqIters).localCheckpoint()
     cb.coalesce(1).write.mode("overwrite").parquet(s"$root/pq_codebooks")
-    Pq.encode(res, cb, pqM)
-      .join(asg.select(col("vec_id"),
-        col("centroid_id").cast("int").as("centroid_id"),
-        sqrt(VectorMath.dot(col("v"), col("v"))).as("norm")), "vec_id")
+    val enc = Pq.encode(res, cb, pqM).localCheckpoint()
+    val norms = asg.select(col("vec_id"),
+      col("centroid_id").cast("int").as("centroid_id"),
+      sqrt(VectorMath.dot(col("v"), col("v"))).as("norm"))
+    enc.join(norms, "vec_id")
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$root/codes")
+    pqMaxRelErr(res, enc, norms.select("vec_id", "norm"), cb)
   }
 
   /** Fold one ingested shard into the PUBLISHED index at SHARD cost — the
@@ -286,25 +335,37 @@ object SemDedup {
         .parquet(s"$root/assigned")
       if (meta.maxProbes > 1)
         writeProbes(spark, root, vecs, centroids, meta.maxProbes, "append")
+      var pqErr = meta.pqErr
       if (meta.pqM > 0) {
         // residual-encode against the FROZEN codebooks — the append is a
         // pure function of (shard, models), like the assignment itself
-        val cb = spark.read.parquet(s"$root/pq_codebooks")
+        val cb = spark.read.parquet(s"$root/pq_codebooks").localCheckpoint()
         val res = asg.join(broadcast(centroids), "centroid_id")
           .select(col("vec_id"), col("centroid_id"),
             zip_with(col("v"), col("cv"), (a, b) => a - b).as("embedding"))
-        Pq.encode(res, cb, meta.pqM)
-          .join(asg.select(col("vec_id"), col("centroid_id"),
-            sqrt(VectorMath.dot(col("v"), col("v"))).as("norm")), "vec_id")
+          .localCheckpoint()
+        val enc = Pq.encode(res, cb, meta.pqM).localCheckpoint()
+        val norms = asg.select(col("vec_id"), col("centroid_id"),
+          sqrt(VectorMath.dot(col("v"), col("v"))).as("norm"))
+        enc.join(norms, "vec_id")
           .write.mode("append").partitionBy("centroid_id")
           .parquet(s"$root/codes")
+        // the certificate must cover the grown index: shard residuals
+        // quantize under codebooks trained WITHOUT them, so their error
+        // can exceed the build-time max
+        val shardErr = pqMaxRelErr(res, enc, norms.select("vec_id", "norm"),
+          cb)
+        pqErr = if (pqErr.isNaN) shardErr else math.max(pqErr, shardErr)
       }
       // the high-water mark is a tiny overwrite strictly AFTER the data
       // commit: a crash in between leaves it stale-low, which can only
       // make the guard stricter-to-wrong-side loud on the NEXT shard, not
-      // silently corrupt a verdict
+      // silently corrupt a verdict. (The same crash leaves the pq_err
+      // certificate stale-low too — callers relying on pqSafeMargin after
+      // a mid-append crash should recover by compacting or rebuilding,
+      // the appendIndex contract everywhere in this repo.)
       writeMeta(spark, root, math.max(meta.maxId, shardMax), meta.maxProbes,
-        meta.pqM)
+        meta.pqM, pqErr)
     }
   }
 
@@ -352,7 +413,10 @@ object SemDedup {
         .write.mode("overwrite").partitionBy("centroid_id")
         .parquet(s"$newRoot/codes")
     }
-    writeMeta(spark, newRoot, meta.maxId, meta.maxProbes, meta.pqM)
+    // dropping rows can only SHRINK the true max error, so carrying the
+    // old certificate forward stays conservative
+    writeMeta(spark, newRoot, meta.maxId, meta.maxProbes, meta.pqM,
+      meta.pqErr)
     publish(spark, path, version)
   }
 

@@ -24,6 +24,19 @@ object Similarity {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // SQ8 scalar-quantization encode (round 12, [[Sq]]): per-dimension
+    // affine params trained on the corpus, every vector coded to 8-bit
+    // levels. Declared on the ENCODE step because its output is integer
+    // arrays — exactly comparable across engines (min/max need no
+    // arithmetic, and (x−mn)/st → round → clamp is the same IEEE op
+    // sequence in both), where the float SCORE would hash-diverge on
+    // SQL SUM's unspecified summation order. The scan-side score kernel
+    // (`sq_dot`) is TEST-gated in SqSpec instead.
+    "sim_sq_encode" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Sq.encode(emb, Sq.train(emb)).orderBy("vec_id")
+    }),
+
     // Brute-force exact cosine top-k against a probe vector (vec_id 0).
     // The broadcast probe keeps this a single narrow map over the corpus +
     // TakeOrderedAndProject — the right baseline shape at any scale.
@@ -434,6 +447,25 @@ object Similarity {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // positional zip via DuckDB's aligned multi-unnest; params per dim
+    // need no arithmetic (min/max) and the encode is the identical IEEE
+    // sequence — (val−mn)/st, round (both engines round half-up on the
+    // non-negative domain), clamp, int cast — so the integer codes match
+    // exactly
+    "sim_sq_encode" ->
+      """WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, unnest(v) AS val,
+        |    unnest(range(1, len(v) + 1)) AS pos FROM x),
+        |d AS (SELECT pos, min(val) AS mn,
+        |    (max(val) - min(val)) / 255.0 AS st FROM e GROUP BY pos),
+        |c AS (SELECT vec_id, pos,
+        |    CASE WHEN st = 0 THEN 0 ELSE CAST(least(greatest(
+        |      round((val - mn) / st, 0), 0.0), 255.0) AS INT) END AS code
+        |  FROM e JOIN d USING (pos))
+        |SELECT vec_id, list(code ORDER BY pos) AS codes
+        |FROM c GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
     "sim_cosine_topk" ->
       """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |normed AS (SELECT vec_id, v,

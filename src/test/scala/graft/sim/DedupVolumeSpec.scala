@@ -55,10 +55,18 @@ class DedupVolumeSpec extends SparkSpec {
 
   test("semantic volume corpus: planted shard copies all drop against the index") {
     val n = 2000L
-    val emb = DedupVolume.embCorpus(spark, n).localCheckpoint()
+    // unit-normalized like the volume main: cosine verdicts are
+    // scale-invariant (the exact path is unchanged), and normalization
+    // bounds the PQ estimate's relative error — the ADC error divides by
+    // |x|, so a small-norm vector can blow past any fixed margin
+    val v0 = col("embedding")
+    val nrm = sqrt(graft.sim.VectorMath.dot(v0, v0))
+    val emb = DedupVolume.embCorpus(spark, n)
+      .select(col("vec_id"), transform(v0, x => x / nrm).as("embedding"))
+      .localCheckpoint()
     val dir = java.nio.file.Files
       .createTempDirectory("graft_dedupvol_sem").toString
-    SemDedup.writeIndex(emb, dir, nCentroids = 16, iters = 2)
+    SemDedup.writeIndex(emb, dir, nCentroids = 16, iters = 2, pqM = 4)
     val shard = emb.filter(col("vec_id") % 10 === 0)
       .select((col("vec_id") + 2 * n).as("vec_id"),
         transform(col("embedding"), x => x * 0.25).as("embedding"))
@@ -66,5 +74,14 @@ class DedupVolumeSpec extends SparkSpec {
     assert(shard.count() === n / 10)
     assert(keptN === 0L,
       "every shard vector is a scaled copy of an indexed base — all drop")
+    // the PQ-accelerated probe path reaches the same verdict at the
+    // index's STORED certificate margin — provably lossless, where a
+    // guessed margin measurably was not (the volume run records
+    // sem_pq_agree + sem_pq_margin)
+    val margin = SemDedup.pqSafeMargin(spark, dir)
+    info(f"certificate margin: $margin%.4f")
+    val keptPq = SemDedup.semDedupShard(spark, shard, dir, 0.999999,
+      pqMargin = Some(margin)).count()
+    assert(keptPq === keptN, "ADC prefilter + exact verify must agree")
   }
 }

@@ -53,5 +53,35 @@ class PqVolumeSpec extends SparkSpec {
         .head().getLong(0)
       assert(got === top1(i), s"probe $pid: pruned ≠ flat")
     }
+
+    // IVFADC+R on the volume corpus geometry (round 12): the exact
+    // re-rank of a 200-deep ADC shortlist must retrieve at least as much
+    // of the true top-10 as the raw ADC ranking it refines
+    val rPairs = sample.take(3).map { case (_, v) =>
+      val exact = Ann.bruteTopK(base, v, 10).collect()
+        .map(_.getLong(0)).toSet
+      val a = Pq.probeIndexTopK(spark, s"$dir/pqidx", v, 10,
+          nprobe = PqVolume.NCentroids)
+        .collect().map(_.getLong(0)).toSet
+      val r = Pq.probeIndexTopKRerank(spark, s"$dir/pqidx", base, v, 10,
+          nprobe = PqVolume.NCentroids, rerank = 200)
+        .collect().map(_.getLong(0)).toSet
+      (exact.intersect(a).size / 10.0, exact.intersect(r).size / 10.0)
+    }
+    val adc10 = rPairs.map(_._1).sum / 3
+    val rr10 = rPairs.map(_._2).sum / 3
+    info(f"recall@10 — ADC: $adc10%.3f, +rerank(200): $rr10%.3f")
+    assert(rr10 >= adc10,
+      f"exact re-rank must not lose recall: $adc10%.3f vs $rr10%.3f")
+
+    // residual encoding gives up raw encoding's STRUCTURAL copy→base
+    // retrieval (probe and base no longer share codes); the reranked
+    // form restores the 1.0 contract — the cosine-1 base wins the exact
+    // re-score whenever the shortlist contains it
+    val rr1 = sample.take(5).count { case (pid, v) =>
+      Pq.probeIndexTopKRerank(spark, s"$dir/pqidx", base, v, 1,
+        nprobe = 4, rerank = 100).head().getLong(0) == pid - 3 }
+    assert(rr1 === 5,
+      s"re-rank must restore every planted copy's base at rank 1: $rr1/5")
   }
 }
