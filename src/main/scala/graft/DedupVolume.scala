@@ -130,17 +130,20 @@ object DedupVolume {
 
     // the SAME probe through the PQ-accelerated path (round 12): the
     // candidate scan reads the M-byte codes partitions and only ADC
-    // survivors touch the floats for the exact verify. The margin is the
-    // index's STORED CERTIFICATE (max relative quantization error), so
-    // agreement with the exact-only path is provable, not hoped-for —
-    // the first volume run used a guessed 0.05 margin and measured
-    // exactly the failure mode the certificate closes (planted cosine-1
-    // copies whose ADC estimate erred past the guess).
+    // survivors touch the floats for the exact verify. Margin 0.0 —
+    // every candidate row faces its OWN stored certificate (the `qerr`
+    // column: its exact relative quantization error, a Cauchy–Schwarz
+    // bound on the ADC cosine error for ANY probe), so agreement with
+    // the exact-only path is provable, not hoped-for. The history is the
+    // measurement trail: a guessed 0.05 margin MISSED planted cosine-1
+    // copies; the global-max certificate (still recorded below) fixed
+    // recall but measured 0.35 — filtering nothing and costing 13× the
+    // exact path; the per-row form keeps the proof and the cut.
     val pqSafe = graft.sim.SemDedup.pqSafeMargin(spark, s"$workDir/semidx")
     val t3 = System.nanoTime()
     val semKeptPq = graft.sim.SemDedup
       .semDedupShard(spark, shard, s"$workDir/semidx", 0.999999,
-        pqMargin = Some(pqSafe))
+        pqMargin = Some(0.0))
       .count()
     val semPqSec = (System.nanoTime() - t3) / 1e9
 

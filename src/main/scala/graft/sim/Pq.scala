@@ -300,7 +300,12 @@ object Pq {
   //   dir/v<N>/codebooks  (m, code, cv) — frozen RESIDUAL codebooks
   //   dir/v<N>/centroids  (centroid_id, cv) — frozen spherical router
   //   dir/v<N>/codes      (vec_id, codes) PARTITIONED by centroid_id;
-  //                       codes quantize x − c(x) (IVFADC, round 12)
+  //                       codes quantize x − c(x) (IVFADC, round 12);
+  //                       with sqRefine also (sq, norm) — SQ8 codes of
+  //                       the FULL vector + its float norm, the
+  //                       self-contained refine store
+  //   dir/v<N>/sq_params  (sqRefine only) one row (mins, steps) — the
+  //                       frozen [[Sq]] affine params
   //   dir/v<N>/meta       one row (max_id) — monotonic-id high-water mark
   //
   // Both models are FROZEN at build time, so appends are pure functions of
@@ -320,7 +325,8 @@ object Pq {
     * READ-BACK router (the [[SemDedup.writeIndex]] discipline: index and
     * every later probe see byte-identical centroid doubles). */
   def writeIndex(emb: DataFrame, dir: String, mSub: Int, k: Int,
-      nCentroids: Int, routerIters: Int = 3, pqIters: Int = 3): Unit = {
+      nCentroids: Int, routerIters: Int = 3, pqIters: Int = 3,
+      sqRefine: Boolean = false): Unit = {
     val spark = emb.sparkSession
     val version = Versioned.nextVersion(spark, dir)
     val root = s"$dir/$version"
@@ -330,14 +336,48 @@ object Pq {
     val res = residualsRouted(emb, centroids).localCheckpoint()
     val cb = codebooks(res, mSub, k, pqIters).localCheckpoint()
     cb.coalesce(1).write.mode("overwrite").parquet(s"$root/codebooks")
-    encode(res, cb, mSub)
+    val coded = encode(res, cb, mSub)
       .join(res.select("vec_id", "centroid_id"), "vec_id")
-      .write.mode("overwrite").partitionBy("centroid_id")
+    val out = if (!sqRefine) coded else {
+      // SQ8 refine store (the FAISS IndexRefine posture): SQ codes of the
+      // FULL vector (not the residual — the refine must stand alone) plus
+      // its float norm, so the rerank scores a near-exact cosine without
+      // ever reading the float corpus. Params train here and freeze with
+      // the other two models.
+      val p = Sq.train(emb)
+      writeSqParams(spark, root, p)
+      coded.join(sqRefineCols(emb, p), "vec_id")
+    }
+    out.write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$root/codes")
     writeMeta(spark, root, emb.agg(max(col("vec_id").cast("long")))
       .head() match { case r if r.isNullAt(0) => Long.MinValue
                       case r                  => r.getLong(0) })
     Versioned.publish(spark, dir, version)
+  }
+
+  /** (vec_id, sq, norm) for the refine store: map-only SQ8 encode of the
+    * full vectors + their float norms. */
+  private def sqRefineCols(emb: DataFrame, p: Sq.Params): DataFrame =
+    Sq.encode(emb, p).withColumnRenamed("codes", "sq")
+      .join(vecs(emb).select(col("vec_id"),
+        sqrt(dot(col("v"), col("v"))).as("norm")), "vec_id")
+
+  private def writeSqParams(spark: SparkSession, root: String,
+      p: Sq.Params): Unit = {
+    import spark.implicits._
+    Seq((p.mins.toSeq, p.steps.toSeq)).toDF("mins", "steps")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/sq_params")
+  }
+
+  private def readSqParams(spark: SparkSession, root: String): Sq.Params = {
+    val r = spark.read.parquet(s"$root/sq_params").head()
+    Sq.Params(r.getSeq[Double](0).toArray, r.getSeq[Double](1).toArray)
+  }
+
+  private def hasSqParams(spark: SparkSession, root: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(s"$root/sq_params")
+    path.getFileSystem(spark.sessionState.newHadoopConf()).exists(path)
   }
 
   private def writeMeta(spark: SparkSession, root: String,
@@ -378,8 +418,14 @@ object Pq {
           s"${bounds.getLong(0)} <= index high-water mark $maxSeen")
       val cb = spark.read.parquet(s"$root/codebooks")
       val centroids = spark.read.parquet(s"$root/centroids")
-      encodeResidual(shard, centroids, cb, mOf(cb))
-        .write.mode("append").partitionBy("centroid_id")
+      val coded = encodeResidual(shard, centroids, cb, mOf(cb))
+      // an sqRefine index must stay uniformly refinable: encode the shard
+      // against the FROZEN affine params (out-of-range drift saturates —
+      // the documented Sq behavior — it never corrupts the schema)
+      val out = if (!hasSqParams(spark, root)) coded
+        else coded.join(sqRefineCols(shard, readSqParams(spark, root)),
+          "vec_id")
+      out.write.mode("append").partitionBy("centroid_id")
         .parquet(s"$root/codes")
       writeMeta(spark, root, bounds.getLong(1))
     }
@@ -402,6 +448,9 @@ object Pq {
       .write.mode("overwrite").parquet(s"$newRoot/codebooks")
     spark.read.parquet(s"$root/centroids").coalesce(1)
       .write.mode("overwrite").parquet(s"$newRoot/centroids")
+    if (hasSqParams(spark, root))
+      spark.read.parquet(s"$root/sq_params").coalesce(1)
+        .write.mode("overwrite").parquet(s"$newRoot/sq_params")
     spark.read.parquet(s"$root/codes")
       .repartition(col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id")
@@ -417,9 +466,12 @@ object Pq {
     * above: each probed list's ⟨q, c⟩ rides in as a literal map on the
     * partition column). Probe-list ordering matches [[ivfPqTopK]] (desc
     * cosine, ties to the lower id). */
-  def probeIndexTopK(spark: SparkSession, dir: String, probe: Seq[Double],
-      k: Int, nprobe: Int): DataFrame = {
-    val root = Versioned.resolveRoot(spark, dir)
+  /** Driver-side router scoring over the tiny collected centroid table:
+    * the `nprobe` nearest centroids as (cosine, centroid_id, ⟨q, c⟩),
+    * desc cosine with ties to the lower id — the static partition-prune
+    * list every index probe shape shares. */
+  private def routedProbes(spark: SparkSession, root: String,
+      probe: Seq[Double], nprobe: Int): Array[(Double, Long, Double)] = {
     val cents = spark.read.parquet(s"$root/centroids").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
     def dotN(a: Seq[Double], b: Seq[Double]): (Double, Double) = {
@@ -429,9 +481,15 @@ object Pq {
       }
       (d, d / math.sqrt(na * nb))
     }
-    val probed = cents
+    cents
       .map { case (cid, cv) => val (d, c) = dotN(probe, cv); (c, cid, d) }
       .sortBy { case (c, cid, _) => (-c, cid) }.take(nprobe)
+  }
+
+  def probeIndexTopK(spark: SparkSession, dir: String, probe: Seq[Double],
+      k: Int, nprobe: Int): DataFrame = {
+    val root = Versioned.resolveRoot(spark, dir)
+    val probed = routedProbes(spark, root, probe, nprobe)
     val cb = spark.read.parquet(s"$root/codebooks")
     val lut = typedLit(lutFor(cb, probe, mOf(cb)))
     val offMap = map(probed.flatMap { case (_, cid, d) =>
@@ -474,6 +532,47 @@ object Pq {
     vecs(emb)
       .filter(col("vec_id").isin(ids: _*))
       .select(col("vec_id"), VectorMath.cosine(col("v"), p).as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** IVFADC + SQ8 refine — the SELF-CONTAINED rerank (the FAISS
+    * IndexRefine posture with an SQ8 refine store): like
+    * [[probeIndexTopKRerank]], ADC ranks a `rerank`-deep shortlist from
+    * the codes partitions; unlike it, the re-score reads the index's own
+    * `sq`/`norm` columns — SQ8 codes of the full vector at 4× compression
+    * — instead of the caller's float corpus. At 100 TB that matters
+    * because the floats are the thing the index exists to not read: the
+    * refine turns the two-stage scan into a pure index operation (codes
+    * partitions only, both stages statically pruned to the same nprobe
+    * lists), at SQ8's per-dimension-bounded error instead of exactness —
+    * |cos_est − cos| ≤ Σ|q_i|·step_i/2 / (|q|·|x|), [[Sq.errorBound]]'s
+    * certificate divided by the norms the scan carries.
+    *
+    * Requires an index built with `sqRefine = true` (loud otherwise). The
+    * shortlist re-read is a pushed k-bounded `vec_id IN` point-lookup
+    * within the already-pruned partitions — column pruning keeps the ADC
+    * pass reading (vec_id, codes) and only this pass touching (sq, norm).
+    * Ties break by vec_id, the [[Ann.bruteTopK]] convention. */
+  def probeIndexTopKRerankSq(spark: SparkSession, dir: String,
+      probe: Seq[Double], k: Int, nprobe: Int, rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank depth $rerank must be >= k=$k")
+    val root = Versioned.resolveRoot(spark, dir)
+    require(hasSqParams(spark, root),
+      s"index at $dir has no SQ8 refine store — build with sqRefine=true")
+    val p = readSqParams(spark, root)
+    val ids = probeIndexTopK(spark, dir, probe, rerank, nprobe)
+      .select("vec_id").collect().map(_.getLong(0))
+    val (off, w) = Sq.queryParts(p, probe)
+    val qNorm = math.sqrt(probe.map(x => x * x).sum)
+    val probed = routedProbes(spark, root, probe, nprobe)
+    spark.read.parquet(s"$root/codes")
+      .filter(col("centroid_id").isin(probed.map(_._2.toInt): _*)
+        && col("vec_id").isin(ids: _*))
+      .select(col("vec_id"),
+        ((lit(off) + org.apache.spark.sql.graftexpr.SqDotExpr
+          .column(col("sq"), typedLit(w))) / (lit(qNorm) * col("norm")))
+          .as("cosine"))
       .orderBy(desc("cosine"), asc("vec_id"))
       .limit(k)
   }

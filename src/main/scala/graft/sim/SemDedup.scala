@@ -140,37 +140,50 @@ object SemDedup {
       .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
   }
 
-  /** Max over encoded rows of |r − decode(codes(r))| / |x| — the ADC
-    * cosine-error CERTIFICATE: for a probe q and indexed x with exact
-    * cosine c, the ADC estimate (⟨q,c(x)⟩ + ADC)/(|q||x|) differs from c
-    * by |⟨q, r − decode(r)⟩|/(|q||x|) ≤ relErr(x) (Cauchy–Schwarz), so a
-    * [[corpusDupFlags]] pqMargin ≥ this max provably loses NO true pair.
-    * One decode-and-diff pass at build/append time; `res` carries the
+  /** Per-row |r − decode(codes(r))| / |x| — the ADC cosine-error
+    * CERTIFICATE, one value per encoded row: for ANY probe q and indexed
+    * x with exact cosine c, the ADC estimate (⟨q,c(x)⟩ + ADC)/(|q||x|)
+    * differs from c by |⟨q, r − decode(r)⟩|/(|q||x|) ≤ |r − decode(r)|/|x|
+    * (Cauchy–Schwarz) — THIS row's value, independent of q. Stored as the
+    * `qerr` column of the codes table, so the [[corpusDupFlags]]
+    * prefilter is provably lossless at margin 0 while staying TIGHT: each
+    * candidate faces its own bound, not the corpus's single worst row
+    * (the global max — kept in meta for [[pqSafeMargin]] — measured
+    * 0.35 on the volume corpus, wide enough to filter nothing; the
+    * per-row form is what makes the codes path actually cheaper). One
+    * decode-and-diff pass at build/append time; `res` carries the
     * residuals, `norms` the FULL-vector |x|. */
-  private def pqMaxRelErr(res: DataFrame, enc: DataFrame, norms: DataFrame,
-      cb: DataFrame): Double = {
+  private def pqRelErr(res: DataFrame, enc: DataFrame, norms: DataFrame,
+      cb: DataFrame): DataFrame = {
     val dec = enc.select(col("vec_id"),
         posexplode(col("codes")).as(Seq("m", "code")))
       .join(broadcast(cb), Seq("m", "code"))
       .groupBy("vec_id")
       .agg(flatten(transform(array_sort(collect_list(struct(col("m"),
         col("cv")))), s => s.getField("cv"))).as("dec"))
-    val r = res.select(col("vec_id"), col("embedding").as("r"))
+    res.select(col("vec_id"), col("embedding").as("r"))
       .join(dec, "vec_id")
       .join(norms.select(col("vec_id"), col("norm")), "vec_id")
       .withColumn("d", zip_with(col("r"), col("dec"), (a, b) => a - b))
-      .select((sqrt(VectorMath.dot(col("d"), col("d"))) / col("norm"))
-        .as("rel"))
-      .agg(max(col("rel"))).head()
+      .select(col("vec_id"),
+        (sqrt(VectorMath.dot(col("d"), col("d"))) / col("norm"))
+          .as("qerr"))
+  }
+
+  private def maxOf(perRow: DataFrame): Double = {
+    val r = perRow.agg(max(col("qerr"))).head()
     if (r.isNullAt(0)) 0.0 else r.getDouble(0)
   }
 
-  /** The stored certificate ([[pqMaxRelErr]]) of the PUBLISHED index: any
-    * `pqMargin` ≥ this value makes the ADC prefilter provably lossless —
-    * recall identical to the exact-only probe, with the candidate-volume
-    * savings intact. Refuses indexes written before the certificate
-    * existed (rebuild, or pass an explicit margin at your own recall
-    * risk). */
+  /** The stored GLOBAL certificate (max of [[pqRelErr]]) of the
+    * PUBLISHED index: any `pqMargin` ≥ this value makes the ADC prefilter
+    * provably lossless even on an index whose codes predate the per-row
+    * `qerr` column. On a current index this is a diagnostic — the
+    * per-row certificates make `pqMargin = Some(0.0)` already lossless,
+    * and far tighter (the volume corpus measured a 0.35 global max that
+    * filtered nothing, vs per-row bounds that actually cut). Refuses
+    * indexes written before the certificate existed (rebuild, or pass an
+    * explicit margin at your own recall risk). */
   def pqSafeMargin(spark: SparkSession, path: String): Double = {
     val meta = readMeta(spark, resolveRoot(spark, path))
     require(meta.pqM > 0, s"index at $path has no PQ codes")
@@ -300,10 +313,12 @@ object SemDedup {
     val norms = asg.select(col("vec_id"),
       col("centroid_id").cast("int").as("centroid_id"),
       sqrt(VectorMath.dot(col("v"), col("v"))).as("norm"))
-    enc.join(norms, "vec_id")
+    val perRow = pqRelErr(res, enc, norms.select("vec_id", "norm"), cb)
+      .localCheckpoint()
+    enc.join(norms, "vec_id").join(perRow, "vec_id")
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$root/codes")
-    pqMaxRelErr(res, enc, norms.select("vec_id", "norm"), cb)
+    maxOf(perRow)
   }
 
   /** Fold one ingested shard into the PUBLISHED index at SHARD cost — the
@@ -347,14 +362,16 @@ object SemDedup {
         val enc = Pq.encode(res, cb, meta.pqM).localCheckpoint()
         val norms = asg.select(col("vec_id"), col("centroid_id"),
           sqrt(VectorMath.dot(col("v"), col("v"))).as("norm"))
-        enc.join(norms, "vec_id")
+        val perRow = pqRelErr(res, enc, norms.select("vec_id", "norm"), cb)
+          .localCheckpoint()
+        enc.join(norms, "vec_id").join(perRow, "vec_id")
           .write.mode("append").partitionBy("centroid_id")
           .parquet(s"$root/codes")
-        // the certificate must cover the grown index: shard residuals
-        // quantize under codebooks trained WITHOUT them, so their error
-        // can exceed the build-time max
-        val shardErr = pqMaxRelErr(res, enc, norms.select("vec_id", "norm"),
-          cb)
+        // the global certificate must cover the grown index: shard
+        // residuals quantize under codebooks trained WITHOUT them, so
+        // their error can exceed the build-time max (each row still
+        // carries its own exact qerr)
+        val shardErr = maxOf(perRow)
         pqErr = if (pqErr.isNaN) shardErr else math.max(pqErr, shardErr)
       }
       // the high-water mark is a tiny overwrite strictly AFTER the data
@@ -541,14 +558,28 @@ object SemDedup {
           .filter(col("centroid_id").isin(probed: _*))
         val codes = excludeIds.fold(codes0)(ex =>
           codes0.join(ex.select(col("vec_id")), Seq("vec_id"), "left_anti"))
+        // per-row certificate (round 12): each candidate row carries its
+        // OWN ADC error bound (`qerr`, [[pqRelErr]]), so the provably
+        // lossless cut is threshold − qerr_i — tight for the
+        // well-quantized majority — and `margin` is a caller-chosen FLOOR
+        // of extra slack (0.0 is already lossless on a qerr index). The
+        // global-max margin this replaces measured 0.35 on the volume
+        // corpus and filtered nothing. Pre-qerr indexes fall back to the
+        // floor alone — the old contract: lossless only if the caller's
+        // margin covers the index's true max ([[pqSafeMargin]]).
+        val rowSlack =
+          if (codes0.columns.contains("qerr"))
+            greatest(lit(margin), col("i.qerr"))
+          else lit(margin)
         val cands = probeX.alias("p").join(codes.alias("i"),
             col("p.centroid_id") === col("i.centroid_id"))
           .select(col("p.vec_id").as("vec_id"),
             col("i.vec_id").as("dup_of"),
             ((col("p.qdotc") + org.apache.spark.sql.graftexpr.PqAdcExpr
               .column(col("i.codes"), col("p.lut")))
-              / (col("p.qn") * col("i.norm"))).as("approx"))
-          .filter(col("approx") >= threshold - margin)
+              / (col("p.qn") * col("i.norm"))).as("approx"),
+            (lit(threshold) - rowSlack).as("cut"))
+          .filter(col("approx") >= col("cut"))
           .select("vec_id", "dup_of")
         // exact verify: only the ADC survivors touch the float index
         cands

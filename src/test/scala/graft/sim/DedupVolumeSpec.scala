@@ -74,14 +74,19 @@ class DedupVolumeSpec extends SparkSpec {
     assert(shard.count() === n / 10)
     assert(keptN === 0L,
       "every shard vector is a scaled copy of an indexed base — all drop")
-    // the PQ-accelerated probe path reaches the same verdict at the
-    // index's STORED certificate margin — provably lossless, where a
-    // guessed margin measurably was not (the volume run records
-    // sem_pq_agree + sem_pq_margin)
+    // the PQ-accelerated probe path reaches the same verdict at margin
+    // 0.0: each candidate row faces its own stored per-row certificate
+    // (`qerr`), so losslessness is proven row-wise — where a guessed
+    // margin measurably was not, and the global-max certificate (still
+    // stored; printed here) is provable but too loose to cut anything
     val margin = SemDedup.pqSafeMargin(spark, dir)
-    info(f"certificate margin: $margin%.4f")
+    info(f"global certificate margin (diagnostic): $margin%.4f")
     val keptPq = SemDedup.semDedupShard(spark, shard, dir, 0.999999,
-      pqMargin = Some(margin)).count()
+      pqMargin = Some(0.0)).count()
     assert(keptPq === keptN, "ADC prefilter + exact verify must agree")
+    // and at the loose global margin too (the pre-qerr fallback contract)
+    val keptPqG = SemDedup.semDedupShard(spark, shard, dir, 0.999999,
+      pqMargin = Some(margin)).count()
+    assert(keptPqG === keptN, "global-margin prefilter must also agree")
   }
 }

@@ -194,6 +194,93 @@ class PqSpec extends SparkSpec {
     assert(e2.getMessage.contains("monotonic-id"))
   }
 
+  test("SQ8 refine store: self-contained rerank within the analytic " +
+      "error certificate; appends stay refinable; compaction carries it; " +
+      "a refine-less index refuses loudly") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pq_sqrefine").toString
+    val base = emb.filter(col("vec_id") < 450).localCheckpoint()
+    val shard = emb.filter(col("vec_id") >= 450).localCheckpoint()
+    Pq.writeIndex(base, dir, M, K, nCentroids = 16, sqRefine = true)
+    val probe = vecOf(42L)
+
+    // the refine columns are invisible to the ADC pass: the plain probe
+    // still equals the in-memory residual composition
+    val root = graft.core.Versioned.resolveRoot(spark, dir)
+    val cbB = spark.read.parquet(s"$root/codebooks").localCheckpoint()
+    val centB = spark.read.parquet(s"$root/centroids").localCheckpoint()
+    val mem = Pq.ivfPqTopKResidual(Pq.encodeResidual(base, centB, cbB, M),
+        centB, cbB, probe, M, 10, nprobe = 16)
+      .collect().map(_.getLong(0)).toSeq
+    assert(Pq.probeIndexTopK(spark, dir, probe, 10, nprobe = 16)
+      .collect().map(_.getLong(0)).toSeq === mem)
+
+    // full-depth SQ rerank: every returned cosine is within the analytic
+    // SQ8 certificate of the true cosine (unit-normalized corpus and
+    // probe: |q| = |x| = 1, so the bound is errorBound itself), and
+    // recall@10 vs the exact scan is at least the ADC shortlist's
+    val p = Sq.train(base) // same deterministic min/max the index froze
+    val bound = Sq.errorBound(p, probe) + 1e-12
+    val got = Pq.probeIndexTopKRerankSq(spark, dir, probe, 10,
+        nprobe = 16, rerank = 450)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val prL = typedLit(probe)
+    val exactCos = base
+      .filter(col("vec_id").isin(got.map(_._1): _*))
+      .select(col("vec_id"), VectorMath.cosine(
+        col("embedding").cast("array<double>"), prL).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got.foreach { case (id, est) =>
+      assert(math.abs(est - exactCos(id)) <= bound,
+        f"vec $id: SQ cosine $est%.6f vs exact ${exactCos(id)}%.6f " +
+          f"exceeds certificate $bound%.6f") }
+    assert(got.head._1 === 42L, "full-depth SQ rerank self-retrieves")
+    val exact10 = Ann.bruteTopK(base, probe, 10)
+      .collect().map(_.getLong(0)).toSet
+    val adc10 = Pq.probeIndexTopK(spark, dir, probe, 10, nprobe = 16)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.map(_._1).toSet.intersect(exact10).size
+      >= adc10.intersect(exact10).size,
+      "SQ refine must not lose recall vs the raw ADC ranking")
+
+    // plan: both filters reach the scan — the partition prune AND the
+    // pushed shortlist point-lookup
+    val sqPlan = Pq.probeIndexTopKRerankSq(spark, dir, probe, 5,
+        nprobe = 4, rerank = 20)
+      .queryExecution.executedPlan.toString
+    assert(sqPlan.linesIterator.exists(l =>
+      l.contains("PartitionFilters: [") && l.contains("centroid_id")),
+      s"expected a static centroid_id prune:\n$sqPlan")
+    assert(sqPlan.linesIterator.exists(l =>
+      l.contains("PushedFilters: [") && l.contains("vec_id")),
+      s"expected the vec_id shortlist pushed to the scan:\n$sqPlan")
+
+    // frozen-params append: the grown index reranks shard vectors too
+    // (uniform schema — no null sq columns), and compaction carries the
+    // refine store into the new version unchanged
+    Pq.appendIndex(shard, dir)
+    val probeS = vecOf(470L)
+    val gotS = Pq.probeIndexTopKRerankSq(spark, dir, probeS, 5,
+        nprobe = 16, rerank = 100)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(gotS.head._1 === 470L, "appended vector self-retrieves via SQ")
+    assert(gotS.forall(r => !r._2.isNaN), "no null/NaN refine rows")
+    Pq.compactIndex(spark, dir)
+    val gotC = Pq.probeIndexTopKRerankSq(spark, dir, probeS, 5,
+        nprobe = 16, rerank = 100)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(gotC === gotS, "compaction must not change the SQ rerank")
+
+    // an index without the refine store refuses loudly
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_pq_norefine").toString
+    Pq.writeIndex(base, dir2, M, K, nCentroids = 4)
+    val e = intercept[IllegalArgumentException] {
+      Pq.probeIndexTopKRerankSq(spark, dir2, probe, 5, nprobe = 2,
+        rerank = 10) }
+    assert(e.getMessage.contains("sqRefine"))
+  }
+
   private def codesFileCounts(dir: String): Map[String, Int] = {
     val root = graft.core.Versioned.resolveRoot(spark, dir)
     val codes = new java.io.File(s"$root/codes")
