@@ -153,30 +153,31 @@ object Pq {
       width: Int): DataFrame = {
     val dim = v.select(size(col("v"))).head().getInt(0)
     require(dim % mSub == 0, s"dim $dim must be divisible by M=$mSub")
-    val sv = subvectors(v.select(col("vec_id"), col("v")), mSub, dim / mSub)
-    // Zero-padded slots (a subspace with fewer than `width` codes after
-    // degenerate drops) are a DRIVER-KNOWN set — the same for every
-    // probe — so they ride in as a literal and the per-probe assembly is
-    // one sort. The previous map_from_entries + element_at-per-slot form
-    // was O(width²) PER PROBE (element_at on a Catalyst map is a linear
-    // scan): at width 256 and 90k probes that is ~10¹¹ element
-    // comparisons of pure LUT construction — measured 987 s in the
-    // round-12 volume run before this rewrite, seconds after.
-    val present = cb.select("m", "code").collect()
-      .map(r => r.getInt(0) * width + r.getInt(1)).toSet
-    val missing = (0 until mSub * width).filterNot(present)
-    val pad =
-      if (missing.isEmpty) array().cast("array<struct<slot:int,val:double>>")
-      else array(missing.map(s =>
-        struct(lit(s).as("slot"), lit(0.0).as("val"))): _*)
-    sv.join(broadcast(cb), "m")
-      .select(col("vec_id"), (col("m") * width + col("code")).as("slot"),
-        dot(col("sv"), col("cv")).as("val"))
-      .groupBy("vec_id")
-      .agg(transform(
-        array_sort(concat(collect_list(struct(col("slot"), col("val"))),
-          pad)),
-        s => s.getField("val")).as("lut"))
+    val sub = dim / mSub
+    // MAP-ONLY (round 12, third form): the codebook is a frozen k-bounded
+    // model, so it rides driver-side into a flat slot-major literal
+    // (dropped degenerate codes stay zero — dot with a zero codeword is
+    // the 0.0 the old pad encoded) and each probe row builds its whole
+    // LUT in place via the codegen'd `pq_lut` loop. The history is the
+    // measurement trail: form 1 (map_from_entries + element_at per slot)
+    // was O(width²) per probe — 987 s at the volume scale; form 2
+    // (subvector explode ⋈ broadcast cb, groupBy collect back) fixed the
+    // arithmetic but still shuffled probes × M × K slim rows (92M at the
+    // volume scale) to assemble arrays; this form is the same d·W
+    // multiplications with NO exchange at all — at 100 TB the LUT is
+    // born inside the scan stage that reads the probes.
+    val flat = new Array[Double](mSub * width * sub)
+    cb.select("m", "code", "cv").collect().foreach { r =>
+      val cw = r.getSeq[Double](2)
+      require(cw.length == sub,
+        s"codeword dim ${cw.length} != probe subvector dim $sub")
+      val base = (r.getInt(0) * width + r.getInt(1)) * sub
+      var j = 0
+      while (j < sub) { flat(base + j) = cw(j); j += 1 }
+    }
+    v.select(col("vec_id"),
+      org.apache.spark.sql.graftexpr.PqLutExpr.column(
+        col("v"), typedLit(flat.toSeq), lit(mSub)).as("lut"))
   }
 
   /** The stride of [[lutTable]]/[[lutFor]] arrays for `cb`: the widest

@@ -419,6 +419,42 @@ class PqSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("pq_lut: the map-only LUT table equals the driver-side lutFor " +
+      "per probe, with no exchange in the plan, and a mis-shaped " +
+      "codebook surfaces as NULL") {
+    val probes = emb.filter(col("vec_id") < 40)
+    val w = Pq.lutWidth(cb)
+    val table = Pq.lutTable(
+      probes.select(col("vec_id"), col("embedding").as("v")), cb, M, w)
+    // no exchange: the LUT is born inside the probe scan stage
+    val plan = table.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"lutTable must be map-only:\n$plan")
+    // per-row equality with the driver-side single-probe form
+    val got = table.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(got.size === 40)
+    Seq(0L, 7L, 39L).foreach { id =>
+      val exp = Pq.lutFor(cb, vecOf(id), M)
+      val g = got(id)
+      assert(g.length === exp.length, s"probe $id: LUT length")
+      g.indices.foreach { i =>
+        assert(math.abs(g(i) - exp(i)) < 1e-12,
+          s"probe $id slot $i: ${g(i)} vs ${exp(i)}") }
+    }
+    // a codebook whose flat length does not divide the probe dim → NULL,
+    // never a misaligned score; null probe → NULL
+    import spark.implicits._
+    val bad = Seq((1L, Seq(1.0, 2.0, 3.0))).toDF("vec_id", "v")
+      .select(org.apache.spark.sql.graftexpr.PqLutExpr.column(
+        col("v"), typedLit(Seq(1.0, 2.0, 3.0, 4.0)), lit(1)).as("lut"))
+    assert(bad.head().isNullAt(0), "mis-shaped codebook must yield NULL")
+    val nul = Seq(Tuple1(Option.empty[Seq[Double]])).toDF("v")
+      .select(org.apache.spark.sql.graftexpr.PqLutExpr.column(
+        col("v"), typedLit(Seq(1.0, 2.0)), lit(1)).as("lut"))
+    assert(nul.head().isNullAt(0), "null probe must yield NULL")
+  }
+
   test("the PQ scan plan: codegen pq_adc + TakeOrderedAndProject") {
     val df = Pq.topK(enc, cb, vecOf(17L), M, 10)
     df.collect()
