@@ -578,6 +578,34 @@ object Pq {
       .limit(k)
   }
 
+  /** IVF-SQ — the refine store as a first-class scan mode: score the
+    * probed partitions' SQ8 codes directly (no PQ coarse stage), giving
+    * near-exact ANN at the store's 4× compression. One persisted index,
+    * four scan modes along the quantization spectrum: [[probeIndexTopK]]
+    * (coarse ADC, cheapest), THIS (near-exact one-stage),
+    * [[probeIndexTopKRerankSq]] (ADC shortlist + SQ refine),
+    * [[probeIndexTopKRerank]] (ADC shortlist + exact floats). Every
+    * returned cosine is within [[Sq.errorBound]]/(|q|·|x|) of exact —
+    * the same certificate the refine mode carries. */
+  def probeIndexTopKSq(spark: SparkSession, dir: String,
+      probe: Seq[Double], k: Int, nprobe: Int): DataFrame = {
+    val root = Versioned.resolveRoot(spark, dir)
+    require(hasSqParams(spark, root),
+      s"index at $dir has no SQ8 refine store — build with sqRefine=true")
+    val p = readSqParams(spark, root)
+    val (off, w) = Sq.queryParts(p, probe)
+    val qNorm = math.sqrt(probe.map(x => x * x).sum)
+    val probed = routedProbes(spark, root, probe, nprobe)
+    spark.read.parquet(s"$root/codes")
+      .filter(col("centroid_id").isin(probed.map(_._2.toInt): _*))
+      .select(col("vec_id"),
+        ((lit(off) + org.apache.spark.sql.graftexpr.SqDotExpr
+          .column(col("sq"), typedLit(w))) / (lit(qNorm) * col("norm")))
+          .as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** In-memory IVFADC+R twin of [[probeIndexTopKRerank]] for the
     * [[ivfPqTopKResidual]] composition — the A/B surface PqSpec gates:
     * at `rerank` = corpus size this is EXACTLY [[Ann.bruteTopK]] (the

@@ -243,6 +243,22 @@ class PqSpec extends SparkSpec {
       >= adc10.intersect(exact10).size,
       "SQ refine must not lose recall vs the raw ADC ranking")
 
+    // the one-stage IVF-SQ scan mode: same certificate, no shortlist —
+    // at full nprobe its top-10 recalls at least as much of the exact
+    // top-10 as the coarse ADC ranking, and it self-retrieves
+    val sq10 = Pq.probeIndexTopKSq(spark, dir, probe, 10, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(sq10.head._1 === 42L, "IVF-SQ scan self-retrieves")
+    sq10.foreach { case (id, est) =>
+      assert(math.abs(est - exactCos.getOrElse(id, {
+        base.filter(col("vec_id") === id)
+          .select(VectorMath.cosine(
+            col("embedding").cast("array<double>"), prL)).head().getDouble(0)
+      })) <= bound, s"IVF-SQ cosine for $id outside certificate") }
+    assert(sq10.map(_._1).toSet.intersect(exact10).size
+      >= adc10.intersect(exact10).size,
+      "one-stage SQ scan must not lose recall vs coarse ADC")
+
     // plan: both filters reach the scan — the partition prune AND the
     // pushed shortlist point-lookup
     val sqPlan = Pq.probeIndexTopKRerankSq(spark, dir, probe, 5,
