@@ -105,12 +105,17 @@ object PqVolume {
 
     val t0 = System.nanoTime()
     Pq.writeIndex(base, s"$workDir/pqidx", M, K, NCentroids,
-      routerIters = 2, pqIters = 2)
+      routerIters = 2, pqIters = 2, sqRefine = true)
     val buildSec = (System.nanoTime() - t0) / 1e9
     val nIndexed = base.count()
 
     // compression from actual bytes on disk (codes under the PUBLISHED
-    // version root — the index is versioned as of round 12)
+    // version root — the index is versioned as of round 12). The round-12
+    // index carries the SQ8 refine store (sq + norm columns) beside the
+    // PQ codes; `compression` stays the PQ-codes-only number (comparable
+    // to the r11 artifact) measured by rewriting just those columns, and
+    // `refine_bytes`/`compression_with_refine` report the full
+    // four-scan-mode index honestly.
     val root = graft.core.Versioned.resolveRoot(spark, s"$workDir/pqidx")
     def bytesOf(p: String): Long = {
       val path = new org.apache.hadoop.fs.Path(p)
@@ -118,7 +123,12 @@ object PqVolume {
       fs.getContentSummary(path).getLength
     }
     val floatBytes = bytesOf(s"$workDir/vecs")
-    val codeBytes = bytesOf(s"$root/codes")
+    val idxBytes = bytesOf(s"$root/codes")
+    spark.read.parquet(s"$root/codes")
+      .select("vec_id", "codes", "centroid_id")
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$workDir/codes_pq_only")
+    val codeBytes = bytesOf(s"$workDir/codes_pq_only")
 
     // batched flat ADC over a probe sample: the kernel throughput number
     val nSample = 64
@@ -189,11 +199,38 @@ object PqVolume {
     val adc10 = rPairs.map(_._1).sum / nR
     val rr10 = rPairs.map(_._2).sum / nR
 
+    // the refine-store scan modes (round 12) on the same probes:
+    //  - one-stage IVF-SQ: near-exact at 4×, so the planted base should
+    //    win outright — no shortlist, no float read
+    //  - ADC shortlist + SQ refine: the self-contained twin of the float
+    //    rerank above — recall should track rr10 with the floats cold
+    val t5 = System.nanoTime()
+    val sq1Hits = sample.take(nR1).count { case (pid, v) =>
+      Pq.probeIndexTopKSq(spark, s"$workDir/pqidx", v, 1, nprobe = 4)
+        .head().getLong(0) == pid - 3 }
+    val sq1Sec = (System.nanoTime() - t5) / 1e9 / nR1
+    val sq1 = sq1Hits.toDouble / nR1
+    val t6 = System.nanoTime()
+    val sqPairs = sample.take(nR).map { case (_, v) =>
+      val exact = graft.sim.Ann.bruteTopK(base, v, 10)
+        .collect().map(_.getLong(0)).toSet
+      val s1 = Pq.probeIndexTopKSq(spark, s"$workDir/pqidx", v, 10,
+          nprobe = NCentroids)
+        .collect().map(_.getLong(0)).toSet
+      val s2 = Pq.probeIndexTopKRerankSq(spark, s"$workDir/pqidx", v, 10,
+          nprobe = NCentroids, rerank = 2000)
+        .collect().map(_.getLong(0)).toSet
+      (exact.intersect(s1).size / 10.0, exact.intersect(s2).size / 10.0)
+    }
+    val sqScanSec = (System.nanoTime() - t6) / 1e9 / nR
+    val sq10 = sqPairs.map(_._1).sum / nR
+    val sqrr10 = sqPairs.map(_._2).sum / nR
+
     // recall >= 0.9 is the COLLAPSE guard on raw ADC copy-retrieval
     // (residual encoding measured 0.95; a broken LUT/encode reads ~1/n);
     // the 1.0-contract moves to the reranked form
     val ok = recall >= 0.9 && prunedHits >= 4 && rr1 >= 0.99 &&
-      rr10 >= adc10
+      rr10 >= adc10 && sq1 >= 0.99 && sq10 >= 0.9 && sqrr10 >= adc10
     val line =
       f"""{"metric":"pq_adc_row_probes_per_sec",""" +
       f""""value":${nIndexed * sample.size / adcSec}%.0f,"unit":"rows*probes/s",""" +
@@ -210,6 +247,11 @@ object PqVolume {
       f""""recall10_adc":$adc10%.4f,"recall10_rerank":$rr10%.4f,""" +
       f""""rerank_depth":2000,"rerank_probes":$nR,""" +
       f""""rerank_probe_sec":$rerankSec%.2f,""" +
+      f""""refine_bytes":${idxBytes - codeBytes},""" +
+      f""""compression_with_refine":${floatBytes.toDouble / idxBytes}%.1f,""" +
+      f""""recall1_sq":$sq1%.4f,"sq1_probe_sec":$sq1Sec%.2f,""" +
+      f""""recall10_sq":$sq10%.4f,"recall10_sqrerank":$sqrr10%.4f,""" +
+      f""""sq_scan_probe_sec":$sqScanSec%.2f,""" +
       s""""all_ok":$ok}"""
     println(line)
     Artifacts.write("pq_volume.json", line)
