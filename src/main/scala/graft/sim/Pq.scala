@@ -606,6 +606,56 @@ object Pq {
       .limit(k)
   }
 
+  /** BATCHED index probe — the ANN-serving shape: score a whole
+    * DataFrame of probes (vec_id, embedding) in one relational plan
+    * instead of one driver round-trip each. Per-probe LUTs are born
+    * MAP-SIDE via the codegen `pq_lut` (no exchange — the
+    * [[lutTable]] form); routing is a broadcast-router rank (the
+    * [[SemDedup.corpusDupFlags]] shape, ties to the lower centroid like
+    * [[probeIndexTopK]]); and the codes scan is STATICALLY pruned to the
+    * union of all probed lists — a driver-side collect bounded by the
+    * ROUTER size, never the probe count. Returns (probe_id, vec_id,
+    * score, rank) with rank ≤ k per probe, ties to the lower vec_id.
+    * Per-probe results are EXACTLY [[probeIndexTopK]]'s (spec-pinned):
+    * the batch form changes the plan, not the answer. */
+  def probeIndexTopKBatch(spark: SparkSession, dir: String,
+      probes: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val root = Versioned.resolveRoot(spark, dir)
+    val cb = spark.read.parquet(s"$root/codebooks")
+    val mSub = mOf(cb)
+    val cents = spark.read.parquet(s"$root/centroids")
+    val pv = vecs(probes).select(col("vec_id").as("probe_id"), col("v"))
+    val wRoute = Window.partitionBy("probe_id")
+      .orderBy(desc("csim"), asc("centroid_id"))
+    val routed = pv
+      .crossJoin(broadcast(cents.select(col("centroid_id"), col("cv"))))
+      .select(col("probe_id"), col("centroid_id"),
+        VectorMath.cosine(col("v"), col("cv")).as("csim"),
+        dot(col("v"), col("cv")).as("off"))
+      .withColumn("pr", row_number().over(wRoute))
+      .filter(col("pr") <= nprobe)
+      .select(col("probe_id"),
+        col("centroid_id").cast("int").as("centroid_id"), col("off"))
+      .localCheckpoint()
+    val probedCids = routed.select("centroid_id").distinct()
+      .collect().map(_.getInt(0)).toSeq // ≤ router size, never probe count
+    val luts = lutTable(pv.select(col("probe_id").as("vec_id"), col("v")),
+        cb, mSub, lutWidth(cb))
+      .withColumnRenamed("vec_id", "probe_id")
+    val px = routed.join(luts, "probe_id")
+    val wk = Window.partitionBy("probe_id")
+      .orderBy(desc("score"), asc("vec_id"))
+    spark.read.parquet(s"$root/codes")
+      .filter(col("centroid_id").isin(probedCids: _*))
+      .join(px, "centroid_id")
+      .select(col("probe_id"), col("vec_id"),
+        (col("off") + org.apache.spark.sql.graftexpr.PqAdcExpr
+          .column(col("codes"), col("lut"))).as("score"))
+      .withColumn("rank", row_number().over(wk))
+      .filter(col("rank") <= k)
+      .orderBy("probe_id", "rank")
+  }
+
   /** In-memory IVFADC+R twin of [[probeIndexTopKRerank]] for the
     * [[ivfPqTopKResidual]] composition — the A/B surface PqSpec gates:
     * at `rerank` = corpus size this is EXACTLY [[Ann.bruteTopK]] (the

@@ -435,6 +435,34 @@ class PqSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("batched index probe: per-probe results exactly equal the " +
+      "single-probe scan; the codes read stays statically pruned") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pq_batch").toString
+    Pq.writeIndex(emb, dir, M, K, nCentroids = 16)
+    val probeIds = Seq(3L, 42L, 101L, 260L, 444L)
+    val probes = emb.filter(col("vec_id").isin(probeIds: _*))
+      .localCheckpoint()
+    val batch = Pq.probeIndexTopKBatch(spark, dir, probes, 10, nprobe = 4)
+    val byProbe = batch.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .groupBy(_._1)
+    probeIds.foreach { pid =>
+      val single = Pq.probeIndexTopK(spark, dir, vecOf(pid), 10, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val got = byProbe(pid).sortBy(_._4).map(t => (t._2, t._3)).toSeq
+      assert(got.map(_._1) === single.map(_._1), s"probe $pid: ids differ")
+      got.zip(single).foreach { case ((_, s1), (_, s2)) =>
+        assert(math.abs(s1 - s2) < 1e-9, s"probe $pid: scores differ") }
+    }
+    // the codes scan carries the static union-of-probed-lists prune
+    val plan = Pq.probeIndexTopKBatch(spark, dir, probes, 5, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PartitionFilters: [") && l.contains("centroid_id")),
+      s"expected a static centroid_id prune on the batch scan:\n$plan")
+  }
+
   test("pq_lut: the map-only LUT table equals the driver-side lutFor " +
       "per probe, with no exchange in the plan, and a mis-shaped " +
       "codebook surfaces as NULL") {
