@@ -376,9 +376,44 @@ object Pq {
     Sq.Params(r.getSeq[Double](0).toArray, r.getSeq[Double](1).toArray)
   }
 
-  private def hasSqParams(spark: SparkSession, root: String): Boolean = {
-    val path = new org.apache.hadoop.fs.Path(s"$root/sq_params")
+  private def hasSqParams(spark: SparkSession, root: String): Boolean =
+    pathExists(spark, s"$root/sq_params")
+
+  private def pathExists(spark: SparkSession, p: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(p)
     path.getFileSystem(spark.sessionState.newHadoopConf()).exists(path)
+  }
+
+  /** TOMBSTONE the given vectors (round 12 — the takedown path the
+    * append-only contract cannot express, [[graft.sim.Curation.retract]]'s
+    * shape for the standalone ANN index): every probe mode excludes them
+    * from results immediately; [[compactIndex]] makes the drop physical
+    * and starts the new version with a clean tombstone set. Idempotent at
+    * vec_id granularity (the probe-side exclusion reads DISTINCT ids, so
+    * a replayed retraction changes nothing). The high-water mark does NOT
+    * rewind: a retracted id stays burned, and re-adding equivalent
+    * content takes a fresh id — the monotonic-ingest contract everywhere
+    * in this repo. */
+  def retract(spark: SparkSession, dir: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    if (ids.nonEmpty) {
+      val root = Versioned.resolveRoot(spark, dir)
+      ids.toDF("vec_id").coalesce(1)
+        .write.mode("append").parquet(s"$root/tombstones")
+    }
+  }
+
+  /** The codes table minus any tombstoned rows — the single read path
+    * every probe mode shares. The anti-join only appears when a
+    * tombstone set exists, so the normal (takedown-free) plan keeps its
+    * spec-pinned scan-only shape. */
+  private def liveCodes(spark: SparkSession, root: String): DataFrame = {
+    val codes = spark.read.parquet(s"$root/codes")
+    if (!pathExists(spark, s"$root/tombstones")) codes
+    else codes.join(
+      broadcast(spark.read.parquet(s"$root/tombstones")
+        .select("vec_id").distinct()),
+      Seq("vec_id"), "left_anti")
   }
 
   private def writeMeta(spark: SparkSession, root: String,
@@ -452,7 +487,10 @@ object Pq {
     if (hasSqParams(spark, root))
       spark.read.parquet(s"$root/sq_params").coalesce(1)
         .write.mode("overwrite").parquet(s"$newRoot/sq_params")
-    spark.read.parquet(s"$root/codes")
+    // liveCodes drops tombstoned rows — compaction makes the takedown
+    // PHYSICAL, and the new version starts with a clean tombstone set
+    // (the tombstones dir is deliberately not copied)
+    liveCodes(spark, root)
       .repartition(col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$newRoot/codes")
@@ -495,7 +533,7 @@ object Pq {
     val lut = typedLit(lutFor(cb, probe, mOf(cb)))
     val offMap = map(probed.flatMap { case (_, cid, d) =>
       Seq(lit(cid.toInt), lit(d)) }: _*)
-    spark.read.parquet(s"$root/codes")
+    liveCodes(spark, root)
       .filter(col("centroid_id").isin(probed.map(_._2.toInt): _*))
       .select(col("vec_id"),
         (element_at(offMap, col("centroid_id"))
@@ -567,7 +605,7 @@ object Pq {
     val (off, w) = Sq.queryParts(p, probe)
     val qNorm = math.sqrt(probe.map(x => x * x).sum)
     val probed = routedProbes(spark, root, probe, nprobe)
-    spark.read.parquet(s"$root/codes")
+    liveCodes(spark, root)
       .filter(col("centroid_id").isin(probed.map(_._2.toInt): _*)
         && col("vec_id").isin(ids: _*))
       .select(col("vec_id"),
@@ -596,7 +634,7 @@ object Pq {
     val (off, w) = Sq.queryParts(p, probe)
     val qNorm = math.sqrt(probe.map(x => x * x).sum)
     val probed = routedProbes(spark, root, probe, nprobe)
-    spark.read.parquet(s"$root/codes")
+    liveCodes(spark, root)
       .filter(col("centroid_id").isin(probed.map(_._2.toInt): _*))
       .select(col("vec_id"),
         ((lit(off) + org.apache.spark.sql.graftexpr.SqDotExpr
@@ -645,7 +683,7 @@ object Pq {
     val px = routed.join(luts, "probe_id")
     val wk = Window.partitionBy("probe_id")
       .orderBy(desc("score"), asc("vec_id"))
-    spark.read.parquet(s"$root/codes")
+    liveCodes(spark, root)
       .filter(col("centroid_id").isin(probedCids: _*))
       .join(px, "centroid_id")
       .select(col("probe_id"), col("vec_id"),

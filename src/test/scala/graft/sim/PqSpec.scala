@@ -435,6 +435,54 @@ class PqSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("retraction: tombstoned vectors vanish from every scan mode, " +
+      "other results are untouched, compaction makes the drop physical " +
+      "and clears the tombstones, replay is a no-op") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pq_retract").toString
+    Pq.writeIndex(emb, dir, M, K, nCentroids = 16, sqRefine = true)
+    val probe = vecOf(42L)
+    val before = Pq.probeIndexTopK(spark, dir, probe, 10, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(before.head._1 === 42L)
+
+    Pq.retract(spark, dir, Seq(42L))
+    val after = Pq.probeIndexTopK(spark, dir, probe, 10, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(!after.map(_._1).contains(42L), "retracted id must not surface")
+    // exactly the pre-retraction ranking minus the retracted row, plus
+    // one promoted tail entry — order and scores of survivors unchanged
+    assert(after.take(9) === before.filterNot(_._1 == 42L),
+      "surviving results must be untouched")
+    assert(!Pq.probeIndexTopKSq(spark, dir, probe, 10, nprobe = 16)
+      .collect().map(_.getLong(0)).contains(42L), "SQ scan excludes too")
+    assert(!Pq.probeIndexTopKRerankSq(spark, dir, probe, 10, nprobe = 16,
+        rerank = 50)
+      .collect().map(_.getLong(0)).contains(42L), "SQ rerank excludes too")
+    val batch = Pq.probeIndexTopKBatch(spark, dir,
+        emb.filter(col("vec_id") === 42L), 10, nprobe = 16)
+      .collect().map(_.getLong(1))
+    assert(!batch.contains(42L), "batch probe excludes too")
+
+    // replayed retraction is a no-op at verdict level
+    Pq.retract(spark, dir, Seq(42L))
+    assert(Pq.probeIndexTopK(spark, dir, probe, 10, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq === after)
+
+    // compaction: the drop becomes physical, the tombstone set clears,
+    // probes unchanged
+    val rowsBefore = spark.read.parquet(
+      s"${graft.core.Versioned.resolveRoot(spark, dir)}/codes").count()
+    Pq.compactIndex(spark, dir)
+    val newRoot = graft.core.Versioned.resolveRoot(spark, dir)
+    assert(spark.read.parquet(s"$newRoot/codes").count() === rowsBefore - 1,
+      "compaction must drop the tombstoned row physically")
+    assert(!new java.io.File(s"$newRoot/tombstones").exists(),
+      "the new version starts with a clean tombstone set")
+    assert(Pq.probeIndexTopK(spark, dir, probe, 10, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq === after)
+  }
+
   test("batched index probe: per-probe results exactly equal the " +
       "single-probe scan; the codes read stays statically pruned") {
     val dir = java.nio.file.Files
