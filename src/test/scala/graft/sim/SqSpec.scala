@@ -51,6 +51,30 @@ class SqSpec extends SparkSpec {
     }
   }
 
+  test("out-of-range values SATURATE to the trained range — the frozen-" +
+      "params contract shard drift relies on: clamped codes, no nulls, " +
+      "error bounded by the overshoot") {
+    import spark.implicits._
+    // params trained on [0, 1] per dim; the shard drifts beyond both ends
+    val trainDf = Seq((0L, Seq(0.0, 0.0)), (1L, Seq(1.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val p = Sq.train(trainDf)
+    val drift = Seq((2L, Seq(-0.7, 1.9)), (3L, Seq(0.5, 0.5)))
+      .toDF("vec_id", "embedding")
+    val got = Sq.encode(drift, p).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(got(2L) === Seq(0, 255),
+      "below-range clamps to 0, above-range to 255 — never null, never " +
+        "out of [0,255]")
+    assert(got(3L) === Seq(128, 128), "in-range still rounds normally")
+    // decode error of the saturated dims equals the overshoot, and stays
+    // bounded: decode(0)=min=0.0 (err 0.7), decode(255)=max=1.0 (err 0.9)
+    val dec0 = p.mins(0) + p.steps(0) * got(2L)(0)
+    val dec1 = p.mins(1) + p.steps(1) * got(2L)(1)
+    assert(math.abs(math.abs(dec0 - (-0.7)) - 0.7) < 1e-12)
+    assert(math.abs(math.abs(dec1 - 1.9) - 0.9) < 1e-12)
+  }
+
   test("sq_dot score ≡ offset + Σ weights·codes exactly, and the score " +
       "error vs the exact dot respects the analytic bound") {
     val probe = vecOf(17L)
