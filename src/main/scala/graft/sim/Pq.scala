@@ -66,12 +66,26 @@ object Pq {
 
   /** Train the M per-subspace codebooks over `emb`: Euclidean Lloyd with
     * seeded init (subvectors of the first `k` vectors by vec_id), `iters`
-    * fixed iterations, dense re-index at the end. Returns (m, code, cv). */
-  def codebooks(emb: DataFrame, mSub: Int, k: Int, iters: Int = 3): DataFrame = {
-    val v = vecs(emb)
-    val dim = v.select(size(col("v"))).head().getInt(0)
+    * fixed iterations, dense re-index at the end. Returns (m, code, cv).
+    *
+    * Training runs on at most ~`maxTrain` rows — the standard PQ
+    * production practice (Lloyd over the full corpus is neither possible
+    * at 10¹¹ rows nor useful: codebook quality saturates long before) —
+    * selected by a DETERMINISTIC hash of vec_id, so the frozen-model
+    * discipline is untouched: same corpus → same sample → same
+    * codebooks, and re-sharding cannot change them. ENCODING still
+    * covers every row; only the Lloyd iterations see the sample. Corpora
+    * at or under the cap train exactly as before. */
+  def codebooks(emb: DataFrame, mSub: Int, k: Int, iters: Int = 3,
+      maxTrain: Long = 200000L): DataFrame = {
+    val v0 = vecs(emb)
+    val dim = v0.select(size(col("v"))).head().getInt(0)
     require(dim % mSub == 0, s"dim $dim must be divisible by M=$mSub")
     val sub = dim / mSub
+    val n = v0.count()
+    val v = if (n <= maxTrain) v0
+      else v0.filter(
+        pmod(xxhash64(col("vec_id")), lit(n / maxTrain + 1)) === 0)
     val sv = subvectors(v, mSub, sub).localCheckpoint() // scanned 2×iters
     // seed by RANK, not by raw id value (ADVICE r11): `vec_id < k` seeds
     // fewer than k codes on sparse ids and an EMPTY codebook when ids

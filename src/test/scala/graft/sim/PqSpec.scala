@@ -435,6 +435,26 @@ class PqSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("codebook training above the sample cap: deterministic hash " +
+      "subsample, every row still encodes, retrieval keeps working") {
+    val cbS1 = Pq.codebooks(emb, M, K, iters = 2, maxTrain = 100)
+      .localCheckpoint()
+    val cbS2 = Pq.codebooks(emb, M, K, iters = 2, maxTrain = 100)
+    assert(cbS1.collect().map(_.toString).sorted
+      === cbS2.collect().map(_.toString).sorted,
+      "sampled training must stay deterministic")
+    val encS = Pq.encode(emb, cbS1, M).localCheckpoint()
+    assert(encS.count() === emb.count(),
+      "encoding covers every row, sampled training or not")
+    val w = Pq.lutWidth(cbS1)
+    assert(encS.select(explode(col("codes")).as("c"))
+      .filter(col("c") < 0 || col("c") >= w).count() === 0L,
+      "all codes index real codebook rows")
+    // sample-trained codes still self-retrieve: the probe's own row wins
+    val probe = vecOf(42L)
+    assert(Pq.topK(encS, cbS1, probe, M, 1).head().getLong(0) === 42L)
+  }
+
   test("retraction: tombstoned vectors vanish from every scan mode, " +
       "other results are untouched, compaction makes the drop physical " +
       "and clears the tombstones, replay is a no-op") {
