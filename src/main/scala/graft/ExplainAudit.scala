@@ -291,7 +291,31 @@ object ExplainAudit {
         "HashAggregate".r.findAllIn(f).size >= 2 &&
           !f.contains("SortMergeJoin") && !f.contains("lambdafunction") &&
           !f.contains("text#")
-      })
+      }),
+    // the BQ probe is a pure signature scan: packed-long bit arithmetic
+    // + TakeOrdered — a join, a hash exchange, or a HOF lambda here means
+    // the 32×-compression scan stopped being a scan
+    ("sim_bq_topk", "lambda-free bit_count scan + TakeOrderedAndProject",
+      p => p.contains("TakeOrderedAndProject") && p.contains("bit_count")
+        && !p.contains("lambdafunction")
+        && !finalPlan(p).contains("SortMergeJoin")),
+    // the LM tables (bigram, unigram ×2, corpus N) must all broadcast
+    // back onto the transition stream — any sort-merge join re-shuffles
+    // the corpus-sized fan-out once per LM table at 100 TB; the per-doc
+    // rollup must be partial+final
+    ("text_lm_score", "broadcast LM tables + two-phase doc rollup, no SMJ",
+      p => {
+        val f = finalPlan(p)
+        "BroadcastHashJoin".r.findAllIn(f).size >= 3 &&
+          "HashAggregate".r.findAllIn(f).size >= 2 &&
+          !f.contains("SortMergeJoin") && !f.contains("lambdafunction")
+      }),
+    // round-1 BPE pair stats: the slice+zip fan-out must stay a generate
+    // (no lambda, no join) feeding a partial+final count with TakeOrdered
+    ("text_bpe_pairs", "lambda-free pair fan-out + partial agg + TakeOrdered",
+      p => p.contains("TakeOrderedAndProject")
+        && "HashAggregate".r.findAllIn(finalPlan(p)).size >= 2
+        && !p.contains("Join") && !p.contains("lambdafunction"))
   )
 
   /** Executes each checked query (collect(), so AQE finalizes — codegen

@@ -18,6 +18,7 @@ object SparkEntry {
     ops.SqlFrontend.queries,
     ops.Scalars.queries,
     text.TextOps.queries,
+    text.Bpe.queries,
     text.SubstringDedup.queries,
     sim.Similarity.queries,
     sim.Dedup.queries,
@@ -31,6 +32,7 @@ object SparkEntry {
     ops.SqlFrontend.oracleSql,
     ops.Scalars.oracleSql,
     text.TextOps.oracleSql,
+    text.Bpe.oracleSql,
     text.SubstringDedup.oracleSql,
     sim.Similarity.oracleSql,
     sim.Dedup.oracleSql,

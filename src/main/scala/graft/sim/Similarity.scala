@@ -37,6 +37,24 @@ object Similarity {
       Sq.encode(emb, Sq.train(emb)).orderBy("vec_id")
     }),
 
+    // Binary-quantization top-k (round 12, [[Bq]]): sign-bit signatures,
+    // Hamming distance to the probe (vec_id 0), nearest 20. Declared on
+    // the DISTANCE scan because Hamming is integer — exactly comparable
+    // across engines with no float-summation-order hazard — while the
+    // engine's packed-long representation stays an implementation detail
+    // the oracle never sees (DuckDB recomputes the same distance as a
+    // per-dimension sign-disagreement count). Scale shape: map-only
+    // signature scan (bit_count(xor) per word, whole-stage codegen) +
+    // TakeOrderedAndProject; the floats are never touched.
+    "sim_bq_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val enc = Bq.encode(emb, 64)
+      val probe = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      Bq.topK(enc.filter(col("vec_id") =!= 0), Bq.signature(probe), 20)
+    }),
+
     // Brute-force exact cosine top-k against a probe vector (vec_id 0).
     // The broadcast probe keeps this a single narrow map over the corpus +
     // TakeOrderedAndProject — the right baseline shape at any scale.
@@ -465,6 +483,20 @@ object Similarity {
         |  FROM e JOIN d USING (pos))
         |SELECT vec_id, list(code ORDER BY pos) AS codes
         |FROM c GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    // the oracle never sees the packed longs: Hamming distance is
+    // recomputed as a per-dimension sign-disagreement count over the raw
+    // arrays ((a_i >= 0) <> (p_i >= 0)) — integer output, no float
+    // summation anywhere
+    "sim_bq_topk" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |probe AS (SELECT v AS p FROM emb WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  CAST(len(list_filter(range(1, 65),
+        |    i -> (v[i] >= 0) <> (p[i] >= 0))) AS INTEGER) AS hamming
+        |FROM emb CROSS JOIN probe WHERE vec_id <> 0
+        |ORDER BY hamming ASC, vec_id ASC LIMIT 20""".stripMargin,
 
     "sim_cosine_topk" ->
       """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -412,6 +412,68 @@ object TextOps {
         .limit(20)
     }),
 
+    // Corpus-trained stupid-backoff bigram LM quality score (Brants et
+    // al. 2007 "Large Language Models in Machine Translation" — the
+    // CCNet-style "how well does the LM explain this document" quality
+    // filter, log-free). The LM is the corpus itself: bigram counts
+    // thresholded to cb ≥ 2 ("known" transitions — without the threshold
+    // every document trivially explains itself) plus unigram counts. Per
+    // doc:  score = Σcb/Σcu(prev) over known transitions  +  0.4 ·
+    // Σcu(cur)/(n_unseen·N) over unknown ones (the stupid-backoff α=0.4
+    // unigram fallback, aggregated instead of per-transition so the
+    // floats never sum). Every per-doc aggregate is an INTEGER sum —
+    // exact and summation-order-free — and the doubles appear only in ONE
+    // fixed tree of exactly-rounded IEEE ops at the end (the text_tfidf
+    // discipline), so the score is bit-exact against the oracle despite
+    // SQL SUM's unspecified order. Docs with no transitions (< 2 tokens)
+    // have no LM evidence and drop out in both engines. Scale shape:
+    // transitions fan out lambda-free (the text_ngrams slice+zip); the
+    // bigram/unigram LM tables are vocabulary-bounded and BROADCAST back;
+    // the per-doc rollup is the one corpus-sized groupBy; N rides a 1-row
+    // broadcast.
+    "text_lm_score" -> ((s, d) => {
+      val toks = col("toks")
+      val docs = Tables.documents(s, d)
+      val trans = docs
+        .select(col("doc_id"), tokens.as("toks"))
+        .select(col("doc_id"),
+          slice(toks, lit(1), size(toks) - 1).as("a"),
+          slice(toks, lit(2), size(toks) - 1).as("b"))
+        .select(col("doc_id"), explode(arrays_zip(col("a"), col("b"))).as("p"))
+        .select(col("doc_id"), col("p.a").as("prev"), col("p.b").as("cur"))
+      val big = trans.groupBy("prev", "cur")
+        .agg(count(lit(1)).as("cb")).filter(col("cb") >= 2)
+      val uni = docs.select(explode(tokens).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cu"))
+      val n = uni.agg(sum("cu").cast("long").as("n_tokens"))
+      trans
+        .join(broadcast(big), Seq("prev", "cur"), "left")
+        .join(broadcast(uni.select(col("w").as("prev"),
+          col("cu").as("cu_prev"))), Seq("prev"))
+        .join(broadcast(uni.select(col("w").as("cur"),
+          col("cu").as("cu_cur"))), Seq("cur"))
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_trans"),
+          count(col("cb")).as("n_seen"),
+          coalesce(sum("cb"), lit(0L)).cast("long").as("hit_num"),
+          coalesce(sum(when(col("cb").isNotNull, col("cu_prev"))), lit(0L))
+            .cast("long").as("ctx_den"),
+          (count(lit(1)) - count(col("cb"))).as("n_unseen"),
+          coalesce(sum(when(col("cb").isNull, col("cu_cur"))), lit(0L))
+            .cast("long").as("bo_num"))
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("n_trans"), col("n_seen"),
+          col("hit_num"), col("ctx_den"), col("n_unseen"), col("bo_num"),
+          (when(col("n_seen") === 0, lit(0.0)).otherwise(
+             col("hit_num").cast("double") / col("ctx_den").cast("double"))
+           + lit(0.4) * when(col("n_unseen") === 0, lit(0.0)).otherwise(
+               col("bo_num").cast("double")
+                 / (col("n_unseen").cast("double")
+                    * col("n_tokens").cast("double"))))
+            .as("lm_score"))
+        .orderBy("doc_id")
+    }),
+
     // Train/eval contamination check — the n-gram-overlap audit every LLM
     // data pipeline runs before trusting an eval: which eval-split
     // documents (source src0) share rare 5-grams with any train-split
@@ -778,6 +840,44 @@ object TextOps {
         |  AS bm25
         |FROM docs CROSS JOIN stats
         |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin,
+
+    // integer sums per doc, one fixed CASE/division tree at the end —
+    // mirrors the Spark expression op-for-op (the bigram fan-out rides a
+    // 'prev cur' join string because tokens are space-free by
+    // construction, so the re-split is lossless)
+    "text_lm_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |tr0 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i + 1])) AS bg FROM t),
+        |tr AS (SELECT doc_id, string_split(bg, ' ')[1] AS prev,
+        |    string_split(bg, ' ')[2] AS cur FROM tr0),
+        |big AS (SELECT prev, cur, COUNT(*) AS cb FROM tr
+        |  GROUP BY prev, cur HAVING COUNT(*) >= 2),
+        |uni AS (SELECT w, COUNT(*) AS cu FROM
+        |  (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w),
+        |n AS (SELECT CAST(SUM(cu) AS BIGINT) AS n_tokens FROM uni),
+        |j AS (SELECT tr.doc_id, b.cb, up.cu AS cu_prev, uc.cu AS cu_cur
+        |  FROM tr LEFT JOIN big b ON b.prev = tr.prev AND b.cur = tr.cur
+        |  JOIN uni up ON up.w = tr.prev
+        |  JOIN uni uc ON uc.w = tr.cur),
+        |d AS (SELECT doc_id, COUNT(*) AS n_trans, COUNT(cb) AS n_seen,
+        |    CAST(COALESCE(SUM(cb), 0) AS BIGINT) AS hit_num,
+        |    CAST(COALESCE(SUM(CASE WHEN cb IS NOT NULL THEN cu_prev END),
+        |      0) AS BIGINT) AS ctx_den,
+        |    COUNT(*) - COUNT(cb) AS n_unseen,
+        |    CAST(COALESCE(SUM(CASE WHEN cb IS NULL THEN cu_cur END),
+        |      0) AS BIGINT) AS bo_num
+        |  FROM j GROUP BY doc_id)
+        |SELECT doc_id, n_trans, n_seen, hit_num, ctx_den, n_unseen, bo_num,
+        |  (CASE WHEN n_seen = 0 THEN 0.0
+        |        ELSE CAST(hit_num AS DOUBLE) / CAST(ctx_den AS DOUBLE) END)
+        |  + 0.4 * (CASE WHEN n_unseen = 0 THEN 0.0
+        |        ELSE CAST(bo_num AS DOUBLE)
+        |          / (CAST(n_unseen AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+        |        END) AS lm_score
+        |FROM d CROSS JOIN n ORDER BY doc_id""".stripMargin,
 
     "text_contamination" ->
       """WITH g AS (SELECT DISTINCT doc_id, source, unnest(list_transform(
