@@ -276,6 +276,37 @@ object Streaming {
         shingleK)
     }
 
+  /** Online LM quality scoring — the streaming twin of `text_lm_score`
+    * against the PERSISTED LM index ([[graft.text.LmScore]]): each
+    * micro-batch of (doc_id, text) documents is scored with the SAME
+    * expression the oracled batch query uses, against the frozen counts
+    * published at `lmDir`. This is the quality gate in front of a
+    * training-data ingest queue: score arriving docs, route low-scoring
+    * ones to review.
+    *
+    * STATELESS by the same argument as [[streamCorpusDupFlags]] — the
+    * per-doc rollup happens WITHIN a micro-batch (a document arrives
+    * whole, the upstream framing contract), so no watermark and no state
+    * store; the LM is re-resolved from the versioned pointer each batch
+    * inside foreachBatch, so an [[graft.text.LmScore.appendLm]] or
+    * [[graft.text.LmScore.compactLm]] between batches takes effect at
+    * the next batch boundary (the `streamCorpusDupFlagsLive` posture;
+    * [[graft.core.Versioned]]'s atomic flip means a mid-stream compaction
+    * can never expose a half-written LM). The spec gate: streamed scores
+    * ≡ the batch scorer on each batch's documents. */
+  def streamLmScore(docs: DataFrame, lmDir: String,
+      sink: (DataFrame, Long) => Unit,
+      minCount: Long = graft.text.LmScore.MinCount)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      if (!batch.isEmpty) {
+        val lm = graft.text.LmScore.readLm(batch.sparkSession, lmDir,
+          minCount)
+        sink(graft.text.LmScore.score(batch, lm), id)
+      }
+    }
+
   // ------------------------------------------------------------ B10.6
 
   final case class UserEvent(event_id: Long, ts: java.sql.Timestamp,

@@ -431,47 +431,12 @@ object TextOps {
     // bigram/unigram LM tables are vocabulary-bounded and BROADCAST back;
     // the per-doc rollup is the one corpus-sized groupBy; N rides a 1-row
     // broadcast.
+    // (body lives in [[LmScore]] — ONE scoring expression shared with
+    // the persisted-index probe and the streaming twin, so the oracled
+    // path and the deployment paths cannot drift)
     "text_lm_score" -> ((s, d) => {
-      val toks = col("toks")
       val docs = Tables.documents(s, d)
-      val trans = docs
-        .select(col("doc_id"), tokens.as("toks"))
-        .select(col("doc_id"),
-          slice(toks, lit(1), size(toks) - 1).as("a"),
-          slice(toks, lit(2), size(toks) - 1).as("b"))
-        .select(col("doc_id"), explode(arrays_zip(col("a"), col("b"))).as("p"))
-        .select(col("doc_id"), col("p.a").as("prev"), col("p.b").as("cur"))
-      val big = trans.groupBy("prev", "cur")
-        .agg(count(lit(1)).as("cb")).filter(col("cb") >= 2)
-      val uni = docs.select(explode(tokens).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("cu"))
-      val n = uni.agg(sum("cu").cast("long").as("n_tokens"))
-      trans
-        .join(broadcast(big), Seq("prev", "cur"), "left")
-        .join(broadcast(uni.select(col("w").as("prev"),
-          col("cu").as("cu_prev"))), Seq("prev"))
-        .join(broadcast(uni.select(col("w").as("cur"),
-          col("cu").as("cu_cur"))), Seq("cur"))
-        .groupBy("doc_id").agg(
-          count(lit(1)).as("n_trans"),
-          count(col("cb")).as("n_seen"),
-          coalesce(sum("cb"), lit(0L)).cast("long").as("hit_num"),
-          coalesce(sum(when(col("cb").isNotNull, col("cu_prev"))), lit(0L))
-            .cast("long").as("ctx_den"),
-          (count(lit(1)) - count(col("cb"))).as("n_unseen"),
-          coalesce(sum(when(col("cb").isNull, col("cu_cur"))), lit(0L))
-            .cast("long").as("bo_num"))
-        .crossJoin(broadcast(n))
-        .select(col("doc_id"), col("n_trans"), col("n_seen"),
-          col("hit_num"), col("ctx_den"), col("n_unseen"), col("bo_num"),
-          (when(col("n_seen") === 0, lit(0.0)).otherwise(
-             col("hit_num").cast("double") / col("ctx_den").cast("double"))
-           + lit(0.4) * when(col("n_unseen") === 0, lit(0.0)).otherwise(
-               col("bo_num").cast("double")
-                 / (col("n_unseen").cast("double")
-                    * col("n_tokens").cast("double"))))
-            .as("lm_score"))
-        .orderBy("doc_id")
+      LmScore.score(docs, LmScore.lmFrom(docs)).orderBy("doc_id")
     }),
 
     // Train/eval contamination check — the n-gram-overlap audit every LLM
