@@ -68,18 +68,29 @@ object LmScore {
   }
 
   /** In-memory LM over a corpus — what the declared query uses (the LM
-    * is the corpus itself). */
-  def lmFrom(docs: DataFrame, minCount: Long = MinCount): Lm = {
+    * is the corpus itself).
+    *
+    * `uniMinCount` is the standard VOCABULARY cut (CCNet-style): words
+    * rarer than it drop from the unigram table and score as OOV (zero
+    * backoff mass). Default 1 — no cut, the oracled query's form. On
+    * noisy corpora the cut is what keeps the "vocabulary-bounded LM
+    * tables" claim true: hash-junk tokens are near-unique, so without it
+    * the unigram table grows with the CORPUS, not the language
+    * ([[graft.LmVolume]] plants exactly that and runs with the cut; N
+    * then measures the modeled vocabulary's mass). */
+  def lmFrom(docs: DataFrame, minCount: Long = MinCount,
+      uniMinCount: Long = 1L): Lm = {
     val (big, uni) = shardCounts(docs)
-    fromCounts(big, uni, minCount)
+    fromCounts(big, uni, minCount, uniMinCount)
   }
 
   private def fromCounts(bigRaw: DataFrame, uniRaw: DataFrame,
-      minCount: Long): Lm = {
+      minCount: Long, uniMinCount: Long): Lm = {
     val big = bigRaw.groupBy("prev", "cur")
       .agg(sum("n").cast("long").as("cb"))
       .filter(col("cb") >= minCount)
     val uni = uniRaw.groupBy("w").agg(sum("n").cast("long").as("cu"))
+      .filter(col("cu") >= uniMinCount)
     val n = uni.agg(sum("cu").cast("long").as("n_tokens"))
     Lm(big, uni, n)
   }
@@ -159,10 +170,10 @@ object LmScore {
   /** The frozen LM at `dir`: read-time aggregation of all folded shards
     * (vocabulary-bounded) + the known-transition threshold. */
   def readLm(spark: SparkSession, dir: String,
-      minCount: Long = MinCount): Lm = {
+      minCount: Long = MinCount, uniMinCount: Long = 1L): Lm = {
     val root = Versioned.resolveRoot(spark, dir)
     fromCounts(spark.read.parquet(s"$root/bigrams"),
-      spark.read.parquet(s"$root/unigrams"), minCount)
+      spark.read.parquet(s"$root/unigrams"), minCount, uniMinCount)
   }
 
   /** Compact O(shards) count rows back to one row per n-gram: aggregate,
