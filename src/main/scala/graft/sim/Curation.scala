@@ -66,17 +66,39 @@ object Curation {
     * `semCentroids`: an explicit frozen centroid table for the semantic
     * stage (the [[SemDedup.semDedupCorpusWith]] form) — the shape the
     * incremental equality is stated against; `None` trains fresh ones. */
+  /** Opt-in stage-0 LM quality gate: docs scoring below `minScore`
+    * against the FROZEN `lm` drop before any dedup stage (the
+    * RefinedWeb-style filter-then-dedup order — junk is cheapest to shed
+    * first). Docs with no transitions (< 2 tokens) carry no LM evidence
+    * and PASS — the same no-evidence-keeps convention as the semantic
+    * stage's vectorless docs. */
+  final case class Quality(lm: graft.text.LmScore.Lm, minScore: Double)
+
+  private def qualityDrops(docs: DataFrame, q: Quality): DataFrame =
+    graft.text.LmScore.score(docs, q.lm)
+      .filter(col("lm_score") < q.minScore).select("doc_id")
+
   def curate(docs: DataFrame, emb: Option[DataFrame],
       shingleK: Int = SubstringDedup.declaredK, maxDupFrac: Double = 0.5,
       nearDupPairs: DataFrame => DataFrame = minhashPairs(0.8),
       cosineThreshold: Double = 0.99, nCentroids: Int = 16,
-      lloydIters: Int = 3, semCentroids: Option[DataFrame] = None): Result = {
+      lloydIters: Int = 3, semCentroids: Option[DataFrame] = None,
+      quality: Option[Quality] = None): Result = {
     val ids0 = docs.select("doc_id")
+
+    // 0. quality (optional): LM gate against a frozen LM — an anti-join
+    // of the scored drops so no-evidence docs pass
+    val idsQ = quality.fold(ids0) { q =>
+      ids0.join(qualityDrops(docs, q), Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+    }
+    val dq = quality.fold(docs)(_ => docs.join(idsQ, Seq("doc_id"),
+      "left_semi"))
 
     // 1. exact: one digest-keyed aggregate; the 8-byte xxhash64 carries the
     // text's equality structure through the exchange (the dedup_exact
     // argument — collisions ≈ n²·2⁻⁶⁵).
-    val ids1 = docs.groupBy(xxhash64(col("text")).as("th"))
+    val ids1 = dq.groupBy(xxhash64(col("text")).as("th"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id").localCheckpoint()
 
@@ -113,7 +135,9 @@ object Curation {
         ids3.join(drop4, Seq("doc_id"), "left_anti").localCheckpoint()
     }
 
-    val stages = Seq(("exact", ids0, ids1), ("substring", ids1, ids2),
+    val stages =
+      (if (quality.isDefined) Seq(("quality", ids0, idsQ)) else Nil) ++
+      Seq(("exact", idsQ, ids1), ("substring", ids1, ids2),
         ("near_dup", ids2, ids3)) ++
       (if (emb.isDefined) Seq(("semantic", ids3, ids4)) else Nil)
     val ledger = stages.zipWithIndex.map { case ((name, in, out), i) =>
@@ -233,7 +257,8 @@ object Curation {
     * stages 1–3. */
   def writeIndexes(release: DataFrame, emb: Option[DataFrame], dir: String,
       shingleK: Int = SubstringDedup.declaredK, nCentroids: Int = 16,
-      lloydIters: Int = 3, pqM: Int = 0): Unit = {
+      lloydIters: Int = 3, pqM: Int = 0,
+      lmQuality: Boolean = false): Unit = {
     val spark = release.sparkSession
     // each stage index writes a complete v1 and publishes it — the same
     // build-then-flip discipline as [[SemDedup.writeIndex]]
@@ -259,6 +284,13 @@ object Curation {
           "left_semi"),
         s"$dir/semantic", nCentroids, lloydIters, pqM = pqM)
     }
+    // optional: the release LM for [[ingestShard]]'s stage-0 quality
+    // gate — trained on the RELEASE (the-index-is-the-release: only
+    // published survivors define "what the corpus sounds like"), its own
+    // versioned index ([[graft.text.LmScore.writeLm]])
+    if (lmQuality)
+      graft.text.LmScore.writeLm(release.select("doc_id", "text"),
+        s"$dir/lm")
     val maxId = release.agg(max(col("doc_id").cast("long"))).head() match {
       case r if r.isNullAt(0) => Long.MinValue
       case r                  => r.getLong(0)
@@ -309,7 +341,8 @@ object Curation {
   def ingestShard(shard: DataFrame, emb: Option[DataFrame], dir: String,
       shingleK: Int = SubstringDedup.declaredK, maxDupFrac: Double = 0.5,
       minhashThreshold: Double = 0.8, cosineThreshold: Double = 0.99,
-      nprobe: Int = 1, pqMargin: Option[Double] = None): Result = {
+      nprobe: Int = 1, pqMargin: Option[Double] = None,
+      lmMinScore: Option[Double] = None): Result = {
     val spark = shard.sparkSession
     val maxSeen = metaOf(spark, dir)
     val bounds = shard.agg(min(col("doc_id").cast("long")),
@@ -320,12 +353,26 @@ object Curation {
     val ids0 = shard.select("doc_id")
     val tomb = tombstonesOf(spark, dir)
 
+    // 0. quality (optional) — the shard scored against the RELEASE LM at
+    // `dir/lm` ([[writeIndexes]](lmQuality = true)), resolved BEFORE any
+    // append so the verdict is against the pre-shard release; survivors'
+    // counts fold in at the end, keeping the LM = the release's LM
+    val idsQ = lmMinScore.fold(ids0) { thr =>
+      ids0.join(
+          qualityDrops(shard, Quality(
+            graft.text.LmScore.readLm(spark, s"$dir/lm"), thr)),
+          Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+    }
+    val sq = lmMinScore.fold(shard)(_ => shard.join(idsQ, Seq("doc_id"),
+      "left_semi").localCheckpoint())
+
     // 1. exact — within-shard min-id per digest, minus release hits
     // (exactHits already honors the tombstones)
-    val within1 = shard
+    val within1 = sq
       .groupBy(xxhash64(col("text")).as("th"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-    val ids1 = within1.join(exactHits(spark, shard, dir), Seq("doc_id"),
+    val ids1 = within1.join(exactHits(spark, sq, dir), Seq("doc_id"),
       "left_anti").localCheckpoint()
 
     // 2. substring budget over corpus∪shard counts, shard cost (retracted
@@ -380,9 +427,18 @@ object Curation {
           "left_semi"),
         s"$dir/semantic")
     }
+    // survivors' n-gram counts fold into the release LM (mergeable
+    // counts — [[graft.text.LmScore.appendLm]]), so the next shard is
+    // judged against "the release including this shard", exactly like
+    // every other stage index
+    if (lmMinScore.isDefined)
+      graft.text.LmScore.appendLm(kept.select("doc_id", "text"),
+        s"$dir/lm")
     if (!bounds.isNullAt(1)) writeMetaOf(spark, dir, bounds.getLong(1))
 
-    val stages = Seq(("exact", ids0, ids1), ("substring", ids1, ids2),
+    val stages =
+      (if (lmMinScore.isDefined) Seq(("quality", ids0, idsQ)) else Nil) ++
+      Seq(("exact", idsQ, ids1), ("substring", ids1, ids2),
         ("near_dup", ids2, ids3)) ++
       (if (emb.isDefined) Seq(("semantic", ids3, ids4)) else Nil)
     val ledger = stages.zipWithIndex.map { case ((name, in, out), i) =>
@@ -445,6 +501,14 @@ object Curation {
     if (Versioned.isVersioned(spark, s"$dir/semantic"))
       SemDedup.compactIndex(spark, s"$dir/semantic",
         dropIds = tomb.map(_.select(col("doc_id").as("vec_id"))))
+    // the release LM, when the quality gate is on: per-shard count rows
+    // re-sum to one row per n-gram and zeroed rows (fully retracted
+    // mass — [[retract]] appends NEGATED counts rather than using the id
+    // tombstones, since the LM is a count summary, not a membership
+    // structure) drop physically — both identities to the reader, which
+    // aggregates anyway
+    if (Versioned.isVersioned(spark, s"$dir/lm"))
+      graft.text.LmScore.compactLm(spark, s"$dir/lm")
     // clear the tombstones LAST — their exclusions are now physical
     tomb.foreach { _ =>
       val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
@@ -493,6 +557,13 @@ object Curation {
       .coalesce(1).write.mode("append").parquet(s"$dir/tombstones")
     SubstringDedup.retractShingleIndex(fresh, shingleK,
       Versioned.resolveRoot(spark, s"$dir/substring"))
+    // release LM (quality gate on): subtract the retracted docs' n-gram
+    // mass exactly by appending NEGATED count rows — readers sum, so
+    // future quality verdicts stop reflecting the taken-down content;
+    // replay-safe through the same `fresh` doc-level idempotence filter
+    if (Versioned.isVersioned(spark, s"$dir/lm"))
+      graft.text.LmScore.appendLm(fresh.select("doc_id", "text"),
+        s"$dir/lm", negate = true)
   }
 
   /** One row per release-index component — the operational view of what

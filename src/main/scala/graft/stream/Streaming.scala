@@ -243,13 +243,15 @@ object Streaming {
       dir: String, sink: (DataFrame, DataFrame, Long) => Unit,
       shingleK: Int = graft.text.SubstringDedup.declaredK,
       maxDupFrac: Double = 0.5, minhashThreshold: Double = 0.8,
-      cosineThreshold: Double = 0.99, nprobe: Int = 1)
+      cosineThreshold: Double = 0.99, nprobe: Int = 1,
+      lmMinScore: Option[Double] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       if (!batch.isEmpty) {
         val r = graft.sim.Curation.ingestShard(batch, emb, dir, shingleK,
-          maxDupFrac, minhashThreshold, cosineThreshold, nprobe)
+          maxDupFrac, minhashThreshold, cosineThreshold, nprobe,
+          lmMinScore = lmMinScore)
         sink(r.kept, r.ledger, id)
       }
     }

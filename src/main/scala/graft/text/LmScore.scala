@@ -158,11 +158,20 @@ object LmScore {
     * shard only within one read's file listing — restartable ingest
     * should re-run the shard on failure (counts are NOT idempotent under
     * double-append; the release loop's monotonic-shard guard owns that,
-    * as with every count-bearing index in the repo). */
-  def appendLm(docs: DataFrame, dir: String): Unit = {
+    * as with every count-bearing index in the repo).
+    *
+    * `negate = true` appends the counts NEGATED — the exact-subtraction
+    * retraction path (the substring index's negative-gram-rows trick):
+    * readers sum, so a retracted doc's n-gram mass vanishes from every
+    * future score, and [[compactLm]] later drops the zeroed rows
+    * physically. */
+  def appendLm(docs: DataFrame, dir: String, negate: Boolean = false): Unit = {
     val spark = docs.sparkSession
     val root = Versioned.resolveRoot(spark, dir)
-    val (big, uni) = shardCounts(docs)
+    val (big0, uni0) = shardCounts(docs)
+    val (big, uni) =
+      if (!negate) (big0, uni0)
+      else (big0.withColumn("n", -col("n")), uni0.withColumn("n", -col("n")))
     big.write.mode("append").parquet(s"$root/bigrams")
     uni.write.mode("append").parquet(s"$root/unigrams")
   }
@@ -184,12 +193,16 @@ object LmScore {
     val old = Versioned.resolveRoot(spark, dir)
     val v = Versioned.nextVersion(spark, dir)
     val root = s"$dir/$v"
+    // fully retracted n-grams sum to 0 and drop — identical to readers,
+    // which threshold at ≥ 1 anyway (the substring nd ≠ 0 discipline)
     spark.read.parquet(s"$old/bigrams")
       .groupBy("prev", "cur").agg(sum("n").cast("long").as("n"))
+      .filter(col("n") =!= 0L)
       .coalesce(1)
       .write.mode("errorifexists").parquet(s"$root/bigrams")
     spark.read.parquet(s"$old/unigrams")
       .groupBy("w").agg(sum("n").cast("long").as("n"))
+      .filter(col("n") =!= 0L)
       .coalesce(1)
       .write.mode("errorifexists").parquet(s"$root/unigrams")
     Versioned.publish(spark, dir, v)
