@@ -315,7 +315,18 @@ object ExplainAudit {
     ("text_bpe_pairs", "lambda-free pair fan-out + partial agg + TakeOrdered",
       p => p.contains("TakeOrderedAndProject")
         && "HashAggregate".r.findAllIn(finalPlan(p)).size >= 2
-        && !p.contains("Join") && !p.contains("lambdafunction"))
+        && !p.contains("Join") && !p.contains("lambdafunction")),
+    // DSIR: BOTH LM-table sets (bigram + unigram ×2 + N, twice) must
+    // broadcast onto the shared transition stream — at sf scale even the
+    // final score-pair equi-join broadcasts; what may never appear is a
+    // sort-merge join or a lambda
+    ("sample_dsir", "all-broadcast double-LM scoring, no SMJ",
+      p => {
+        val f = finalPlan(p)
+        "BroadcastHashJoin".r.findAllIn(f).size >= 6 &&
+          "HashAggregate".r.findAllIn(f).size >= 2 &&
+          !f.contains("SortMergeJoin") && !f.contains("lambdafunction")
+      })
   )
 
   /** Executes each checked query (collect(), so AQE finalizes — codegen

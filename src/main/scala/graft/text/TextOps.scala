@@ -439,6 +439,42 @@ object TextOps {
       LmScore.score(docs, LmScore.lmFrom(docs)).orderBy("doc_id")
     }),
 
+    // DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling"): upsample documents
+    // that sound like a TARGET domain relative to the raw corpus. Two
+    // frozen LMs — target (here the lang='en' slice, the domain
+    // exemplar) and raw (the whole corpus) — score every document via
+    // the shared [[LmScore.score]] expression; the importance weight is
+    // the score ratio CLIPPED at 1 (the published method's hashed-ngram
+    // likelihood ratio, re-expressed over the repo's log-free backoff
+    // scores so it stays one exactly-rounded division), and acceptance
+    // replaces Gumbel sampling with the md5-bucket uniform draw
+    // (split_assign's construction): accept iff bucket/256 < weight —
+    // DETERMINISTIC, re-shardable, and identically expressed in both
+    // engines. Scale shape: two vocabulary-bounded LM trainings, two
+    // broadcast-join scoring rollups over the same transition fan-out,
+    // one equi-join of the two slim score tables — no new corpus-sized
+    // shuffle beyond the lm_score pair.
+    "sample_dsir" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val raw = LmScore.lmFrom(docs)
+      val tgt = LmScore.lmFrom(docs.filter(col("lang") === "en"))
+      val sr = LmScore.score(docs, raw)
+        .select(col("doc_id"), col("lm_score").as("raw_score"))
+      val st = LmScore.score(docs, tgt)
+        .select(col("doc_id"), col("lm_score").as("target_score"))
+      sr.join(st, "doc_id")
+        .withColumn("weight",
+          when(col("raw_score") === 0.0, lit(1.0))
+            .otherwise(least(lit(1.0),
+              col("target_score") / col("raw_score"))))
+        .withColumn("bucket", expr(md5Bucket256Sql("doc_id")))
+        .filter(col("bucket").cast("double") / lit(256.0) < col("weight"))
+        .select(col("doc_id"), col("raw_score"), col("target_score"),
+          col("weight"), col("bucket"))
+        .orderBy("doc_id")
+    }),
+
     // Train/eval contamination check — the n-gram-overlap audit every LLM
     // data pipeline runs before trusting an eval: which eval-split
     // documents (source src0) share rare 5-grams with any train-split
@@ -843,6 +879,84 @@ object TextOps {
         |          / (CAST(n_unseen AS DOUBLE) * CAST(n_tokens AS DOUBLE))
         |        END) AS lm_score
         |FROM d CROSS JOIN n ORDER BY doc_id""".stripMargin,
+
+    // the text_lm_score chain instantiated twice (raw LM over documents,
+    // target LM over the lang='en' slice), LEFT unigram joins mirroring
+    // the Spark expression, ratio-clip weight + the split_assign md5
+    // bucket as the deterministic uniform draw
+    "sample_dsir" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |tr0 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i + 1])) AS bg FROM t),
+        |tr AS (SELECT doc_id, string_split(bg, ' ')[1] AS prev,
+        |    string_split(bg, ' ')[2] AS cur FROM tr0),
+        |bigr AS (SELECT prev, cur, COUNT(*) AS cb FROM tr
+        |  GROUP BY prev, cur HAVING COUNT(*) >= 2),
+        |unir AS (SELECT w, COUNT(*) AS cu FROM
+        |  (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w),
+        |nr AS (SELECT CAST(SUM(cu) AS BIGINT) AS n_tokens FROM unir),
+        |te AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE lang = 'en'),
+        |tre0 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i + 1])) AS bg FROM te),
+        |tre AS (SELECT string_split(bg, ' ')[1] AS prev,
+        |    string_split(bg, ' ')[2] AS cur FROM tre0),
+        |bigt AS (SELECT prev, cur, COUNT(*) AS cb FROM tre
+        |  GROUP BY prev, cur HAVING COUNT(*) >= 2),
+        |unit_ AS (SELECT w, COUNT(*) AS cu FROM
+        |  (SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        |   WHERE lang = 'en') GROUP BY w),
+        |nt AS (SELECT CAST(SUM(cu) AS BIGINT) AS n_tokens FROM unit_),
+        |jr AS (SELECT tr.doc_id, b.cb, up.cu AS cu_prev, uc.cu AS cu_cur
+        |  FROM tr LEFT JOIN bigr b ON b.prev = tr.prev AND b.cur = tr.cur
+        |  LEFT JOIN unir up ON up.w = tr.prev
+        |  LEFT JOIN unir uc ON uc.w = tr.cur),
+        |dr AS (SELECT doc_id, COUNT(*) AS n_trans, COUNT(cb) AS n_seen,
+        |    CAST(COALESCE(SUM(cb), 0) AS BIGINT) AS hit_num,
+        |    CAST(COALESCE(SUM(CASE WHEN cb IS NOT NULL THEN cu_prev END),
+        |      0) AS BIGINT) AS ctx_den,
+        |    COUNT(*) - COUNT(cb) AS n_unseen,
+        |    CAST(COALESCE(SUM(CASE WHEN cb IS NULL THEN cu_cur END),
+        |      0) AS BIGINT) AS bo_num
+        |  FROM jr GROUP BY doc_id),
+        |sr AS (SELECT doc_id,
+        |  (CASE WHEN n_seen = 0 THEN 0.0
+        |        ELSE CAST(hit_num AS DOUBLE) / CAST(ctx_den AS DOUBLE) END)
+        |  + 0.4 * (CASE WHEN n_unseen = 0 THEN 0.0
+        |        ELSE CAST(bo_num AS DOUBLE)
+        |          / (CAST(n_unseen AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+        |        END) AS raw_score
+        |  FROM dr CROSS JOIN nr),
+        |jt AS (SELECT tr.doc_id, b.cb, up.cu AS cu_prev, uc.cu AS cu_cur
+        |  FROM tr LEFT JOIN bigt b ON b.prev = tr.prev AND b.cur = tr.cur
+        |  LEFT JOIN unit_ up ON up.w = tr.prev
+        |  LEFT JOIN unit_ uc ON uc.w = tr.cur),
+        |dt AS (SELECT doc_id, COUNT(*) AS n_trans, COUNT(cb) AS n_seen,
+        |    CAST(COALESCE(SUM(cb), 0) AS BIGINT) AS hit_num,
+        |    CAST(COALESCE(SUM(CASE WHEN cb IS NOT NULL THEN cu_prev END),
+        |      0) AS BIGINT) AS ctx_den,
+        |    COUNT(*) - COUNT(cb) AS n_unseen,
+        |    CAST(COALESCE(SUM(CASE WHEN cb IS NULL THEN cu_cur END),
+        |      0) AS BIGINT) AS bo_num
+        |  FROM jt GROUP BY doc_id),
+        |st AS (SELECT doc_id,
+        |  (CASE WHEN n_seen = 0 THEN 0.0
+        |        ELSE CAST(hit_num AS DOUBLE) / CAST(ctx_den AS DOUBLE) END)
+        |  + 0.4 * (CASE WHEN n_unseen = 0 THEN 0.0
+        |        ELSE CAST(bo_num AS DOUBLE)
+        |          / (CAST(n_unseen AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+        |        END) AS target_score
+        |  FROM dt CROSS JOIN nt),
+        |wt AS (SELECT sr.doc_id, raw_score, target_score,
+        |    CASE WHEN raw_score = 0.0 THEN 1.0
+        |         ELSE least(1.0, target_score / raw_score) END AS weight,
+        |    ${md5Bucket256Sql("sr.doc_id")} AS bucket
+        |  FROM sr JOIN st ON st.doc_id = sr.doc_id)
+        |SELECT doc_id, raw_score, target_score, weight, bucket FROM wt
+        |WHERE CAST(bucket AS DOUBLE) / 256.0 < weight
+        |ORDER BY doc_id""".stripMargin,
 
     "text_contamination" ->
       """WITH g AS (SELECT DISTINCT doc_id, source, unnest(list_transform(
