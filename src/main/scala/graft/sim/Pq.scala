@@ -321,6 +321,11 @@ object Pq {
   //                       self-contained refine store
   //   dir/v<N>/sq_params  (sqRefine only) one row (mins, steps) — the
   //                       frozen [[Sq]] affine params
+  //                       with bqPrefilter also (sig) — [[Bq]] sign
+  //                       signatures of the FULL vector, the 1-bit
+  //                       first-stage store
+  //   dir/v<N>/bq_dim     (bqPrefilter only) one row (dim) — the frozen
+  //                       signature dimension
   //   dir/v<N>/meta       one row (max_id) — monotonic-id high-water mark
   //
   // Both models are FROZEN at build time, so appends are pure functions of
@@ -341,7 +346,7 @@ object Pq {
     * every later probe see byte-identical centroid doubles). */
   def writeIndex(emb: DataFrame, dir: String, mSub: Int, k: Int,
       nCentroids: Int, routerIters: Int = 3, pqIters: Int = 3,
-      sqRefine: Boolean = false): Unit = {
+      sqRefine: Boolean = false, bqPrefilter: Boolean = false): Unit = {
     val spark = emb.sparkSession
     val version = Versioned.nextVersion(spark, dir)
     val root = s"$dir/$version"
@@ -353,7 +358,7 @@ object Pq {
     cb.coalesce(1).write.mode("overwrite").parquet(s"$root/codebooks")
     val coded = encode(res, cb, mSub)
       .join(res.select("vec_id", "centroid_id"), "vec_id")
-    val out = if (!sqRefine) coded else {
+    val withSq = if (!sqRefine) coded else {
       // SQ8 refine store (the FAISS IndexRefine posture): SQ codes of the
       // FULL vector (not the residual — the refine must stand alone) plus
       // its float norm, so the rerank scores a near-exact cosine without
@@ -362,6 +367,16 @@ object Pq {
       val p = Sq.train(emb)
       writeSqParams(spark, root, p)
       coded.join(sqRefineCols(emb, p), "vec_id")
+    }
+    val out = if (!bqPrefilter) withSq else {
+      // BQ prefilter store ([[Bq]], the 1-bit end of the spectrum): sign
+      // signatures of the FULL vectors — 8 bytes/row at d=64, the
+      // cheapest possible first-stage scan. The dimension freezes with
+      // the other models (bq_dim) so appends stay uniform and a
+      // mismatched shard fails loudly instead of packing garbage bits.
+      val dim = vecs(emb).select(size(col("v"))).head().getInt(0)
+      writeBqDim(spark, root, dim)
+      withSq.join(Bq.encode(emb, dim), "vec_id")
     }
     out.write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$root/codes")
@@ -392,6 +407,19 @@ object Pq {
 
   private def hasSqParams(spark: SparkSession, root: String): Boolean =
     pathExists(spark, s"$root/sq_params")
+
+  private def writeBqDim(spark: SparkSession, root: String,
+      dim: Int): Unit = {
+    import spark.implicits._
+    Seq(dim).toDF("dim").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/bq_dim")
+  }
+
+  private def readBqDim(spark: SparkSession, root: String): Int =
+    spark.read.parquet(s"$root/bq_dim").head().getInt(0)
+
+  private def hasBqDim(spark: SparkSession, root: String): Boolean =
+    pathExists(spark, s"$root/bq_dim")
 
   private def pathExists(spark: SparkSession, p: String): Boolean = {
     val path = new org.apache.hadoop.fs.Path(p)
@@ -472,9 +500,20 @@ object Pq {
       // an sqRefine index must stay uniformly refinable: encode the shard
       // against the FROZEN affine params (out-of-range drift saturates —
       // the documented Sq behavior — it never corrupts the schema)
-      val out = if (!hasSqParams(spark, root)) coded
+      val withSq = if (!hasSqParams(spark, root)) coded
         else coded.join(sqRefineCols(shard, readSqParams(spark, root)),
           "vec_id")
+      // and a bqPrefilter index stays uniformly scannable: signatures
+      // pack against the FROZEN dimension — a mismatched shard fails
+      // loudly rather than packing garbage bits
+      val out = if (!hasBqDim(spark, root)) withSq
+        else {
+          val dim = readBqDim(spark, root)
+          val sdim = vecs(shard).select(size(col("v"))).head().getInt(0)
+          require(sdim == dim,
+            s"bq store dim mismatch: index froze $dim, shard has $sdim")
+          withSq.join(Bq.encode(shard, dim), "vec_id")
+        }
       out.write.mode("append").partitionBy("centroid_id")
         .parquet(s"$root/codes")
       writeMeta(spark, root, bounds.getLong(1))
@@ -501,6 +540,9 @@ object Pq {
     if (hasSqParams(spark, root))
       spark.read.parquet(s"$root/sq_params").coalesce(1)
         .write.mode("overwrite").parquet(s"$newRoot/sq_params")
+    if (hasBqDim(spark, root))
+      spark.read.parquet(s"$root/bq_dim").coalesce(1)
+        .write.mode("overwrite").parquet(s"$newRoot/bq_dim")
     // liveCodes drops tombstoned rows — compaction makes the takedown
     // PHYSICAL, and the new version starts with a clean tombstone set
     // (the tombstones dir is deliberately not copied)
@@ -650,6 +692,54 @@ object Pq {
     val probed = routedProbes(spark, root, probe, nprobe)
     liveCodes(spark, root)
       .filter(col("centroid_id").isin(probed.map(_._2.toInt): _*))
+      .select(col("vec_id"),
+        ((lit(off) + org.apache.spark.sql.graftexpr.SqDotExpr
+          .column(col("sq"), typedLit(w))) / (lit(qNorm) * col("norm")))
+          .as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** BQ→SQ — the fully-quantized two-stage scan, cheapest-first: a
+    * Hamming pass over the 8-byte-per-row sign signatures ([[Bq]],
+    * co-stored by `writeIndex(bqPrefilter = true)`) ranks a
+    * `rerank`-deep shortlist within the statically-pruned partitions,
+    * then ONLY those rows re-score against the SQ8 refine store
+    * (near-exact, certificate-bounded). Neither stage reads the PQ
+    * codes OR the float corpus: at 100 TB the first pass streams the
+    * narrowest column the index has (one long per vector at d=64 —
+    * column pruning keeps it to (vec_id, sig)), which is the point of a
+    * prefilter. Versus [[probeIndexTopKRerankSq]] this trades ADC's
+    * trained coarse ranking for an untrained sign ranking that appends
+    * can never invalidate; recall at equal depth is measured, not
+    * assumed (BqIndexSpec), and full depth provably equals the one-stage
+    * [[probeIndexTopKSq]] scan. Requires BOTH stores (loud otherwise).
+    * Ties: hamming asc then vec_id asc; final cosine desc then vec_id. */
+  def probeIndexTopKBqSq(spark: SparkSession, dir: String,
+      probe: Seq[Double], k: Int, nprobe: Int, rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank depth $rerank must be >= k=$k")
+    val root = Versioned.resolveRoot(spark, dir)
+    require(hasBqDim(spark, root),
+      s"index at $dir has no BQ prefilter store — build with bqPrefilter=true")
+    require(hasSqParams(spark, root),
+      s"index at $dir has no SQ8 refine store — build with sqRefine=true")
+    val dim = readBqDim(spark, root)
+    require(probe.length == dim,
+      s"probe dim ${probe.length} != index bq dim $dim")
+    val probed = routedProbes(spark, root, probe, nprobe)
+    val ids = liveCodes(spark, root)
+      .filter(col("centroid_id").isin(probed.map(_._2.toInt): _*))
+      .select(col("vec_id"),
+        Bq.hammingToProbe(col("sig"), Bq.signature(probe)).as("hamming"))
+      .orderBy(asc("hamming"), asc("vec_id"))
+      .limit(rerank)
+      .select("vec_id").collect().map(_.getLong(0))
+    val p = readSqParams(spark, root)
+    val (off, w) = Sq.queryParts(p, probe)
+    val qNorm = math.sqrt(probe.map(x => x * x).sum)
+    liveCodes(spark, root)
+      .filter(col("centroid_id").isin(probed.map(_._2.toInt): _*)
+        && col("vec_id").isin(ids: _*))
       .select(col("vec_id"),
         ((lit(off) + org.apache.spark.sql.graftexpr.SqDotExpr
           .column(col("sq"), typedLit(w))) / (lit(qNorm) * col("norm")))
