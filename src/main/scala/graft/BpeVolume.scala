@@ -98,7 +98,19 @@ object BpeVolume {
     val trainSec = (System.nanoTime() - t1) / 1e9
     val intra = allIntraUnit(model)
     val seg = segmentsAtBoundaries(spark, model)
-    val ok = model.size == Merges && intra && seg
+    // corpus ENCODE throughput under the trained model: the regex chain
+    // runs once per distinct word, the broadcast join fans it back — so
+    // this measures the deployment path, and the per-word symbol count
+    // must land exactly at the planted 2 (one symbol per morpheme, the
+    // boundary assertion aggregated over every occurrence)
+    val t2 = System.nanoTime()
+    val encStats = Bpe.encode(docs, model)
+      .agg(count(lit(1)).as("words"), sum("n_subs").as("subs")).head()
+    val encodeSec = (System.nanoTime() - t2) / 1e9
+    val encWords = encStats.getLong(0)
+    val symbolsPerWord = encStats.getLong(1).toDouble / encWords
+    val ok = model.size == Merges && intra && seg &&
+      encWords == nDocs * WordsPerDoc && symbolsPerWord == 2.0
     val line =
       f"""{"metric":"bpe_sec_per_merge_round","value":${
         trainSec / Merges}%.3f,"unit":"sec/round",""" +
@@ -106,6 +118,9 @@ object BpeVolume {
       f""""vocab_words":$nWords,"count_pass_sec":$countSec%.2f,""" +
       f""""train_sec":$trainSec%.2f,"merges":${model.size},""" +
       s""""all_intra_unit":$intra,"segments_at_boundaries":$seg,""" +
+      f""""encode_sec":$encodeSec%.2f,""" +
+      f""""encode_tokens_per_sec":${encWords / encodeSec}%.0f,""" +
+      f""""symbols_per_word":$symbolsPerWord%.3f,""" +
       s""""all_ok":$ok}"""
     println(line)
     Artifacts.write("bpe_volume.json", line)

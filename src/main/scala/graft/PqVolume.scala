@@ -105,7 +105,7 @@ object PqVolume {
 
     val t0 = System.nanoTime()
     Pq.writeIndex(base, s"$workDir/pqidx", M, K, NCentroids,
-      routerIters = 2, pqIters = 2, sqRefine = true)
+      routerIters = 2, pqIters = 2, sqRefine = true, bqPrefilter = true)
     val buildSec = (System.nanoTime() - t0) / 1e9
     val nIndexed = base.count()
 
@@ -220,17 +220,37 @@ object PqVolume {
       val s2 = Pq.probeIndexTopKRerankSq(spark, s"$workDir/pqidx", v, 10,
           nprobe = NCentroids, rerank = 2000)
         .collect().map(_.getLong(0)).toSet
-      (exact.intersect(s1).size / 10.0, exact.intersect(s2).size / 10.0)
+      val s3 = Pq.probeIndexTopKBqSq(spark, s"$workDir/pqidx", v, 10,
+          nprobe = NCentroids, rerank = 2000)
+        .collect().map(_.getLong(0)).toSet
+      (exact.intersect(s1).size / 10.0, exact.intersect(s2).size / 10.0,
+        exact.intersect(s3).size / 10.0)
     }
     val sqScanSec = (System.nanoTime() - t6) / 1e9 / nR
     val sq10 = sqPairs.map(_._1).sum / nR
     val sqrr10 = sqPairs.map(_._2).sum / nR
+    val bq10 = sqPairs.map(_._3).sum / nR
+
+    // the fifth scan mode (round 12, BQ→SQ): planted-copy recall@1 is a
+    // STRUCTURAL 1.0 expectation — a scaled copy's signs match its base
+    // exactly, so its Hamming distance is 0 and the SQ re-score seals
+    // it; the generic-neighbor bq10 above is the honest number for an
+    // untrained 1-bit shortlist at 0.22% depth on hash-random geometry
+    // (gate only against collapse, ≈ 10/n)
+    val t7 = System.nanoTime()
+    val bq1Hits = sample.take(nR1).count { case (pid, v) =>
+      Pq.probeIndexTopKBqSq(spark, s"$workDir/pqidx", v, 1,
+          nprobe = 4, rerank = 100)
+        .head().getLong(0) == pid - 3 }
+    val bq1Sec = (System.nanoTime() - t7) / 1e9 / nR1
+    val bq1 = bq1Hits.toDouble / nR1
 
     // recall >= 0.9 is the COLLAPSE guard on raw ADC copy-retrieval
     // (residual encoding measured 0.95; a broken LUT/encode reads ~1/n);
     // the 1.0-contract moves to the reranked form
     val ok = recall >= 0.9 && prunedHits >= 4 && rr1 >= 0.99 &&
-      rr10 >= adc10 && sq1 >= 0.99 && sq10 >= 0.9 && sqrr10 >= adc10
+      rr10 >= adc10 && sq1 >= 0.99 && sq10 >= 0.9 && sqrr10 >= adc10 &&
+      bq1 >= 0.99 && bq10 >= 0.1
     val line =
       f"""{"metric":"pq_adc_row_probes_per_sec",""" +
       f""""value":${nIndexed * sample.size / adcSec}%.0f,"unit":"rows*probes/s",""" +
@@ -252,6 +272,8 @@ object PqVolume {
       f""""recall1_sq":$sq1%.4f,"sq1_probe_sec":$sq1Sec%.2f,""" +
       f""""recall10_sq":$sq10%.4f,"recall10_sqrerank":$sqrr10%.4f,""" +
       f""""sq_scan_probe_sec":$sqScanSec%.2f,""" +
+      f""""recall1_bqsq":$bq1%.4f,"bq1_probe_sec":$bq1Sec%.2f,""" +
+      f""""recall10_bqsq":$bq10%.4f,"bq_rerank_depth":2000,""" +
       s""""all_ok":$ok}"""
     println(line)
     Artifacts.write("pq_volume.json", line)

@@ -675,10 +675,12 @@ object Pq {
   /** IVF-SQ — the refine store as a first-class scan mode: score the
     * probed partitions' SQ8 codes directly (no PQ coarse stage), giving
     * near-exact ANN at the store's 4× compression. One persisted index,
-    * four scan modes along the quantization spectrum: [[probeIndexTopK]]
-    * (coarse ADC, cheapest), THIS (near-exact one-stage),
-    * [[probeIndexTopKRerankSq]] (ADC shortlist + SQ refine),
-    * [[probeIndexTopKRerank]] (ADC shortlist + exact floats). Every
+    * five scan modes along the quantization spectrum: [[probeIndexTopK]]
+    * (coarse ADC), THIS (near-exact one-stage),
+    * [[probeIndexTopKBqSq]] (1-bit Hamming shortlist + SQ refine, the
+    * cheapest first stage), [[probeIndexTopKRerankSq]] (ADC shortlist +
+    * SQ refine), [[probeIndexTopKRerank]] (ADC shortlist + exact
+    * floats). Every
     * returned cosine is within [[Sq.errorBound]]/(|q|·|x|) of exact —
     * the same certificate the refine mode carries. */
   def probeIndexTopKSq(spark: SparkSession, dir: String,
