@@ -41,19 +41,33 @@ object Bq {
     * broadcast params). The per-word fold is a fixed lambda-free tree of
     * codegen builtins (when/shiftleft/bitwiseOR) — no HigherOrderFunction
     * interpretation in the encode path. */
-  def encode(emb: DataFrame, dim: Int): DataFrame = {
+  def encode(emb: DataFrame, dim: Int): DataFrame =
+    vecs(emb).select(col("vec_id"),
+      signatureExpr(col("v"), dim).as("sig"))
+
+  /** The per-ROW signature expression over a double-array column — the
+    * body of [[encode]], exposed so batch-serving plans can pack probe
+    * signatures map-side inside their own projection. */
+  def signatureExpr(v: Column, dim: Int): Column = {
     require(dim > 0, s"dim must be positive, got $dim")
-    val v = vecs(emb)
     val sigWords: Seq[Column] = (0 until words(dim)).map { w =>
       val lo = w * 64
       val hi = math.min(dim, lo + 64)
       (lo until hi).map { i =>
-        when(element_at(col("v"), i + 1) >= 0,
+        when(element_at(v, i + 1) >= 0,
           lit(1L << (i - lo))).otherwise(lit(0L))
       }.reduce(_ bitwiseOR _)
     }
-    v.select(col("vec_id"), array(sigWords: _*).as("sig"))
+    array(sigWords: _*)
   }
+
+  /** Hamming between two signature COLUMNS of `nWords` words each — the
+    * pairwise form [[hammingToProbe]] specializes when one side is a
+    * literal; same fixed codegen tree, zero lambdas. */
+  def hammingCols(a: Column, b: Column, nWords: Int): Column =
+    (1 to nWords).map { i =>
+      bit_count(element_at(a, i).bitwiseXOR(element_at(b, i)))
+    }.reduce(_ + _).cast("int")
 
   /** Driver-side signature of a probe vector — the d-bounded twin of
     * [[encode]]'s column expression (same sign rule, same packing). */

@@ -750,6 +750,77 @@ object Pq {
       .limit(k)
   }
 
+  /** BATCHED BQ→SQ probe — the serving form of [[probeIndexTopKBqSq]]:
+    * a whole probes DataFrame through the fully-quantized two-stage scan
+    * in ONE relational plan. Probe signatures pack MAP-SIDE
+    * ([[Bq.signatureExpr]] inside the probes projection — no exchange);
+    * routing is the [[probeIndexTopKBatch]] broadcast-router rank; the
+    * codes scan is statically pruned to the union of probed lists (a
+    * driver collect bounded by ROUTER size, never probe count); stage 1
+    * ranks Hamming per probe with a window capped at `rerank`
+    * (WindowGroupLimit prunes before the sort at scale), stage 2
+    * re-scores ONLY the survivors against the SQ8 refine store with
+    * per-probe affine parts carried as columns (offset = ⟨v, mins⟩ and
+    * weights = v∘steps are map-side arithmetic against the frozen params
+    * as literals — no per-probe driver round-trip anywhere). Returns
+    * (probe_id, vec_id, cosine, rank ≤ k). Per-probe results are
+    * EXACTLY [[probeIndexTopKBqSq]]'s (BqIndexSpec pins it): the batch
+    * form changes the plan, not the answer. */
+  def probeIndexTopKBqSqBatch(spark: SparkSession, dir: String,
+      probes: DataFrame, k: Int, nprobe: Int, rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank depth $rerank must be >= k=$k")
+    val root = Versioned.resolveRoot(spark, dir)
+    require(hasBqDim(spark, root),
+      s"index at $dir has no BQ prefilter store — build with bqPrefilter=true")
+    require(hasSqParams(spark, root),
+      s"index at $dir has no SQ8 refine store — build with sqRefine=true")
+    val dim = readBqDim(spark, root)
+    val p = readSqParams(spark, root)
+    val minsL = typedLit(p.mins.toSeq)
+    val stepsL = typedLit(p.steps.toSeq)
+    val cents = spark.read.parquet(s"$root/centroids")
+    val pv = vecs(probes).select(col("vec_id").as("probe_id"), col("v"),
+      Bq.signatureExpr(col("v"), dim).as("psig"),
+      dot(col("v"), minsL).as("off"),
+      zip_with(col("v"), stepsL, (x, st) => x * st).as("w"),
+      sqrt(dot(col("v"), col("v"))).as("qnorm"))
+    val wRoute = Window.partitionBy("probe_id")
+      .orderBy(desc("csim"), asc("centroid_id"))
+    val routed = pv
+      .crossJoin(broadcast(cents.select(col("centroid_id"), col("cv"))))
+      .select(col("probe_id"), col("centroid_id"),
+        VectorMath.cosine(col("v"), col("cv")).as("csim"),
+        col("psig"), col("off"), col("w"), col("qnorm"))
+      .withColumn("pr", row_number().over(wRoute))
+      .filter(col("pr") <= nprobe)
+      .select(col("probe_id"),
+        col("centroid_id").cast("int").as("centroid_id"),
+        col("psig"), col("off"), col("w"), col("qnorm"))
+      .localCheckpoint()
+    val probedCids = routed.select("centroid_id").distinct()
+      .collect().map(_.getInt(0)).toSeq // ≤ router size, never probe count
+    val wHam = Window.partitionBy("probe_id")
+      .orderBy(asc("hamming"), asc("vec_id"))
+    val wk = Window.partitionBy("probe_id")
+      .orderBy(desc("cosine"), asc("vec_id"))
+    liveCodes(spark, root)
+      .filter(col("centroid_id").isin(probedCids: _*))
+      .join(routed, "centroid_id")
+      .select(col("probe_id"), col("vec_id"),
+        Bq.hammingCols(col("sig"), col("psig"), Bq.words(dim))
+          .as("hamming"),
+        col("sq"), col("norm"), col("off"), col("w"), col("qnorm"))
+      .withColumn("hr", row_number().over(wHam))
+      .filter(col("hr") <= rerank)
+      .select(col("probe_id"), col("vec_id"),
+        ((col("off") + org.apache.spark.sql.graftexpr.SqDotExpr
+          .column(col("sq"), col("w")))
+          / (col("qnorm") * col("norm"))).as("cosine"))
+      .withColumn("rank", row_number().over(wk))
+      .filter(col("rank") <= k)
+      .orderBy("probe_id", "rank")
+  }
+
   /** BATCHED index probe — the ANN-serving shape: score a whole
     * DataFrame of probes (vec_id, embedding) in one relational plan
     * instead of one driver round-trip each. Per-probe LUTs are born

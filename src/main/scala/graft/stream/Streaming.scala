@@ -309,6 +309,25 @@ object Streaming {
       }
     }
 
+  /** Online BPE tokenization — [[graft.text.Bpe.encode]] applied per
+    * micro-batch against a FROZEN model (the merge list is driver-side
+    * data, fixed at stream definition like every frozen model here):
+    * the tokenize-on-arrival step in front of a training-data queue.
+    * Stateless; the per-batch distinct-word vocabulary is an in-batch
+    * aggregation (foreachBatch — the same reason the curation stream
+    * uses it), so each batch pays the regex chain once per ITS distinct
+    * words and the broadcast fan-back. The encode-replays-training
+    * contract makes online and offline tokenizations identical by
+    * construction — the property that matters when the same corpus is
+    * tokenized once at ingest and again at training time. */
+  def streamBpeEncode(docs: DataFrame, model: graft.text.Bpe.Model,
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      if (!batch.isEmpty) sink(graft.text.Bpe.encode(batch, model), id)
+    }
+
   // ------------------------------------------------------------ B10.6
 
   final case class UserEvent(event_id: Long, ts: java.sql.Timestamp,

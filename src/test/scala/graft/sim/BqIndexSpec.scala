@@ -118,6 +118,24 @@ class BqIndexSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("the BATCHED BqSq probe equals the single-probe scan per probe — " +
+      "ids, cosines AND ranks (the plan changes, the answer doesn't)") {
+    val pids = Seq(17L, 42L, 123L)
+    val probesDf = emb.filter(col("vec_id").isin(pids: _*))
+    val batch = Pq.probeIndexTopKBqSqBatch(spark, dir, probesDf, 10,
+        nprobe = 3, rerank = 50)
+      .collect().groupBy(_.getLong(0))
+      .map { case (pid, rs) =>
+        pid -> rs.sortBy(_.getInt(3)).map(r =>
+          (r.getLong(1), r.getDouble(2))).toSeq
+      }
+    for (id <- pids) {
+      val single = rows(Pq.probeIndexTopKBqSq(spark, dir, vecOf(id), 10,
+        nprobe = 3, rerank = 50))
+      assert(batch(id) === single, s"probe $id")
+    }
+  }
+
   test("compaction carries the BQ store: probe identical pre/post") {
     val probe = vecOf(42L)
     val before = rows(Pq.probeIndexTopKBqSq(spark, dir, probe, 10, 3, 50))

@@ -104,6 +104,33 @@ class BpeSpec extends SparkSpec {
       .collect()(0).getSeq[String](3) === Seq("n", "e", "w", "est</w>"))
   }
 
+  test("streaming twin: per-batch online tokenization equals the batch " +
+      "encoder on each batch's documents (frozen model)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val m = Bpe.train(paperCorpus, 3)
+    def enc(rows: Seq[(Long, String)]): Set[(Long, Int, String, Seq[String])] =
+      Bpe.encode(rows.toDF("doc_id", "text"), m).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+          r.getSeq[String](3))).toSet
+    val b1 = Seq((1L, "low lower"), (2L, "newest"))
+    val b2 = Seq((3L, "lowest widest zz"))
+    val sunk = scala.collection.mutable
+      .ArrayBuffer[(Long, Set[(Long, Int, String, Seq[String])])]()
+    val stream = MemoryStream[(Long, String)](93, spark, None)
+    val q = graft.stream.Streaming.streamBpeEncode(
+        stream.toDF().toDF("doc_id", "text"), m,
+        (df, id) => sunk += ((id, df.collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+            r.getSeq[String](3))).toSet)))
+      .start()
+    stream.addData(b1); q.processAllAvailable()
+    stream.addData(b2); q.processAllAvailable()
+    q.stop()
+    assert(sunk.size === 2)
+    assert(sunk(0)._2 === enc(b1))
+    assert(sunk(1)._2 === enc(b2))
+  }
+
   test("the corpus encode plan: vocab rides a broadcast join back to " +
       "occurrences — no sort-merge join, no corpus-keyed exchange beyond " +
       "the vocab distinct") {
