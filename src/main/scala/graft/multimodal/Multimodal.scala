@@ -43,6 +43,9 @@ object Multimodal {
     def audioFeatures(payload: Array[Byte], meta: MediaMeta): Array[Float]
     def resize(payload: Array[Byte], meta: MediaMeta, w: Int, h: Int): Array[Byte]
     def extractFrame(payload: Array[Byte], meta: MediaMeta, offsetMs: Long): Array[Byte]
+    /** Row-major w×h grayscale raster (0..255) — the perceptual-hash
+      * input kernel. */
+    def grayscale(payload: Array[Byte], meta: MediaMeta, w: Int, h: Int): Array[Int]
   }
 
   /** STUB — deterministic fake standing in for the real codec libraries
@@ -73,6 +76,11 @@ object Multimodal {
       val at = ((offsetMs.toDouble / math.max(1, m.durationMs)) * p.length).toInt
       p.slice(math.min(at, p.length - 1), math.min(at + 64, p.length))
     }
+    def grayscale(p: Array[Byte], m: MediaMeta, w: Int, h: Int): Array[Int] =
+      // fake raster: pure function of payload — equal payloads hash equal,
+      // which is all the fake path can honestly promise
+      prng(payloadSeed(p) ^ (w.toLong << 32 | h.toLong), w * h)
+        .map(f => ((f + 0.5f) * 255).toInt.max(0).min(255))
   }
 
   /** REAL decode kernels for the formats the JDK ships codecs for —
@@ -150,6 +158,20 @@ object Multimodal {
     // no video codec in the JDK — the one kernel that stays stubbed
     def extractFrame(p: Array[Byte], m: MediaMeta, offsetMs: Long): Array[Byte] =
       DeterministicFakeDecoder.extractFrame(p, m, offsetMs)
+
+    def grayscale(p: Array[Byte], m: MediaMeta, w: Int, h: Int): Array[Int] = {
+      val img = readImage(p)
+      val thumb = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val g = thumb.createGraphics()
+      // bilinear: the downsample must AVERAGE pixels, not point-sample —
+      // that is what makes the hash robust to recompression noise
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      try g.drawImage(img, 0, 0, w, h, null) finally g.dispose()
+      val raster = thumb.getRaster
+      Array.tabulate(w * h)(i => raster.getSample(i % w, i / w, 0))
+    }
   }
 
   /** Deterministic synthetic media corpus derived from `documents` (no
@@ -237,4 +259,55 @@ object Multimodal {
   def featureTable(media: Dataset[MediaRow]): DataFrame =
     extractFeatures(media).toDF()
       .select(col("media_id").as("vec_id"), col("features").as("embedding"))
+
+  /** 63-bit perceptual difference hash (dHash — the standard image
+    * near-dup fingerprint: Krawetz's "kind of like that" construction):
+    * downsample to a 9×8 grayscale thumbnail (bilinear — the averaging is
+    * what absorbs recompression noise), then bit (r,c) = [pixel(r,c) <
+    * pixel(r,c+1)] — 8 comparisons per row × 8 rows, of which we keep 63
+    * (the repo's SimHash bit-width convention: a 64th bit could overflow
+    * the sign under ANSI folds). Gradient direction survives JPEG
+    * re-encoding, resizing, and brightness shifts, so a re-encoded copy
+    * lands within a few bits of its source while distinct images sit
+    * near 31 (the random expectation). Decode runs partition-wise like
+    * every media kernel; the hash itself is 8 bytes per image. */
+  private[multimodal] def dhashOf(gray9x8: Array[Int]): Long = {
+    require(gray9x8.length == 72, s"expected 9x8 raster, got ${gray9x8.length}")
+    var fp = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        val bit = r * 8 + c
+        if (bit < 63 && gray9x8(r * 9 + c) < gray9x8(r * 9 + c + 1))
+          fp |= 1L << bit
+        c += 1
+      }
+      r += 1
+    }
+    fp
+  }
+
+  /** (media_id, fp) over the image rows. */
+  def imageDHash(media: Dataset[MediaRow],
+      decoder: MediaDecoder = DeterministicFakeDecoder): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(col("kind") === "image").as[MediaRow]
+      .mapPartitions(_.map(r =>
+        (r.media_id, dhashOf(decoder.grayscale(r.payload, r.meta, 9, 8)))))
+      .toDF("id", "fp")
+  }
+
+  /** Image near-duplicates: the dHash table through the SAME banded
+    * Hamming join as the text SimHash ([[graft.sim.SimHash
+    * .nearDupPairsByFp]] — guaranteed recall at ≤ maxHamming by the
+    * pigeonhole blocking, exact verify, never all-pairs). The cross-model
+    * reuse is the point: once a modality reduces to a 63-bit
+    * fingerprint, near-dup detection is the same relational shape
+    * regardless of what the bits mean. */
+  def imageNearDups(media: Dataset[MediaRow],
+      decoder: MediaDecoder = DeterministicFakeDecoder,
+      maxHamming: Int = 8): DataFrame =
+    graft.sim.SimHash.nearDupPairsByFp(imageDHash(media, decoder),
+      maxHamming)
 }

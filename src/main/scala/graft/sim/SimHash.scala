@@ -44,10 +44,19 @@ object SimHash {
     * equi-join is the scale shape: shuffle keyed on short block values,
     * candidates bounded by per-bucket collisions, never all-pairs. */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 8): DataFrame = {
+      maxHamming: Int = 8): DataFrame =
+    nearDupPairsByFp(
+      docs.select(col(idCol).as("id"), simhash(col(textCol)).as("fp")),
+      maxHamming)
+
+  /** The banded join over ANY 63-bit fingerprint table (id, fp) — shared
+    * by the text SimHash above and the perceptual image dHash
+    * ([[graft.multimodal.Multimodal.imageNearDups]]): the recall
+    * guarantee is a property of the blocking, not of how the bits were
+    * made. */
+  def nearDupPairsByFp(base: DataFrame, maxHamming: Int = 8): DataFrame = {
     val nBlocks = maxHamming + 1
     val bitsPer = 63 / nBlocks
-    val base = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
     val blocks = (0 until nBlocks).map { i =>
       val lo = i * bitsPer
       val width = if (i == nBlocks - 1) 63 - lo else bitsPer

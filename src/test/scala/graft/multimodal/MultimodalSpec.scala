@@ -102,6 +102,86 @@ class MultimodalSpec extends SparkSpec {
     bos.toByteArray
   }
 
+  /** A seeded block image: 9×8 blocks (exactly the dHash thumbnail grid)
+    * of scrambled-but-deterministic brightness — low-frequency content
+    * that survives JPEG re-encoding, distinct across seeds. */
+  private def blockPng(seed: Int, w: Int = 72, h: Int = 64,
+      fmt: String = "png"): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // splitmix64 finalizer per (seed, block): block brightnesses must be
+    // INDEPENDENT across seeds or unlucky seed pairs collide within the
+    // near-dup radius (a weak multiply-shift mixer measured hamming 6)
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    for (x <- 0 until w; y <- 0 until h) {
+      val bx = x * 9 / w; val by = y * 8 / h
+      val v = ((mix(seed.toLong * 72L + by * 9L + bx) >>> 56) & 0xFF).toInt
+      img.setRGB(x, y, v << 16 | v << 8 | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  test("dHash: a JPEG re-encode of the same image lands within a few " +
+      "bits; distinct images sit near the random 31-bit expectation") {
+    val meta = MediaMeta(72, 64, 0, 0L, "image/png")
+    def fp(bytes: Array[Byte]): Long =
+      Multimodal.dhashOf(ImageIoDecoder.grayscale(bytes, meta, 9, 8))
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val seeds = 0 until 12
+    val pngs = seeds.map(s => fp(blockPng(s)))
+    val jpgs = seeds.map(s => fp(blockPng(s, fmt = "jpg")))
+    pngs.foreach(f => assert(f >= 0L, "63-bit convention: non-negative"))
+    val copyDists = seeds.map(s => ham(pngs(s), jpgs(s)))
+    info(s"png-vs-jpeg hamming per seed: ${copyDists.mkString(", ")}")
+    assert(copyDists.forall(_ <= 8),
+      s"recompression moved the hash too far: $copyDists")
+    val crossDists = for (a <- seeds; b <- seeds if a < b)
+      yield ham(pngs(a), pngs(b))
+    info(f"cross-seed hamming: min ${crossDists.min}, " +
+      f"mean ${crossDists.sum.toDouble / crossDists.size}%.1f")
+    assert(crossDists.min > 8, "distinct images must not collide")
+  }
+
+  test("imageNearDups: re-encoded copies pair up through the banded " +
+      "Hamming join — exactly the planted pairs, nothing else") {
+    import spark.implicits._
+    val meta = MediaMeta(72, 64, 0, 0L, "image/png")
+    val rows = (0 until 20).flatMap { s =>
+      Seq(MediaRow(s.toLong, "image", blockPng(s), meta),
+        MediaRow(s.toLong + 1000L, "image", blockPng(s, fmt = "jpg"), meta))
+    } :+ MediaRow(5000L, "audio", wavBytes(256),
+      MediaMeta(0, 0, 16000, 16L, "audio/wav")) // non-image rows ignored
+    val pairs = Multimodal.imageNearDups(rows.toDS(),
+        decoder = ImageIoDecoder, maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === (0 until 20).map(s => (s.toLong, s + 1000L)).toSet)
+  }
+
+  test("dHash on the fake-decoder path: equal payloads hash equal and " +
+      "pair up; the synthetic corpus flows end to end without javax") {
+    import spark.implicits._
+    val meta = MediaMeta(8, 8, 0, 0L, "fake/v1")
+    val rows = Seq(
+      MediaRow(1L, "image", Array[Byte](1, 2, 3), meta),
+      MediaRow(2L, "image", Array[Byte](1, 2, 3), meta), // same payload
+      MediaRow(3L, "image", Array[Byte](9, 9, 9), meta)).toDS()
+    val pairs = Multimodal.imageNearDups(rows, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 0)))
+    // and the repo's synthetic corpus runs through the same path
+    val syn = Multimodal.imageDHash(
+      Multimodal.syntheticMedia(spark, "/root/testdata/sf0.001"))
+    assert(syn.count() > 0)
+    assert(syn.select("fp").distinct().count() > 1)
+  }
+
   test("ImageIoDecoder decodes real PNGs through the Spark pipeline") {
     import spark.implicits._
     val meta = MediaMeta(64, 64, 0, 0L, "image/png")
