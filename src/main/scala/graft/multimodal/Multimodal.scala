@@ -310,4 +310,40 @@ object Multimodal {
       maxHamming: Int = 8): DataFrame =
     graft.sim.SimHash.nearDupPairsByFp(imageDHash(media, decoder),
       maxHamming)
+
+  /** 63-bit audio envelope hash — the dHash idea on the time axis: bit
+    * i = [rms(i) < rms(i+1)] over the decoder's 64-bucket RMS envelope.
+    * Comparing ADJACENT energies makes the fingerprint invariant to
+    * uniform volume scaling (a monotone gain preserves every inequality)
+    * and robust to codec precision wobble, the audio analogues of
+    * recompression. Same 8-bytes-per-row, same banded join. */
+  private[multimodal] def envHashOf(env: Array[Float]): Long = {
+    require(env.length == 64, s"expected 64-bucket envelope, got ${env.length}")
+    var fp = 0L
+    var i = 0
+    while (i < 63) {
+      if (env(i) < env(i + 1)) fp |= 1L << i
+      i += 1
+    }
+    fp
+  }
+
+  /** (media_id, fp) over the audio rows. */
+  def audioEnvHash(media: Dataset[MediaRow],
+      decoder: MediaDecoder = DeterministicFakeDecoder): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(col("kind") === "audio").as[MediaRow]
+      .mapPartitions(_.map(r =>
+        (r.media_id, envHashOf(decoder.audioFeatures(r.payload, r.meta)))))
+      .toDF("id", "fp")
+  }
+
+  /** Audio near-duplicates through the shared banded Hamming join —
+    * volume-scaled or re-encoded copies of the same recording pair up,
+    * never all-pairs. */
+  def audioNearDups(media: Dataset[MediaRow],
+      decoder: MediaDecoder = DeterministicFakeDecoder,
+      maxHamming: Int = 8): DataFrame =
+    graft.sim.SimHash.nearDupPairsByFp(audioEnvHash(media, decoder),
+      maxHamming)
 }

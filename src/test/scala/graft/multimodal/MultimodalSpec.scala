@@ -164,6 +164,64 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs === (0 until 20).map(s => (s.toLong, s + 1000L)).toSet)
   }
 
+  /** A real seeded WAV: 64 segments of splitmix-random amplitude square
+    * waves — the envelope structure the audio hash fingerprints. */
+  private def seededWav(seed: Int, gain: Double = 1.0): Array[Byte] = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val nSamples = 64 * 32
+    val data = new Array[Byte](nSamples * 2)
+    val bb = java.nio.ByteBuffer.wrap(data)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    for (i <- 0 until nSamples) {
+      val seg = i / 32
+      val amp = (((mix(seed.toLong * 64L + seg) >>> 40) & 0x3FFF) + 1000) *
+        gain
+      bb.putShort(i * 2, (if (i % 2 == 0) amp else -amp).toInt.toShort)
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(in,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("audio envelope hash: a half-volume copy of the same recording " +
+      "hashes identically (gain invariance); distinct recordings are " +
+      "far; the banded join recovers exactly the planted copy pairs") {
+    import spark.implicits._
+    val meta = MediaMeta(0, 0, 16000, 128L, "audio/wav")
+    def fp(bytes: Array[Byte]): Long =
+      Multimodal.envHashOf(ImageIoDecoder.audioFeatures(bytes, meta))
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val seeds = 0 until 10
+    val full = seeds.map(s => fp(seededWav(s)))
+    val half = seeds.map(s => fp(seededWav(s, gain = 0.5)))
+    val copyDists = seeds.map(s => ham(full(s), half(s)))
+    info(s"full-vs-half-volume hamming per seed: ${copyDists.mkString(", ")}")
+    assert(copyDists.forall(_ <= 2),
+      s"gain invariance broken: $copyDists")
+    val crossDists = for (a <- seeds; b <- seeds if a < b)
+      yield ham(full(a), full(b))
+    info(f"cross-seed hamming: min ${crossDists.min}, " +
+      f"mean ${crossDists.sum.toDouble / crossDists.size}%.1f")
+    assert(crossDists.min > 8, "distinct recordings must not collide")
+    val rows = seeds.flatMap { s =>
+      Seq(MediaRow(s.toLong, "audio", seededWav(s), meta),
+        MediaRow(s.toLong + 1000L, "audio", seededWav(s, 0.5), meta))
+    }
+    val pairs = Multimodal.audioNearDups(rows.toDS(),
+        decoder = ImageIoDecoder, maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === seeds.map(s => (s.toLong, s + 1000L)).toSet)
+  }
+
   test("dHash on the fake-decoder path: equal payloads hash equal and " +
       "pair up; the synthetic corpus flows end to end without javax") {
     import spark.implicits._
