@@ -108,4 +108,76 @@ object GraftProps extends Properties("graft") {
       // |A ∩m B| + |A \m B| = |A| for multisets
       interCount + exceptCount == as.size
     }
+
+  // BQ sign packing on random vectors: the cluster expression, the
+  // driver twin, and the brute-force sign count must agree for ANY dim
+  // (not just the spec's 64/130 fixtures), and Hamming is a metric on
+  // the packed form (symmetry + identity come free; the triangle
+  // inequality is the property a broken multi-word fold would violate).
+  private val vecGen: Gen[List[Double]] =
+    Gen.chooseNum(1, 150).flatMap(d =>
+      Gen.listOfN(d, Gen.chooseNum(-100, 100).map(_ / 7.0)))
+
+  property("bq packing: cluster == driver == brute signs; hamming is a metric") =
+    forAll(vecGen, vecGen) { (a0, b0) =>
+      import spark.implicits._
+      val d = math.min(a0.length, b0.length)
+      val (a, b) = (a0.take(d), b0.take(d))
+      val sigs = Seq((1L, a), (2L, b)).toDF("vec_id", "embedding")
+      val packed = graft.sim.Bq.encode(sigs, d).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      def brute(x: Seq[Double], y: Seq[Double]): Int =
+        x.indices.count(i => (x(i) >= 0) != (y(i) >= 0))
+      def ham(x: Seq[Long], y: Seq[Long]): Int =
+        x.zip(y).map { case (p, q) => java.lang.Long.bitCount(p ^ q) }.sum
+      packed(1L) == graft.sim.Bq.signature(a) &&
+      packed(2L) == graft.sim.Bq.signature(b) &&
+      ham(packed(1L), packed(2L)) == brute(a, b) &&
+      ham(packed(1L), packed(1L)) == 0
+    }
+
+  // BPE on random lowercase corpora: whatever merges training learns,
+  // encoding must stay lossless (subwords concatenate back to the word)
+  // and must REPLAY training exactly on every training word — the
+  // tokenizer contract, independent of corpus shape.
+  private val wordGen: Gen[String] =
+    Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+  private val corpusGen: Gen[List[String]] =
+    Gen.chooseNum(3, 12).flatMap(k =>
+      Gen.listOfN(k, wordGen).flatMap(vocab =>
+        Gen.listOfN(25, Gen.oneOf(vocab))))
+
+  property("bpe: round-trip lossless + encode replays training, any corpus") =
+    forAll(corpusGen, Gen.chooseNum(0, 10)) { (words, merges) =>
+      import spark.implicits._
+      val docs = words.zipWithIndex
+        .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+      val m = graft.text.Bpe.train(docs, merges)
+      val enc = graft.text.Bpe.encode(docs, m).collect()
+        .map(r => (r.getString(2), r.getSeq[String](3)))
+      val roundTrip = enc.forall { case (w, subs) =>
+        subs.mkString("").stripSuffix(graft.text.Bpe.Eow) == w }
+      val trained = graft.text.Bpe.trainedSeg(docs, m).collect()
+        .map(r => r.getString(0) -> r.getString(2)).toMap
+      val replays = enc.forall { case (w, subs) =>
+        subs.mkString(" ") == trained(w) }
+      roundTrip && replays
+    }
+
+  // The LM score's analytic range on ANY corpus: the known-transition
+  // mass is a cb/cu(prev)-weighted ratio with cb ≤ cu(prev) termwise
+  // (a bigram cannot outnumber its context word), so it lies in [0, 1];
+  // the backoff mass is ≤ 0.4 by N-normalization — score ∈ [0, 1.4].
+  property("lm score lies in its analytic [0, 1.4] range on any corpus") =
+    forAll(corpusGen) { words =>
+      import spark.implicits._
+      val docs = words.grouped(5).zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+        .toDF("doc_id", "text")
+      val scores = graft.text.LmScore
+        .score(docs, graft.text.LmScore.lmFrom(docs))
+        .select("lm_score").collect().map(_.getDouble(0))
+      scores.forall(s => s >= 0.0 && s <= 1.4)
+    }
 }
