@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
   * pipelines end-to-end. Usage:
   *   runMain graft.EntrySmoke                      — flagship only
   *   runMain graft.EntrySmoke <logPath> <confPath> — raw fw pipeline
-  *   runMain graft.EntrySmoke neardup|ann|dedup|incremental|stream|substring|semdedup|semshard <sfDir>
+  *   runMain graft.EntrySmoke neardup|ann|dedup|incremental|stream|substring|semdedup|semshard|bpe|lm|dsir|bq|phash <sfDir>
   */
 object EntrySmoke {
   def main(args: Array[String]): Unit = {
@@ -132,6 +132,44 @@ object EntrySmoke {
         val kept2 = sim.SemDedup.semDedupShard(spark, shard, idx, 0.99)
         println(s"SEMSHARD: kept ${kept2.count()} of ${shard.count()} " +
           "shard vectors (planted copies of indexed corpus members drop)")
+      case Array("bpe", dir) =>
+        val docs = core.Tables.documents(spark, dir)
+        val m = text.Bpe.train(docs, 20)
+        println(s"BPE_MERGES: ${m.merges.mkString(", ")}")
+        println("BPE_ENCODE:")
+        text.Bpe.encode(docs, m)
+          .orderBy("doc_id", "pos").show(15, false)
+      case Array("lm", dir) =>
+        import org.apache.spark.sql.functions.col
+        val docs = core.Tables.documents(spark, dir)
+          .select("doc_id", "text")
+        val lmDir = java.nio.file.Files
+          .createTempDirectory("graft_smoke_lm").toString
+        text.LmScore.writeLm(docs.filter(col("doc_id") < 400), lmDir)
+        println("LM_SCORES (shard vs frozen release LM):")
+        text.LmScore.score(docs.filter(col("doc_id") >= 400),
+            text.LmScore.readLm(spark, lmDir))
+          .orderBy("doc_id").show(10, false)
+      case Array("dsir", dir) =>
+        println("DSIR_SAMPLE:")
+        SparkEntry.queries("sample_dsir")(spark, dir).show(10, false)
+      case Array("bq", dir) =>
+        import org.apache.spark.sql.functions.col
+        val emb = core.Tables.embeddings(spark, dir)
+        val probe = emb.filter(col("vec_id") === 7)
+          .select(col("embedding").cast("array<double>"))
+          .head().getSeq[Double](0).toSeq
+        val enc = sim.Bq.encode(emb, 64)
+        println("BQ_HAMMING_TOP10:")
+        sim.Bq.topK(enc, sim.Bq.signature(probe), 10).show(10, false)
+        println("BQ_RERANKED_TOP10 (exact cosine over the shortlist):")
+        sim.Bq.topKRerank(enc, emb, probe, 10, rerank = 50).show(10, false)
+      case Array("phash", dir) =>
+        val media = multimodal.Multimodal.syntheticMedia(spark, dir)
+        println("IMAGE_DHASH:")
+        multimodal.Multimodal.imageDHash(media).orderBy("id").show(10, false)
+        println("AUDIO_ENVHASH:")
+        multimodal.Multimodal.audioEnvHash(media).orderBy("id").show(10, false)
       case Array(logPath, confPath) =>
         val report = domain.LogParse.usageReportFromRaw(spark, logPath, confPath)
         println("RAW_REPORT:")
