@@ -3,6 +3,7 @@ package graft.text
 import scala.collection.mutable
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -162,6 +163,42 @@ object Bpe {
     * symbols into one). */
   def totalSymbols(docs: DataFrame, model: Model): Long =
     encode(docs, model).agg(sum("n_subs").cast("long")).head().getLong(0)
+
+  /** The pipeline ENDPOINT: raw documents → subword stream → fixed-size
+    * training contexts, entirely in-engine. [[encode]]'s per-word rows
+    * flatten to one ordered subword stream per document (posexplode over
+    * subs — (pos, sub_pos) is the total order), then pack greedily into
+    * bins of ≤ `binSize` subwords per shard (`source`-partitioned running
+    * count — the text_pack_bins shape: a GLOBAL cumsum would serialize
+    * the corpus, per-shard windows keep it partitioned; a document never
+    * splits across bins, the standard document-boundary packing).
+    * Output: (source, bin, doc_id, pos, sub_pos, sub) — the materialized
+    * training shards, order recoverable per bin.
+    *
+    * Scale shape: one corpus-sized encode (vocab-bounded regex chain +
+    * broadcast fan-back), one doc-level aggregate for the per-doc
+    * subword counts, one source-partitioned window, and the final join
+    * fans bins back onto the subword rows by doc_id — no global pass
+    * anywhere. */
+  def packCorpus(docs: DataFrame, model: Model,
+      binSize: Long = 512L): DataFrame = {
+    val enc = encode(docs, model)
+    val perDoc = enc.groupBy("doc_id")
+      .agg(sum("n_subs").cast("long").as("doc_subs"))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val binned = perDoc
+      .withColumn("cum", sum(col("doc_subs")).over(w))
+      .select(col("doc_id"), col("source"),
+        expr(s"(cum - doc_subs) div $binSize").as("bin"))
+    enc
+      .select(col("doc_id"), col("pos"),
+        posexplode(col("subs")).as(Seq("sub_pos", "sub")))
+      .join(binned, "doc_id")
+      .select(col("source"), col("bin"), col("doc_id"), col("pos"),
+        col("sub_pos"), col("sub"))
+  }
 
   /** Round-1 pair statistics as a declared, oracle-checked query: the
     * weighted adjacent-pair counts over the initial character

@@ -131,6 +131,43 @@ class BpeSpec extends SparkSpec {
     assert(sunk(1)._2 === enc(b2))
   }
 
+  test("packCorpus: every subword lands in exactly one bin, bins respect " +
+      "the budget (modulo one oversized doc), docs never split, and the " +
+      "within-bin order reconstructs each document") {
+    val docsSrc = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text").localCheckpoint()
+    val m = Bpe.train(docsSrc, 20)
+    val packed = Bpe.packCorpus(docsSrc, m, binSize = 256L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getInt(4), r.getString(5)))
+    // conservation: the packed stream IS the encoded stream
+    val totalSubs = Bpe.totalSymbols(docsSrc, m)
+    assert(packed.length.toLong === totalSubs)
+    // a doc belongs to exactly one (source, bin)
+    val docBins = packed.groupBy(_._3).map { case (_, rs) =>
+      rs.map(r => (r._1, r._2)).toSet.size }
+    assert(docBins.forall(_ === 1), "a document must never split")
+    // bin budgets: every bin except a shard's last is over half-full and
+    // a bin only exceeds the budget when a single doc does
+    val binSizes = packed.groupBy(r => (r._1, r._2)).view
+      .mapValues(_.size.toLong).toMap
+    for (((src, bin), n) <- binSizes if n > 256L) {
+      val biggestDoc = packed.filter(r => r._1 == src && r._2 == bin)
+        .groupBy(_._3).map(_._2.size).max
+      assert(biggestDoc > 0 && n - biggestDoc < 256L,
+        s"bin ($src,$bin) overflowed by more than its last doc")
+    }
+    // order: subwords of each doc, sorted (pos, sub_pos), concatenate
+    // back to the document text + sentinels
+    val texts = docsSrc.collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    packed.groupBy(_._3).foreach { case (docId, rs) =>
+      val rebuilt = rs.sortBy(r => (r._4, r._5)).map(_._6).mkString("")
+        .replace(Bpe.Eow, " ").trim
+      assert(rebuilt === texts(docId), s"doc $docId order broken")
+    }
+  }
+
   test("the corpus encode plan: vocab rides a broadcast join back to " +
       "occurrences — no sort-merge join, no corpus-keyed exchange beyond " +
       "the vocab distinct") {
