@@ -40,7 +40,14 @@ object Bq {
     * scan that reads the floats (the [[Sq.encode]] shape, minus even the
     * broadcast params). The per-word fold is a fixed lambda-free tree of
     * codegen builtins (when/shiftleft/bitwiseOR) — no HigherOrderFunction
-    * interpretation in the encode path. */
+    * interpretation in the encode path.
+    *
+    * Honest edge: a vector SHORTER than `dim` zero-pads (element_at past
+    * the end is null, and a null sign test takes the 0 branch) rather
+    * than failing — the caller owns dim uniformity, which is why the
+    * persisted index freezes `bq_dim` and checks the shard's dimension
+    * on append ([[graft.sim.Pq.appendIndex]]) instead of trusting this
+    * expression to notice. */
   def encode(emb: DataFrame, dim: Int): DataFrame =
     vecs(emb).select(col("vec_id"),
       signatureExpr(col("v"), dim).as("sig"))

@@ -134,6 +134,118 @@ object LmScore {
                   * col("n_tokens").cast("double"))))
           .as("lm_score"))
 
+  // ---- trigram form ---------------------------------------------------
+
+  /** Trigram LM view: `tri` (w1, w2, cur, c3) thresholded, plus the
+    * bigram [[Lm]] it backs off into. */
+  final case class Lm3(tri: DataFrame, bi: Lm)
+
+  /** (doc_id, w1, w2, cur) — trigram contexts, the slice+zip fan-out one
+    * step wider. Docs with < 3 tokens contribute nothing here (their
+    * transitions all live at the bigram level). */
+  def trigrams(docs: DataFrame): DataFrame = {
+    val toks = col("toks")
+    docs.select(col("doc_id"), tokens.as("toks"))
+      .select(col("doc_id"),
+        slice(toks, lit(1), size(toks) - 2).as("a"),
+        slice(toks, lit(2), size(toks) - 2).as("b"),
+        slice(toks, lit(3), size(toks) - 2).as("c"))
+      .select(col("doc_id"),
+        explode(arrays_zip(col("a"), col("b"), col("c"))).as("t"))
+      .select(col("doc_id"), col("t.a").as("w1"), col("t.b").as("w2"),
+        col("t.c").as("cur"))
+  }
+
+  /** In-memory trigram LM (thresholded like the bigrams: a trigram must
+    * recur to count as known). */
+  def lm3From(docs: DataFrame, minCount: Long = MinCount,
+      uniMinCount: Long = 1L): Lm3 = {
+    val tri = trigrams(docs).groupBy("w1", "w2", "cur")
+      .agg(count(lit(1)).cast("long").as("c3"))
+      .filter(col("c3") >= minCount)
+    Lm3(tri, lmFrom(docs, minCount, uniMinCount))
+  }
+
+  /** Proper stupid backoff (Brants et al. 2007, the full chain): each
+    * position scores at the deepest known level —
+    *   trigram known:            c3 / c2(w1,w2)
+    *   else bigram known:  0.4 · cb / cu(prev)
+    *   else:               0.16 · cu(cur) / N   (0.4², aggregated)
+    * — with each doc's FIRST transition (no trigram context exists)
+    * handled at the bigram level, the standard short-context rule. The
+    * same aggregation discipline as [[score]]: per-doc INTEGER sums per
+    * backoff level, the doubles in one fixed tree at the end, so
+    * everything stays summation-order-free. What the trigram level buys
+    * (Lm3Spec's planted construction): a document whose word PAIRS are
+    * all corpus-attested but whose three-word phrases are novel scores
+    * strictly below an in-distribution twin that the bigram model
+    * PROVABLY cannot distinguish (equal counts by symmetry).
+    *
+    * Output: (doc_id, n_trans, n_tri, hit3, ctx3, n_bi, hit2, ctx2,
+    * n_uni, bo_num, lm3_score), one row per doc with ≥ 1 transition.
+    * TEST-gated (Lm3Spec) — the declared `text_lm_score` stays the
+    * bigram form; a trigram oracle would double the SQL for the same
+    * verified expression discipline. */
+  def score3(docs: DataFrame, lm: Lm3): DataFrame = {
+    // every transition (prev -> cur), with its trigram context w1 where
+    // one exists (null for each doc's first transition): join transitions
+    // to trigram contexts on (doc_id, w2=prev, cur) position-free —
+    // ambiguous for repeated (prev, cur) pairs within a doc, so instead
+    // derive both views from ONE wider fan-out keyed by position
+    val toks = col("toks")
+    val trans = docs.select(col("doc_id"), tokens.as("toks"))
+      .select(col("doc_id"),
+        // pad a null w1 ahead of the first transition: w1_i = toks[i-1]
+        slice(concat(array(lit(null).cast("string")), toks),
+          lit(1), size(toks) - 1).as("a"),
+        slice(toks, lit(1), size(toks) - 1).as("b"),
+        slice(toks, lit(2), size(toks) - 1).as("c"))
+      .select(col("doc_id"),
+        explode(arrays_zip(col("a"), col("b"), col("c"))).as("t"))
+      .select(col("doc_id"), col("t.a").as("w1"), col("t.b").as("prev"),
+        col("t.c").as("cur"))
+    trans
+      .join(broadcast(lm.tri.select(col("w1"), col("w2").as("prev"),
+        col("cur"), col("c3"))), Seq("w1", "prev", "cur"), "left")
+      .join(broadcast(lm.bi.big.select(col("prev").as("w1"),
+        col("cur").as("prev"), col("cb").as("c2ctx"))),
+        Seq("w1", "prev"), "left")
+      .join(broadcast(lm.bi.big), Seq("prev", "cur"), "left")
+      .join(broadcast(lm.bi.uni.select(col("w").as("prev"),
+        col("cu").as("cu_prev"))), Seq("prev"), "left")
+      .join(broadcast(lm.bi.uni.select(col("w").as("cur"),
+        col("cu").as("cu_cur"))), Seq("cur"), "left")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_trans"),
+        count(col("c3")).as("n_tri"),
+        coalesce(sum("c3"), lit(0L)).cast("long").as("hit3"),
+        coalesce(sum(when(col("c3").isNotNull, col("c2ctx"))), lit(0L))
+          .cast("long").as("ctx3"),
+        count(when(col("c3").isNull && col("cb").isNotNull, lit(1)))
+          .as("n_bi"),
+        coalesce(sum(when(col("c3").isNull, col("cb"))), lit(0L))
+          .cast("long").as("hit2"),
+        coalesce(sum(when(col("c3").isNull && col("cb").isNotNull,
+          col("cu_prev"))), lit(0L)).cast("long").as("ctx2"),
+        count(when(col("c3").isNull && col("cb").isNull, lit(1)))
+          .as("n_uni"),
+        coalesce(sum(when(col("c3").isNull && col("cb").isNull,
+          col("cu_cur"))), lit(0L)).cast("long").as("bo_num"))
+      .crossJoin(broadcast(lm.bi.n))
+      .select(col("doc_id"), col("n_trans"), col("n_tri"), col("hit3"),
+        col("ctx3"), col("n_bi"), col("hit2"), col("ctx2"), col("n_uni"),
+        col("bo_num"),
+        (when(col("n_tri") === 0, lit(0.0)).otherwise(
+           col("hit3").cast("double") / col("ctx3").cast("double"))
+         + lit(Alpha) * when(col("n_bi") === 0, lit(0.0)).otherwise(
+             col("hit2").cast("double") / col("ctx2").cast("double"))
+         + lit(Alpha * Alpha) * when(col("n_uni") === 0, lit(0.0))
+             .otherwise(col("bo_num").cast("double")
+               / (col("n_uni").cast("double")
+                  * col("n_tokens").cast("double"))))
+          .as("lm3_score"))
+  }
+
   // ---- persisted index ------------------------------------------------
 
   /** Build and publish a fresh LM index at `dir` (v1 unless versions
@@ -142,13 +254,21 @@ object LmScore {
     * transition table are written UNthresholded — the known-transition
     * cut belongs to [[readLm]] so future appends can promote rare
     * bigrams. */
-  def writeLm(docs: DataFrame, dir: String): Unit = {
+  def writeLm(docs: DataFrame, dir: String,
+      withTrigrams: Boolean = false): Unit = {
     val spark = docs.sparkSession
     val v = Versioned.nextVersion(spark, dir)
     val root = s"$dir/$v"
     val (big, uni) = shardCounts(docs)
     big.write.mode("errorifexists").parquet(s"$root/bigrams")
     uni.write.mode("errorifexists").parquet(s"$root/unigrams")
+    // the trigram table is just one more mergeable count family — same
+    // append/threshold/compaction algebra, opt-in because it is the
+    // big one (cube of the vocabulary in the worst case)
+    if (withTrigrams)
+      trigrams(docs).groupBy("w1", "w2", "cur")
+        .agg(count(lit(1)).as("n"))
+        .write.mode("errorifexists").parquet(s"$root/trigrams")
     Versioned.publish(spark, dir, v)
   }
 
@@ -174,6 +294,31 @@ object LmScore {
       else (big0.withColumn("n", -col("n")), uni0.withColumn("n", -col("n")))
     big.write.mode("append").parquet(s"$root/bigrams")
     uni.write.mode("append").parquet(s"$root/unigrams")
+    // a trigram-carrying index stays uniformly trigram-carrying
+    if (pathExists(spark, s"$root/trigrams")) {
+      val tri0 = trigrams(docs).groupBy("w1", "w2", "cur")
+        .agg(count(lit(1)).as("n"))
+      val tri = if (!negate) tri0 else tri0.withColumn("n", -col("n"))
+      tri.write.mode("append").parquet(s"$root/trigrams")
+    }
+  }
+
+  private def pathExists(spark: SparkSession, p: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    path.getFileSystem(spark.sessionState.newHadoopConf()).exists(path)
+  }
+
+  /** The frozen TRIGRAM LM at `dir` — requires an index written with
+    * `withTrigrams = true` (loud otherwise). */
+  def readLm3(spark: SparkSession, dir: String,
+      minCount: Long = MinCount, uniMinCount: Long = 1L): Lm3 = {
+    val root = Versioned.resolveRoot(spark, dir)
+    require(pathExists(spark, s"$root/trigrams"),
+      s"LM index at $dir has no trigram table — writeLm(withTrigrams=true)")
+    val tri = spark.read.parquet(s"$root/trigrams")
+      .groupBy("w1", "w2", "cur").agg(sum("n").cast("long").as("c3"))
+      .filter(col("c3") >= minCount)
+    Lm3(tri, readLm(spark, dir, minCount, uniMinCount))
   }
 
   /** The frozen LM at `dir`: read-time aggregation of all folded shards
@@ -205,6 +350,12 @@ object LmScore {
       .filter(col("n") =!= 0L)
       .coalesce(1)
       .write.mode("errorifexists").parquet(s"$root/unigrams")
+    if (pathExists(spark, s"$old/trigrams"))
+      spark.read.parquet(s"$old/trigrams")
+        .groupBy("w1", "w2", "cur").agg(sum("n").cast("long").as("n"))
+        .filter(col("n") =!= 0L)
+        .coalesce(1)
+        .write.mode("errorifexists").parquet(s"$root/trigrams")
     Versioned.publish(spark, dir, v)
   }
 }
