@@ -93,6 +93,27 @@ object LmVolume {
     viaIndex.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(viaIndex).isEmpty
   }
 
+  /** The trigram scorer at volume: same separation contract (noise is
+    * all-OOV → exactly 0 at every backoff level under the cut, coherent
+    * ring transitions are trigram-attested), measured docs/s. */
+  def measure3(docs: DataFrame): (Double, Double, Double, Boolean) = {
+    val lm0 = LmScore.lm3From(docs, uniMinCount = 2L)
+    val lm = LmScore.Lm3(lm0.tri.localCheckpoint(),
+      LmScore.Lm(lm0.bi.big.localCheckpoint(),
+        lm0.bi.uni.localCheckpoint(), lm0.bi.n.localCheckpoint()))
+    val t1 = System.nanoTime()
+    val stats = LmScore.score3(docs, lm)
+      .join(docs.select("doc_id", "planted_noise"), "doc_id")
+      .groupBy("planted_noise")
+      .agg(min("lm3_score").as("mn"), max("lm3_score").as("mx"))
+      .collect().map(r => r.getBoolean(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    val sec = (System.nanoTime() - t1) / 1e9
+    val (_, noiseMax) = stats(true)
+    val (cohMin, _) = stats(false)
+    (sec, noiseMax, cohMin, noiseMax < cohMin)
+  }
+
   def main(args: Array[String]): Unit = {
     val nDocs = args.headOption.map(_.toLong).getOrElse(1000000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -106,6 +127,7 @@ object LmVolume {
     val docs = corpus(spark, nDocs).localCheckpoint() // exclude gen cost
     val (buildSec, scoreSec, noiseMax, cohMin, nNoise, nCoh, sep) =
       measure(docs)
+    val (s3Sec, n3Max, c3Min, sep3) = measure3(docs)
     val dir = java.nio.file.Files.createTempDirectory("graft_lmvol").toString
     val incrOk = appendEqualsRebuild(docs, dir)
     val line =
@@ -114,11 +136,15 @@ object LmVolume {
       f""""score_sec":$scoreSec%.2f,"noise_max":$noiseMax%.6f,""" +
       f""""coherent_min":$cohMin%.6f,"n_noise":$nNoise,""" +
       f""""n_coherent":$nCoh,"separated":$sep,""" +
+      f""""tri_score_sec":$s3Sec%.2f,""" +
+      f""""tri_docs_per_sec":${nDocs / s3Sec}%.0f,""" +
+      f""""tri_noise_max":$n3Max%.6f,"tri_coherent_min":$c3Min%.6f,""" +
+      s""""tri_separated":$sep3,""" +
       s""""append_equals_rebuild":$incrOk}"""
     println(line)
     Artifacts.write("lm_volume.json", line)
     spark.stop()
-    if (!sep || !incrOk) {
+    if (!sep || !sep3 || !incrOk) {
       System.err.println("[lmvol] CONTRACT MISS"); sys.exit(1)
     }
   }

@@ -27,5 +27,9 @@ class LmVolumeSpec extends SparkSpec {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_lmvol_ci").toString
     assert(LmVolume.appendEqualsRebuild(docs, dir))
+    // the trigram scorer keeps the same total separation
+    val (s3, n3Max, c3Min, sep3) = LmVolume.measure3(docs)
+    info(f"trigram: $s3%.2fs noiseMax=$n3Max%.6f cohMin=$c3Min%.6f")
+    assert(n3Max === 0.0 && sep3 && c3Min > 0.5)
   }
 }
