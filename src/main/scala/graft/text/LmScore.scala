@@ -95,6 +95,18 @@ object LmScore {
     Lm(big, uni, n)
   }
 
+  /** The bigram-count half of [[lmFrom]] from an already-materialized
+    * transition table — lets a caller that needs SEVERAL LMs or scoring
+    * passes over the same corpus (`sample_dsir`: raw + target) pay the
+    * corpus-sized fan-out ONCE behind a localCheckpoint. */
+  def lmFromTransitions(trans: DataFrame, docs: DataFrame,
+      minCount: Long = MinCount, uniMinCount: Long = 1L): Lm = {
+    val big = trans.groupBy("prev", "cur").agg(count(lit(1)).as("n"))
+    val uni = docs.select(explode(tokens).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    fromCounts(big, uni, minCount, uniMinCount)
+  }
+
   /** Score documents against a frozen LM. Output: (doc_id, n_trans,
     * n_seen, hit_num, ctx_den, n_unseen, bo_num, lm_score), one row per
     * document with ≥ 1 transition. The ONE scoring expression — oracled
@@ -103,7 +115,13 @@ object LmScore {
     * corpus-sized transition stream; one doc_id rollup; N rides a 1-row
     * broadcast. */
   def score(docs: DataFrame, lm: Lm): DataFrame =
-    transitions(docs)
+    scoreTransitions(transitions(docs), lm)
+
+  /** [[score]] over a caller-supplied transition table (the shared
+    * fan-out form — identical expression tree, so the oracle cannot
+    * tell the two apart). */
+  def scoreTransitions(trans: DataFrame, lm: Lm): DataFrame =
+    trans
       .join(broadcast(lm.big), Seq("prev", "cur"), "left")
       // LEFT on the unigrams too: an index probe may carry words the
       // frozen LM never saw — those transitions stay in n_trans/n_unseen

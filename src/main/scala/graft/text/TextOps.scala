@@ -457,6 +457,14 @@ object TextOps {
     // shuffle beyond the lm_score pair.
     "sample_dsir" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      // deliberately NOT materializing the shared transition fan-out: the
+      // exploded transitions are LARGER than the compressed text they
+      // come from (two strings per token), so checkpointing them once and
+      // re-reading four times moves more bytes than re-running the
+      // narrow map-side fan-out inside each pass (measured at parity at
+      // sf0.1; at 100 TB the recompute stays scan-bound while the
+      // materialization would write a corpus-sized intermediate). The
+      // four passes each prune to (doc_id, text) at the source.
       val raw = LmScore.lmFrom(docs)
       val tgt = LmScore.lmFrom(docs.filter(col("lang") === "en"))
       val sr = LmScore.score(docs, raw)
