@@ -298,14 +298,21 @@ object Streaming {
     * ≡ the batch scorer on each batch's documents. */
   def streamLmScore(docs: DataFrame, lmDir: String,
       sink: (DataFrame, Long) => Unit,
-      minCount: Long = graft.text.LmScore.MinCount)
+      minCount: Long = graft.text.LmScore.MinCount,
+      trigram: Boolean = false)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       if (!batch.isEmpty) {
-        val lm = graft.text.LmScore.readLm(batch.sparkSession, lmDir,
-          minCount)
-        sink(graft.text.LmScore.score(batch, lm), id)
+        val s = batch.sparkSession
+        // trigram = true scores with the full backoff chain against an
+        // index written with trigrams (readLm3 refuses loudly otherwise)
+        val scored =
+          if (trigram) graft.text.LmScore.score3(batch,
+            graft.text.LmScore.readLm3(s, lmDir, minCount))
+          else graft.text.LmScore.score(batch,
+            graft.text.LmScore.readLm(s, lmDir, minCount))
+        sink(scored, id)
       }
     }
 

@@ -99,6 +99,30 @@ class Lm3Spec extends SparkSpec {
     assert(e.getMessage.contains("no trigram table"))
   }
 
+  test("streaming twin at the trigram level: streamLmScore(trigram) " +
+      "replays score3 against the live index per batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lm3_stream").toString
+    LmScore.writeLm(corpus, dir, withTrigrams = true)
+    val b1 = Seq((1000L, "a b c"), (1001L, "a b e"))
+    val sunk = scala.collection.mutable
+      .ArrayBuffer[Map[Long, Seq[Any]]]()
+    val stream = MemoryStream[(Long, String)](94, spark, None)
+    val q = graft.stream.Streaming.streamLmScore(
+        stream.toDF().toDF("doc_id", "text"), dir,
+        (df, _) => sunk += df.collect()
+          .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap,
+        trigram = true)
+      .start()
+    stream.addData(b1); q.processAllAvailable()
+    q.stop()
+    assert(sunk.size === 1)
+    assert(sunk(0) === LmScore.score3(b1.toDF("doc_id", "text"),
+        LmScore.readLm3(spark, dir)).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap)
+  }
+
   test("score3 is identical across shuffle partitionings (integer sums " +
       "+ one fixed tree — the repo's determinism discipline)") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
