@@ -439,6 +439,18 @@ object TextOps {
       LmScore.score(docs, LmScore.lmFrom(docs)).orderBy("doc_id")
     }),
 
+    // The trigram form of the LM score — the FULL stupid-backoff chain
+    // (tri-known c3/c2(w1,w2), else 0.4·bigram, else 0.16·unigram; each
+    // doc's first transition at the bigram level). Same discipline as
+    // text_lm_score: integer per-doc sums per backoff level, one fixed
+    // IEEE tree; the wider fan-out carries a NULL w1 ahead of each doc's
+    // first transition, and SQL null-join semantics match Spark's
+    // exactly (a null context never matches a trigram row).
+    "text_lm3_score" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      LmScore.score3(docs, LmScore.lm3From(docs)).orderBy("doc_id")
+    }),
+
     // DSIR-style importance resampling (Xie et al. 2023, "Data Selection
     // for Language Models via Importance Resampling"): upsample documents
     // that sound like a TARGET domain relative to the raw corpus. Two
@@ -886,6 +898,66 @@ object TextOps {
         |        ELSE CAST(bo_num AS DOUBLE)
         |          / (CAST(n_unseen AS DOUBLE) * CAST(n_tokens AS DOUBLE))
         |        END) AS lm_score
+        |FROM d CROSS JOIN n ORDER BY doc_id""".stripMargin,
+
+    // aligned multi-unnest carries (w1, prev, cur) with w1 NULL ahead of
+    // each doc's first transition; LEFT joins at every level mirror the
+    // Spark expression, and the three backoff levels aggregate as
+    // disjoint integer sums
+    "text_lm3_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |tr AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(toks)),
+        |      i -> CASE WHEN i = 1 THEN NULL ELSE toks[i - 1] END)) AS w1,
+        |    unnest(list_transform(range(1, len(toks)),
+        |      i -> toks[i])) AS prev,
+        |    unnest(list_transform(range(1, len(toks)),
+        |      i -> toks[i + 1])) AS cur FROM t),
+        |tri AS (SELECT w1, prev, cur, COUNT(*) AS c3 FROM tr
+        |  WHERE w1 IS NOT NULL GROUP BY w1, prev, cur
+        |  HAVING COUNT(*) >= 2),
+        |big AS (SELECT prev, cur, COUNT(*) AS cb FROM tr
+        |  GROUP BY prev, cur HAVING COUNT(*) >= 2),
+        |uni AS (SELECT w, COUNT(*) AS cu FROM
+        |  (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w),
+        |n AS (SELECT CAST(SUM(cu) AS BIGINT) AS n_tokens FROM uni),
+        |j AS (SELECT tr.doc_id, t3.c3, b2.cb AS c2ctx, b.cb,
+        |    up.cu AS cu_prev, uc.cu AS cu_cur
+        |  FROM tr
+        |  LEFT JOIN tri t3 ON t3.w1 = tr.w1 AND t3.prev = tr.prev
+        |    AND t3.cur = tr.cur
+        |  LEFT JOIN big b2 ON b2.prev = tr.w1 AND b2.cur = tr.prev
+        |  LEFT JOIN big b ON b.prev = tr.prev AND b.cur = tr.cur
+        |  LEFT JOIN uni up ON up.w = tr.prev
+        |  LEFT JOIN uni uc ON uc.w = tr.cur),
+        |d AS (SELECT doc_id, COUNT(*) AS n_trans,
+        |    COUNT(c3) AS n_tri,
+        |    CAST(COALESCE(SUM(c3), 0) AS BIGINT) AS hit3,
+        |    CAST(COALESCE(SUM(CASE WHEN c3 IS NOT NULL THEN c2ctx END),
+        |      0) AS BIGINT) AS ctx3,
+        |    COUNT(CASE WHEN c3 IS NULL AND cb IS NOT NULL THEN 1 END)
+        |      AS n_bi,
+        |    CAST(COALESCE(SUM(CASE WHEN c3 IS NULL THEN cb END),
+        |      0) AS BIGINT) AS hit2,
+        |    CAST(COALESCE(SUM(CASE WHEN c3 IS NULL AND cb IS NOT NULL
+        |      THEN cu_prev END), 0) AS BIGINT) AS ctx2,
+        |    COUNT(CASE WHEN c3 IS NULL AND cb IS NULL THEN 1 END)
+        |      AS n_uni,
+        |    CAST(COALESCE(SUM(CASE WHEN c3 IS NULL AND cb IS NULL
+        |      THEN cu_cur END), 0) AS BIGINT) AS bo_num
+        |  FROM j GROUP BY doc_id)
+        |SELECT doc_id, n_trans, n_tri, hit3, ctx3, n_bi, hit2, ctx2,
+        |  n_uni, bo_num,
+        |  (CASE WHEN n_tri = 0 THEN 0.0
+        |        ELSE CAST(hit3 AS DOUBLE) / CAST(ctx3 AS DOUBLE) END)
+        |  + 0.4 * (CASE WHEN n_bi = 0 THEN 0.0
+        |        ELSE CAST(hit2 AS DOUBLE) / CAST(ctx2 AS DOUBLE) END)
+        |  + 0.16000000000000003 * (CASE WHEN n_uni = 0 THEN 0.0
+        |        ELSE CAST(bo_num AS DOUBLE)
+        |          / (CAST(n_uni AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+        |        END) AS lm3_score
         |FROM d CROSS JOIN n ORDER BY doc_id""".stripMargin,
 
     // the text_lm_score chain instantiated twice (raw LM over documents,
