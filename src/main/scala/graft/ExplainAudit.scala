@@ -316,6 +316,15 @@ object ExplainAudit {
       p => p.contains("TakeOrderedAndProject")
         && "HashAggregate".r.findAllIn(finalPlan(p)).size >= 2
         && !p.contains("Join") && !p.contains("lambdafunction")),
+    // the trigram chain adds two more LM tables (tri + the context
+    // bigram view) — five broadcasts onto one fan-out, still no SMJ
+    ("text_lm3_score", "broadcast trigram chain + two-phase rollup, no SMJ",
+      p => {
+        val f = finalPlan(p)
+        "BroadcastHashJoin".r.findAllIn(f).size >= 5 &&
+          "HashAggregate".r.findAllIn(f).size >= 2 &&
+          !f.contains("SortMergeJoin") && !f.contains("lambdafunction")
+      }),
     // DSIR: BOTH LM-table sets (bigram + unigram ×2 + N, twice) must
     // broadcast onto the shared transition stream — at sf scale even the
     // final score-pair equi-join broadcasts; what may never appear is a
