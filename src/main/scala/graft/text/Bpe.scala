@@ -133,9 +133,29 @@ object Bpe {
     wordFreq(docs).withColumn("seg",
       applyMerges(charSeg(col("word")), model.merges))
 
+  /** Above this merge count the regex chain stops being viable (one
+    * nested regexp_replace per merge — a production 30k-merge vocabulary
+    * would be a 30k-deep expression tree) and encode dispatches to the
+    * [[org.apache.spark.sql.graftexpr.BpeEncodeExpr]] kernel: the merge
+    * list rides OUT of the expression tree as a task-shared reference
+    * object and each word replays in O(L log L) via the classic
+    * rank-heap, PROVEN equal to the chain (BpeSpec + a randomized
+    * property). */
+  val KernelThreshold = 64
+
+  /** The regex-chain form — the REFERENCE semantics (training replay by
+    * construction; every equality gate is stated against this). */
+  def encodeWordChain(word: Column, model: Model): Column =
+    split(applyMerges(charSeg(word), model.merges), " ")
+
+  /** The kernel form — vocabulary-size-independent expression tree. */
+  def encodeWordKernel(word: Column, model: Model): Column =
+    org.apache.spark.sql.graftexpr.BpeEncodeExpr.column(word, model.merges)
+
   /** Encode a word column to its subword array. */
   def encodeWord(word: Column, model: Model): Column =
-    split(applyMerges(charSeg(word), model.merges), " ")
+    if (model.size <= KernelThreshold) encodeWordChain(word, model)
+    else encodeWordKernel(word, model)
 
   /** Encode a corpus: (doc_id, pos, word, subs, n_subs), one row per word
     * occurrence, order recoverable by (doc_id, pos). The regex chain runs

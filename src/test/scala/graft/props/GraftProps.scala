@@ -165,6 +165,24 @@ object GraftProps extends Properties("graft") {
       roundTrip && replays
     }
 
+  // The bpe_encode KERNEL equals the regex-chain reference on random
+  // corpora AND random probe words (seen + unseen) — the heap replay's
+  // equivalence argument, executable.
+  property("bpe kernel == regex chain on random corpora and probes") =
+    forAll(corpusGen, Gen.listOfN(6, wordGen), Gen.chooseNum(1, 10)) {
+      (words, probes, merges) =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val docs = words.zipWithIndex
+        .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+      val m = graft.text.Bpe.train(docs, merges)
+      val rows = (words ++ probes).distinct.toDF("w")
+        .select(graft.text.Bpe.encodeWordChain(col("w"), m).as("a"),
+          graft.text.Bpe.encodeWordKernel(col("w"), m).as("b"))
+        .collect()
+      rows.forall(r => r.getSeq[String](0) == r.getSeq[String](1))
+    }
+
   // The LM score's analytic range on ANY corpus: the known-transition
   // mass is a cb/cu(prev)-weighted ratio with cb ≤ cu(prev) termwise
   // (a bigram cannot outnumber its context word), so it lies in [0, 1];
