@@ -109,8 +109,28 @@ object BpeVolume {
     val encodeSec = (System.nanoTime() - t2) / 1e9
     val encWords = encStats.getLong(0)
     val symbolsPerWord = encStats.getLong(1).toDouble / encWords
+
+    // the kernel's VOCABULARY-SIZE-INDEPENDENCE claim, measured: encode
+    // the same corpus through bpe_encode at the trained 36 merges and
+    // again with 5000 inert ladder merges appended (they touch a letter
+    // this corpus never uses, so the output is identical — asserted via
+    // the symbol total) — the chain would be a 5036-deep expression tree
+    def kernelEncodeSec(m: Bpe.Model): (Double, Long) = {
+      val t = System.nanoTime()
+      val r = Bpe.wordFreq(docs)
+        .select(col("word"), col("freq"),
+          size(Bpe.encodeWordKernel(col("word"), m)).as("ns"))
+        .agg(sum(col("freq") * col("ns")).cast("long")).head().getLong(0)
+      ((System.nanoTime() - t) / 1e9, r)
+    }
+    val (kSec, kSubs) = kernelEncodeSec(model)
+    val big = Bpe.Model(model.merges ++
+      (1 until 2501).map(i => ("z" * i, "z")) ++
+      (1 until 2501).map(i => ("Z" * i, "Z")))
+    val (kSec5k, kSubs5k) = kernelEncodeSec(big)
     val ok = model.size == Merges && intra && seg &&
-      encWords == nDocs * WordsPerDoc && symbolsPerWord == 2.0
+      encWords == nDocs * WordsPerDoc && symbolsPerWord == 2.0 &&
+      kSubs == encStats.getLong(1) && kSubs5k == kSubs
     val line =
       f"""{"metric":"bpe_sec_per_merge_round","value":${
         trainSec / Merges}%.3f,"unit":"sec/round",""" +
@@ -121,6 +141,8 @@ object BpeVolume {
       f""""encode_sec":$encodeSec%.2f,""" +
       f""""encode_tokens_per_sec":${encWords / encodeSec}%.0f,""" +
       f""""symbols_per_word":$symbolsPerWord%.3f,""" +
+      f""""kernel_vocab_sec":$kSec%.2f,""" +
+      f""""kernel_vocab_sec_5036_merges":$kSec5k%.2f,""" +
       s""""all_ok":$ok}"""
     println(line)
     Artifacts.write("bpe_volume.json", line)
