@@ -335,6 +335,28 @@ object ExplainAudit {
         "BroadcastHashJoin".r.findAllIn(f).size >= 6 &&
           "HashAggregate".r.findAllIn(f).size >= 2 &&
           !f.contains("SortMergeJoin") && !f.contains("lambdafunction")
+      }),
+    // retrieval eval: the eval-sized probe set rides a broadcast
+    // nested-loop fan-out over ONE corpus scan, per-probe top-k prunes
+    // map-side via WindowGroupLimit before the probe-keyed exchange, and
+    // the cosine is the codegen dot (no HOF lambda); a sort-merge join
+    // here would mean the corpus shuffled against the probes
+    ("eval_retrieval", "broadcast probe fan-out + WindowGroupLimit, no SMJ",
+      p => {
+        val f = finalPlan(p)
+        f.contains("BroadcastNestedLoopJoin") &&
+          f.contains("WindowGroupLimit") &&
+          !f.contains("SortMergeJoin") && !f.contains("lambdafunction")
+      }),
+    // hard-negative mining shares the probe fan-out; both per-anchor
+    // rank windows must group-limit, and the pos×neg assembly join stays
+    // a broadcast (anchor-bounded sides)
+    ("mine_hard_negatives", "two group-limited rank windows, no SMJ",
+      p => {
+        val f = finalPlan(p)
+        "WindowGroupLimit".r.findAllIn(f).size >= 2 &&
+          f.contains("BroadcastNestedLoopJoin") &&
+          !f.contains("SortMergeJoin") && !f.contains("lambdafunction")
       })
   )
 

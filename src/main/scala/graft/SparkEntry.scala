@@ -22,7 +22,8 @@ object SparkEntry {
     text.SubstringDedup.queries,
     sim.Similarity.queries,
     sim.Dedup.queries,
-    sim.Curation.queries
+    sim.Curation.queries,
+    sim.Eval.queries
   )
 
   private def oracleModules = Seq(
@@ -36,7 +37,8 @@ object SparkEntry {
     text.SubstringDedup.oracleSql,
     sim.Similarity.oracleSql,
     sim.Dedup.oracleSql,
-    sim.Curation.oracleSql
+    sim.Curation.oracleSql,
+    sim.Eval.oracleSql
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,219 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Embedding-quality evaluation + contrastive training-set assembly —
+  * SURVEY.md §2 B9.45–B9.47.
+  *
+  * Every curation pipeline that builds or consumes an embedding space needs
+  * to MEASURE it: retrieval metrics (MRR / hits@k / precision@k) against
+  * labeled relevance, k-NN label accuracy (the standard linear-probe-free
+  * embedding quality check), and hard-negative mining (the training-set
+  * assembly op for contrastive fine-tuning — Karpukhin et al. 2020's DPR
+  * recipe selects, per anchor, the highest-scoring NON-relevant documents).
+  *
+  * All three share one scored-pairs builder: a deterministic 5% probe
+  * sample (vec_id % 20 == 0 — membership a pure function of the id, the
+  * hashSplit/split_assign discipline) broadcast against one scan of the
+  * remaining corpus, cosine via the ONE shared [[VectorMath.dot]] fold so
+  * scores are bit-exact vs the oracle. Scale shape: the probe set is
+  * eval-sized (bounded, broadcastable); the corpus is scanned ONCE with a
+  * narrow map; per-probe top-k prunes map-side via WindowGroupLimit before
+  * the probe-keyed exchange. At 100 TB the same metric reducers run
+  * unchanged over [[Pq.probeIndexTopKBatch]]'s output instead of the exact
+  * scan — [[retrievalMetrics]] takes ANY (probe_id, probe_label, vec_id,
+  * label, rank) table, and EvalSpec pins the ANN-backed composition.
+  *
+  * Determinism: ranks tie-break by vec_id; MRR avoids float-sum-order
+  * hazard entirely — reciprocal ranks are summed as the INTEGER 2520/rank
+  * (2520 = lcm(1..10), so every reciprocal at k ≤ 10 is exact), with the
+  * single double division at the end (the agg_var_exact discipline).
+  */
+object Eval {
+
+  import VectorMath.dot
+
+  val ProbeMod = 20 // 1-in-20 deterministic eval sample
+
+  /** Scored (probe × corpus) pairs: probe_id, probe_label, vec_id, label,
+    * cosine. Probes ride a broadcast; the corpus is scanned once. */
+  def scoredPairs(emb: DataFrame): DataFrame = {
+    val normed = emb.select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val probes = broadcast(normed.filter(col("vec_id") % ProbeMod === 0)
+      .select(col("vec_id").as("probe_id"), col("label").as("probe_label"),
+        col("v").as("p"), col("norm").as("pnorm")))
+    normed.filter(col("vec_id") % ProbeMod =!= 0)
+      .crossJoin(probes)
+      .select(col("probe_id"), col("probe_label"), col("vec_id"), col("label"),
+        (dot(col("v"), col("p")) / (col("norm") * col("pnorm"))).as("cosine"))
+  }
+
+  /** Per-probe rank table from scored pairs (rank 1 = nearest; ties by
+    * vec_id). The rank ≤ k filter is what lets WindowGroupLimit prune
+    * each partition to k rows BEFORE the probe-keyed exchange. */
+  def ranked(pairs: DataFrame, k: Int): DataFrame =
+    pairs.withColumn("rank", row_number().over(
+        Window.partitionBy("probe_id").orderBy(desc("cosine"), asc("vec_id"))))
+      .filter(col("rank") <= k)
+
+  /** One-row retrieval metrics over ANY per-probe rank table with columns
+    * (probe_id, probe_label, label, rank) at depth k=10: hit@10, MRR@10
+    * (exact-integer reciprocal sums), precision@10. Shared verbatim by the
+    * exact oracled query and the ANN-index composition in EvalSpec. */
+  def retrievalMetrics(top10: DataFrame): DataFrame = {
+    val per = top10.groupBy("probe_id").agg(
+      min(when(col("label") === col("probe_label"), col("rank")))
+        .as("first_rel"),
+      sum(when(col("label") === col("probe_label"), 1L).otherwise(0L))
+        .as("rel_in_10"))
+    per.agg(
+        count(lit(1)).as("n_probes"),
+        sum(when(col("first_rel").isNotNull, 1L).otherwise(0L)).cast("long")
+          .as("n_hit"),
+        // 2520/rank is an exact integer for rank ∈ 1..10 — the reciprocal
+        // sum never touches float addition order
+        sum(when(col("first_rel").isNotNull,
+            (lit(2520.0) / col("first_rel")).cast("long")).otherwise(0L))
+          .cast("long").as("rr_scaled"),
+        sum("rel_in_10").cast("long").as("n_rel_top10"))
+      .select(col("n_probes"), col("n_hit"), col("rr_scaled"),
+        col("n_rel_top10"),
+        (col("rr_scaled") / (lit(2520.0) * col("n_probes"))).as("mrr"),
+        (col("n_rel_top10") / (lit(10.0) * col("n_probes")))
+          .as("precision_at_10"))
+  }
+
+  /** k-NN label prediction per probe: majority vote over the top-5
+    * neighbors' labels (ties: larger vote count, then smaller label — the
+    * agg_mode discipline). One row per probe with the correctness bit. */
+  def knnPredictions(pairs: DataFrame): DataFrame = {
+    val votes = ranked(pairs, 5)
+      .groupBy("probe_id", "probe_label", "label")
+      .agg(count(lit(1)).as("votes"))
+    votes.withColumn("vr", row_number().over(
+        Window.partitionBy("probe_id").orderBy(desc("votes"), asc("label"))))
+      .filter(col("vr") === 1)
+      .select(col("probe_id"), col("probe_label").as("true_label"),
+        col("label").as("pred_label"), col("votes"),
+        (col("label") === col("probe_label")).cast("int").as("correct"))
+  }
+
+  /** Contrastive triples per anchor: the top-1 positive (nearest
+    * same-label vector) paired with the top-3 hard negatives (nearest
+    * DIFFERENT-label vectors — the ones a contrastive loss learns most
+    * from). Anchors with no in-corpus positive drop (inner join). */
+  def hardNegatives(pairs: DataFrame): DataFrame = {
+    val posW = Window.partitionBy("probe_id")
+      .orderBy(desc("cosine"), asc("vec_id"))
+    val pos = pairs.filter(col("label") === col("probe_label"))
+      .withColumn("r", row_number().over(posW)).filter(col("r") === 1)
+      .select(col("probe_id"), col("vec_id").as("pos_id"),
+        col("cosine").as("pos_cosine"))
+    val neg = pairs.filter(col("label") =!= col("probe_label"))
+      .withColumn("neg_rank", row_number().over(posW))
+      .filter(col("neg_rank") <= 3)
+      .select(col("probe_id"), col("vec_id").as("neg_id"),
+        col("cosine").as("neg_cosine"), col("neg_rank"))
+    pos.join(neg, "probe_id")
+      .select(col("probe_id").as("anchor_id"), col("pos_id"),
+        col("pos_cosine"), col("neg_id"), col("neg_cosine"), col("neg_rank"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Retrieval quality of the embedding space: for each eval probe, rank
+    // the corpus by exact cosine and score label-relevance at depth 10.
+    "eval_retrieval" -> ((s, d) =>
+      retrievalMetrics(ranked(scoredPairs(Tables.embeddings(s, d)), 10))),
+
+    // Embedding quality as k-NN label accuracy: per-probe majority vote
+    // over the 5 nearest corpus labels vs the probe's own label.
+    "eval_knn_accuracy" -> ((s, d) =>
+      knnPredictions(scoredPairs(Tables.embeddings(s, d)))
+        .orderBy("probe_id")),
+
+    // Contrastive training triples: anchor + nearest positive + the 3
+    // hardest negatives, by exact cosine.
+    "mine_hard_negatives" -> ((s, d) =>
+      hardNegatives(scoredPairs(Tables.embeddings(s, d)))
+        .orderBy("anchor_id", "neg_rank"))
+  )
+
+  // Shared oracle CTE chain — the sim_knn_graph dot-product fold with the
+  // probe/corpus split on vec_id % 20.
+  private val pairsCte =
+    """WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |normed AS (SELECT vec_id, label, v,
+      |    sqrt(list_reduce(list_transform(list_zip(v, v), z -> z[1] * z[2]),
+      |      (acc, x) -> acc + x)) AS norm FROM emb),
+      |pairs AS (
+      |  SELECT p.vec_id AS probe_id, p.label AS probe_label,
+      |    c.vec_id AS vec_id, c.label AS label,
+      |    list_reduce(list_transform(list_zip(c.v, p.v), z -> z[1] * z[2]),
+      |      (acc, x) -> acc + x) / (c.norm * p.norm) AS cosine
+      |  FROM normed c CROSS JOIN normed p
+      |  WHERE p.vec_id % 20 = 0 AND c.vec_id % 20 <> 0)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+
+    "eval_retrieval" -> (pairsCte +
+      """,
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+        |    ORDER BY cosine DESC, vec_id ASC) AS rank FROM pairs),
+        |per AS (SELECT probe_id,
+        |    min(CASE WHEN label = probe_label THEN rank END) AS first_rel,
+        |    CAST(sum(CASE WHEN label = probe_label THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS rel_in_10
+        |  FROM ranked WHERE rank <= 10 GROUP BY probe_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_probes,
+        |  CAST(sum(CASE WHEN first_rel IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hit,
+        |  CAST(sum(CASE WHEN first_rel IS NOT NULL
+        |    THEN CAST(2520.0 / first_rel AS BIGINT) ELSE 0 END)
+        |    AS BIGINT) AS rr_scaled,
+        |  CAST(sum(rel_in_10) AS BIGINT) AS n_rel_top10,
+        |  CAST(sum(CASE WHEN first_rel IS NOT NULL
+        |    THEN CAST(2520.0 / first_rel AS BIGINT) ELSE 0 END) AS BIGINT)
+        |    / (2520.0 * count(*)) AS mrr,
+        |  CAST(sum(rel_in_10) AS BIGINT) / (10.0 * count(*))
+        |    AS precision_at_10
+        |FROM per""".stripMargin),
+
+    "eval_knn_accuracy" -> (pairsCte +
+      """,
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+        |    ORDER BY cosine DESC, vec_id ASC) AS rank FROM pairs),
+        |votes AS (SELECT probe_id, probe_label, label,
+        |    CAST(count(*) AS BIGINT) AS votes
+        |  FROM ranked WHERE rank <= 5 GROUP BY probe_id, probe_label, label),
+        |pred AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+        |    ORDER BY votes DESC, label ASC) AS vr FROM votes)
+        |SELECT probe_id, probe_label AS true_label, label AS pred_label,
+        |  votes, CAST(CASE WHEN label = probe_label THEN 1 ELSE 0 END
+        |    AS INTEGER) AS correct
+        |FROM pred WHERE vr = 1 ORDER BY probe_id""".stripMargin),
+
+    "mine_hard_negatives" -> (pairsCte +
+      """,
+        |pos AS (SELECT probe_id, vec_id AS pos_id, cosine AS pos_cosine FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY probe_id
+        |     ORDER BY cosine DESC, vec_id ASC) AS r
+        |   FROM pairs WHERE label = probe_label) WHERE r = 1),
+        |neg AS (SELECT probe_id, vec_id AS neg_id, cosine AS neg_cosine,
+        |    r AS neg_rank FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY probe_id
+        |     ORDER BY cosine DESC, vec_id ASC) AS r
+        |   FROM pairs WHERE label <> probe_label) WHERE r <= 3)
+        |SELECT p.probe_id AS anchor_id, pos_id, pos_cosine, neg_id,
+        |  neg_cosine, neg_rank
+        |FROM pos p JOIN neg n ON p.probe_id = n.probe_id
+        |ORDER BY anchor_id, neg_rank""".stripMargin)
+  )
+}

@@ -335,6 +335,32 @@ object Streaming {
       if (!batch.isEmpty) sink(graft.text.Bpe.encode(batch, model), id)
     }
 
+  /** Online DSIR selection (B10.19) — the streaming twin of `sample_dsir`
+    * (B9.44): each micro-batch of arriving documents is scored against the
+    * persisted TARGET and RAW LM indexes and accepted by the shared
+    * [[graft.text.TextOps.dsirSelect]] body VERBATIM — the
+    * importance-resampling data-selection gate in front of a training-data
+    * ingest queue. Stateless (the streamLmScore argument: docs arrive
+    * whole, both rollups are within-batch); both LMs re-resolve from their
+    * [[graft.core.Versioned]] pointers each batch, so `appendLm` /
+    * `compactLm` on either take effect at the next batch boundary, and the
+    * md5-bucket acceptance makes a replayed batch select the IDENTICAL
+    * subset (deterministic in doc_id — replay-safe by construction, the
+    * streamRetract posture). */
+  def streamDsir(docs: DataFrame, rawLmDir: String, targetLmDir: String,
+      sink: (DataFrame, Long) => Unit,
+      minCount: Long = graft.text.LmScore.MinCount)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      if (!batch.isEmpty) {
+        val s = batch.sparkSession
+        sink(graft.text.TextOps.dsirSelect(batch,
+          graft.text.LmScore.readLm(s, rawLmDir, minCount),
+          graft.text.LmScore.readLm(s, targetLmDir, minCount)), id)
+      }
+    }
+
   // ------------------------------------------------------------ B10.6
 
   final case class UserEvent(event_id: Long, ts: java.sql.Timestamp,

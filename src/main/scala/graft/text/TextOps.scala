@@ -479,20 +479,7 @@ object TextOps {
       // four passes each prune to (doc_id, text) at the source.
       val raw = LmScore.lmFrom(docs)
       val tgt = LmScore.lmFrom(docs.filter(col("lang") === "en"))
-      val sr = LmScore.score(docs, raw)
-        .select(col("doc_id"), col("lm_score").as("raw_score"))
-      val st = LmScore.score(docs, tgt)
-        .select(col("doc_id"), col("lm_score").as("target_score"))
-      sr.join(st, "doc_id")
-        .withColumn("weight",
-          when(col("raw_score") === 0.0, lit(1.0))
-            .otherwise(least(lit(1.0),
-              col("target_score") / col("raw_score"))))
-        .withColumn("bucket", expr(md5Bucket256Sql("doc_id")))
-        .filter(col("bucket").cast("double") / lit(256.0) < col("weight"))
-        .select(col("doc_id"), col("raw_score"), col("target_score"),
-          col("weight"), col("bucket"))
-        .orderBy("doc_id")
+      dsirSelect(docs, raw, tgt).orderBy("doc_id")
     }),
 
     // Train/eval contamination check — the n-gram-overlap audit every LLM
@@ -677,6 +664,29 @@ object TextOps {
     require(holdoutPct >= 0 && holdoutPct <= 100)
     val bucket = pmod(xxhash64(col(idCol), lit(salt)), lit(100))
     (df.filter(bucket >= holdoutPct), df.filter(bucket < holdoutPct))
+  }
+
+  /** The DSIR selection body (B9.44) — score ratio clipped at 1, md5-bucket
+    * uniform acceptance — shared VERBATIM by the declared `sample_dsir`
+    * query (LMs trained in-query) and [[graft.stream.Streaming.streamDsir]]
+    * (LMs read frozen from persisted [[LmScore.writeLm]] indexes), so the
+    * online and offline selections cannot drift. Output: one row per
+    * ACCEPTED document (doc_id, raw_score, target_score, weight, bucket). */
+  def dsirSelect(docs: DataFrame, raw: LmScore.Lm,
+      tgt: LmScore.Lm): DataFrame = {
+    val sr = LmScore.score(docs, raw)
+      .select(col("doc_id"), col("lm_score").as("raw_score"))
+    val st = LmScore.score(docs, tgt)
+      .select(col("doc_id"), col("lm_score").as("target_score"))
+    sr.join(st, "doc_id")
+      .withColumn("weight",
+        when(col("raw_score") === 0.0, lit(1.0))
+          .otherwise(least(lit(1.0),
+            col("target_score") / col("raw_score"))))
+      .withColumn("bucket", expr(md5Bucket256Sql("doc_id")))
+      .filter(col("bucket").cast("double") / lit(256.0) < col("weight"))
+      .select(col("doc_id"), col("raw_score"), col("target_score"),
+        col("weight"), col("bucket"))
   }
 
   def oracleSql: Map[String, String] = Map(

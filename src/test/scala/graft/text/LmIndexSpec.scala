@@ -147,4 +147,43 @@ class LmIndexSpec extends SparkSpec {
     assert(b2row.getAs[Long]("n_seen") === 0, "precondition: unseen pre-fold")
     assert(sunk(1)._2(9003L)(1) === 2L, "post-fold: both transitions known")
   }
+
+  test("streamDsir: micro-batches select exactly what the batch " +
+      "dsirSelect does against the frozen LM indexes, and a target-LM " +
+      "append between batches shifts batch-2 selection") {
+    val rawDir = tmp("dsir_raw"); val tgtDir = tmp("dsir_tgt")
+    LmScore.writeLm(docs, rawDir) // raw model: the whole corpus
+    LmScore.writeLm(docs.filter(col("doc_id") < 100), tgtDir) // target slice
+    val slice = (lo: Long, hi: Long) =>
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .as[(Long, String)].collect().toSeq
+    val b1 = slice(400, 450); val b2 = slice(450, 500)
+
+    val sunk = scala.collection.mutable.ArrayBuffer[(Long, Set[Long])]()
+    val stream = MemoryStream[(Long, String)](93, spark, None)
+    val q = Streaming.streamDsir(
+        stream.toDF().toDF("doc_id", "text"), rawDir, tgtDir,
+        (sel, id) => sunk += ((id,
+          sel.select("doc_id").collect().map(_.getLong(0)).toSet)))
+      .start()
+    stream.addData(b1); q.processAllAvailable()
+    // fold more exemplar docs into the TARGET LM between batches — the
+    // per-batch pointer re-read must see it for batch 2
+    LmScore.appendLm(docs.filter(col("doc_id") >= 100
+      && col("doc_id") < 200), tgtDir)
+    stream.addData(b2); q.processAllAvailable()
+    q.stop()
+    assert(sunk.size === 2)
+
+    def batchSelect(rows: Seq[(Long, String)], tgt: LmScore.Lm): Set[Long] =
+      TextOps.dsirSelect(rows.toDF("doc_id", "text"),
+          LmScore.readLm(spark, rawDir), tgt)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    val tgtBefore = LmScore.lmFrom(docs.filter(col("doc_id") < 100))
+    assert(sunk(0)._2 === batchSelect(b1, tgtBefore))
+    assert(sunk(1)._2 === batchSelect(b2, LmScore.readLm(spark, tgtDir)))
+    // informative: the gate actually selects a strict, non-empty subset
+    assert(sunk(0)._2.nonEmpty && sunk(0)._2.size < b1.size)
+  }
 }
