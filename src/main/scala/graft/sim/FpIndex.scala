@@ -1,0 +1,172 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Versioned
+
+/** Persisted 63-bit fingerprint near-dup index — the production triple
+  * (persisted index / shard probe at shard cost / streaming twin) for the
+  * FINGERPRINT dedup modality, completing the story the other modalities
+  * already have (MinHash: [[IncrementalDedup]], substring:
+  * [[graft.text.SubstringDedup]], semantic: [[SemDedup]], codes: [[Pq]]).
+  *
+  * Generic over what the 63 bits mean: the text SimHash
+  * ([[SimHash.simhash]]), the perceptual image dHash
+  * ([[graft.multimodal.Multimodal.imageDHash]]), and the gain-invariant
+  * audio envelope hash ([[Multimodal.audioEnvHash]]) all reduce a row to
+  * ONE long, and from there near-dup detection is the same relational
+  * shape — so one index serves every modality that fingerprints this way.
+  * In particular this is what makes IMAGE/AUDIO dedup a first-class
+  * production loop, not just a batch join: ingest a day of images, probe
+  * 8 bytes/row against the corpus, fold survivors in.
+  *
+  * Index rows are [[SimHash.blockTable]]'s pigeonhole blocks — the SAME
+  * function the batch self-join uses, so index and probe cannot drift —
+  * hash-partitioned on disk by a bucket of (blk, bval). A shard probe
+  * statically prunes the index scan to its own bucket set (≤ [[IndexParts]]
+  * values — a trivial driver list; the [[IncrementalDedup.corpusHits]]
+  * discipline: static IN beats relying on DPP, which needs a selective
+  * probe predicate to fire). Recall stays GUARANTEED at ≤ maxHamming by
+  * the pigeonhole argument; precision 1 by the exact Hamming verify.
+  *
+  * Layout (under [[graft.core.Versioned]]'s atomic `_CURRENT` publish):
+  * `v<N>/blocks/pb=…` block rows, `v<N>/meta` (max_hamming frozen at
+  * build + monotonic-id high-water mark). Appends mutate the current
+  * version under the single-writer contract; compaction republishes.
+  */
+object FpIndex {
+
+  /** On-disk hash partitions — the IncrementalDedup sizing argument. */
+  val IndexParts = 32
+
+  private def withBucket(blocks: DataFrame): DataFrame =
+    blocks.withColumn("pb",
+      pmod(xxhash64(col("blk"), col("bval")), lit(IndexParts)).cast("int"))
+
+  /** Probe/index rows for a fingerprint table (id, fp): blocks + bucket.
+    * Pure per-row transform — legal on streaming frames too. */
+  private[sim] def blockRows(fps: DataFrame, maxHamming: Int): DataFrame =
+    withBucket(SimHash.blockTable(fps, maxHamming))
+
+  private def pathExists(spark: SparkSession, p: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sessionState.newHadoopConf()).exists(hp)
+  }
+
+  private def writeMeta(spark: SparkSession, root: String,
+      maxHamming: Int, maxId: Long): Unit = {
+    import spark.implicits._
+    // staged write + atomic rename (the Pq.writeMeta discipline): the old
+    // meta stays readable until one FS rename replaces it
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val next = new org.apache.hadoop.fs.Path(s"$root/meta.next")
+    val dst = new org.apache.hadoop.fs.Path(s"$root/meta")
+    Seq((maxHamming, maxId)).toDF("max_hamming", "max_id").coalesce(1)
+      .write.mode("overwrite").parquet(next.toString)
+    fs.delete(dst, true)
+    require(fs.rename(next, dst), s"meta publish rename failed under $root")
+  }
+
+  private def readMeta(spark: SparkSession, root: String): (Int, Long) = {
+    val r = spark.read.parquet(s"$root/meta").head()
+    (r.getInt(0), r.getLong(1))
+  }
+
+  /** Build and PUBLISH the index from a corpus fingerprint table
+    * (id, fp). Contains ALL corpus rows — internal dups included, since a
+    * shard row matching ANY corpus member must flag. */
+  def writeIndex(fps: DataFrame, dir: String, maxHamming: Int = 8): Unit = {
+    val spark = fps.sparkSession
+    val v = Versioned.nextVersion(spark, dir)
+    val root = s"$dir/$v"
+    blockRows(fps, maxHamming)
+      .write.mode("errorifexists").partitionBy("pb")
+      .parquet(s"$root/blocks")
+    val maxId = fps.agg(coalesce(max(col("id").cast("long")), lit(-1L)))
+      .head().getLong(0)
+    writeMeta(spark, root, maxHamming, maxId)
+    Versioned.publish(spark, dir, v)
+  }
+
+  /** Verified shard-vs-corpus near-dup pairs: (id, corpus_id, hamming)
+    * with hamming ≤ the index's frozen maxHamming. Probe BEFORE append
+    * (the ingest discipline — after the fold-in every shard row matches
+    * itself). The index scan is statically pruned to the shard's bucket
+    * set; recall is guaranteed by the shared pigeonhole blocking. */
+  def probe(spark: SparkSession, shardFps: DataFrame,
+      dir: String): DataFrame = {
+    val root = Versioned.resolveRoot(spark, dir)
+    val (maxHamming, _) = readMeta(spark, root)
+    val p = blockRows(shardFps, maxHamming).localCheckpoint()
+    val buckets = p.select("pb").distinct().collect().map(_.getInt(0)).toSeq
+    val index = spark.read.parquet(s"$root/blocks")
+      .filter(col("pb").isin(buckets: _*))
+    p.alias("p").join(index.alias("i"),
+        col("p.pb") === col("i.pb")
+          && col("p.blk") === col("i.blk")
+          && col("p.bval") === col("i.bval"))
+      .select(col("p.id").as("id"), col("i.id").as("corpus_id"),
+        SimHash.hamming(col("p.fp"), col("i.fp")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id", "corpus_id")
+  }
+
+  /** Distinct shard ids with ANY verified corpus near-dup — the online
+    * contamination-flag shape ([[graft.stream.Streaming]] replays this
+    * per micro-batch). */
+  def corpusDupFlags(spark: SparkSession, shardFps: DataFrame,
+      dir: String): DataFrame =
+    probe(spark, shardFps, dir).select("id").distinct()
+
+  /** Fold a shard's fingerprints into the published index at shard cost.
+    * Monotonic-id guard as everywhere: a replayed shard fails loudly.
+    * Same honest crash-window note as [[Pq.appendIndex]]: blocks append
+    * and meta advance are two commits; recover a between-crash by
+    * compacting or rebuilding. */
+  def appendIndex(shardFps: DataFrame, dir: String): Unit = {
+    val spark = shardFps.sparkSession
+    val root = Versioned.resolveRoot(spark, dir)
+    val (maxHamming, maxSeen) = readMeta(spark, root)
+    val bounds = shardFps.agg(min(col("id").cast("long")),
+      max(col("id").cast("long"))).head()
+    if (!bounds.isNullAt(0)) {
+      require(bounds.getLong(0) > maxSeen,
+        s"monotonic-id ingest contract violated: shard min id " +
+          s"${bounds.getLong(0)} <= index high-water mark $maxSeen")
+      blockRows(shardFps, maxHamming)
+        .write.mode("append").partitionBy("pb").parquet(s"$root/blocks")
+      writeMeta(spark, root, maxHamming, bounds.getLong(1))
+    }
+  }
+
+  /** The complete ingest step: flag the shard against the corpus (and
+    * itself via the batch join), fold ALL shard rows in, return
+    * (id, dup) verdicts. Kept/flag verdicts are MATERIALIZED before the
+    * append — the probe is a lazy plan over the index files. */
+  def ingestShard(spark: SparkSession, shardFps: DataFrame,
+      dir: String): DataFrame = {
+    val verdicts = corpusDupFlags(spark, shardFps, dir).localCheckpoint()
+    appendIndex(shardFps, dir)
+    verdicts
+  }
+
+  /** Compact into a freshly PUBLISHED version: every append lands one
+    * file set per `pb=` partition, so after S shards a pruned probe opens
+    * O(S) small files; the rewrite leaves ONE file per partition, carries
+    * the meta (high-water mark included), and flips the pointer LAST —
+    * probes see the old version or the new, never a mix. */
+  def compactIndex(spark: SparkSession, dir: String): Unit = {
+    val old = Versioned.resolveRoot(spark, dir)
+    val (maxHamming, maxId) = readMeta(spark, old)
+    val v = Versioned.nextVersion(spark, dir)
+    val root = s"$dir/$v"
+    spark.read.parquet(s"$old/blocks")
+      .repartition(col("pb"))
+      .write.mode("errorifexists").partitionBy("pb")
+      .parquet(s"$root/blocks")
+    writeMeta(spark, root, maxHamming, maxId)
+    Versioned.publish(spark, dir, v)
+  }
+}

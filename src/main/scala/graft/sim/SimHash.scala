@@ -49,12 +49,13 @@ object SimHash {
       docs.select(col(idCol).as("id"), simhash(col(textCol)).as("fp")),
       maxHamming)
 
-  /** The banded join over ANY 63-bit fingerprint table (id, fp) — shared
-    * by the text SimHash above and the perceptual image dHash
-    * ([[graft.multimodal.Multimodal.imageNearDups]]): the recall
-    * guarantee is a property of the blocking, not of how the bits were
-    * made. */
-  def nearDupPairsByFp(base: DataFrame, maxHamming: Int = 8): DataFrame = {
+  /** The pigeonhole block fan-out over a fingerprint table (id, fp):
+    * one row per (block index, block value) — maxHamming+1 rows per
+    * fingerprint. Shared by the batch self-join below AND the persisted
+    * [[FpIndex]] (index rows and probe rows come from THIS function, so
+    * index and probe can never drift — the IncrementalDedup.probeBands
+    * discipline). A pure per-row transform: legal on streaming frames. */
+  private[sim] def blockTable(base: DataFrame, maxHamming: Int): DataFrame = {
     val nBlocks = maxHamming + 1
     val bitsPer = 63 / nBlocks
     val blocks = (0 until nBlocks).map { i =>
@@ -63,9 +64,18 @@ object SimHash {
       struct(lit(i).as("blk"),
         shiftright(col("fp"), lo).bitwiseAND(lit((1L << width) - 1)).as("bval"))
     }
-    val indexed = base
+    base
       .select(col("id"), col("fp"), explode(array(blocks: _*)).as("b"))
       .select(col("id"), col("fp"), col("b.blk").as("blk"), col("b.bval").as("bval"))
+  }
+
+  /** The banded join over ANY 63-bit fingerprint table (id, fp) — shared
+    * by the text SimHash above and the perceptual image dHash
+    * ([[graft.multimodal.Multimodal.imageNearDups]]): the recall
+    * guarantee is a property of the blocking, not of how the bits were
+    * made. */
+  def nearDupPairsByFp(base: DataFrame, maxHamming: Int = 8): DataFrame = {
+    val indexed = blockTable(base, maxHamming)
     indexed.alias("a").join(indexed.alias("b"),
         col("a.blk") === col("b.blk") && col("a.bval") === col("b.bval")
           && col("a.id") < col("b.id"))

@@ -214,6 +214,26 @@ object Streaming {
         indexPath, threshold), id)
     }
 
+  /** Online fingerprint dup flags (B10.20) — the streaming twin of the
+    * persisted [[graft.sim.FpIndex]] probe, and the MULTIMODAL member of
+    * the online-dedup family: any stream that reduces rows to a 63-bit
+    * fingerprint — text SimHash, image dHash, audio envelope hash (all
+    * pure per-row transforms, legal upstream of `writeStream`) — probes
+    * the same index shape. foreachBatch because the probe statically
+    * prunes the index scan from the batch's bucket set (illegal on an
+    * unbounded stream, exact per micro-batch); the versioned pointer
+    * re-resolves per batch, so appends/compactions land at the next batch
+    * boundary. Input frame: (id, fp). */
+  def streamFpDupFlags(fps: DataFrame, indexPath: String,
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    fps.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      if (!batch.isEmpty)
+        sink(graft.sim.FpIndex.corpusDupFlags(batch.sparkSession, batch,
+          indexPath), id)
+    }
+
   // ------------------------------------------------------------ B10.15
 
   /** Online release curation — the full probe → drop → fold-in ingest loop
