@@ -34,6 +34,15 @@ import graft.core.Versioned
   * `v<N>/blocks/pb=…` block rows, `v<N>/meta` (max_hamming frozen at
   * build + monotonic-id high-water mark). Appends mutate the current
   * version under the single-writer contract; compaction republishes.
+  *
+  * RADIUS SIZING AT SCALE: guaranteed recall forces maxHamming+1 blocks
+  * of 63/(maxHamming+1) bits, so expected candidates per probe row are
+  * (maxHamming+1) · n / 2^(63/(maxHamming+1)) — radius 3 (4 blocks of
+  * ≥ 15 bits — the Manku et al. 2007 web-dedup configuration) costs ~30
+  * candidates/probe per million indexed rows; radius 8 (9 blocks of 7
+  * bits) collapses above ~100k rows and is for small corpora or
+  * post-filtering a wider radius. [[graft.FpVolume]] measures the
+  * radius-3 configuration at a million rows with planted ground truth.
   */
 object FpIndex {
 
@@ -90,6 +99,36 @@ object FpIndex {
     Versioned.publish(spark, dir, v)
   }
 
+  /** TOMBSTONE corpus ids — the takedown path ([[Pq.retract]]'s shape for
+    * the fingerprint modality: a removed image/document must stop
+    * influencing future dup verdicts). Probes exclude tombstoned rows
+    * immediately; [[compactIndex]] makes the drop physical and starts the
+    * new version with a clean tombstone set. Idempotent at id granularity
+    * (the exclusion reads DISTINCT ids — a replayed takedown changes
+    * nothing); the high-water mark does NOT rewind, so a retracted id
+    * stays burned and equivalent new content takes a fresh id. */
+  def retract(spark: SparkSession, dir: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    if (ids.nonEmpty) {
+      val root = Versioned.resolveRoot(spark, dir)
+      ids.toDF("id").coalesce(1)
+        .write.mode("append").parquet(s"$root/tombstones")
+    }
+  }
+
+  /** The block table minus tombstoned rows — the single read path every
+    * probe shares. The anti-join appears only when a tombstone set
+    * exists, so the takedown-free plan keeps its spec-pinned pruned-scan
+    * shape. */
+  private def liveBlocks(spark: SparkSession, root: String): DataFrame = {
+    val blocks = spark.read.parquet(s"$root/blocks")
+    if (!pathExists(spark, s"$root/tombstones")) blocks
+    else blocks.join(
+      broadcast(spark.read.parquet(s"$root/tombstones")
+        .select("id").distinct()),
+      Seq("id"), "left_anti")
+  }
+
   /** Verified shard-vs-corpus near-dup pairs: (id, corpus_id, hamming)
     * with hamming ≤ the index's frozen maxHamming. Probe BEFORE append
     * (the ingest discipline — after the fold-in every shard row matches
@@ -101,7 +140,7 @@ object FpIndex {
     val (maxHamming, _) = readMeta(spark, root)
     val p = blockRows(shardFps, maxHamming).localCheckpoint()
     val buckets = p.select("pb").distinct().collect().map(_.getInt(0)).toSeq
-    val index = spark.read.parquet(s"$root/blocks")
+    val index = liveBlocks(spark, root)
       .filter(col("pb").isin(buckets: _*))
     p.alias("p").join(index.alias("i"),
         col("p.pb") === col("i.pb")
@@ -154,15 +193,17 @@ object FpIndex {
 
   /** Compact into a freshly PUBLISHED version: every append lands one
     * file set per `pb=` partition, so after S shards a pruned probe opens
-    * O(S) small files; the rewrite leaves ONE file per partition, carries
-    * the meta (high-water mark included), and flips the pointer LAST —
-    * probes see the old version or the new, never a mix. */
+    * O(S) small files; the rewrite leaves ONE file per partition, DROPS
+    * tombstoned rows physically (the new version starts with a clean
+    * tombstone set — verdicts identical because probes already excluded
+    * them), carries the meta (high-water mark included), and flips the
+    * pointer LAST — probes see the old version or the new, never a mix. */
   def compactIndex(spark: SparkSession, dir: String): Unit = {
     val old = Versioned.resolveRoot(spark, dir)
     val (maxHamming, maxId) = readMeta(spark, old)
     val v = Versioned.nextVersion(spark, dir)
     val root = s"$dir/$v"
-    spark.read.parquet(s"$old/blocks")
+    liveBlocks(spark, old)
       .repartition(col("pb"))
       .write.mode("errorifexists").partitionBy("pb")
       .parquet(s"$root/blocks")

@@ -176,6 +176,40 @@ class FpIndexSpec extends SparkSpec {
       "the fold-in between batches must be visible to batch 2")
   }
 
+  test("retraction: tombstoned rows stop flagging immediately, other " +
+      "verdicts untouched, replay no-ops, compaction makes the drop " +
+      "physical, and equivalent NEW content is kept under a fresh id") {
+    val dir = tmp("retract")
+    FpIndex.writeIndex(corpusFps.toDF("id", "fp"), dir)
+    val shard = Seq((4000L, flipBits(fpOf(5L), 3, 21)),
+      (4001L, flipBits(fpOf(9L), 4, 33)), (4002L, fpOf(555555L)))
+    val before = probePairs(dir, shard)
+    assert(before.exists(p => p._1 == 4000L && p._2 == 5L))
+    assert(before.exists(p => p._1 == 4001L && p._2 == 9L))
+
+    FpIndex.retract(spark, dir, Seq(5L))
+    val after = probePairs(dir, shard)
+    assert(after === before.filterNot(_._2 == 5L),
+      "only the retracted row's pairs may disappear")
+    FpIndex.retract(spark, dir, Seq(5L)) // replayed takedown: no-op
+    assert(probePairs(dir, shard) === after)
+
+    FpIndex.compactIndex(spark, dir)
+    val root = graft.core.Versioned.resolveRoot(spark, dir)
+    assert(!new java.io.File(s"$root/tombstones").exists(),
+      "compaction starts the new version with a clean tombstone set")
+    assert(spark.read.parquet(s"$root/blocks")
+      .filter(col("id") === 5L).count() === 0L, "the drop is physical")
+    assert(probePairs(dir, shard) === after)
+
+    // takedown must not block equivalent FUTURE content: the same bits
+    // under a fresh id append fine and flag as corpus from then on
+    FpIndex.appendIndex(Seq((9000L, fpOf(5L))).toDF("id", "fp"), dir)
+    val re = probePairs(dir, Seq((9500L, flipBits(fpOf(5L), 1, 7))))
+    assert(re.exists(_._2 == 9000L))
+    assert(!re.exists(_._2 == 5L))
+  }
+
   test("media composition: image dHash rows through the same index — a " +
       "payload-identical re-upload flags against the corpus") {
     import graft.multimodal.Multimodal._
