@@ -198,4 +198,38 @@ object GraftProps extends Properties("graft") {
         .select("lm_score").collect().map(_.getDouble(0))
       scores.forall(s => s >= 0.0 && s <= 1.4)
     }
+
+  // FpIndex's recall claim is a pigeonhole THEOREM, so it must hold at
+  // EVERY radius 1..8 on arbitrary fingerprints — the fixed-fixture spec
+  // (FpIndexSpec) checks radii 8 and 3; this samples the rest.
+  private val fp63Gen: Gen[Long] =
+    Gen.chooseNum(Long.MinValue, Long.MaxValue).map(_ & Long.MaxValue)
+  property("FpIndex probe == brute-force Hamming pairs at any radius") =
+    forAll(Gen.listOfN(40, fp63Gen), Gen.listOfN(10, fp63Gen),
+        Gen.listOfN(8, Gen.chooseNum(0, 62)), Gen.chooseNum(1, 8)) {
+      (cfps, fresh, flipPos, radius) =>
+        import spark.implicits._
+        val corpus = cfps.distinct.zipWithIndex
+          .map { case (fp, i) => (i.toLong, fp) }
+        val near = (0 until 10).map { j =>
+          val base = corpus(j % corpus.size)._2
+          val fp = flipPos.take(j % (radius + 1)).distinct
+            .foldLeft(base)((f, b) => f ^ (1L << b))
+          (1000L + j, fp)
+        }
+        val shard = near ++ fresh.zipWithIndex
+          .map { case (fp, j) => (1100L + j, fp) }
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_fpprop").toString
+        graft.sim.FpIndex.writeIndex(corpus.toDF("id", "fp"), dir, radius)
+        val got = graft.sim.FpIndex
+          .probe(spark, shard.toDF("id", "fp"), dir)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+          .toSet
+        val want = (for {
+          (sid, sfp) <- shard; (cid, cfp) <- corpus
+          h = java.lang.Long.bitCount(sfp ^ cfp) if h <= radius
+        } yield (sid, cid, h)).toSet
+        got == want
+    }
 }
