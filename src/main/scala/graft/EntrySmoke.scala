@@ -164,6 +164,24 @@ object EntrySmoke {
         sim.Bq.topK(enc, sim.Bq.signature(probe), 10).show(10, false)
         println("BQ_RERANKED_TOP10 (exact cosine over the shortlist):")
         sim.Bq.topKRerank(enc, emb, probe, 10, rerank = 50).show(10, false)
+      case Array("eval", dir) =>
+        println("RETRIEVAL_METRICS:")
+        SparkEntry.queries("eval_retrieval")(spark, dir).show(false)
+        println("KNN_PREDICTIONS:")
+        SparkEntry.queries("eval_knn_accuracy")(spark, dir).show(10, false)
+        println("HARD_NEGATIVE_TRIPLES:")
+        SparkEntry.queries("mine_hard_negatives")(spark, dir).show(9, false)
+      case Array("fpidx", dir) =>
+        import org.apache.spark.sql.functions.col
+        val docs = core.Tables.documents(spark, dir).select("doc_id", "text")
+        val fps = docs.select(col("doc_id").as("id"),
+          sim.SimHash.simhash(col("text")).as("fp"))
+        val idxDir = java.nio.file.Files
+          .createTempDirectory("graft_smoke_fp").toString
+        sim.FpIndex.writeIndex(fps.filter(col("id") < 400), idxDir)
+        println("FP_SHARD_PAIRS (shard vs frozen fingerprint index):")
+        sim.FpIndex.probe(spark, fps.filter(col("id") >= 400), idxDir)
+          .orderBy("id", "corpus_id").show(10, false)
       case Array("phash", dir) =>
         val media = multimodal.Multimodal.syntheticMedia(spark, dir)
         println("IMAGE_DHASH:")

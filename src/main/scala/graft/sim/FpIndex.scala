@@ -180,15 +180,46 @@ object FpIndex {
     }
   }
 
-  /** The complete ingest step: flag the shard against the corpus (and
-    * itself via the batch join), fold ALL shard rows in, return
-    * (id, dup) verdicts. Kept/flag verdicts are MATERIALIZED before the
-    * append — the probe is a lazy plan over the index files. */
+  /** Dedupe a shard of fingerprints against the index AND within itself —
+    * the drop classes verbatim from [[IncrementalDedup.dedupShard]]:
+    * (1) shard rows with a verified corpus near-dup; (2) every member of a
+    * within-shard cluster containing a corpus hit (transitivity through
+    * the new rows); (3) in clean within-shard clusters, everyone but the
+    * min id. Under monotonic ids this EQUALS whole-corpus fingerprint
+    * dedup (min-id keep over [[SimHash.nearDupPairsByFp]] clusters)
+    * restricted to the shard — and unlike the MinHash modality the
+    * equality needs no recall caveat: the pigeonhole blocking guarantees
+    * every ≤ maxHamming pair surfaces on both legs. Returns kept rows. */
+  def dedupShard(spark: SparkSession, shardFps: DataFrame,
+      dir: String): DataFrame = {
+    val root = Versioned.resolveRoot(spark, dir)
+    val (maxHamming, _) = readMeta(spark, root)
+    val hits = probe(spark, shardFps, dir).select("id").distinct()
+    val within = SimHash.nearDupPairsByFp(shardFps, maxHamming)
+    val comp = Dedup.connectedComponents(within, "id_a", "id_b")
+    val hitClusters = comp.join(hits, Seq("id"), "left_semi")
+      .select("label").distinct()
+    val dropContested = comp.join(hitClusters, Seq("label"), "left_semi")
+      .select("id")
+      .union(comp.join(hitClusters, Seq("label"), "left_anti")
+        .filter(col("id") =!= col("label")).select("id"))
+    val drop = dropContested.union(hits)
+    shardFps.join(drop, Seq("id"), "left_anti")
+  }
+
+  /** The complete ingest step — probe → drop → fold-in: dedupe the shard
+    * (against the corpus and itself), fold ALL shard rows in (the index
+    * contract deliberately includes internal dups — a later row matching
+    * ANY earlier member must flag, and transitivity through a dropped
+    * member only holds if it stays probe-able), return the kept rows.
+    * Kept rows are MATERIALIZED before the append — the probe is a lazy
+    * plan over the index files, and evaluating it afterwards would
+    * re-probe the grown index where every shard row matches itself. */
   def ingestShard(spark: SparkSession, shardFps: DataFrame,
       dir: String): DataFrame = {
-    val verdicts = corpusDupFlags(spark, shardFps, dir).localCheckpoint()
+    val kept = dedupShard(spark, shardFps, dir).localCheckpoint()
     appendIndex(shardFps, dir)
-    verdicts
+    kept
   }
 
   /** Compact into a freshly PUBLISHED version: every append lands one

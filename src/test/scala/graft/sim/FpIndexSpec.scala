@@ -176,6 +176,45 @@ class FpIndexSpec extends SparkSpec {
       "the fold-in between batches must be visible to batch 2")
   }
 
+  test("dedupShard == whole-corpus min-id dedup restricted to the shard " +
+      "(exact on both legs — recall is a pigeonhole guarantee), with all " +
+      "three drop classes exercised") {
+    val dir = tmp("dshard")
+    FpIndex.writeIndex(corpusFps.toDF("id", "fp"), dir)
+    // enrich the shard with within-shard structure:
+    //   5000/5001 — a CLEAN within-shard near-pair (class 3: min kept)
+    //   5002 — 6 bits from corpus row 7 (class 1: direct hit)
+    //   5003 — 5 further bits from 5002 (11 from the corpus: NOT a direct
+    //          hit, drops only by transitivity — class 2)
+    val fp5002 = flipBits(fpOf(7L), 6, 51)
+    val extra = Seq(
+      (5000L, fpOf(424242L)), (5001L, flipBits(fpOf(424242L), 2, 50)),
+      (5002L, fp5002), (5003L, flipBits(fp5002, 5, 52)))
+    assert(hammingOf(extra(3)._2, fpOf(7L)) > 8, "5003 must not hit direct")
+    val shard = shardFps ++ extra
+
+    val kept = FpIndex.dedupShard(spark, shard.toDF("id", "fp"), dir)
+      .select("id").collect().map(_.getLong(0)).toSet
+
+    // driver model: union-find over ALL ≤8-bit pairs of corpus ∪ shard;
+    // keep = each component's min id; expectation = kept ∩ shard ids
+    val all = corpusFps ++ shard
+    val parent = scala.collection.mutable.Map(all.map(x => x._1 -> x._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for ((ia, fa) <- all; (ib, fb) <- all
+         if ia < ib && hammingOf(fa, fb) <= 8)
+      parent(find(ia)) = find(ib)
+    val minOfRoot = all.map(_._1).groupBy(find).view.mapValues(_.min).toMap
+    val expect = shard.map(_._1).filter(id => minOfRoot(find(id)) == id).toSet
+
+    assert(kept === expect)
+    // non-vacuity: every drop class fired
+    assert(kept.contains(5000L) && !kept.contains(5001L), "class 3")
+    assert(!kept.contains(5002L), "class 1")
+    assert(!kept.contains(5003L), "class 2 (transitivity)")
+  }
+
   test("retraction: tombstoned rows stop flagging immediately, other " +
       "verdicts untouched, replay no-ops, compaction makes the drop " +
       "physical, and equivalent NEW content is kept under a fresh id") {
