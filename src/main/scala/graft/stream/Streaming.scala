@@ -234,6 +234,27 @@ object Streaming {
           indexPath), id)
     }
 
+  /** Online fingerprint INGEST (B10.21) — the full probe → drop →
+    * fold-in loop ([[graft.sim.FpIndex.ingestShard]] VERBATIM) as a
+    * stream: each micro-batch of fingerprints (a day of images through
+    * dHash, documents through SimHash) is deduped against the persisted
+    * index — corpus hits, contaminated within-batch clusters, and
+    * clean-cluster non-mins all drop — and then folded in, so later
+    * batches dedupe against earlier ones. The sink receives each batch's
+    * (kept, batchId). Monotonic-id contract spans batches (id-ordered
+    * arrival); under foreachBatch's at-least-once replays a replayed
+    * batch trips the append guard and fails loudly rather than
+    * double-appending — the streamCurationIngest posture. */
+  def streamFpIngest(fps: DataFrame, indexPath: String,
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    fps.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      if (!batch.isEmpty)
+        sink(graft.sim.FpIndex.ingestShard(batch.sparkSession, batch,
+          indexPath), id)
+    }
+
   // ------------------------------------------------------------ B10.15
 
   /** Online release curation — the full probe → drop → fold-in ingest loop

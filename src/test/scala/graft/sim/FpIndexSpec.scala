@@ -249,6 +249,38 @@ class FpIndexSpec extends SparkSpec {
     assert(!re.exists(_._2 == 5L))
   }
 
+  test("streaming ingest twin: two micro-batches == sequential " +
+      "ingestShard calls, and a batch-2 near-copy of a batch-1 fold-in " +
+      "drops (the cross-batch property that makes it a loop)") {
+    val dirS = tmp("sing"); val dirB = tmp("bing")
+    FpIndex.writeIndex(corpusFps.toDF("id", "fp"), dirS)
+    FpIndex.writeIndex(corpusFps.toDF("id", "fp"), dirB)
+    val b1 = shardFps
+    val b2 = Seq(
+      (2000L, flipBits(shardFps(25)._2, 2, 22)), // near a b1 FRESH row
+      (2001L, fpOf(999999L)))                    // fresh
+
+    val sunk = scala.collection.mutable.ArrayBuffer[(Long, Set[Long])]()
+    val stream = MemoryStream[(Long, Long)](95, spark, None)
+    val q = graft.stream.Streaming.streamFpIngest(
+        stream.toDF().toDF("id", "fp"), dirS,
+        (kept, id) => sunk += ((id,
+          kept.select("id").collect().map(_.getLong(0)).toSet)))
+      .start()
+    stream.addData(b1); q.processAllAvailable()
+    stream.addData(b2); q.processAllAvailable()
+    q.stop()
+    assert(sunk.size === 2)
+
+    def batchIngest(rows: Seq[(Long, Long)]): Set[Long] =
+      FpIndex.ingestShard(spark, rows.toDF("id", "fp"), dirB)
+        .select("id").collect().map(_.getLong(0)).toSet
+    assert(sunk(0)._2 === batchIngest(b1))
+    assert(sunk(1)._2 === batchIngest(b2))
+    // the cross-batch drop: 2000 only collides with a batch-1 fold-in
+    assert(!sunk(1)._2.contains(2000L) && sunk(1)._2.contains(2001L))
+  }
+
   test("media composition: image dHash rows through the same index — a " +
       "payload-identical re-upload flags against the corpus") {
     import graft.multimodal.Multimodal._
