@@ -336,6 +336,17 @@ object ExplainAudit {
           "HashAggregate".r.findAllIn(f).size >= 2 &&
           !f.contains("SortMergeJoin") && !f.contains("lambdafunction")
       }),
+    // drift report: the checkpointed 2-column stream is rolled up with
+    // partial aggregation; the median and totals ride 1-row broadcasts
+    // back — a sort-merge join or hash exchange of the fact stream means
+    // the broadcast-back shape regressed
+    ("profile_drift", "1-row broadcasts onto partial-agg rollups, no SMJ",
+      p => {
+        val f = finalPlan(p)
+        "BroadcastNestedLoopJoin".r.findAllIn(f).size >= 2 &&
+          "HashAggregate".r.findAllIn(f).size >= 2 &&
+          !f.contains("SortMergeJoin") && !f.contains("lambdafunction")
+      }),
     // retrieval eval: the eval-sized probe set rides a broadcast
     // nested-loop fan-out over ONE corpus scan, per-probe top-k prunes
     // map-side via WindowGroupLimit before the probe-keyed exchange, and

@@ -487,6 +487,43 @@ object Relational {
     // the two COUNT(DISTINCT)s share the expand. MIN/MAX of timestamps
     // select source values verbatim; the value total uses the exact
     // decimal-sum pattern.
+    // Distribution drift report (round 12 cont.) — the train/serve skew
+    // audit an ML pipeline runs between two data periods before trusting
+    // a model or a mixture: split the event stream at its MEDIAN
+    // timestamp (percentile_disc — element-SELECTING on integer micros,
+    // so both engines pick the same source value), then per event_type
+    // report each period's count, share, and the absolute share drift.
+    // Determinism: every output is an integer count or ONE mirrored
+    // double division/subtraction per row — there is no cross-type float
+    // sum, so no summation-order hazard. Scale shape: the projected
+    // 2-column stream is checkpointed and read once; the median and the
+    // 1-row totals ride broadcasts back onto partial-aggregated rollups —
+    // the fact stream never shuffles.
+    "profile_drift" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), unix_micros(col("ts")).as("us"))
+        .localCheckpoint()
+      val med = ev.agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY us)").as("med_us"))
+      val per = ev.crossJoin(broadcast(med))
+        .groupBy("event_type")
+        .agg(sum(when(col("us") < col("med_us"), 1L).otherwise(0L))
+            .cast("long").as("n_early"),
+          sum(when(col("us") >= col("med_us"), 1L).otherwise(0L))
+            .cast("long").as("n_late"))
+      val tot = per.agg(sum("n_early").cast("long").as("tot_early"),
+        sum("n_late").cast("long").as("tot_late"))
+      val shareE = col("n_early").cast("double") /
+        col("tot_early").cast("double")
+      val shareL = col("n_late").cast("double") /
+        col("tot_late").cast("double")
+      per.crossJoin(broadcast(tot))
+        .select(col("event_type"), col("n_early"), col("n_late"),
+          shareE.as("share_early"), shareL.as("share_late"),
+          abs(shareE - shareL).as("drift"))
+        .orderBy("event_type")
+    }),
+
     "profile_events" -> ((s, d) =>
       Tables.events(s, d)
         .agg(count(lit(1)).as("n_rows"),
@@ -938,6 +975,24 @@ object Relational {
         |FROM dev d JOIN mad s ON d.event_type = s.event_type
         |GROUP BY d.event_type, s.n, d.med, s.mad
         |ORDER BY d.event_type""".stripMargin,
+
+    "profile_drift" ->
+      """WITH ev AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+        |med AS (SELECT quantile_disc(us, 0.5) AS med_us FROM ev),
+        |per AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN us < med_us THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_early,
+        |    CAST(sum(CASE WHEN us >= med_us THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_late
+        |  FROM ev CROSS JOIN med GROUP BY event_type),
+        |tot AS (SELECT CAST(sum(n_early) AS BIGINT) AS tot_early,
+        |    CAST(sum(n_late) AS BIGINT) AS tot_late FROM per)
+        |SELECT event_type, n_early, n_late,
+        |  CAST(n_early AS DOUBLE) / CAST(tot_early AS DOUBLE) AS share_early,
+        |  CAST(n_late AS DOUBLE) / CAST(tot_late AS DOUBLE) AS share_late,
+        |  abs(CAST(n_early AS DOUBLE) / CAST(tot_early AS DOUBLE)
+        |    - CAST(n_late AS DOUBLE) / CAST(tot_late AS DOUBLE)) AS drift
+        |FROM per CROSS JOIN tot ORDER BY event_type""".stripMargin,
 
     "profile_events" ->
       """SELECT COUNT(*) AS n_rows,
