@@ -95,6 +95,10 @@ object FpIndex {
       .parquet(s"$root/blocks")
     val maxId = fps.agg(coalesce(max(col("id").cast("long")), lit(-1L)))
       .head().getLong(0)
+    // an empty corpus would publish a blocks dir Spark cannot re-read
+    // (no footer to infer a schema from) — refuse loudly instead of
+    // letting the first probe fail obscurely
+    require(maxId >= 0L, "refusing to publish an EMPTY fingerprint index")
     writeMeta(spark, root, maxHamming, maxId)
     Versioned.publish(spark, dir, v)
   }
