@@ -368,7 +368,28 @@ object ExplainAudit {
         "WindowGroupLimit".r.findAllIn(f).size >= 2 &&
           f.contains("BroadcastNestedLoopJoin") &&
           !f.contains("SortMergeJoin") && !f.contains("lambdafunction")
-      })
+      }),
+    // multi-term BM25 search: the vocabulary-sized df table must
+    // broadcast back onto the (doc, term) tf aggregate (a sort-merge join
+    // would reshuffle the corpus-sized tf table), the tf aggregate must
+    // partial+final, and the top-20 must be TakeOrderedAndProject. (The
+    // sorted-fold lambda is deliberate: it runs once per RESULT doc over
+    // a ≤|terms| array, not per corpus element.)
+    ("lex_search", "broadcast df join + partial tf agg + TakeOrdered",
+      p => {
+        val f = finalPlan(p)
+        f.contains("BroadcastHashJoin") &&
+          f.contains("TakeOrderedAndProject") &&
+          "HashAggregate".r.findAllIn(f).size >= 2 &&
+          !f.contains("SortMergeJoin")
+      }),
+    // hybrid RRF: BOTH legs must be cut by TakeOrderedAndProject before
+    // any rank window runs — the fusion join and its windows then operate
+    // on k-bounded inputs, so whatever join strategy Spark picks for the
+    // 50-row full-outer is scale-irrelevant. Two TakeOrdered spans = the
+    // corpus is never globally sorted or globally windowed.
+    ("sim_hybrid_rrf", "both legs TakeOrdered-cut before ranking/fusion",
+      p => "TakeOrderedAndProject".r.findAllIn(finalPlan(p)).size >= 2)
   )
 
   /** Executes each checked query (collect(), so AQE finalizes — codegen

@@ -19,6 +19,7 @@ object SparkEntry {
     ops.Scalars.queries,
     text.TextOps.queries,
     text.Bpe.queries,
+    text.LexIndex.queries,
     text.SubstringDedup.queries,
     sim.Similarity.queries,
     sim.Dedup.queries,
@@ -34,6 +35,7 @@ object SparkEntry {
     ops.Scalars.oracleSql,
     text.TextOps.oracleSql,
     text.Bpe.oracleSql,
+    text.LexIndex.oracleSql,
     text.SubstringDedup.oracleSql,
     sim.Similarity.oracleSql,
     sim.Dedup.oracleSql,

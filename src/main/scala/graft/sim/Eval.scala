@@ -125,7 +125,59 @@ object Eval {
         col("pos_cosine"), col("neg_id"), col("neg_cosine"), col("neg_rank"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. SIGIR 2009) of two ranked
+    * lists (id, rank ≥ 1): Σ 1/(c0 + rank), a doc absent from one list
+    * contributing nothing for it — the standard sparse+dense hybrid
+    * combiner, score-scale-free by construction. With exactly two systems
+    * the float sum is ONE addition of two exactly-rounded divisions —
+    * order-free, hash-exact. Ranks must come from a totally ordered
+    * (score desc, id) top-k CUT — rank AFTER the limit, so the window
+    * input is k rows, never the corpus. */
+  def rrfFuse(a: DataFrame, b: DataFrame, c0: Int = 60): DataFrame =
+    a.select(col("id"), col("rank").cast("long").as("r_a"))
+      .join(b.select(col("id"), col("rank").cast("long").as("r_b")),
+        Seq("id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(c0) + col("r_a")).cast("double"), lit(0.0))
+          + coalesce(lit(1.0) / (lit(c0) + col("r_b")).cast("double"),
+            lit(0.0)))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Hybrid retrieval (SURVEY B9.50): the lexical BM25 leg over
+    // `documents` ([[graft.text.LexIndex.searchCorpus]] — the lex_search
+    // fold verbatim, terms "table"+"join") and the dense cosine leg over
+    // `embeddings` (the sim_cosine_topk shape, probe vec_id 0; doc_id ≡
+    // vec_id row-for-row in the testdata), each CUT to its top-50 by
+    // TakeOrdered and only then ranked — row_number over ≤ 50 rows, never
+    // a global window over the corpus — then RRF-fused. The serving twin
+    // (index-served lexical leg + PQ-served dense leg through the same
+    // rrfFuse) is pinned in LexIndexSpec.
+    "sim_hybrid_rrf" -> ((s, d) => {
+      val lexTop = graft.text.LexIndex
+        .searchCorpus(Tables.documents(s, d), Seq("table", "join"), 50)
+      val lexR = lexTop.withColumn("rank", row_number().over(
+          Window.orderBy(desc("score"), asc("doc_id"))))
+        .select(col("doc_id").as("id"), col("rank"))
+      val normed = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+      val probe = broadcast(normed.filter(col("vec_id") === 0)
+        .select(col("v").as("p"), col("norm").as("pnorm")))
+      val denseTop = normed.filter(col("vec_id") =!= 0)
+        .crossJoin(probe)
+        .select(col("vec_id"),
+          (dot(col("v"), col("p")) / (col("norm") * col("pnorm")))
+            .as("cosine"))
+        .orderBy(desc("cosine"), asc("vec_id")).limit(50)
+      val denseR = denseTop.withColumn("rank", row_number().over(
+          Window.orderBy(desc("cosine"), asc("vec_id"))))
+        .select(col("vec_id").as("id"), col("rank"))
+      rrfFuse(lexR, denseR)
+        .select(col("id").as("doc_id"), col("r_a").as("r_lex"),
+          col("r_b").as("r_dense"), col("rrf"))
+        .orderBy(desc("rrf"), asc("doc_id")).limit(20)
+    }),
 
     // Retrieval quality of the embedding space: for each eval probe, rank
     // the corpus by exact cosine and score label-relevance at depth 10.
@@ -162,6 +214,51 @@ object Eval {
       |  WHERE p.vec_id % 20 = 0 AND c.vec_id % 20 <> 0)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+
+    "sim_hybrid_rrf" ->
+      """WITH d2 AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |docs AS (SELECT doc_id, len(ts) AS dl, ts FROM d2),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+        |       FROM (SELECT doc_id, dl, unnest(ts) AS term FROM docs)
+        |       WHERE term IN ('table', 'join') GROUP BY 1, 2, 3),
+        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM docs),
+        |contrib AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |      / (CAST(df AS DOUBLE) + 0.5))
+        |    * ((CAST(tf AS DOUBLE) * 2.2)
+        |       / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+        |          * (CAST(dl AS DOUBLE)
+        |             / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) AS w
+        |  FROM tf JOIN dft USING (term) CROSS JOIN st),
+        |lexscored AS (
+        |  SELECT doc_id,
+        |    list_reduce(list(w ORDER BY term ASC), (acc, x) -> acc + x) AS score
+        |  FROM contrib GROUP BY doc_id),
+        |lextop AS (SELECT doc_id, score FROM lexscored
+        |  ORDER BY score DESC, doc_id ASC LIMIT 50),
+        |lexr AS (SELECT doc_id AS id, CAST(row_number() OVER
+        |    (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS r_lex FROM lextop),
+        |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |normed AS (SELECT vec_id, v,
+        |    sqrt(list_reduce(list_transform(list_zip(v, v), z -> z[1] * z[2]),
+        |      (acc, x) -> acc + x)) AS norm FROM emb),
+        |probe AS (SELECT v AS p, norm AS pnorm FROM normed WHERE vec_id = 0),
+        |dscored AS (
+        |  SELECT vec_id,
+        |    list_reduce(list_transform(list_zip(v, p), z -> z[1] * z[2]),
+        |      (acc, x) -> acc + x) / (norm * pnorm) AS cosine
+        |  FROM normed CROSS JOIN probe WHERE vec_id <> 0),
+        |dtop AS (SELECT vec_id, cosine FROM dscored
+        |  ORDER BY cosine DESC, vec_id ASC LIMIT 50),
+        |dr AS (SELECT vec_id AS id, CAST(row_number() OVER
+        |    (ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS r_dense FROM dtop)
+        |SELECT COALESCE(l.id, d.id) AS doc_id, r_lex, r_dense,
+        |  COALESCE(1.0 / CAST(60 + r_lex AS DOUBLE), 0.0)
+        |  + COALESCE(1.0 / CAST(60 + r_dense AS DOUBLE), 0.0) AS rrf
+        |FROM lexr l FULL OUTER JOIN dr d ON l.id = d.id
+        |ORDER BY rrf DESC, doc_id ASC LIMIT 20""".stripMargin,
 
     "eval_retrieval" -> (pairsCte +
       """,

@@ -255,6 +255,27 @@ object Streaming {
           indexPath), id)
     }
 
+  /** Online LEXICAL index ingest (B10.22) — fold each micro-batch of
+    * (doc_id, text) documents into the persisted BM25 inverted index via
+    * [[graft.text.LexIndex.appendIndex]] VERBATIM, so queries served
+    * between batches see every document the stream has delivered so far
+    * (df and avgdl advance with the corpus — the meta counters make the
+    * per-batch stats update O(batch), never a corpus rescan). The sink
+    * receives each batchId after its fold-in commits. Monotonic-id
+    * contract spans batches; a foreachBatch replay trips the append guard
+    * and fails loudly rather than double-counting postings — the
+    * streamFpIngest posture. */
+  def streamLexIngest(docs: DataFrame, indexPath: String,
+      sink: Long => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      if (!batch.isEmpty) {
+        graft.text.LexIndex.appendIndex(batch, indexPath)
+        sink(id)
+      }
+    }
+
   // ------------------------------------------------------------ B10.15
 
   /** Online release curation — the full probe → drop → fold-in ingest loop

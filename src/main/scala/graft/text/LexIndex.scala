@@ -1,0 +1,399 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Versioned
+
+/** Persisted BM25 inverted index — retrieval SERVING for the lexical
+  * modality (SURVEY.md §2 B9.49). `text_bm25` scores the corpus against a
+  * fixed query by RE-SCANNING it; a serving pipeline instead builds the
+  * postings once and answers each query from the slice of the index the
+  * query's terms live in. This module gives the lexical side the same
+  * production triple every other modality already has (MinHash:
+  * [[graft.sim.IncrementalDedup]], substring: [[SubstringDedup]], semantic:
+  * [[graft.sim.SemDedup]], codes: [[graft.sim.Pq]], fingerprint:
+  * [[graft.sim.FpIndex]]): versioned persisted index, shard ingest under
+  * the monotonic-id guard, retraction with EXACT stats subtraction,
+  * compaction, and a streaming twin
+  * ([[graft.stream.Streaming.streamLexIngest]]).
+  *
+  * Index rows are classic postings (term, doc_id, tf) with the document
+  * length DENORMALIZED in (dl) — the BM25 length normalization then needs
+  * no doc-side join at probe time, the standard inverted-file trade (one
+  * extra int per posting buys a join-free probe). Postings are
+  * hash-partitioned on disk by a term bucket (`pt=`), so a probe
+  * statically prunes the scan to its query terms' buckets (the
+  * [[graft.sim.FpIndex]] discipline: the bucket is a pure function of the
+  * term, computed once on the driver — static IN beats relying on DPP). A
+  * separate doc-bucketed `doclens/pd=` table exists ONLY for maintenance
+  * (retraction's exact stats subtraction, compaction's stats rebuild) —
+  * probes never read it.
+  *
+  * Scoring is `text_bm25`'s log-free discipline verbatim (k1 = 1.2,
+  * b = 0.75 folded into literals; idf keeps the raw odds ratio
+  * (n−df+0.5)/(df+0.5) and drops only ln's monotonic squash): integer
+  * counts flow through one FIXED tree of exactly-rounded IEEE double ops.
+  * Multi-term scores fold the per-term contributions in SORTED term order
+  * (`sort_array` before `aggregate`), so the float sum has ONE
+  * deterministic association at every partitioning — what lets
+  * [[searchCorpus]] be a declared hash-matched query (`lex_search`) and
+  * lets LexIndexSpec demand EXACT equality between the index-served
+  * search, the corpus recompute, and a driver fold.
+  *
+  * df is NOT materialized: a term's postings live entirely in its bucket,
+  * so counting them inside the pruned scan is exact and vocabulary-cheap —
+  * one less table for appends/retractions to keep consistent.
+  *
+  * Scale shape of a probe: pruned scan of ≤ |terms| buckets → term-local
+  * df count broadcast back → join-free per-posting contribution → one
+  * doc-keyed partial-aggregated exchange (bounded by docs that contain a
+  * query term) → TakeOrderedAndProject. The batched variant
+  * ([[searchTopKBatch]]) is the serving shape: all queries share ONE
+  * pruned index scan, per-query top-k prunes map-side via
+  * WindowGroupLimit before the qid exchange.
+  */
+object LexIndex {
+
+  /** On-disk hash partitions for both bucket columns. */
+  val IndexParts = 32
+
+  private def tokens: Column = split(col("text"), " ")
+
+  private def termBucket(term: Column): Column =
+    pmod(xxhash64(term), lit(IndexParts)).cast("int")
+
+  private def docBucket(id: Column): Column =
+    pmod(xxhash64(id), lit(IndexParts)).cast("int")
+
+  /** Posting rows for a (doc_id, text) frame: one row per distinct
+    * (doc, term), tf + denormalized dl, term-bucketed. Pure per-row
+    * transform + one partial-aggregated exchange. */
+  private[text] def postingRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+        size(tokens).as("dl"), explode(tokens).as("term"))
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("pt", termBucket(col("term")))
+
+  private def docLenRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+        size(tokens).as("dl"))
+      .withColumn("pd", docBucket(col("doc_id")))
+
+  private def pathExists(spark: SparkSession, p: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sessionState.newHadoopConf()).exists(hp)
+  }
+
+  private def writeMeta(spark: SparkSession, root: String,
+      nDocs: Long, sumDl: Long, maxId: Long): Unit = {
+    import spark.implicits._
+    // staged write + atomic rename (the FpIndex.writeMeta discipline)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val next = new org.apache.hadoop.fs.Path(s"$root/meta.next")
+    val dst = new org.apache.hadoop.fs.Path(s"$root/meta")
+    Seq((nDocs, sumDl, maxId)).toDF("n_docs", "sum_dl", "max_id")
+      .coalesce(1).write.mode("overwrite").parquet(next.toString)
+    fs.delete(dst, true)
+    require(fs.rename(next, dst), s"meta publish rename failed under $root")
+  }
+
+  private def readMeta(spark: SparkSession, root: String)
+      : (Long, Long, Long) = {
+    val r = spark.read.parquet(s"$root/meta").head()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  /** Build and PUBLISH the index from a (doc_id, text) corpus. Live-doc
+    * corpus stats (n_docs, Σdl) ride the meta row — avgdl at probe time is
+    * one broadcast literal, not a corpus aggregate. */
+  def writeIndex(docs: DataFrame, dir: String): Unit = {
+    val spark = docs.sparkSession
+    val v = Versioned.nextVersion(spark, dir)
+    val root = s"$dir/$v"
+    postingRows(docs)
+      .write.mode("errorifexists").partitionBy("pt")
+      .parquet(s"$root/postings")
+    docLenRows(docs)
+      .write.mode("errorifexists").partitionBy("pd")
+      .parquet(s"$root/doclens")
+    val st = docs.agg(count(lit(1)), coalesce(sum(size(tokens)), lit(0L)),
+      coalesce(max(col("doc_id").cast("long")), lit(-1L))).head()
+    // an empty corpus would publish parquet dirs Spark cannot re-read
+    require(st.getLong(0) > 0L, "refusing to publish an EMPTY lexical index")
+    writeMeta(spark, root, st.getLong(0), st.getLong(1), st.getLong(2))
+    Versioned.publish(spark, dir, v)
+  }
+
+  /** The postings minus tombstoned docs — the single read path every probe
+    * shares. The anti-join appears only when a takedown happened, so the
+    * takedown-free plan keeps its spec-pinned pruned-scan shape. */
+  private def livePostings(spark: SparkSession, root: String): DataFrame = {
+    val posts = spark.read.parquet(s"$root/postings")
+    if (!pathExists(spark, s"$root/tombstones")) posts
+    else posts.join(
+      broadcast(spark.read.parquet(s"$root/tombstones")
+        .select("doc_id").distinct()),
+      Seq("doc_id"), "left_anti")
+  }
+
+  private def liveDocLens(spark: SparkSession, root: String): DataFrame = {
+    val dls = spark.read.parquet(s"$root/doclens")
+    if (!pathExists(spark, s"$root/tombstones")) dls
+    else dls.join(
+      broadcast(spark.read.parquet(s"$root/tombstones")
+        .select("doc_id").distinct()),
+      Seq("doc_id"), "left_anti")
+  }
+
+  /** `text_bm25`'s per-term BM25 weight, verbatim tree (k1 = 1.2,
+    * b = 0.75): one fixed sequence of exactly-rounded IEEE ops. */
+  private def contribution(tf: Column, df: Column, dl: Column,
+      nDocs: Column, sumDl: Column): Column = {
+    val n = nDocs.cast("double")
+    val dfd = df.cast("double")
+    val avgdl = sumDl.cast("double") / n
+    val t = tf.cast("double")
+    ((n - dfd + lit(0.5)) / (dfd + lit(0.5))) *
+      ((t * lit(2.2)) / (t + lit(1.2) *
+        (lit(0.25) + lit(0.75) * (dl.cast("double") / avgdl))))
+  }
+
+  /** Fold (doc_id, dl, term, w) contributions to one row per doc: n_hit =
+    * matched query terms, score = Σw folded in SORTED term order — the one
+    * deterministic association, identical at every partitioning and
+    * mirrored by the oracle's `list_reduce(list(w ORDER BY term))`. */
+  private def foldScored(contrib: DataFrame): DataFrame =
+    contrib.groupBy("doc_id", "dl")
+      .agg(count(lit(1)).as("n_hit"),
+        aggregate(
+          sort_array(collect_list(struct(col("term"), col("w")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("w")).as("score"))
+
+  /** Multi-term BM25 top-k straight off the corpus — the declared-query
+    * path (`lex_search`): no index on disk, same score tree, same fold
+    * order, so LexIndexSpec can demand searchTopK ≡ this EXACTLY. */
+  def searchCorpus(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    val qTerms = terms.distinct
+    val tf = docs.select(col("doc_id").cast("long").as("doc_id"),
+        size(tokens).as("dl"), explode(tokens).as("term"))
+      .filter(col("term").isin(qTerms: _*))
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(tokens)).as("sum_dl"))
+    val contrib = tf.join(broadcast(dfT), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("w", contribution(col("tf"), col("df"), col("dl"),
+        col("n_docs"), col("sum_dl")))
+    foldScored(contrib)
+      .orderBy(desc("score"), asc("doc_id")).limit(k)
+      .select("doc_id", "dl", "n_hit", "score")
+  }
+
+  /** Serve one query from the published index: prune the postings scan to
+    * the query terms' buckets (driver-computed static IN — ≤ |terms|
+    * values), count df inside the pruned slice (exact: a term's postings
+    * live entirely in its bucket), score join-free, TakeOrdered top-k. */
+  def searchTopK(spark: SparkSession, dir: String, terms: Seq[String],
+      k: Int): DataFrame = {
+    import spark.implicits._
+    val root = Versioned.resolveRoot(spark, dir)
+    val (nDocs, sumDl, _) = readMeta(spark, root)
+    val qTerms = terms.distinct
+    // bucket-of-term via the SAME Column expression the writer used —
+    // a tiny local-relation job, so writer and prober cannot drift
+    val buckets = qTerms.toDF("term").select(termBucket(col("term")))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val posts = livePostings(spark, root)
+      .filter(col("pt").isin(buckets: _*))
+      .filter(col("term").isin(qTerms: _*))
+    val dfT = posts.groupBy("term").agg(count(lit(1)).as("df"))
+    val contrib = posts.join(broadcast(dfT), "term")
+      .withColumn("w", contribution(col("tf"), col("df"), col("dl"),
+        lit(nDocs), lit(sumDl)))
+    foldScored(contrib)
+      .orderBy(desc("score"), asc("doc_id")).limit(k)
+      .select("doc_id", "dl", "n_hit", "score")
+  }
+
+  /** Serve a BATCH of queries (qid, terms array) — the serving scan shape:
+    * ONE pruned index scan shared by all queries, df counted once
+    * corpus-side, per-query top-k via row_number ≤ k (WindowGroupLimit
+    * prunes each map partition to k rows per qid BEFORE the exchange).
+    * The distinct query-term set rides a broadcast semi-join; the static
+    * bucket IN stays driver-safe because distinct `pt` values are capped
+    * at [[IndexParts]] regardless of query count. */
+  def searchTopKBatch(spark: SparkSession, queries: DataFrame, dir: String,
+      k: Int): DataFrame = {
+    val root = Versioned.resolveRoot(spark, dir)
+    val (nDocs, sumDl, _) = readMeta(spark, root)
+    val q = queries.select(col("qid").cast("long").as("qid"),
+        explode(array_distinct(col("terms"))).as("term"))
+      .localCheckpoint()
+    val qTerms = q.select("term").distinct()
+    val buckets = qTerms.select(termBucket(col("term")))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val posts = livePostings(spark, root)
+      .filter(col("pt").isin(buckets: _*))
+      .join(broadcast(qTerms), Seq("term"), "left_semi")
+    val dfT = posts.groupBy("term").agg(count(lit(1)).as("df"))
+    val contrib = posts.join(broadcast(dfT), "term")
+      .join(broadcast(q), "term")
+      .withColumn("w", contribution(col("tf"), col("df"), col("dl"),
+        lit(nDocs), lit(sumDl)))
+    val scored = contrib.groupBy("qid", "doc_id", "dl")
+      .agg(count(lit(1)).as("n_hit"),
+        aggregate(
+          sort_array(collect_list(struct(col("term"), col("w")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("w")).as("score"))
+    val w = Window.partitionBy("qid")
+      .orderBy(desc("score"), asc("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "doc_id", "dl", "n_hit", "score")
+  }
+
+  /** Fold a shard of documents into the published index at shard cost.
+    * Monotonic-id guard as everywhere: a replayed shard fails loudly.
+    * Postings, doclens, and meta advance are separate commits — same
+    * honest crash-window note as [[graft.sim.FpIndex.appendIndex]]:
+    * recover a between-crash by compacting (which rebuilds stats from the
+    * live doclens) or rebuilding. */
+  def appendIndex(shardDocs: DataFrame, dir: String): Unit = {
+    val spark = shardDocs.sparkSession
+    val root = Versioned.resolveRoot(spark, dir)
+    val (nDocs, sumDl, maxSeen) = readMeta(spark, root)
+    val st = shardDocs.agg(count(lit(1)),
+      coalesce(sum(size(tokens)), lit(0L)),
+      min(col("doc_id").cast("long")),
+      max(col("doc_id").cast("long"))).head()
+    if (st.getLong(0) > 0L) {
+      require(st.getLong(2) > maxSeen,
+        s"monotonic-id ingest contract violated: shard min doc_id " +
+          s"${st.getLong(2)} <= index high-water mark $maxSeen")
+      postingRows(shardDocs)
+        .write.mode("append").partitionBy("pt").parquet(s"$root/postings")
+      docLenRows(shardDocs)
+        .write.mode("append").partitionBy("pd").parquet(s"$root/doclens")
+      writeMeta(spark, root, nDocs + st.getLong(0), sumDl + st.getLong(1),
+        st.getLong(3))
+    }
+  }
+
+  /** TOMBSTONE doc ids — the takedown path. Probes exclude the docs
+    * immediately AND the corpus stats shrink EXACTLY (the doclens table,
+    * pruned to the retracted ids' buckets, yields the dl mass to
+    * subtract), so post-takedown scores equal a rebuild without the docs —
+    * not just "the doc disappeared from results". Idempotent at id
+    * granularity: already-tombstoned ids are excluded from the
+    * subtraction, so a replayed takedown changes nothing. Tombstones land
+    * before the meta shrink; a crash between leaves probes CORRECT
+    * (exclusion is live) with slightly stale avgdl — [[compactIndex]]
+    * heals it by rebuilding stats from the live doclens. The high-water
+    * mark never rewinds: a retracted id stays burned. */
+  def retract(spark: SparkSession, dir: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    if (ids.nonEmpty) {
+      val root = Versioned.resolveRoot(spark, dir)
+      val (nDocs, sumDl, maxId) = readMeta(spark, root)
+      val already: Set[Long] =
+        if (!pathExists(spark, s"$root/tombstones")) Set.empty
+        else spark.read.parquet(s"$root/tombstones").select("doc_id")
+          .distinct().collect().map(_.getLong(0)).toSet
+      val fresh = ids.distinct.filterNot(already)
+      if (fresh.nonEmpty) {
+        val freshDf = fresh.toDF("doc_id")
+        val buckets = freshDf.select(docBucket(col("doc_id")))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        val gone = spark.read.parquet(s"$root/doclens")
+          .filter(col("pd").isin(buckets: _*))
+          .join(broadcast(freshDf), Seq("doc_id"), "left_semi")
+          .agg(count(lit(1)), coalesce(sum(col("dl").cast("long")), lit(0L)))
+          .head()
+        freshDf.coalesce(1)
+          .write.mode("append").parquet(s"$root/tombstones")
+        writeMeta(spark, root, nDocs - gone.getLong(0),
+          sumDl - gone.getLong(1), maxId)
+      }
+    }
+  }
+
+  /** Compact into a freshly PUBLISHED version: every append lands one file
+    * set per partition, so after S shards a pruned probe opens O(S) small
+    * files; the rewrite leaves ONE file per partition, DROPS tombstoned
+    * rows physically (the new version starts with a clean tombstone set —
+    * scores identical because probes already excluded them and the stats
+    * are rebuilt from the LIVE doclens, which also heals any retract
+    * crash window), carries the high-water mark, and flips the pointer
+    * LAST — probes see the old version or the new, never a mix. */
+  def compactIndex(spark: SparkSession, dir: String): Unit = {
+    val old = Versioned.resolveRoot(spark, dir)
+    val (_, _, maxId) = readMeta(spark, old)
+    val v = Versioned.nextVersion(spark, dir)
+    val root = s"$dir/$v"
+    livePostings(spark, old)
+      .repartition(col("pt"))
+      .write.mode("errorifexists").partitionBy("pt")
+      .parquet(s"$root/postings")
+    val dls = liveDocLens(spark, old).localCheckpoint()
+    dls.repartition(col("pd"))
+      .write.mode("errorifexists").partitionBy("pd")
+      .parquet(s"$root/doclens")
+    val st = dls.agg(count(lit(1)),
+      coalesce(sum(col("dl").cast("long")), lit(0L))).head()
+    writeMeta(spark, root, st.getLong(0), st.getLong(1), maxId)
+    Versioned.publish(spark, dir, v)
+  }
+
+  // --------------------------------------------------------------------
+  // Declared queries (SURVEY §7.5.7: the oracle cannot read a persisted
+  // index, so the DECLARED key is the corpus recompute — LexIndexSpec
+  // pins searchTopK ≡ searchCorpus exactly, which transfers the hash
+  // match to the index-served path).
+
+  /** Multi-term BM25 search, generalizing `text_bm25`'s two fixed terms:
+    * the float sum over a VARIABLE number of matched terms is made
+    * hash-matchable by folding contributions in sorted term order on both
+    * engines (Spark `aggregate(sort_array(…))` left fold ≡ DuckDB
+    * `list_reduce(list(w ORDER BY term))` — DuckDB's init-free reduce
+    * starts at w₁, Spark's 0.0 + w₁ is exact, and every later step is the
+    * same exactly-rounded addition in the same order). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lex_search" -> ((s, d) =>
+      searchCorpus(graft.core.Tables.documents(s, d),
+        Seq("table", "join", "vector"), 20))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "lex_search" ->
+      """WITH d2 AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |docs AS (SELECT doc_id, len(ts) AS dl, ts FROM d2),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+        |       FROM (SELECT doc_id, dl, unnest(ts) AS term FROM docs)
+        |       WHERE term IN ('table', 'join', 'vector') GROUP BY 1, 2, 3),
+        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM docs),
+        |contrib AS (
+        |  SELECT tf.doc_id, tf.dl, tf.term,
+        |    ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |      / (CAST(df AS DOUBLE) + 0.5))
+        |    * ((CAST(tf AS DOUBLE) * 2.2)
+        |       / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+        |          * (CAST(dl AS DOUBLE)
+        |             / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) AS w
+        |  FROM tf JOIN dft USING (term) CROSS JOIN st),
+        |scored AS (
+        |  SELECT doc_id, dl, count(*) AS n_hit,
+        |    list_reduce(list(w ORDER BY term ASC), (acc, x) -> acc + x) AS score
+        |  FROM contrib GROUP BY doc_id, dl)
+        |SELECT doc_id, dl, n_hit, score FROM scored
+        |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+  )
+}
