@@ -277,6 +277,24 @@ object ExplainAudit {
     ("split_assign", "map-only projection (no join/hash exchange)",
       p => !p.contains("Join")
         && !finalPlan(p).contains("Exchange hashpartitioning")),
+    // pair groupBy is the one corpus shuffle; the vocabulary-bounded
+    // unigram table and the 1-row N come BACK as broadcasts, never a
+    // sort-merge join
+    ("text_collocations",
+      "pair agg + 2 broadcast unigram joins + broadcast N, no SMJ",
+      p => "BroadcastHashJoin".r.findAllIn(p).size >= 2
+        && p.contains("BroadcastNestedLoopJoin")
+        && !p.contains("SortMergeJoin")),
+    // the export IS one hash exchange on shard + per-shard sort; nothing
+    // else may shuffle, and no join belongs anywhere near it
+    ("export_shuffle", "single shard exchange + in-shard sort, no join",
+      p => !p.contains("Join")
+        && "Exchange hashpartitioning".r
+          .findAllIn(finalPlan(p)).size == 1),
+    // the rank-≤-K filter must collapse into a per-partition top-K
+    // (WindowGroupLimit) so only K rows per domain survive the exchange
+    ("sample_domain_cap", "per-domain cap via WindowGroupLimit, no join",
+      p => p.contains("WindowGroupLimit") && !p.contains("Join")),
     // the 4-stage composition's heavy stages execute inside their
     // localCheckpoint materializations (each stage's own query family
     // plan-gates them: text_substring_dedup digests, sim_ngram_jaccard's

@@ -103,6 +103,75 @@ object TextOps {
         s"WHEN ($b) < $splitValLt THEN 'val' ELSE 'test' END AS split")
   }
 
+  /** `text_collocations` knobs: a pair must appear ≥ [[colloMinCount]]
+    * times, and the word2vec discount δ = [[colloDelta]] is subtracted
+    * from its count before scoring (suppresses rare-pair noise). */
+  private val colloMinCount = 3
+  private val colloDelta = 1
+
+  /** Collocation (phrase) mining — the word2vec phrase detector (Mikolov
+    * et al. 2013, "Distributed Representations of Words and Phrases",
+    * §4): score(w1 w2) = (c(w1w2) − δ) · N / (c(w1) · c(w2)), a PMI-style
+    * ratio of observed to independence-expected pair frequency. The
+    * numerator and denominator are exact integer products (< 2⁵³ far
+    * beyond this corpus), so the score is ONE exactly-rounded division —
+    * hash-exact against the oracle (the text_tfidf discipline). Scale
+    * shape: the adjacent-pair fan-out is [[LmScore.transitions]]'s
+    * lambda-free slice+zip, the pair groupBy is the one corpus-sized
+    * shuffle (map-side partial agg), the unigram table is
+    * vocabulary-bounded and BROADCAST back twice, N rides a 1-row
+    * broadcast — the text_lm_score plan family. */
+  def collocations(docs: DataFrame): DataFrame = {
+    val pair = LmScore.transitions(docs)
+      .groupBy(col("prev").as("w1"), col("cur").as("w2"))
+      .agg(count(lit(1)).as("c_pair"))
+      .filter(col("c_pair") >= colloMinCount)
+    val uni = docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val n = uni.agg(sum("cu").as("n_tokens"))
+    pair
+      .join(broadcast(uni.select(col("w").as("w1"), col("cu").as("c_w1"))),
+        Seq("w1"))
+      .join(broadcast(uni.select(col("w").as("w2"), col("cu").as("c_w2"))),
+        Seq("w2"))
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("c_pair"), col("c_w1"), col("c_w2"),
+        (((col("c_pair") - colloDelta) * col("n_tokens")).cast("double") /
+          (col("c_w1") * col("c_w2")).cast("double")).as("score"))
+  }
+
+  /** `export_shuffle` geometry: output-shard count. At a real export this
+    * is O(cluster) — parallelism EQUALS the shard count, which a training
+    * export sets to hundreds/thousands of output files; 16 keeps the
+    * oracle readable. */
+  private val exportShards = 16
+
+  /** `export_shuffle` projection — one SQL string per column, valid in
+    * BOTH Spark SQL and DuckDB (single source for query and oracle):
+    * shard = md5-bucket % [[exportShards]], pos = rank within the shard
+    * by (md5 hex key, doc_id). */
+  private[text] def exportShuffleCols: Seq[String] = {
+    val b = md5Bucket256Sql("doc_id")
+    val key = "md5(CAST(doc_id AS STRING))"
+    Seq("doc_id",
+      s"CAST(($b) % $exportShards AS BIGINT) AS shard",
+      s"$key AS sort_key",
+      s"CAST(row_number() OVER (PARTITION BY ($b) % $exportShards " +
+        s"ORDER BY $key, doc_id) AS BIGINT) AS pos")
+  }
+
+  /** `sample_domain_cap` knob: max documents kept per source domain. */
+  private val domainCap = 10
+
+  /** `sample_domain_cap` projection (shared Spark/DuckDB SQL): rank within
+    * each source by (md5 hex of doc_id, doc_id) — the deterministic
+    * uniform order every sampler here uses — and the query keeps
+    * rk ≤ [[domainCap]]. */
+  private[text] def domainCapCols: Seq[String] = Seq(
+    "doc_id", "source", "lang", "n_chars",
+    "CAST(row_number() OVER (PARTITION BY source " +
+      "ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS BIGINT) AS rk")
+
   /** Deterministic subword-token estimate — the budget-meter realism fix
     * (VERDICT r8 what's-missing #2). Whitespace tokens undercount what a
     * subword tokenizer (BPE/unigram) actually bills: long words split into
@@ -650,7 +719,43 @@ object TextOps {
     // drift.
     "split_assign" -> ((s, d) =>
       Tables.documents(s, d).selectExpr(splitAssignCols: _*)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Collocation / phrase mining (see [[collocations]]) — the
+    // tokenizer-prep op that decides which adjacent pairs ("new york")
+    // deserve to be one token. Declared with the exact integer-ratio
+    // score; ordering on the pair for determinism.
+    "text_collocations" -> ((s, d) =>
+      collocations(Tables.documents(s, d)).orderBy("w1", "w2")),
+
+    // Deterministic global shuffle for training export — the "shuffle the
+    // corpus before the trainer streams it" op. Every doc gets a
+    // pseudo-random SHARD (md5 bucket % 16) and a POSITION within it
+    // (rank by md5 hex key): together a total order that is a pure
+    // function of doc_id — identical across runs, engines, and
+    // partitionings, re-derivable for any subset (growth-stable, unlike
+    // ORDER BY rand()). Scale shape: ONE hash exchange on shard + a
+    // per-shard sort — exactly the shuffle a real export must pay, with
+    // parallelism = shard count (set to O(cluster) at 100 TB; the
+    // per-shard window never sees more than one shard's rows).
+    "export_shuffle" -> ((s, d) =>
+      Tables.documents(s, d).selectExpr(exportShuffleCols: _*)
+        .orderBy("shard", "pos")),
+
+    // Per-domain cap — the RefinedWeb/Gopher anti-spam rule (Penedo et
+    // al. 2023 §3; Rae et al. 2021): no single source domain may
+    // contribute more than K documents, the kept K chosen by the
+    // deterministic md5 order (not recency or load order — re-shardable
+    // and growth-stable: a domain's kept set changes only when docs
+    // hashing below its current cut arrive). Scale shape: one
+    // domain-keyed exchange; the rank-≤-K filter sits directly above the
+    // window, so Catalyst's InferWindowGroupLimit turns it into a
+    // per-partition top-K (WindowGroupLimit) — K rows per domain cross
+    // the exchange boundary's sort, never a domain's full history.
+    "sample_domain_cap" -> ((s, d) =>
+      Tables.documents(s, d).selectExpr(domainCapCols: _*)
+        .filter(col("rk") <= domainCap)
+        .orderBy("source", "rk"))
   )
 
   /** Deterministic train/holdout split: bucket = xxhash64(id, salt) mod 100,
@@ -1132,6 +1237,39 @@ object TextOps {
 
     "split_assign" ->
       s"""SELECT ${splitAssignCols.mkString(", ")}
-         |FROM documents ORDER BY doc_id""".stripMargin
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the text_lm_score bigram CTE chain, reduced to counts; the score's
+    // numerator/denominator are exact BIGINT products, so the one
+    // division is bit-identical to Spark's
+    "text_collocations" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |  FROM documents),
+         |tr0 AS (SELECT unnest(list_transform(range(1, len(toks)),
+         |    i -> toks[i] || ' ' || toks[i + 1])) AS bg FROM t),
+         |tr AS (SELECT string_split(bg, ' ')[1] AS w1,
+         |    string_split(bg, ' ')[2] AS w2 FROM tr0),
+         |pair AS (SELECT w1, w2, COUNT(*) AS c_pair FROM tr
+         |  GROUP BY w1, w2 HAVING COUNT(*) >= $colloMinCount),
+         |uni AS (SELECT w, COUNT(*) AS cu FROM
+         |  (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  GROUP BY w),
+         |n AS (SELECT CAST(SUM(cu) AS BIGINT) AS n_tokens FROM uni)
+         |SELECT p.w1, p.w2, p.c_pair, u1.cu AS c_w1, u2.cu AS c_w2,
+         |  CAST((p.c_pair - $colloDelta) * n.n_tokens AS DOUBLE) /
+         |    CAST(u1.cu * u2.cu AS DOUBLE) AS score
+         |FROM pair p
+         |JOIN uni u1 ON u1.w = p.w1
+         |JOIN uni u2 ON u2.w = p.w2, n
+         |ORDER BY p.w1, p.w2""".stripMargin,
+
+    "export_shuffle" ->
+      s"""SELECT ${exportShuffleCols.mkString(", ")}
+         |FROM documents ORDER BY shard, pos""".stripMargin,
+
+    "sample_domain_cap" ->
+      s"""SELECT * FROM (SELECT ${domainCapCols.mkString(", ")}
+         |  FROM documents)
+         |WHERE rk <= $domainCap ORDER BY source, rk""".stripMargin
   )
 }
