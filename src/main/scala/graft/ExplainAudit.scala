@@ -295,6 +295,12 @@ object ExplainAudit {
     // (WindowGroupLimit) so only K rows per domain survive the exchange
     ("sample_domain_cap", "per-domain cap via WindowGroupLimit, no join",
       p => p.contains("WindowGroupLimit") && !p.contains("Join")),
+    // the benchmark gram set is the SMALL side by construction (eval
+    // suites << corpus): it must come back as a broadcast left join, and
+    // the corpus side must never sort-merge against it
+    ("decont_probe", "bench grams broadcast to the corpus side, no SMJ",
+      p => p.contains("BroadcastHashJoin")
+        && !p.contains("SortMergeJoin")),
     // the 4-stage composition's heavy stages execute inside their
     // localCheckpoint materializations (each stage's own query family
     // plan-gates them: text_substring_dedup digests, sim_ngram_jaccard's

@@ -20,6 +20,7 @@ object SparkEntry {
     text.TextOps.queries,
     text.Bpe.queries,
     text.LexIndex.queries,
+    text.DecontIndex.queries,
     text.SubstringDedup.queries,
     sim.Similarity.queries,
     sim.Dedup.queries,
@@ -36,6 +37,7 @@ object SparkEntry {
     text.TextOps.oracleSql,
     text.Bpe.oracleSql,
     text.LexIndex.oracleSql,
+    text.DecontIndex.oracleSql,
     text.SubstringDedup.oracleSql,
     sim.Similarity.oracleSql,
     sim.Dedup.oracleSql,

@@ -276,6 +276,26 @@ object Streaming {
       }
     }
 
+  /** Online benchmark decontamination (B10.23) — flag each micro-batch
+    * of arriving (doc_id, text) documents against the persisted benchmark
+    * gram index via [[graft.text.DecontIndex.probeShard]] VERBATIM (the
+    * streamFpDupFlags posture), so batch and stream verdicts cannot
+    * drift. foreachBatch, not a streaming plan: the per-doc gram rollup
+    * aggregates within the batch, which is exact because documents arrive
+    * whole. Each batch re-resolves `_CURRENT`, so a benchmark rotation
+    * (append/retract/compact + republish) takes effect at the next batch
+    * boundary. The sink receives each batch's (flags, batchId) under
+    * foreachBatch's usual at-least-once contract — per-doc verdicts are
+    * idempotent, so replays are harmless to an upserting consumer. */
+  def streamDecontFlags(docs: DataFrame, indexPath: String,
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      if (!batch.isEmpty)
+        sink(graft.text.DecontIndex.probeShard(batch, indexPath), id)
+    }
+
   // ------------------------------------------------------------ B10.15
 
   /** Online release curation — the full probe → drop → fold-in ingest loop

@@ -1,0 +1,271 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Versioned
+
+/** Persisted benchmark-decontamination index (SURVEY.md §2 B9.51) — the
+  * production form of `text_contamination`. The declared query re-derives
+  * the benchmark gram set from the corpus on every run; a real pipeline
+  * instead builds the eval-benchmark n-gram set ONCE, then probes every
+  * incoming corpus shard against it at shard cost (the GPT-3 appendix-C /
+  * Brown et al. 2020 discipline: flag a training document when it shares
+  * rare n-grams with the held-out benchmarks). This gives decontamination
+  * the same production triple every dedup modality already has (MinHash:
+  * [[graft.sim.IncrementalDedup]], substring: [[SubstringDedup]],
+  * semantic: [[graft.sim.SemDedup]], fingerprint: [[graft.sim.FpIndex]],
+  * lexical: [[LexIndex]]): versioned persisted index, shard append under
+  * the monotonic-id guard, retraction (a benchmark rotates OUT of the
+  * holdout set and its grams must stop poisoning the corpus), compaction,
+  * and a streaming twin ([[graft.stream.Streaming.streamDecontFlags]]).
+  *
+  * Index rows are (gh = xxhash64 of the 5-token shingle, bench_id) —
+  * per-benchmark-doc attribution is what makes retraction exact: a gram
+  * stays live as long as ANY live benchmark doc contains it, so removing
+  * one benchmark never drops a gram another benchmark still owns. Rows
+  * are hash-partitioned on disk by a gram bucket (`pg`); a probe joins on
+  * gh, so the corpus side arrives pre-keyed and the index side is
+  * benchmark-bounded — eval suites are orders of magnitude smaller than
+  * the corpus, which is exactly why the index (not the corpus) is the
+  * broadcast/build side at any scale.
+  *
+  * Probe output is per corpus doc: n_grams (distinct 5-gram count),
+  * n_hit (how many of them appear in a live benchmark), and the
+  * contaminated verdict n_hit >= minHits — all integer counts and one
+  * integer comparison, which is what lets the corpus-recompute form
+  * (`decont_probe`) hash-match the DuckDB oracle and lets
+  * DecontIndexSpec demand EXACT equality between the index-served probe
+  * and the recompute.
+  */
+object DecontIndex {
+
+  /** Shingle width — matches `text_contamination` (5-token grams). */
+  val GramN = 5
+
+  /** On-disk hash partitions for the gram bucket. */
+  val IndexParts = 32
+
+  /** Contamination verdict threshold: flagged when n_hit >= this. */
+  val DefaultMinHits = 1
+
+  private def tokens: Column = split(col("text"), " ")
+
+  private def gramBucket(gh: Column): Column =
+    pmod(gh, lit(IndexParts)).cast("int")
+
+  /** Distinct (doc_id, gh) rows for a (doc_id, text) frame — the
+    * lambda-free slice+zip fan-out `text_contamination` uses (grams stay
+    * inside whole-stage codegen; no higher-order-function closures).
+    * Docs shorter than [[GramN]] tokens contribute no rows. */
+  private[text] def gramRows(docs: DataFrame): DataFrame = {
+    val t = tokens
+    val n = greatest(size(t) - (GramN - 1), lit(0))
+    val parts = (1 to GramN).map(i => slice(t, lit(i), n).as(s"g$i"))
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+        explode(arrays_zip(parts: _*)).as("p"))
+      .select(col("doc_id"),
+        xxhash64(concat_ws(" ",
+          (1 to GramN).map(i => col(s"p.g$i")): _*)).as("gh"))
+      .distinct()
+  }
+
+  private def pathExists(spark: SparkSession, p: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sessionState.newHadoopConf()).exists(hp)
+  }
+
+  private def writeMeta(spark: SparkSession, root: String,
+      nBench: Long, maxId: Long): Unit = {
+    import spark.implicits._
+    // staged write + atomic rename (the FpIndex/LexIndex discipline)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val next = new org.apache.hadoop.fs.Path(s"$root/meta.next")
+    val dst = new org.apache.hadoop.fs.Path(s"$root/meta")
+    Seq((nBench, maxId)).toDF("n_bench", "max_id")
+      .coalesce(1).write.mode("overwrite").parquet(next.toString)
+    fs.delete(dst, true)
+    require(fs.rename(next, dst), s"meta publish rename failed under $root")
+  }
+
+  private def readMeta(spark: SparkSession, root: String): (Long, Long) = {
+    val r = spark.read.parquet(s"$root/meta").head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  private def indexRows(benchDocs: DataFrame): DataFrame =
+    gramRows(benchDocs)
+      .select(col("gh"), col("doc_id").as("bench_id"))
+      .withColumn("pg", gramBucket(col("gh")))
+
+  /** Build and PUBLISH the index from a (doc_id, text) benchmark set. */
+  def writeIndex(benchDocs: DataFrame, dir: String): Unit = {
+    val spark = benchDocs.sparkSession
+    val v = Versioned.nextVersion(spark, dir)
+    val root = s"$dir/$v"
+    val st = benchDocs.agg(count(lit(1)),
+      coalesce(max(col("doc_id").cast("long")), lit(-1L))).head()
+    // an empty benchmark set would publish parquet dirs Spark cannot
+    // re-read — and silently declare the whole corpus clean
+    require(st.getLong(0) > 0L,
+      "refusing to publish an EMPTY decontamination index")
+    indexRows(benchDocs)
+      .write.mode("errorifexists").partitionBy("pg")
+      .parquet(s"$root/grams")
+    writeMeta(spark, root, st.getLong(0), st.getLong(1))
+    Versioned.publish(spark, dir, v)
+  }
+
+  /** The gram rows minus retracted benchmarks — the single read path every
+    * probe shares. The anti-join appears only when a takedown happened, so
+    * the takedown-free plan keeps its join-probe shape. */
+  private def liveGrams(spark: SparkSession, root: String): DataFrame = {
+    val rows = spark.read.parquet(s"$root/grams")
+    if (!pathExists(spark, s"$root/tombstones")) rows
+    else rows.join(
+      broadcast(spark.read.parquet(s"$root/tombstones")
+        .select("bench_id").distinct()),
+      Seq("bench_id"), "left_anti")
+  }
+
+  /** The probe join body, shared verbatim by [[probeShard]],
+    * [[probeCorpus]], and the streaming twin: distinct corpus grams LEFT
+    * join the (distinct) benchmark gram set, per-doc integer rollup. The
+    * benchmark side is eval-suite-bounded — the small side by
+    * construction — so Spark broadcasts it; the corpus side never
+    * shuffles except for its own per-doc distinct + rollup. */
+  private def probeAgainst(docs: DataFrame, benchGh: DataFrame,
+      minHits: Int): DataFrame =
+    gramRows(docs)
+      .join(benchGh.select("gh").distinct().withColumn("hit", lit(1)),
+        Seq("gh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
+      .withColumn("contaminated", col("n_hit") >= minHits)
+
+  /** Probe a corpus shard against the PUBLISHED index: per doc, how many
+    * of its distinct 5-grams appear in a live benchmark, and the verdict.
+    * Shard cost: the index side is benchmark-bounded; docs with fewer
+    * than [[GramN]] tokens carry no contamination evidence and drop out
+    * (mirrored by the recompute and the oracle). */
+  def probeShard(shardDocs: DataFrame, dir: String,
+      minHits: Int = DefaultMinHits): DataFrame = {
+    val spark = shardDocs.sparkSession
+    val root = Versioned.resolveRoot(spark, dir)
+    probeAgainst(shardDocs, liveGrams(spark, root), minHits)
+  }
+
+  /** The corpus-recompute form — the declared query (`decont_probe`): the
+    * benchmark set is the corpus slice source = benchSource, re-derived
+    * per run. DecontIndexSpec pins [[probeShard]] ≡ this EXACTLY (build
+    * the index from the same slice, probe the rest), which transfers the
+    * oracle hash match to the index-served path. */
+  def probeCorpus(docs: DataFrame, benchSource: String = "src0",
+      minHits: Int = DefaultMinHits): DataFrame = {
+    val bench = gramRows(docs.filter(col("source") === benchSource))
+    probeAgainst(docs.filter(col("source") =!= benchSource), bench, minHits)
+  }
+
+  /** Fold a shard of NEW benchmark docs into the published index at shard
+    * cost, under the monotonic-id guard every ingest here obeys: a
+    * replayed shard fails loudly. Grams and meta advance are separate
+    * commits — same honest crash-window note as
+    * [[graft.sim.FpIndex.appendIndex]]: recover by compacting or
+    * rebuilding. */
+  def appendIndex(shardBench: DataFrame, dir: String): Unit = {
+    val spark = shardBench.sparkSession
+    val root = Versioned.resolveRoot(spark, dir)
+    val (nBench, maxSeen) = readMeta(spark, root)
+    val st = shardBench.agg(count(lit(1)),
+      min(col("doc_id").cast("long")),
+      max(col("doc_id").cast("long"))).head()
+    if (st.getLong(0) > 0L) {
+      require(st.getLong(1) > maxSeen,
+        s"monotonic-id ingest contract violated: shard min doc_id " +
+          s"${st.getLong(1)} <= index high-water mark $maxSeen")
+      indexRows(shardBench)
+        .write.mode("append").partitionBy("pg").parquet(s"$root/grams")
+      writeMeta(spark, root, nBench + st.getLong(0), st.getLong(2))
+    }
+  }
+
+  /** TOMBSTONE benchmark ids — a benchmark rotates out of the holdout
+    * set. Probes stop seeing its grams immediately, EXCEPT those another
+    * live benchmark also contains (per-bench attribution makes this
+    * exact — the reason index rows carry bench_id at all). Idempotent at
+    * id granularity; the high-water mark never rewinds (a retracted id
+    * stays burned). */
+  def retract(spark: SparkSession, dir: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    if (ids.nonEmpty) {
+      val root = Versioned.resolveRoot(spark, dir)
+      val (nBench, maxId) = readMeta(spark, root)
+      val already: Set[Long] =
+        if (!pathExists(spark, s"$root/tombstones")) Set.empty
+        else spark.read.parquet(s"$root/tombstones").select("bench_id")
+          .distinct().collect().map(_.getLong(0)).toSet
+      val fresh = ids.distinct.filterNot(already)
+      if (fresh.nonEmpty) {
+        // meta counts only benchmarks the index actually holds — a
+        // takedown request naming an unknown id must not skew n_bench
+        val present = spark.read.parquet(s"$root/grams")
+          .filter(col("bench_id").isin(fresh: _*))
+          .select("bench_id").distinct().count()
+        fresh.toDF("bench_id").coalesce(1)
+          .write.mode("append").parquet(s"$root/tombstones")
+        writeMeta(spark, root, nBench - present, maxId)
+      }
+    }
+  }
+
+  /** Compact into a freshly PUBLISHED version: every append lands one
+    * file set per partition, so after S shards a probe opens O(S) small
+    * files; the rewrite leaves ONE file per partition, DROPS tombstoned
+    * rows physically (verdicts identical because probes already excluded
+    * them), carries the high-water mark, and flips the pointer LAST —
+    * probes see the old version or the new, never a mix. */
+  def compactIndex(spark: SparkSession, dir: String): Unit = {
+    val old = Versioned.resolveRoot(spark, dir)
+    val (nBench, maxId) = readMeta(spark, old)
+    val v = Versioned.nextVersion(spark, dir)
+    val root = s"$dir/$v"
+    liveGrams(spark, old)
+      .repartition(col("pg"))
+      .write.mode("errorifexists").partitionBy("pg")
+      .parquet(s"$root/grams")
+    writeMeta(spark, root, nBench, maxId)
+    Versioned.publish(spark, dir, v)
+  }
+
+  // --------------------------------------------------------------------
+  // Declared query (SURVEY §7.5.7: the oracle cannot read a persisted
+  // index, so the DECLARED key is the corpus recompute — DecontIndexSpec
+  // pins probeShard ≡ probeCorpus exactly).
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "decont_probe" -> ((s, d) =>
+      probeCorpus(graft.core.Tables.documents(s, d)).orderBy("doc_id"))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "decont_probe" ->
+      s"""WITH g AS (SELECT DISTINCT doc_id, source, unnest(list_transform(
+        |      range(1, len(string_split(text, ' ')) - ${GramN - 2}),
+        |      i -> string_split(text, ' ')[i] || ' '
+        |        || string_split(text, ' ')[i + 1] || ' '
+        |        || string_split(text, ' ')[i + 2] || ' '
+        |        || string_split(text, ' ')[i + 3] || ' '
+        |        || string_split(text, ' ')[i + 4])) AS gram
+        |  FROM documents),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+        |tr AS (SELECT g.doc_id, b.gram IS NOT NULL AS hit
+        |       FROM g LEFT JOIN bench b ON g.gram = b.gram
+        |       WHERE g.source <> 'src0')
+        |SELECT doc_id, COUNT(*) AS n_grams,
+        |  COUNT(CASE WHEN hit THEN 1 END) AS n_hit,
+        |  COUNT(CASE WHEN hit THEN 1 END) >= $DefaultMinHits
+        |    AS contaminated
+        |FROM tr GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  )
+}
