@@ -58,7 +58,12 @@ object DecontIndex {
     * lambda-free slice+zip fan-out `text_contamination` uses (grams stay
     * inside whole-stage codegen; no higher-order-function closures).
     * Docs shorter than [[GramN]] tokens contribute no rows. */
-  private[text] def gramRows(docs: DataFrame): DataFrame = {
+  private[text] def gramRows(docs: DataFrame): DataFrame =
+    rawGramRows(docs).distinct()
+
+  /** The same fan-out WITHOUT the distinct exchange — a doc's repeated
+    * grams stay repeated. [[probeShardBloom]] consumes this map-side. */
+  private def rawGramRows(docs: DataFrame): DataFrame = {
     val t = tokens
     val n = greatest(size(t) - (GramN - 1), lit(0))
     val parts = (1 to GramN).map(i => slice(t, lit(i), n).as(s"g$i"))
@@ -67,7 +72,6 @@ object DecontIndex {
       .select(col("doc_id"),
         xxhash64(concat_ws(" ",
           (1 to GramN).map(i => col(s"p.g$i")): _*)).as("gh"))
-      .distinct()
   }
 
   private def pathExists(spark: SparkSession, p: String): Boolean = {
@@ -154,6 +158,38 @@ object DecontIndex {
     val spark = shardDocs.sparkSession
     val root = Versioned.resolveRoot(spark, dir)
     probeAgainst(shardDocs, liveGrams(spark, root), minHits)
+  }
+
+  /** The 100 TB probe shape: [[probeShard]] hands the WHOLE corpus gram
+    * stream to the join, which is fine while the benchmark side
+    * broadcasts — but a full eval-suite index (hundreds of benchmarks ×
+    * long documents) can run to GBs of gram hashes, and then the corpus
+    * grams pay a full shuffle against it (the SMJ shuffles the PETABYTE
+    * side). Here a Bloom filter over the live bench grams (MBs
+    * regardless of corpus size) kills clean grams MAP-SIDE — the corpus
+    * stream never exchanges; only true hits plus the fpp-rate of false
+    * candidates reach the exact semi-join, and the per-doc distinct-hit
+    * count aggregates over that survivor trickle. Output is the
+    * PRODUCTION shape: the flagged docs only (doc_id, n_hit) — a
+    * decontamination pass needs the list to subtract, not a verdict row
+    * per clean doc (n_grams, which needs every gram counted, stays on
+    * [[probeShard]]). A Bloom probe never false-negatives and the
+    * semi-join is exact, so DecontIndexSpec pins this EQUAL to
+    * probeShard's contaminated slice — including under a deliberately
+    * saturated filter where false candidates flood the verify step. */
+  def probeShardBloom(shardDocs: DataFrame, dir: String,
+      minHits: Int = DefaultMinHits, estItems: Long = 1000000L,
+      numBits: Long = 1L << 23): DataFrame = {
+    val spark = shardDocs.sparkSession
+    val root = Versioned.resolveRoot(spark, dir)
+    val bench = liveGrams(spark, root).select("gh")
+    val candidates = graft.ops.JoinPrefilter.bloomReduce(
+      rawGramRows(shardDocs), col("gh"), bench, col("gh"),
+      estItems, numBits)
+    candidates.join(bench, Seq("gh"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count_distinct(col("gh")).as("n_hit"))
+      .filter(col("n_hit") >= minHits)
   }
 
   /** The corpus-recompute form — the declared query (`decont_probe`): the

@@ -148,6 +148,30 @@ class DecontIndexSpec extends SparkSpec {
     assert(guard.getMessage.contains("monotonic-id"))
   }
 
+  private def flagged(d: DataFrame): Seq[(Long, Long)] =
+    d.select("doc_id", "n_hit").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+
+  test("bloom-prefiltered probe == the exact probe's contaminated slice, " +
+      "also under a deliberately saturated filter and after retraction") {
+    val dir = tmp("bloom")
+    DecontIndex.writeIndex(df(bench), dir)
+    def exactSlice: Seq[(Long, Long)] =
+      flagged(DecontIndex.probeShard(df(train), dir)
+        .filter(col("contaminated")))
+    assert(exactSlice === Seq((101L, 1L), (102L, 1L)))
+    assert(flagged(DecontIndex.probeShardBloom(df(train), dir))
+      === exactSlice)
+    // 64-bit filter over ~60 grams: virtually every probe is a false
+    // candidate, so the exact semi-join must do ALL the rejection work
+    assert(flagged(DecontIndex.probeShardBloom(df(train), dir,
+      estItems = 4L, numBits = 64L)) === exactSlice)
+    DecontIndex.retract(spark, dir, Seq(3L))
+    assert(exactSlice === Seq((102L, 1L)))
+    assert(flagged(DecontIndex.probeShardBloom(df(train), dir))
+      === exactSlice)
+  }
+
   test("an empty benchmark set refuses to publish") {
     val e = intercept[IllegalArgumentException] {
       DecontIndex.writeIndex(df(Nil), tmp("empty"))
