@@ -78,12 +78,30 @@ object Curation {
     graft.text.LmScore.score(docs, q.lm)
       .filter(col("lm_score") < q.minScore).select("doc_id")
 
+  /** Opt-in benchmark-decontamination gate (stage 0b, after quality):
+    * docs flagged against the persisted benchmark gram index at `dir`
+    * ([[graft.text.DecontIndex]]) drop before any dedup stage — a
+    * training release must not contain held-out eval content, and the
+    * gate belongs BEFORE the dedup stages so a contaminated doc can
+    * never win a dedup cluster and push the clean twin out of the
+    * release. The index is EXTERNAL to the release (the eval battery is
+    * not release content, unlike the release LM), so ingest never folds
+    * anything into it — benchmark rotation is [[graft.text.DecontIndex]]
+    * append/retract/compact against its own dir. */
+  final case class Decont(dir: String,
+      minHits: Int = graft.text.DecontIndex.DefaultMinHits)
+
+  private def decontDrops(docs: DataFrame, dc: Decont): DataFrame =
+    graft.text.DecontIndex.probeShardBloom(docs, dc.dir, dc.minHits)
+      .select("doc_id")
+
   def curate(docs: DataFrame, emb: Option[DataFrame],
       shingleK: Int = SubstringDedup.declaredK, maxDupFrac: Double = 0.5,
       nearDupPairs: DataFrame => DataFrame = minhashPairs(0.8),
       cosineThreshold: Double = 0.99, nCentroids: Int = 16,
       lloydIters: Int = 3, semCentroids: Option[DataFrame] = None,
-      quality: Option[Quality] = None): Result = {
+      quality: Option[Quality] = None,
+      decont: Option[Decont] = None): Result = {
     val ids0 = docs.select("doc_id")
 
     // 0. quality (optional): LM gate against a frozen LM — an anti-join
@@ -95,10 +113,19 @@ object Curation {
     val dq = quality.fold(docs)(_ => docs.join(idsQ, Seq("doc_id"),
       "left_semi"))
 
+    // 0b. decontamination (optional): benchmark-flagged docs drop —
+    // per-doc membership, so the gate commutes with everything downstream
+    val idsD = decont.fold(idsQ) { dc =>
+      idsQ.join(decontDrops(dq, dc), Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+    }
+    val dd = decont.fold(dq)(_ => docs.join(idsD, Seq("doc_id"),
+      "left_semi"))
+
     // 1. exact: one digest-keyed aggregate; the 8-byte xxhash64 carries the
     // text's equality structure through the exchange (the dedup_exact
     // argument — collisions ≈ n²·2⁻⁶⁵).
-    val ids1 = dq.groupBy(xxhash64(col("text")).as("th"))
+    val ids1 = dd.groupBy(xxhash64(col("text")).as("th"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id").localCheckpoint()
 
@@ -137,7 +164,8 @@ object Curation {
 
     val stages =
       (if (quality.isDefined) Seq(("quality", ids0, idsQ)) else Nil) ++
-      Seq(("exact", idsQ, ids1), ("substring", ids1, ids2),
+      (if (decont.isDefined) Seq(("decont", idsQ, idsD)) else Nil) ++
+      Seq(("exact", idsD, ids1), ("substring", ids1, ids2),
         ("near_dup", ids2, ids3)) ++
       (if (emb.isDefined) Seq(("semantic", ids3, ids4)) else Nil)
     val ledger = stages.zipWithIndex.map { case ((name, in, out), i) =>
@@ -342,7 +370,8 @@ object Curation {
       shingleK: Int = SubstringDedup.declaredK, maxDupFrac: Double = 0.5,
       minhashThreshold: Double = 0.8, cosineThreshold: Double = 0.99,
       nprobe: Int = 1, pqMargin: Option[Double] = None,
-      lmMinScore: Option[Double] = None): Result = {
+      lmMinScore: Option[Double] = None,
+      decont: Option[Decont] = None): Result = {
     val spark = shard.sparkSession
     val maxSeen = metaOf(spark, dir)
     val bounds = shard.agg(min(col("doc_id").cast("long")),
@@ -367,12 +396,22 @@ object Curation {
     val sq = lmMinScore.fold(shard)(_ => shard.join(idsQ, Seq("doc_id"),
       "left_semi").localCheckpoint())
 
+    // 0b. decontamination (optional) — the shard probed against the
+    // EXTERNAL benchmark gram index ([[Decont]]); nothing ever folds
+    // back into it, so unlike the release LM there is no append step
+    val idsD = decont.fold(idsQ) { dc =>
+      idsQ.join(decontDrops(sq, dc), Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+    }
+    val sd = decont.fold(sq)(_ => shard.join(idsD, Seq("doc_id"),
+      "left_semi").localCheckpoint())
+
     // 1. exact — within-shard min-id per digest, minus release hits
     // (exactHits already honors the tombstones)
-    val within1 = sq
+    val within1 = sd
       .groupBy(xxhash64(col("text")).as("th"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-    val ids1 = within1.join(exactHits(spark, sq, dir), Seq("doc_id"),
+    val ids1 = within1.join(exactHits(spark, sd, dir), Seq("doc_id"),
       "left_anti").localCheckpoint()
 
     // 2. substring budget over corpus∪shard counts, shard cost (retracted
@@ -438,7 +477,8 @@ object Curation {
 
     val stages =
       (if (lmMinScore.isDefined) Seq(("quality", ids0, idsQ)) else Nil) ++
-      Seq(("exact", idsQ, ids1), ("substring", ids1, ids2),
+      (if (decont.isDefined) Seq(("decont", idsQ, idsD)) else Nil) ++
+      Seq(("exact", idsD, ids1), ("substring", ids1, ids2),
         ("near_dup", ids2, ids3)) ++
       (if (emb.isDefined) Seq(("semantic", ids3, ids4)) else Nil)
     val ledger = stages.zipWithIndex.map { case ((name, in, out), i) =>

@@ -326,14 +326,15 @@ object Streaming {
       shingleK: Int = graft.text.SubstringDedup.declaredK,
       maxDupFrac: Double = 0.5, minhashThreshold: Double = 0.8,
       cosineThreshold: Double = 0.99, nprobe: Int = 1,
-      lmMinScore: Option[Double] = None)
+      lmMinScore: Option[Double] = None,
+      decont: Option[graft.sim.Curation.Decont] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       if (!batch.isEmpty) {
         val r = graft.sim.Curation.ingestShard(batch, emb, dir, shingleK,
           maxDupFrac, minhashThreshold, cosineThreshold, nprobe,
-          lmMinScore = lmMinScore)
+          lmMinScore = lmMinScore, decont = decont)
         sink(r.kept, r.ledger, id)
       }
     }
