@@ -413,7 +413,36 @@ object ExplainAudit {
     // 50-row full-outer is scale-irrelevant. Two TakeOrdered spans = the
     // corpus is never globally sorted or globally windowed.
     ("sim_hybrid_rrf", "both legs TakeOrdered-cut before ranking/fusion",
-      p => "TakeOrderedAndProject".r.findAllIn(finalPlan(p)).size >= 2)
+      p => "TakeOrderedAndProject".r.findAllIn(finalPlan(p)).size >= 2),
+    // boilerplate mining is the digest-groupBy shape: partial+final agg
+    // (two HashAggregate pairs — the distinct-doc pre-key and the line
+    // rollup), join-free
+    ("text_boilerplate", "join-free partial+final line aggregation",
+      p => {
+        val f = finalPlan(p)
+        "HashAggregate".r.findAllIn(f).size >= 4 && !f.contains("Join")
+      }),
+    // the boilerplate membership set must BROADCAST onto the corpus line
+    // stream (an SMJ would re-shuffle every corpus line by raw line text);
+    // the reassembly groupBy keys on doc_id — an ObjectHashAggregate
+    // (collect_list), partial+final
+    ("text_line_dedup", "broadcast boilerplate set, no corpus SMJ",
+      p => {
+        val f = finalPlan(p)
+        f.contains("BroadcastHashJoin") && !f.contains("SortMergeJoin") &&
+          f.contains("ObjectHashAggregate")
+      }),
+    // NFC normalization is a per-row kernel: nothing before the declared
+    // ORDER BY's range exchange, and the nfc_normalize expression must
+    // sit inside a WholeStageCodegen span (a CodegenFallback would break
+    // the map stage into interpreted rows)
+    ("text_normalize", "map-only NFC inside whole-stage codegen",
+      p => {
+        val f = finalPlan(p)
+        "Exchange".r.findAllIn(f).size == 1 && !f.contains("Join") &&
+          f.contains("nfc_normalize") &&
+          (f.contains("WholeStageCodegen") || f.contains("*("))
+      })
   )
 
   /** Executes each checked query (collect(), so AQE finalizes — codegen

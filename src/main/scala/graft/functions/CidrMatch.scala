@@ -57,6 +57,31 @@ object SortedIntersect {
       (exprs: Seq[Expression]) => SortedIntersectSizeExpr(exprs(0), exprs(1)))
 }
 
+/** Public wiring for `nfc_normalize` — UAX #15 canonical composition, the
+  * pre-hash text normalization step
+  * ([[org.apache.spark.sql.graftexpr.NfcNormalizeExpr]]). */
+object TextNorm {
+  import org.apache.spark.sql.graftexpr.NfcNormalizeExpr
+
+  private[functions] def info =
+    new ExpressionInfo(classOf[NfcNormalizeExpr].getName, null,
+      "nfc_normalize",
+      "_FUNC_(s) - Returns s in Unicode Normalization Form C (canonical " +
+        "composition). ASCII input is returned unchanged without copying. " +
+        "Normalize before hashing: dedup digests, line hashes, and " +
+        "decontamination grams treat NFC-distinct spellings of the same " +
+        "rendered text as different documents otherwise.", "")
+
+  /** Column-DSL form: `nfc_normalize($"text")`. */
+  def nfc_normalize(s: Column): Column = NfcNormalizeExpr.column(s)
+
+  /** Register `nfc_normalize` for SQL in an existing session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("nfc_normalize"), info,
+      (exprs: Seq[Expression]) => NfcNormalizeExpr(exprs(0)))
+}
+
 /** Session extension — `.withExtensions(new GraftExtensions)` or config
   * `spark.sql.extensions=graft.functions.GraftExtensions` wires the custom
   * function surface into every session of a deployment. */
@@ -68,6 +93,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("sorted_intersect_size"),
       SortedIntersect.info,
       (exprs: Seq[Expression]) => SortedIntersectSizeExpr(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("nfc_normalize"), TextNorm.info,
+      (exprs: Seq[Expression]) =>
+        org.apache.spark.sql.graftexpr.NfcNormalizeExpr(exprs(0))))
   }
 }
 

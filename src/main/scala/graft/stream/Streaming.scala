@@ -418,6 +418,27 @@ object Streaming {
       if (!batch.isEmpty) sink(graft.text.Bpe.encode(batch, model), id)
     }
 
+  /** Online boilerplate-line removal — the streaming twin of
+    * `text_line_dedup`'s cleaning half: each arriving micro-batch is
+    * cleaned against a boilerplate line set mined OFFLINE over the
+    * accumulated corpus (the CCNet split: membership mining needs the
+    * whole corpus, application is per-document). Replays
+    * [[graft.text.TextOps.cleanAgainstBoilerplate]] VERBATIM, so online
+    * and offline cleanings cannot drift; the set is re-read from
+    * `bpPath` each batch, so republishing a freshly-mined set takes
+    * effect at the next batch boundary. Stateless and map-side (the set
+    * broadcasts) — the right shape in front of an ingest queue. */
+  def streamLineClean(docs: DataFrame, bpPath: String,
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      if (!batch.isEmpty) {
+        val bp = batch.sparkSession.read.parquet(bpPath)
+        sink(graft.text.TextOps.cleanAgainstBoilerplate(batch, bp), id)
+      }
+    }
+
   /** Online DSIR selection (B10.19) — the streaming twin of `sample_dsir`
     * (B9.44): each micro-batch of arriving documents is scored against the
     * persisted TARGET and RAW LM indexes and accepted by the shared

@@ -229,6 +229,91 @@ object TextOps {
     s"substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN (${
       hexChars(w).map(c => s"'$c'").mkString(", ")})"
 
+  /** Line-dedup knobs. The synthetic corpus ships single-line documents,
+    * so the declared queries derive line structure deterministically:
+    * every ` the ` occurrence becomes a line break (a literal regex with
+    * identical leftmost/non-overlap semantics in Java and DuckDB's RE2 —
+    * never producing an empty line, since the pattern needs both flanking
+    * spaces). A real corpus passes its newlines straight through; the
+    * operator is the [[lineDedup]] body either way. A line is BOILERPLATE
+    * when it appears in ≥ [[lineMinDf]] distinct documents (the
+    * CCNet/RefinedWeb repeated-paragraph rule; Wenzek et al. 2019 §3.1
+    * dedup paragraphs seen elsewhere in the crawl, Penedo et al. 2023
+    * line-wise filters). */
+  private val lineMinDf = 3
+  private[text] val lineSepPat = " the "
+
+  /** (doc_id, ord, line) — one row per newline-delimited line of `text`,
+    * order-preserving. */
+  private def docLines(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("ord", "line")))
+
+  /** The declared queries' deterministic line derivation for the
+    * single-line synthetic corpus — see [[lineSepPat]]. */
+  private def withDerivedLines(docs: DataFrame): DataFrame =
+    docs.withColumn("text", regexp_replace(col("text"), lineSepPat, "\n"))
+
+  /** Boilerplate lines of `docs`: lines appearing in ≥ `minDf` distinct
+    * documents, with their doc- and occurrence-frequencies. Scale shape:
+    * one explode + one groupBy(line) with map-side partial aggregation —
+    * the `dedup_exact` digest-groupBy shape, shuffle bounded by DISTINCT
+    * lines, not corpus lines (count-distinct over doc_id dedups map-side
+    * on the (line, doc_id) pre-key). At petabyte scale key on
+    * xxhash64(line) instead of the raw line to keep shuffle rows slim —
+    * the CCNet trick; the raw line is kept here so the report is
+    * readable and oracle-comparable. */
+  def boilerplateLines(docs: DataFrame, minDf: Long = lineMinDf): DataFrame =
+    docLines(docs)
+      .groupBy("line")
+      .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("n_occ"))
+      .filter(col("df") >= minDf)
+
+  /** CCNet-style boilerplate-line removal: drop every line that appears
+    * in ≥ `minDf` distinct documents, reassemble each document from its
+    * surviving lines in original order. The corpus-level dedup stage
+    * BETWEEN exact (whole-doc) and substring (50-gram) dedup: navigation
+    * chrome, cookie banners, and license footers repeat across pages
+    * without whole docs or long spans repeating.
+    *
+    * Scale: the boilerplate set is corpus-lines / minDf at worst but in
+    * practice vocabulary-shaped and SMALL (it is exactly what repeats),
+    * so it broadcasts — the flagging join is map-side, and the only
+    * corpus-sized exchanges are the line groupBy and the per-doc
+    * reassembly (keyed by doc_id — unskewed, per-doc line counts are
+    * document-length-bounded). If the set ever outgrows broadcast, the
+    * same frozen-membership probe exists Bloom-prefiltered in
+    * [[DecontIndex.probeShardBloom]] — swap the join, keep the contract.
+    * Reassembly orders by `ord` INSIDE each doc's collected array (no
+    * global sort), and empty documents (all lines boilerplate) yield ''
+    * — every doc stays accounted for on the drop ledger. */
+  def lineDedup(docs: DataFrame, minDf: Long = lineMinDf): DataFrame =
+    cleanAgainstBoilerplate(docs, boilerplateLines(docs, minDf))
+
+  /** The cleaning half of [[lineDedup]] against an ALREADY-MINED
+    * boilerplate set (any DataFrame with a `line` column) — the online
+    * form: mine the membership set offline over the accumulated corpus,
+    * then apply it map-side to arriving documents
+    * ([[graft.stream.Streaming.streamLineClean]] replays exactly this
+    * body per micro-batch, so batch and stream cannot drift). */
+  def cleanAgainstBoilerplate(docs: DataFrame, bp: DataFrame): DataFrame = {
+    val lines = docLines(docs)
+    val flagged = bp.select(col("line")).distinct()
+      .withColumn("bp", lit(true))
+    lines.join(broadcast(flagged), Seq("line"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        count(when(col("bp").isNull, 1)).as("n_kept"),
+        coalesce(
+          array_join(
+            transform(
+              array_sort(collect_list(when(col("bp").isNull,
+                struct(col("ord"), col("line"))))),
+              x => x.getField("line")),
+            " "),
+          lit("")).as("cleaned"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // PII scan + redaction — the compliance pass every training-data
@@ -755,7 +840,41 @@ object TextOps {
     "sample_domain_cap" -> ((s, d) =>
       Tables.documents(s, d).selectExpr(domainCapCols: _*)
         .filter(col("rk") <= domainCap)
-        .orderBy("source", "rk"))
+        .orderBy("source", "rk")),
+
+    // Boilerplate-line report — the lines the corpus repeats (df ≥ 3
+    // docs), with doc- and occurrence-frequency. See boilerplateLines
+    // for the shape; (df, n_occ, line) is a total order (line unique).
+    "text_boilerplate" -> ((s, d) =>
+      boilerplateLines(withDerivedLines(Tables.documents(s, d)))
+        .orderBy(desc("df"), desc("n_occ"), asc("line"))),
+
+    // Line-level corpus dedup — per-doc cleaned text after dropping the
+    // boilerplate lines, plus the kept/total accounting a drop ledger
+    // records. See lineDedup for semantics and the 100 TB shape.
+    "text_line_dedup" -> ((s, d) =>
+      lineDedup(withDerivedLines(Tables.documents(s, d))).orderBy("doc_id")),
+
+    // Unicode NFC normalization — the pre-hash canonicalization step
+    // (nfc_normalize codegen expression, B11.4). The ASCII corpus is
+    // NFC-invariant (fast path), so the query derives a DECOMPOSED text
+    // first (every 'e' → 'e' + U+0301 combining acute) and normalizes
+    // THAT: the oracle checks real composition work — DuckDB's utf8proc
+    // and java.text.Normalizer must produce byte-identical UAX #15
+    // output, and the char counts pin the combining marks actually
+    // composing (n_composed < n_decomposed). Map-only: no exchange
+    // before the output sort at any scale.
+    "text_normalize" -> ((s, d) => {
+      val nfd = graft.functions.TextNorm.nfc_normalize(col("nfd"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          regexp_replace(col("text"), "e", "e\u0301").as("nfd"))
+        .select(col("doc_id"),
+          length(col("nfd")).as("n_decomposed"),
+          length(nfd).as("n_composed"),
+          nfd.as("norm"))
+        .orderBy("doc_id")
+    })
   )
 
   /** Deterministic train/holdout split: bucket = xxhash64(id, salt) mod 100,
@@ -1270,6 +1389,37 @@ object TextOps {
     "sample_domain_cap" ->
       s"""SELECT * FROM (SELECT ${domainCapCols.mkString(", ")}
          |  FROM documents)
-         |WHERE rk <= $domainCap ORDER BY source, rk""".stripMargin
+         |WHERE rk <= $domainCap ORDER BY source, rk""".stripMargin,
+
+    "text_boilerplate" ->
+      s"""WITH seg AS (SELECT doc_id, string_split(regexp_replace(text,
+         |    '$lineSepPat', chr(10), 'g'), chr(10)) AS ls FROM documents),
+         |lines AS (SELECT doc_id, ls[ord] AS line
+         |  FROM seg, LATERAL (SELECT unnest(range(1, len(ls) + 1)) AS ord))
+         |SELECT line, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS n_occ
+         |FROM lines GROUP BY line HAVING COUNT(DISTINCT doc_id) >= $lineMinDf
+         |ORDER BY df DESC, n_occ DESC, line""".stripMargin,
+
+    "text_line_dedup" ->
+      s"""WITH seg AS (SELECT doc_id, string_split(regexp_replace(text,
+         |    '$lineSepPat', chr(10), 'g'), chr(10)) AS ls FROM documents),
+         |lines AS (SELECT doc_id, ord, ls[ord] AS line
+         |  FROM seg, LATERAL (SELECT unnest(range(1, len(ls) + 1)) AS ord)),
+         |bp AS (SELECT line FROM (SELECT line, COUNT(DISTINCT doc_id) AS df
+         |    FROM lines GROUP BY line) WHERE df >= $lineMinDf)
+         |SELECT l.doc_id, COUNT(*) AS n_lines,
+         |  COUNT(*) FILTER (WHERE b.line IS NULL) AS n_kept,
+         |  COALESCE(string_agg(l.line, ' ' ORDER BY l.ord)
+         |    FILTER (WHERE b.line IS NULL), '') AS cleaned
+         |FROM lines l LEFT JOIN bp b ON l.line = b.line
+         |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin,
+
+    "text_normalize" ->
+      """WITH t AS (SELECT doc_id,
+        |    replace(text, 'e', 'e' || chr(769)) AS nfd FROM documents)
+        |SELECT doc_id, CAST(length(nfd) AS INTEGER) AS n_decomposed,
+        |  CAST(length(nfc_normalize(nfd)) AS INTEGER) AS n_composed,
+        |  nfc_normalize(nfd) AS norm
+        |FROM t ORDER BY doc_id""".stripMargin
   )
 }
