@@ -101,11 +101,29 @@ object LineVolume {
       s"CLEANED TEXT DIVERGED on ${bad.getLong(1)} docs")
     require(bad.getLong(2) == 0L, "kept-line accounting wrong")
 
+    // index-served path: persist the counts once, then the probe pays
+    // only the read-time set aggregation + the broadcast cleaning join —
+    // same byte-identities (probeShard replays the batch body VERBATIM)
+    val dir = java.nio.file.Files.createTempDirectory("graft_linevol")
+      .toString
+    val t2 = System.nanoTime()
+    text.LineIndex.writeIndex(docs, dir)
+    val indexSec = (System.nanoTime() - t2) / 1e9
+    val t3 = System.nanoTime()
+    val probed = text.LineIndex.probeShard(docs, dir)
+    val pbad = probed.agg(count(lit(1)).as("n"),
+      count(when(col("cleaned") =!= expectedCleaned(), 1)).as("wrong"))
+      .head()
+    val probeSec = (System.nanoTime() - t3) / 1e9
+    require(pbad.getLong(0) == nDocs && pbad.getLong(1) == 0L,
+      s"INDEX-SERVED CLEANING DIVERGED on ${pbad.getLong(1)} docs")
+
     val line =
       f"""{"metric":"line_dedup_docs_per_sec","value":${nDocs / (mineSec + cleanSec)}%.0f,""" +
       f""""unit":"docs/s","n_docs":$nDocs,"n_lines":${nDocs * DocLines},""" +
       f""""n_bp_lines":$NBp,"min_bp_df":${mined.getLong(2)},""" +
       f""""mine_sec":$mineSec%.2f,"clean_sec":$cleanSec%.2f,""" +
+      f""""index_build_sec":$indexSec%.2f,"index_probe_sec":$probeSec%.2f,""" +
       f""""bp_recall":1.0,"false_bp":0,"wrong_cleanings":0}"""
     println(line)
     Artifacts.write("line_volume.json", line)

@@ -255,6 +255,35 @@ object Streaming {
           indexPath), id)
     }
 
+  /** Online boilerplate-line INGEST loop — the CCNet crawl shape as a
+    * stream: each micro-batch of (doc_id, text) documents is (1) CLEANED
+    * against the boilerplate set the index has accumulated so far
+    * ([[graft.text.LineIndex.probeShard]] — which replays the batch
+    * cleaning body VERBATIM) and the cleaned docs handed to `sink`, then
+    * (2) FOLDED IN via [[graft.text.LineIndex.appendIndex]], so a line
+    * pushed over the threshold by earlier batches drops from every later
+    * batch — cross-batch boilerplate emerges without any corpus rescan.
+    * Monotonic-id contract spans batches; a foreachBatch replay trips
+    * the append guard and fails loudly rather than double-counting (the
+    * streamFpIngest posture). Probe-before-fold means a batch never
+    * drops lines only IT made frequent — matching the sequential batch
+    * loop, which LineIndexSpec pins exactly. */
+  def streamLineIngest(docs: DataFrame, indexPath: String,
+      sink: (DataFrame, Long) => Unit, minDf: Long = 3)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      if (!batch.isEmpty) {
+        val b = batch.localCheckpoint() // probe + fold read it twice
+        // eager checkpoint: the cleaning MUST materialize against the
+        // pre-fold set — a lazy frame collected after appendIndex would
+        // silently clean against the batch's own counts
+        sink(graft.text.LineIndex.probeShard(b, indexPath, minDf)
+          .localCheckpoint(), id)
+        graft.text.LineIndex.appendIndex(b, indexPath)
+      }
+    }
+
   /** Online LEXICAL index ingest (B10.22) — fold each micro-batch of
     * (doc_id, text) documents into the persisted BM25 inverted index via
     * [[graft.text.LexIndex.appendIndex]] VERBATIM, so queries served

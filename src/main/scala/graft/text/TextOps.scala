@@ -245,7 +245,7 @@ object TextOps {
 
   /** (doc_id, ord, line) — one row per newline-delimited line of `text`,
     * order-preserving. */
-  private def docLines(docs: DataFrame): DataFrame =
+  private[text] def docLines(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       posexplode(split(col("text"), "\n")).as(Seq("ord", "line")))
 
