@@ -95,13 +95,45 @@ object Curation {
     graft.text.DecontIndex.probeShardBloom(docs, dc.dir, dc.minHits)
       .select("doc_id")
 
+  /** Opt-in boilerplate-line cleaning (stage 0c, after decontamination):
+    * every surviving doc is rewritten with its boilerplate lines removed
+    * ([[graft.text.LineIndex.probeShard]] against the line-frequency
+    * index at `dir`) BEFORE any dedup stage — the only TEXT-TRANSFORM
+    * stage in the loop, and it must run first: two docs differing only
+    * in nav chrome become exact/near duplicates once the chrome is gone,
+    * so cleaning after dedup would leak them both into the release. Docs
+    * cleaned to EMPTY (every line boilerplate) drop here, on the ledger.
+    * Like [[Decont]], the line index is EXTERNAL to the release — ingest
+    * never folds shard lines into it; advancing it (the CCNet
+    * accumulate-as-you-crawl loop) is [[graft.text.LineIndex]] append /
+    * [[graft.stream.Streaming.streamLineIngest]] against its own dir.
+    * NOTE: with this stage on, the release CONTENT is the cleaned text
+    * (Result.kept and every release index digest reflect it), so a later
+    * [[retract]] must carry the text AS RELEASED. */
+  final case class LineClean(dir: String, minDf: Long = 3)
+
+  /** (surviving ids, docs rewritten with cleaned text). Checkpointed: the
+    * cleaning must not re-run per downstream stage. */
+  private def lineCleanStage(docs: DataFrame,
+      lc: LineClean): (DataFrame, DataFrame) = {
+    val cleaned = graft.text.LineIndex
+      .probeShard(docs, lc.dir, lc.minDf)
+      .filter(col("n_kept") > 0).localCheckpoint()
+    val rewritten = docs.drop("text")
+      .join(cleaned.select(col("doc_id"), col("cleaned").as("text")),
+        Seq("doc_id"))
+      .localCheckpoint()
+    (cleaned.select("doc_id").localCheckpoint(), rewritten)
+  }
+
   def curate(docs: DataFrame, emb: Option[DataFrame],
       shingleK: Int = SubstringDedup.declaredK, maxDupFrac: Double = 0.5,
       nearDupPairs: DataFrame => DataFrame = minhashPairs(0.8),
       cosineThreshold: Double = 0.99, nCentroids: Int = 16,
       lloydIters: Int = 3, semCentroids: Option[DataFrame] = None,
       quality: Option[Quality] = None,
-      decont: Option[Decont] = None): Result = {
+      decont: Option[Decont] = None,
+      lineClean: Option[LineClean] = None): Result = {
     val ids0 = docs.select("doc_id")
 
     // 0. quality (optional): LM gate against a frozen LM — an anti-join
@@ -122,20 +154,25 @@ object Curation {
     val dd = decont.fold(dq)(_ => docs.join(idsD, Seq("doc_id"),
       "left_semi"))
 
+    // 0c. line cleaning (optional): the text-transform stage — docs are
+    // REWRITTEN without their boilerplate lines before any dedup sees
+    // them ([[LineClean]]); fully-boilerplate docs drop here
+    val (idsL, dl) = lineClean.fold((idsD, dd))(lineCleanStage(dd, _))
+
     // 1. exact: one digest-keyed aggregate; the 8-byte xxhash64 carries the
     // text's equality structure through the exchange (the dedup_exact
     // argument — collisions ≈ n²·2⁻⁶⁵).
-    val ids1 = dd.groupBy(xxhash64(col("text")).as("th"))
+    val ids1 = dl.groupBy(xxhash64(col("text")).as("th"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id").localCheckpoint()
 
     // 2. substring budget over the stage-1 survivors
-    val d1 = docs.join(ids1, Seq("doc_id"), "left_semi")
+    val d1 = dl.join(ids1, Seq("doc_id"), "left_semi")
     val ids2 = SubstringDedup.dedupStats(d1, shingleK, maxDupFrac)
       .filter(col("keep")).select("doc_id").localCheckpoint()
 
     // 3. near-dup pairs → components → min-id keep over stage-2 survivors
-    val d2 = docs.join(ids2, Seq("doc_id"), "left_semi")
+    val d2 = dl.join(ids2, Seq("doc_id"), "left_semi")
     val drop3 = Dedup.clusters(nearDupPairs(d2), "doc_a", "doc_b")
       .filter(!col("keep")).select(col("member").as("doc_id"))
     val ids3 = ids2.join(drop3, Seq("doc_id"), "left_anti").localCheckpoint()
@@ -165,7 +202,8 @@ object Curation {
     val stages =
       (if (quality.isDefined) Seq(("quality", ids0, idsQ)) else Nil) ++
       (if (decont.isDefined) Seq(("decont", idsQ, idsD)) else Nil) ++
-      Seq(("exact", idsD, ids1), ("substring", ids1, ids2),
+      (if (lineClean.isDefined) Seq(("line_clean", idsD, idsL)) else Nil) ++
+      Seq(("exact", idsL, ids1), ("substring", ids1, ids2),
         ("near_dup", ids2, ids3)) ++
       (if (emb.isDefined) Seq(("semantic", ids3, ids4)) else Nil)
     val ledger = stages.zipWithIndex.map { case ((name, in, out), i) =>
@@ -176,7 +214,9 @@ object Curation {
           col("n_out"))
     }.reduce(_ union _).orderBy("stage_id")
 
-    Result(docs.join(ids4, Seq("doc_id"), "left_semi"), ledger)
+    // kept text is the text the dedup stages judged — CLEANED when the
+    // line stage is on (dl = dd otherwise)
+    Result(dl.join(ids4, Seq("doc_id"), "left_semi"), ledger)
   }
 
   /** The one-row release summary: corpus size, per-stage drops, final keep
@@ -371,7 +411,8 @@ object Curation {
       minhashThreshold: Double = 0.8, cosineThreshold: Double = 0.99,
       nprobe: Int = 1, pqMargin: Option[Double] = None,
       lmMinScore: Option[Double] = None,
-      decont: Option[Decont] = None): Result = {
+      decont: Option[Decont] = None,
+      lineClean: Option[LineClean] = None): Result = {
     val spark = shard.sparkSession
     val maxSeen = metaOf(spark, dir)
     val bounds = shard.agg(min(col("doc_id").cast("long")),
@@ -406,25 +447,32 @@ object Curation {
     val sd = decont.fold(sq)(_ => shard.join(idsD, Seq("doc_id"),
       "left_semi").localCheckpoint())
 
+    // 0c. line cleaning (optional) — the shard is REWRITTEN without its
+    // boilerplate lines before any probe ([[LineClean]]): the release
+    // indexes hold digests of CLEANED text, so the probe must compare
+    // like with like. The line index is EXTERNAL ([[Decont]] posture) —
+    // nothing folds into it here; the caller advances it per shard
+    val (idsL, sl) = lineClean.fold((idsD, sd))(lineCleanStage(sd, _))
+
     // 1. exact — within-shard min-id per digest, minus release hits
     // (exactHits already honors the tombstones)
-    val within1 = sd
+    val within1 = sl
       .groupBy(xxhash64(col("text")).as("th"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-    val ids1 = within1.join(exactHits(spark, sd, dir), Seq("doc_id"),
+    val ids1 = within1.join(exactHits(spark, sl, dir), Seq("doc_id"),
       "left_anti").localCheckpoint()
 
     // 2. substring budget over corpus∪shard counts, shard cost (retracted
     // docs left NEGATIVE gram rows — the probe's per-gram sum already
     // excludes them, no tombstone plumbing needed)
-    val d1 = shard.join(ids1, Seq("doc_id"), "left_semi")
+    val d1 = sl.join(ids1, Seq("doc_id"), "left_semi")
     val ids2 = SubstringDedup
       .shardDedupStats(d1, shingleK,
         Versioned.resolveRoot(spark, s"$dir/substring"), maxDupFrac)
       .filter(col("keep")).select("doc_id").localCheckpoint()
 
     // 3. MinHash near-dup against the band index and within the shard
-    val d2 = shard.join(ids2, Seq("doc_id"), "left_semi").localCheckpoint()
+    val d2 = sl.join(ids2, Seq("doc_id"), "left_semi").localCheckpoint()
     val ids3 = IncrementalDedup.dedupShard(spark, d2, "doc_id", "text",
         Versioned.resolveRoot(spark, s"$dir/minhash"), minhashThreshold,
         excludeIds = tomb.map(_.select(col("doc_id").as("id"))))
@@ -452,8 +500,10 @@ object Curation {
     }
 
     // fold the SURVIVORS into every index (the-index-is-the-release
-    // contract above), verdict already materialized via localCheckpoint
-    val kept = shard.join(ids4, Seq("doc_id"), "left_semi").localCheckpoint()
+    // contract above), verdict already materialized via localCheckpoint.
+    // kept text is what the probes judged — CLEANED when the line stage
+    // is on (sl = sd otherwise), so the folded digests match the release
+    val kept = sl.join(ids4, Seq("doc_id"), "left_semi").localCheckpoint()
     digests(kept).write.mode("append").partitionBy("pb")
       .parquet(Versioned.resolveRoot(spark, s"$dir/exact"))
     SubstringDedup.appendShingleIndex(kept, shingleK,
@@ -478,7 +528,8 @@ object Curation {
     val stages =
       (if (lmMinScore.isDefined) Seq(("quality", ids0, idsQ)) else Nil) ++
       (if (decont.isDefined) Seq(("decont", idsQ, idsD)) else Nil) ++
-      Seq(("exact", idsD, ids1), ("substring", ids1, ids2),
+      (if (lineClean.isDefined) Seq(("line_clean", idsD, idsL)) else Nil) ++
+      Seq(("exact", idsL, ids1), ("substring", ids1, ids2),
         ("near_dup", ids2, ids3)) ++
       (if (emb.isDefined) Seq(("semantic", ids3, ids4)) else Nil)
     val ledger = stages.zipWithIndex.map { case ((name, in, out), i) =>

@@ -356,14 +356,15 @@ object Streaming {
       maxDupFrac: Double = 0.5, minhashThreshold: Double = 0.8,
       cosineThreshold: Double = 0.99, nprobe: Int = 1,
       lmMinScore: Option[Double] = None,
-      decont: Option[graft.sim.Curation.Decont] = None)
+      decont: Option[graft.sim.Curation.Decont] = None,
+      lineClean: Option[graft.sim.Curation.LineClean] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       if (!batch.isEmpty) {
         val r = graft.sim.Curation.ingestShard(batch, emb, dir, shingleK,
           maxDupFrac, minhashThreshold, cosineThreshold, nprobe,
-          lmMinScore = lmMinScore, decont = decont)
+          lmMinScore = lmMinScore, decont = decont, lineClean = lineClean)
         sink(r.kept, r.ledger, id)
       }
     }
