@@ -432,6 +432,31 @@ object ExplainAudit {
         f.contains("BroadcastHashJoin") && !f.contains("SortMergeJoin") &&
           f.contains("ObjectHashAggregate")
       }),
+    // the gapfill grid: hour bounds ride a 1-row broadcast (BNLJ), the
+    // locf window is type-partitioned (no global window), and the hourly
+    // pre-aggregation is partial+final
+    ("ts_gapfill", "broadcast bounds + type-partitioned locf window",
+      p => {
+        val f = finalPlan(p)
+        // the locf Window's spec must carry the event_type partition key
+        // (a global window would single-partition the grid) and the hour
+        // bounds must ride a broadcast, not an exchange
+        f.contains("BroadcastNestedLoopJoin") &&
+          "Window \\[[^\\]]*windowspecdefinition\\(event_type".r
+            .findFirstIn(f).isDefined
+      }),
+    // cohort sizes are week-cardinality: they must broadcast back onto
+    // the offset aggregate, never re-shuffle it
+    ("cohort_retention", "cohort sizes broadcast, partial+final aggs",
+      p => {
+        val f = finalPlan(p)
+        f.contains("BroadcastHashJoin") &&
+          "HashAggregate".r.findAllIn(f).size >= 4
+      }),
+    // the recursive CTE must plan through the UnionLoop machinery (a
+    // silent rewrite to something non-recursive would change semantics)
+    ("sql_recursive_cte", "UnionLoop recursion in the physical plan",
+      p => p.contains("UnionLoop")),
     // NFC normalization is a per-row kernel: nothing before the declared
     // ORDER BY's range exchange, and the nfc_normalize expression must
     // sit inside a WholeStageCodegen span (a CodegenFallback would break

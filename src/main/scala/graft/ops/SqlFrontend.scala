@@ -95,7 +95,33 @@ object SqlFrontend {
       |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
       |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin
 
+  /** Recursive CTE (Spark 4.x `UnionLoop`): per-seed iteration of the
+    * Collatz map from `nation`-derived seeds — per-branch state carried
+    * through a UNION ALL recursion, termination by predicate, the
+    * rollup outside the loop (aggregation is illegal inside a recursive
+    * term in BOTH engines, so the shape is forced and portable).
+    * UNION ALL recursion only: Spark's recursive CTEs don't dedup
+    * between steps, so cyclic-graph closure stays with the iterative
+    * operators ([[graft.sim.Dedup.clusters]]); this is the
+    * DAG/iteration slice of the surface. Integer arithmetic throughout
+    * (the ÷2 round-trips through DOUBLE exactly — n < 2⁵³); max depth 23
+    * from these seeds, far under the default recursion limit. Identical
+    * ANSI text both engines. */
+  private val recursiveIter =
+    """WITH RECURSIVE c(start, n, steps) AS (
+      |  SELECT n_nationkey + 1, CAST(n_nationkey + 1 AS BIGINT), 0
+      |  FROM nation
+      |  UNION ALL
+      |  SELECT start,
+      |    CASE WHEN n % 2 = 0 THEN CAST(n / 2 AS BIGINT)
+      |         ELSE 3 * n + 1 END,
+      |    steps + 1
+      |  FROM c WHERE n > 1)
+      |SELECT start, MAX(steps) AS n_steps, MAX(n) AS peak
+      |FROM c GROUP BY start ORDER BY start""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_recursive_cte" -> ((s, d) => sql(s, d, recursiveIter)),
     "subq_scalar_corr" -> ((s, d) => sql(s, d, scalarCorr)),
     "subq_in" -> ((s, d) => sql(s, d, inSubq)),
     "subq_exists_corr" -> ((s, d) => sql(s, d, existsCorr)),
@@ -111,6 +137,7 @@ object SqlFrontend {
     "subq_exists_corr" -> existsCorr,
     "funnel_conversion" -> funnel,
     "win_range_time" -> winRangeTime,
-    "join_lateral" -> lateralTopPerGroup
+    "join_lateral" -> lateralTopPerGroup,
+    "sql_recursive_cte" -> recursiveIter
   )
 }

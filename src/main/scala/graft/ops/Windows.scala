@@ -153,7 +153,75 @@ object Windows {
           dsum(col("value")).cast("double").as("session_value"))
         .select(col("user_id"), col("session_window.start").as("session_start"),
           col("n_events"), col("session_value"))
-        .orderBy("user_id", "session_start"))
+        .orderBy("user_id", "session_start")),
+
+    // Gap-filled time series with carry-forward (B5.11): the dense
+    // hourly grid per event_type — missing buckets materialized with
+    // n_events = 0 and the last seen hourly sum CARRIED FORWARD (locf,
+    // the dashboard/feature-store staple Spark has no builtin for;
+    // `last(_, ignoreNulls)` over an unbounded-preceding ROWS frame IS
+    // the idiom). Grid = distinct types × sequence(h0, h1) — the bounds
+    // ride a 1-row broadcast, the fan-out is grid-sized (types × hours:
+    // tiny next to the events), and the only corpus-sized exchanges are
+    // the hourly pre-aggregation and the type-keyed locf window (hours
+    // per type is bounded — no skew). Sums are decimal internally,
+    // DOUBLE at the edge (the house pattern), and locf carries the
+    // decimal exactly before the one final cast.
+    "ts_gapfill" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val agg = ev
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket_ts"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sv"))
+      val bounds = ev.agg(
+        date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      val grid = ev.select("event_type").distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(sequence(col("h0"), col("h1"),
+            expr("interval 1 hour"))).as("bucket_ts"))
+      val w = Window.partitionBy("event_type").orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(agg, Seq("event_type", "bucket_ts"), "left_outer")
+        .select(col("event_type"), col("bucket_ts"),
+          coalesce(col("n"), lit(0L)).as("n_events"),
+          col("sv").cast("double").as("sum_value"),
+          last(col("sv"), ignoreNulls = true).over(w)
+            .cast("double").as("locf_sum"),
+          col("n").isNull.as("gap"))
+        .orderBy("event_type", "bucket_ts")
+    }),
+
+    // Cohort retention (B5.12): users grouped by first-active week, the
+    // classic product-analytics matrix — n_active at each week offset
+    // over cohort size. Two distinct-aggregations (first-touch per user,
+    // active weeks per user) + one integer offset + one exactly-rounded
+    // division; the week truncations are Monday-aligned in BOTH engines
+    // and the offset is an exact day-difference ÷ 7 on aligned
+    // timestamps. Scale: user-keyed exchanges with map-side partials;
+    // the cohort-size table is week-cardinality and broadcasts back.
+    "cohort_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val first = ev.groupBy("user_id")
+        .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+      val active = ev
+        .select(col("user_id"), date_trunc("week", col("ts")).as("active_week"))
+        .distinct()
+      val sizes = first.groupBy("cohort_week")
+        .agg(countDistinct("user_id").as("cohort_size"))
+      active.join(first, "user_id")
+        .select(col("user_id"), col("cohort_week"),
+          (datediff(col("active_week"), col("cohort_week")) / 7)
+            .cast("int").as("week_offset"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(countDistinct("user_id").as("n_active"))
+        .join(broadcast(sizes), "cohort_week")
+        .select(col("cohort_week"), col("week_offset"), col("n_active"),
+          col("cohort_size"),
+          (col("n_active").cast("double") / col("cohort_size"))
+            .as("retention"))
+        .orderBy("cohort_week", "week_offset")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -275,6 +343,48 @@ object Windows {
         |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
         |FROM sessions GROUP BY user_id, session_id
-        |ORDER BY user_id, session_start""".stripMargin
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "ts_gapfill" ->
+      """WITH agg AS (SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+        |    COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,4))) AS sv
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT date_trunc('hour', MIN(ts)) AS h0,
+        |    date_trunc('hour', MAX(ts)) AS h1 FROM events),
+        |grid AS (SELECT t.event_type, g.bucket_ts
+        |  FROM (SELECT DISTINCT event_type FROM events) t, b,
+        |    LATERAL (SELECT unnest(generate_series(b.h0, b.h1,
+        |      INTERVAL 1 HOUR)) AS bucket_ts) g)
+        |SELECT g.event_type, g.bucket_ts,
+        |  COALESCE(a.n, 0) AS n_events,
+        |  CAST(a.sv AS DOUBLE) AS sum_value,
+        |  CAST(last_value(a.sv IGNORE NULLS) OVER (
+        |    PARTITION BY g.event_type ORDER BY g.bucket_ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS locf_sum,
+        |  a.n IS NULL AS gap
+        |FROM grid g LEFT JOIN agg a USING (event_type, bucket_ts)
+        |ORDER BY g.event_type, g.bucket_ts""".stripMargin,
+
+    "cohort_retention" ->
+      """WITH f AS (SELECT user_id,
+        |    CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS TIMESTAMP) AS active_week
+        |  FROM events),
+        |j AS (SELECT a.user_id, f.cohort_week,
+        |    CAST(date_diff('day', f.cohort_week, a.active_week) / 7
+        |      AS INTEGER) AS week_offset
+        |  FROM a JOIN f USING (user_id)),
+        |s AS (SELECT cohort_week, COUNT(DISTINCT user_id) AS cohort_size
+        |  FROM f GROUP BY 1)
+        |SELECT j.cohort_week, j.week_offset,
+        |  COUNT(DISTINCT j.user_id) AS n_active, s.cohort_size,
+        |  CAST(COUNT(DISTINCT j.user_id) AS DOUBLE) / s.cohort_size
+        |    AS retention
+        |FROM j JOIN s USING (cohort_week)
+        |GROUP BY j.cohort_week, j.week_offset, s.cohort_size
+        |ORDER BY j.cohort_week, j.week_offset""".stripMargin
   )
 }
