@@ -453,6 +453,15 @@ object ExplainAudit {
         f.contains("BroadcastHashJoin") &&
           "HashAggregate".r.findAllIn(f).size >= 4
       }),
+    // VARIANT access must stay the typed variant_get path (a rewrite
+    // back to string get_json_object would re-parse per access) and the
+    // per-type rollup must partial+final
+    ("fn_variant", "typed variant_get path + partial+final agg",
+      p => {
+        val f = finalPlan(p)
+        f.contains("variant_get") && !f.contains("get_json_object") &&
+          "HashAggregate".r.findAllIn(f).size >= 2
+      }),
     // the recursive CTE must plan through the UnionLoop machinery (a
     // silent rewrite to something non-recursive would change semantics)
     ("sql_recursive_cte", "UnionLoop recursion in the physical plan",

@@ -145,6 +145,29 @@ object Scalars {
         .orderBy("event_id")
     }),
 
+    // Spark 4 VARIANT (B8 + engine surface): parse the JSON props ONCE
+    // into the shredded binary form, then every access is a typed
+    // variant_get — no per-access string re-parse, the semi-structured
+    // path a 100 TB telemetry table actually uses (and what Parquet
+    // variant shredding serves columnar). The per-type rollup
+    // aggregates variant-extracted LONGs — exact integers, hash-exact
+    // against DuckDB's json_extract casts; try_variant_get covers the
+    // missing-path→NULL contract in the same projection.
+    "fn_variant" -> ((s, d) => {
+      val v = parse_json(col("props"))
+      Tables.events(s, d)
+        .select(col("event_type"),
+          variant_get(v, "$.k", "long").as("k"),
+          try_variant_get(v, "$.missing", "long").as("absent"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"),
+          count(col("absent")).as("n_absent"))
+        .orderBy("event_type")
+    }),
+
     "fn_bitip" -> ((s, d) => {
       val ip = lit(167772160L) + (col("user_id") % 256) * 256 + (col("event_id") % 256)
       Tables.events(s, d).select(
@@ -256,6 +279,18 @@ object Scalars {
         |  CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
         |  CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_mod
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "fn_variant" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS sum_k,
+        |  CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS min_k,
+        |  CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS max_k,
+        |  COUNT(CAST(json_extract(props, '$.missing') AS BIGINT))
+        |    AS n_absent
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "fn_bitip" ->
       """SELECT event_id,
