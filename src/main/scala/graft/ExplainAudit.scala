@@ -453,6 +453,14 @@ object ExplainAudit {
         f.contains("BroadcastHashJoin") &&
           "HashAggregate".r.findAllIn(f).size >= 4
       }),
+    // the XML round-trip is a per-row kernel: from_xml present, no
+    // join, nothing before the declared ORDER BY's range exchange
+    ("fn_xml", "map-only from_xml round-trip",
+      p => {
+        val f = finalPlan(p)
+        f.contains("from_xml") && !f.contains("Join") &&
+          "Exchange".r.findAllIn(f).size == 1
+      }),
     // VARIANT access must stay the typed variant_get path (a rewrite
     // back to string get_json_object would re-parse per access) and the
     // per-type rollup must partial+final

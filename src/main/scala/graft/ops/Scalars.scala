@@ -145,6 +145,32 @@ object Scalars {
         .orderBy("event_id")
     }),
 
+    // XML parse (B1.2-adjacent engine surface — Spark 4 ships the XML
+    // reader/functions natively): serialize row fields to an XML
+    // fragment and parse them BACK through from_xml with an explicit
+    // schema — the oracle is the identity on the source columns plus a
+    // roundtrip_ok flag the Spark side must EARN (a parse failure or
+    // type coercion drift yields false/NULL and the hash diverges;
+    // DuckDB has no XML, so round-trip identity is exactly the
+    // cross-engine-checkable contract). Map-only.
+    "fn_xml" -> ((s, d) => {
+      val xml = concat(lit("<r><u>"), col("user_id"), lit("</u><t>"),
+        col("event_type"), lit("</t></r>"))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("u",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("t",
+          org.apache.spark.sql.types.StringType)))
+      val parsed = from_xml(xml, schema)
+      Tables.events(s, d).select(
+        col("event_id"),
+        parsed.getField("u").as("u_rt"),
+        parsed.getField("t").as("t_rt"),
+        (parsed.getField("u") === col("user_id") &&
+          parsed.getField("t") === col("event_type")).as("roundtrip_ok"))
+        .orderBy("event_id")
+    }),
+
     // Spark 4 VARIANT (B8 + engine surface): parse the JSON props ONCE
     // into the shredded binary form, then every access is a typed
     // variant_get — no per-access string re-parse, the semi-structured
@@ -278,6 +304,11 @@ object Scalars {
         |  json_extract_string(props, '$.k') AS k_str,
         |  CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
         |  CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_mod
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "fn_xml" ->
+      """SELECT event_id, user_id AS u_rt, event_type AS t_rt,
+        |  true AS roundtrip_ok
         |FROM events ORDER BY event_id""".stripMargin,
 
     "fn_variant" ->
