@@ -27,14 +27,18 @@ object Similarity {
     // SQ8 scalar-quantization encode (round 12, [[Sq]]): per-dimension
     // affine params trained on the corpus, every vector coded to 8-bit
     // levels. Declared on the ENCODE step because its output is integer
-    // arrays — exactly comparable across engines (min/max need no
+    // codes — exactly comparable across engines (min/max need no
     // arithmetic, and (x−mn)/st → round → clamp is the same IEEE op
     // sequence in both), where the float SCORE would hash-diverge on
     // SQL SUM's unspecified summation order. The scan-side score kernel
-    // (`sq_dot`) is TEST-gated in SqSpec instead.
+    // (`sq_dot`) is TEST-gated in SqSpec instead. Output is SCALAR rows
+    // (vec_id, pos, code) per SURVEY §7.5.5 — never a raw array column
+    // in a declared query (round 12's one red row was exactly this).
     "sim_sq_encode" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      Sq.encode(emb, Sq.train(emb)).orderBy("vec_id")
+      Sq.encode(emb, Sq.train(emb))
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("pos", "code")))
+        .orderBy("vec_id", "pos")
     }),
 
     // Binary-quantization top-k (round 12, [[Bq]]): sign-bit signatures,
@@ -469,7 +473,7 @@ object Similarity {
     // need no arithmetic (min/max) and the encode is the identical IEEE
     // sequence — (val−mn)/st, round (both engines round half-up on the
     // non-negative domain), clamp, int cast — so the integer codes match
-    // exactly
+    // exactly. Scalar rows (pos 0-based to match Spark's posexplode).
     "sim_sq_encode" ->
       """WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings),
@@ -481,8 +485,8 @@ object Similarity {
         |    CASE WHEN st = 0 THEN 0 ELSE CAST(least(greatest(
         |      round((val - mn) / st, 0), 0.0), 255.0) AS INT) END AS code
         |  FROM e JOIN d USING (pos))
-        |SELECT vec_id, list(code ORDER BY pos) AS codes
-        |FROM c GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+        |SELECT vec_id, CAST(pos - 1 AS INT) AS pos, code
+        |FROM c ORDER BY vec_id, pos""".stripMargin,
 
     // the oracle never sees the packed longs: Hamming distance is
     // recomputed as a per-dimension sign-disagreement count over the raw
