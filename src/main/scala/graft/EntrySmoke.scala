@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
   * pipelines end-to-end. Usage:
   *   runMain graft.EntrySmoke                      — flagship only
   *   runMain graft.EntrySmoke <logPath> <confPath> — raw fw pipeline
-  *   runMain graft.EntrySmoke neardup|ann|dedup|incremental|stream|substring|semdedup|semshard|bpe|lm|dsir|bq|phash <sfDir>
+  *   runMain graft.EntrySmoke neardup|ann|dedup|incremental|stream|substring|semdedup|semshard|bpe|lm|dsir|bq|eval|fpidx|phash <sfDir>
   */
 object EntrySmoke {
   def main(args: Array[String]): Unit = {

@@ -3,7 +3,7 @@ package graft.sim
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.Versioned
+import graft.core.{Meta, Versioned}
 
 /** Persisted 63-bit fingerprint near-dup index — the production triple
   * (persisted index / shard probe at shard cost / streaming twin) for the
@@ -66,20 +66,12 @@ object FpIndex {
   private def writeMeta(spark: SparkSession, root: String,
       maxHamming: Int, maxId: Long): Unit = {
     import spark.implicits._
-    // staged write + atomic rename (the Pq.writeMeta discipline): the old
-    // meta stays readable until one FS rename replaces it
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    val next = new org.apache.hadoop.fs.Path(s"$root/meta.next")
-    val dst = new org.apache.hadoop.fs.Path(s"$root/meta")
-    Seq((maxHamming, maxId)).toDF("max_hamming", "max_id").coalesce(1)
-      .write.mode("overwrite").parquet(next.toString)
-    fs.delete(dst, true)
-    require(fs.rename(next, dst), s"meta publish rename failed under $root")
+    // crash-safe retire-then-replace publish (core/Meta, ADVICE r12)
+    Meta.write(Seq((maxHamming, maxId)).toDF("max_hamming", "max_id"), root)
   }
 
   private def readMeta(spark: SparkSession, root: String): (Int, Long) = {
-    val r = spark.read.parquet(s"$root/meta").head()
+    val r = Meta.read(spark, root).head()
     (r.getInt(0), r.getLong(1))
   }
 

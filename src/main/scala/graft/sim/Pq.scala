@@ -83,9 +83,14 @@ object Pq {
     require(dim % mSub == 0, s"dim $dim must be divisible by M=$mSub")
     val sub = dim / mSub
     val n = v0.count()
+    // ceiling divisor (ADVICE r12): floor + 1 halved the sample right
+    // past the cap (n = maxTrain+1 → divisor 2 → ~n/2 rows instead of
+    // ~maxTrain); ceil keeps the expected sample near maxTrain across
+    // the boundary
     val v = if (n <= maxTrain) v0
       else v0.filter(
-        pmod(xxhash64(col("vec_id")), lit(n / maxTrain + 1)) === 0)
+        pmod(xxhash64(col("vec_id")),
+          lit((n + maxTrain - 1) / maxTrain)) === 0)
     val sv = subvectors(v, mSub, sub).localCheckpoint() // scanned 2×iters
     // seed by RANK, not by raw id value (ADVICE r11): `vec_id < k` seeds
     // fewer than k codes on sparse ids and an EMPTY codebook when ids
@@ -461,17 +466,9 @@ object Pq {
   private def writeMeta(spark: SparkSession, root: String,
       maxId: Long): Unit = {
     import spark.implicits._
-    // staged write + atomic rename (ADVICE r11): the old meta stays
-    // readable until the new one replaces it in one FS rename — never a
-    // deleted-but-not-yet-rewritten window
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    val next = new org.apache.hadoop.fs.Path(s"$root/meta.next")
-    val dst = new org.apache.hadoop.fs.Path(s"$root/meta")
-    Seq(maxId).toDF("max_id").coalesce(1)
-      .write.mode("overwrite").parquet(next.toString)
-    fs.delete(dst, true)
-    require(fs.rename(next, dst), s"meta publish rename failed under $root")
+    // crash-safe retire-then-replace publish (core/Meta, ADVICE r12:
+    // the old delete-then-rename left a window with NO meta at all)
+    graft.core.Meta.write(Seq(maxId).toDF("max_id"), root)
   }
 
   /** Fold a new shard into the PUBLISHED index at shard cost: residual-
@@ -487,7 +484,7 @@ object Pq {
   def appendIndex(shard: DataFrame, dir: String): Unit = {
     val spark = shard.sparkSession
     val root = Versioned.resolveRoot(spark, dir)
-    val maxSeen = spark.read.parquet(s"$root/meta").head().getLong(0)
+    val maxSeen = graft.core.Meta.read(spark, root).head().getLong(0)
     val bounds = shard.agg(min(col("vec_id").cast("long")),
       max(col("vec_id").cast("long"))).head()
     if (!bounds.isNullAt(0)) {
@@ -551,7 +548,7 @@ object Pq {
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$newRoot/codes")
     writeMeta(spark,
-      newRoot, spark.read.parquet(s"$root/meta").head().getLong(0))
+      newRoot, graft.core.Meta.read(spark, root).head().getLong(0))
     Versioned.publish(spark, dir, version)
   }
 

@@ -121,7 +121,7 @@ object SemDedup {
       pqErr: Double)
 
   private def readMeta(spark: SparkSession, root: String): IndexMeta = {
-    val df = spark.read.parquet(s"$root/meta")
+    val df = graft.core.Meta.read(spark, root)
     val r = df.head()
     // pq_m absent on pre-round-12 indexes: read as "no PQ codes";
     // pq_err absent on pre-certificate indexes: NaN ("unknown" — the
@@ -135,9 +135,11 @@ object SemDedup {
   private def writeMeta(spark: SparkSession, root: String, maxId: Long,
       maxProbes: Int, pqM: Int, pqErr: Double): Unit = {
     import spark.implicits._
-    Seq((maxId, maxProbes, pqM, pqErr))
-      .toDF("max_id", "max_probes", "pq_m", "pq_err")
-      .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+    // crash-safe retire-then-replace publish (core/Meta, ADVICE r12:
+    // this family's plain overwrite was the WORST copy — parquet
+    // overwrite deletes first, so a crash mid-write lost the meta)
+    graft.core.Meta.write(Seq((maxId, maxProbes, pqM, pqErr))
+      .toDF("max_id", "max_probes", "pq_m", "pq_err"), root)
   }
 
   /** Per-row |r − decode(codes(r))| / |x| — the ADC cosine-error

@@ -60,9 +60,13 @@ object Bpe {
 
   /** Initial character segmentation of a word as a spaced string:
     * "low" → "l o w </w>". One codegen'd regexp_replace — every char gets
-    * a trailing space, then the sentinel lands as the final symbol. */
+    * a trailing space, then the sentinel lands as the final symbol.
+    * DOTALL ((?s)) so line terminators segment too (ADVICE r12: words
+    * are space-split, so \n/\r/\u2028 survive into them; without the
+    * flag Java's `.` skips them and the chain path diverges from the
+    * code-point kernel). */
   def charSeg(word: Column): Column =
-    concat(regexp_replace(word, "(.)", "$1 "), lit(Eow))
+    concat(regexp_replace(word, "(?s)(.)", "$1 "), lit(Eow))
 
   /** (word, freq) over the corpus — the single corpus-sized pass. */
   def wordFreq(docs: DataFrame): DataFrame =
@@ -243,7 +247,7 @@ object Bpe {
         |  (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         |  GROUP BY w),
         |s AS (SELECT freq, string_split(
-        |    regexp_replace(word, '(.)', '\1 ', 'g') || '</w>', ' ') AS syms
+        |    regexp_replace(word, '(?s)(.)', '\1 ', 'g') || '</w>', ' ') AS syms
         |  FROM wf),
         |p AS (SELECT freq, unnest(list_transform(range(1, len(syms)),
         |    i -> syms[i] || ' ' || syms[i + 1])) AS pr FROM s)

@@ -3,7 +3,7 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.Versioned
+import graft.core.{Meta, Versioned}
 
 /** Persisted benchmark-decontamination index (SURVEY.md §2 B9.51) — the
   * production form of `text_contamination`. The declared query re-derives
@@ -82,19 +82,12 @@ object DecontIndex {
   private def writeMeta(spark: SparkSession, root: String,
       nBench: Long, maxId: Long): Unit = {
     import spark.implicits._
-    // staged write + atomic rename (the FpIndex/LexIndex discipline)
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    val next = new org.apache.hadoop.fs.Path(s"$root/meta.next")
-    val dst = new org.apache.hadoop.fs.Path(s"$root/meta")
-    Seq((nBench, maxId)).toDF("n_bench", "max_id")
-      .coalesce(1).write.mode("overwrite").parquet(next.toString)
-    fs.delete(dst, true)
-    require(fs.rename(next, dst), s"meta publish rename failed under $root")
+    // crash-safe retire-then-replace publish (core/Meta, ADVICE r12)
+    Meta.write(Seq((nBench, maxId)).toDF("n_bench", "max_id"), root)
   }
 
   private def readMeta(spark: SparkSession, root: String): (Long, Long) = {
-    val r = spark.read.parquet(s"$root/meta").head()
+    val r = Meta.read(spark, root).head()
     (r.getLong(0), r.getLong(1))
   }
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.core.Versioned
+import graft.core.{Meta, Versioned}
 
 /** Persisted BM25 inverted index — retrieval SERVING for the lexical
   * modality (SURVEY.md §2 B9.49). `text_bm25` scores the corpus against a
@@ -90,20 +90,14 @@ object LexIndex {
   private def writeMeta(spark: SparkSession, root: String,
       nDocs: Long, sumDl: Long, maxId: Long): Unit = {
     import spark.implicits._
-    // staged write + atomic rename (the FpIndex.writeMeta discipline)
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    val next = new org.apache.hadoop.fs.Path(s"$root/meta.next")
-    val dst = new org.apache.hadoop.fs.Path(s"$root/meta")
-    Seq((nDocs, sumDl, maxId)).toDF("n_docs", "sum_dl", "max_id")
-      .coalesce(1).write.mode("overwrite").parquet(next.toString)
-    fs.delete(dst, true)
-    require(fs.rename(next, dst), s"meta publish rename failed under $root")
+    // crash-safe retire-then-replace publish (core/Meta, ADVICE r12)
+    Meta.write(Seq((nDocs, sumDl, maxId)).toDF("n_docs", "sum_dl", "max_id"),
+      root)
   }
 
   private def readMeta(spark: SparkSession, root: String)
       : (Long, Long, Long) = {
-    val r = spark.read.parquet(s"$root/meta").head()
+    val r = Meta.read(spark, root).head()
     (r.getLong(0), r.getLong(1), r.getLong(2))
   }
 

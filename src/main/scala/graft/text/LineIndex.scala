@@ -3,7 +3,7 @@ package graft.text
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.Versioned
+import graft.core.{Meta, Versioned}
 
 /** Persisted boilerplate line-frequency index — the PRODUCTION form of
   * `text_line_dedup` (B9.55): mine per-line document frequencies ONCE,
@@ -50,19 +50,12 @@ object LineIndex {
   private def writeMeta(spark: SparkSession, root: String,
       nDocs: Long, maxId: Long): Unit = {
     import spark.implicits._
-    // staged write + atomic rename (the FpIndex/DecontIndex discipline)
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    val next = new org.apache.hadoop.fs.Path(s"$root/meta.next")
-    val dst = new org.apache.hadoop.fs.Path(s"$root/meta")
-    Seq((nDocs, maxId)).toDF("n_docs", "max_id")
-      .coalesce(1).write.mode("overwrite").parquet(next.toString)
-    fs.delete(dst, true)
-    require(fs.rename(next, dst), s"meta publish rename failed under $root")
+    // crash-safe retire-then-replace publish (core/Meta, ADVICE r12)
+    Meta.write(Seq((nDocs, maxId)).toDF("n_docs", "max_id"), root)
   }
 
   private def readMeta(spark: SparkSession, root: String): (Long, Long) = {
-    val r = spark.read.parquet(s"$root/meta").head()
+    val r = Meta.read(spark, root).head()
     (r.getLong(0), r.getLong(1))
   }
 

@@ -32,7 +32,11 @@ class BpeEncodeSpec extends SparkSpec {
     val corpusWords = Bpe.wordFreq(docs).select("word")
       .collect().map(_.getString(0)).toSeq
     val extra = Seq("lowest", "zzz", "a", "", "ab", "ababab",
-      "aaaaaaa", "x" * 40)
+      "aaaaaaa", "x" * 40,
+      // line terminators inside a word (space-split tokens keep them):
+      // the chain's DOTALL segmentation must agree with the code-point
+      // kernel on every one (ADVICE r12)
+      "a\nb", "\r", "line\u2028sep", "nl\n", "\n\n")
     val (chain, kernel) = both(corpusWords ++ extra, m)
     assert(chain === kernel)
   }
