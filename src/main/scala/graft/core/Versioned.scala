@@ -60,6 +60,65 @@ object Versioned {
     "v" + (n + 1)
   }
 
+  /** Version directories under `path` that are NOT the published one:
+    * superseded versions a compaction/rebuild replaced, plus dead
+    * staging dirs whose build crashed before its pointer flip. These are
+    * inert — no reader resolves them — but they hold disk. */
+  private def superseded(spark: SparkSession, path: String)
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
+    val (fs, p) = hadoopFs(spark, path)
+    if (!fs.exists(p)) return Seq.empty
+    val current = new org.apache.hadoop.fs.Path(resolveRoot(spark, path))
+      .getName
+    fs.listStatus(p).filter(_.isDirectory).toSeq
+      .filter { d =>
+        val n = d.getPath.getName
+        n.matches("v\\d+") && n != current
+      }
+  }
+
+  private def dirBytes(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Long = {
+    val it = fs.listFiles(p, true)
+    var b = 0L
+    while (it.hasNext) b += it.next().getLen
+    b
+  }
+
+  /** Bytes held by superseded/dead versions under `path` — what a
+    * [[sweep]] would reclaim. Driver-side directory listing only (the
+    * [[graft.sim.Curation.manifest]] discipline: never opens data
+    * pages); 0 for an unversioned or unpublished path. */
+  def reclaimableBytes(spark: SparkSession, path: String): Long = {
+    if (!isVersioned(spark, path)) return 0L
+    val (fs, _) = hadoopFs(spark, path)
+    superseded(spark, path).map(d => dirBytes(fs, d.getPath)).sum
+  }
+
+  /** Retention sweep (VERDICT r12 #3): delete every version directory
+    * under `path` EXCEPT the published one — superseded versions kept as
+    * crash fallbacks by compact/rebuild, and dead staging dirs. Returns
+    * (directories swept, bytes reclaimed).
+    *
+    * Crash-safety: the published version and the `_CURRENT` pointer are
+    * never in the victim list, so an interrupted sweep cannot make a
+    * single probe fail — it just leaves partial debris that the next
+    * sweep (or [[nextVersion]]'s monotonic numbering, which counts the
+    * remnant) handles. Single-writer contract: do not sweep while a
+    * rebuild is staging its next version, or the staging dir is the
+    * debris that gets deleted. */
+  def sweep(spark: SparkSession, path: String): (Int, Long) = {
+    if (!isVersioned(spark, path)) return (0, 0L)
+    val (fs, _) = hadoopFs(spark, path)
+    val victims = superseded(spark, path)
+    var bytes = 0L
+    victims.foreach { d =>
+      bytes += dirBytes(fs, d.getPath)
+      fs.delete(d.getPath, true)
+    }
+    (victims.size, bytes)
+  }
+
   /** Atomically flip the pointer to `version`: write a temp file, then a
     * FileContext rename with OVERWRITE — readers see the old version or
     * the new one, never a missing or half-written pointer. */

@@ -301,21 +301,13 @@ object Curation {
 
   private def metaOf(spark: SparkSession, dir: String): Long = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/meta").select("max_id").as[Long].head()
+    graft.core.Meta.read(spark, dir).select("max_id").as[Long].head()
   }
 
   private def writeMetaOf(spark: SparkSession, dir: String, maxId: Long): Unit = {
     import spark.implicits._
-    // staged write + atomic rename (the [[Pq]] meta discipline): the old
-    // high-water mark stays readable until one FS rename replaces it
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    val next = new org.apache.hadoop.fs.Path(s"$dir/meta.next")
-    val dst = new org.apache.hadoop.fs.Path(s"$dir/meta")
-    Seq(maxId).toDF("max_id").coalesce(1)
-      .write.mode("overwrite").parquet(next.toString)
-    fs.delete(dst, true)
-    require(fs.rename(next, dst), s"meta publish rename failed under $dir")
+    // crash-safe retire-then-replace publish (core/Meta, ADVICE r12)
+    graft.core.Meta.write(Seq(maxId).toDF("max_id"), dir)
   }
 
   /** Persist the per-stage release indexes for `release` (the `kept` of a
@@ -696,19 +688,26 @@ object Curation {
       if (Versioned.isVersioned(spark, path))
         Some(Versioned.resolveRoot(spark, path))
       else None
+    // reclaimable = bytes held by superseded/dead versions of the
+    // component — what a Versioned.sweep of its family dir frees; the
+    // retention decision becomes a column instead of a du(1) expedition
     val components =
-      Seq("exact" -> published(s"$dir/exact"),
-        "substring" -> published(s"$dir/substring"),
-        "minhash" -> published(s"$dir/minhash"),
-        "semantic" -> published(s"$dir/semantic").map(r => s"$r/assigned"),
-        "tombstones" -> Some(s"$dir/tombstones"))
-        .collect { case (name, Some(path)) => name -> path }
+      Seq(("exact", published(s"$dir/exact"), s"$dir/exact"),
+        ("substring", published(s"$dir/substring"), s"$dir/substring"),
+        ("minhash", published(s"$dir/minhash"), s"$dir/minhash"),
+        ("semantic", published(s"$dir/semantic").map(r => s"$r/assigned"),
+          s"$dir/semantic"),
+        ("tombstones", Some(s"$dir/tombstones"), ""))
+        .collect { case (name, Some(path), fam) => (name, path, fam) }
     val maxId = metaOf(spark, dir)
-    components.flatMap { case (name, path) =>
+    components.flatMap { case (name, path, fam) =>
       stats(path).map { case (rows, files, bytes) =>
-        (name, rows, files, bytes, maxId)
+        val reclaimable =
+          if (fam.isEmpty) 0L else Versioned.reclaimableBytes(spark, fam)
+        (name, rows, files, bytes, maxId, reclaimable)
       }
-    }.toDF("component", "n_rows", "n_files", "bytes", "max_id")
+    }.toDF("component", "n_rows", "n_files", "bytes", "max_id",
+      "reclaimable_bytes")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
