@@ -3,7 +3,7 @@ package graft.sim
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.{Meta, Versioned}
+import graft.core.{IndexLifecycle, Meta, Versioned}
 
 /** Persisted 63-bit fingerprint near-dup index — the production triple
   * (persisted index / shard probe at shard cost / streaming twin) for the
@@ -58,10 +58,7 @@ object FpIndex {
   private[sim] def blockRows(fps: DataFrame, maxHamming: Int): DataFrame =
     withBucket(SimHash.blockTable(fps, maxHamming))
 
-  private def pathExists(spark: SparkSession, p: String): Boolean = {
-    val hp = new org.apache.hadoop.fs.Path(p)
-    hp.getFileSystem(spark.sessionState.newHadoopConf()).exists(hp)
-  }
+  private val Blocks = IndexLifecycle.Table("blocks", "pb")
 
   private def writeMeta(spark: SparkSession, root: String,
       maxHamming: Int, maxId: Long): Unit = {
@@ -80,19 +77,16 @@ object FpIndex {
     * shard row matching ANY corpus member must flag. */
   def writeIndex(fps: DataFrame, dir: String, maxHamming: Int = 8): Unit = {
     val spark = fps.sparkSession
-    val v = Versioned.nextVersion(spark, dir)
-    val root = s"$dir/$v"
-    blockRows(fps, maxHamming)
-      .write.mode("errorifexists").partitionBy("pb")
-      .parquet(s"$root/blocks")
     val maxId = fps.agg(coalesce(max(col("id").cast("long")), lit(-1L)))
       .head().getLong(0)
     // an empty corpus would publish a blocks dir Spark cannot re-read
     // (no footer to infer a schema from) — refuse loudly instead of
     // letting the first probe fail obscurely
     require(maxId >= 0L, "refusing to publish an EMPTY fingerprint index")
-    writeMeta(spark, root, maxHamming, maxId)
-    Versioned.publish(spark, dir, v)
+    IndexLifecycle.publishVersion(spark, dir) { root =>
+      IndexLifecycle.writeTable(blockRows(fps, maxHamming), root, Blocks)
+      writeMeta(spark, root, maxHamming, maxId)
+    }
   }
 
   /** TOMBSTONE corpus ids — the takedown path ([[Pq.retract]]'s shape for
@@ -107,8 +101,7 @@ object FpIndex {
     import spark.implicits._
     if (ids.nonEmpty) {
       val root = Versioned.resolveRoot(spark, dir)
-      ids.toDF("id").coalesce(1)
-        .write.mode("append").parquet(s"$root/tombstones")
+      IndexLifecycle.appendTombstones(ids.toDF("id"), root)
     }
   }
 
@@ -116,14 +109,8 @@ object FpIndex {
     * probe shares. The anti-join appears only when a tombstone set
     * exists, so the takedown-free plan keeps its spec-pinned pruned-scan
     * shape. */
-  private def liveBlocks(spark: SparkSession, root: String): DataFrame = {
-    val blocks = spark.read.parquet(s"$root/blocks")
-    if (!pathExists(spark, s"$root/tombstones")) blocks
-    else blocks.join(
-      broadcast(spark.read.parquet(s"$root/tombstones")
-        .select("id").distinct()),
-      Seq("id"), "left_anti")
-  }
+  private def liveBlocks(spark: SparkSession, root: String): DataFrame =
+    IndexLifecycle.liveRows(spark, root, Blocks, "id")
 
   /** Verified shard-vs-corpus near-dup pairs: (id, corpus_id, hamming)
     * with hamming ≤ the index's frozen maxHamming. Probe BEFORE append
@@ -167,11 +154,9 @@ object FpIndex {
     val bounds = shardFps.agg(min(col("id").cast("long")),
       max(col("id").cast("long"))).head()
     if (!bounds.isNullAt(0)) {
-      require(bounds.getLong(0) > maxSeen,
-        s"monotonic-id ingest contract violated: shard min id " +
-          s"${bounds.getLong(0)} <= index high-water mark $maxSeen")
-      blockRows(shardFps, maxHamming)
-        .write.mode("append").partitionBy("pb").parquet(s"$root/blocks")
+      IndexLifecycle.requireMonotonic(bounds.getLong(0), maxSeen, "id")
+      IndexLifecycle.appendTable(blockRows(shardFps, maxHamming), root,
+        Blocks)
       writeMeta(spark, root, maxHamming, bounds.getLong(1))
     }
   }
@@ -228,13 +213,9 @@ object FpIndex {
   def compactIndex(spark: SparkSession, dir: String): Unit = {
     val old = Versioned.resolveRoot(spark, dir)
     val (maxHamming, maxId) = readMeta(spark, old)
-    val v = Versioned.nextVersion(spark, dir)
-    val root = s"$dir/$v"
-    liveBlocks(spark, old)
-      .repartition(col("pb"))
-      .write.mode("errorifexists").partitionBy("pb")
-      .parquet(s"$root/blocks")
-    writeMeta(spark, root, maxHamming, maxId)
-    Versioned.publish(spark, dir, v)
+    IndexLifecycle.publishVersion(spark, dir) { root =>
+      IndexLifecycle.compactTable(liveBlocks(spark, old), root, Blocks)
+      writeMeta(spark, root, maxHamming, maxId)
+    }
   }
 }

@@ -3,7 +3,7 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.{Meta, Versioned}
+import graft.core.{IndexLifecycle, Meta, Versioned}
 
 /** Persisted benchmark-decontamination index (SURVEY.md §2 B9.51) — the
   * production form of `text_contamination`. The declared query re-derives
@@ -74,10 +74,7 @@ object DecontIndex {
           (1 to GramN).map(i => col(s"p.g$i")): _*)).as("gh"))
   }
 
-  private def pathExists(spark: SparkSession, p: String): Boolean = {
-    val hp = new org.apache.hadoop.fs.Path(p)
-    hp.getFileSystem(spark.sessionState.newHadoopConf()).exists(hp)
-  }
+  private val Grams = IndexLifecycle.Table("grams", "pg")
 
   private def writeMeta(spark: SparkSession, root: String,
       nBench: Long, maxId: Long): Unit = {
@@ -99,32 +96,23 @@ object DecontIndex {
   /** Build and PUBLISH the index from a (doc_id, text) benchmark set. */
   def writeIndex(benchDocs: DataFrame, dir: String): Unit = {
     val spark = benchDocs.sparkSession
-    val v = Versioned.nextVersion(spark, dir)
-    val root = s"$dir/$v"
     val st = benchDocs.agg(count(lit(1)),
       coalesce(max(col("doc_id").cast("long")), lit(-1L))).head()
     // an empty benchmark set would publish parquet dirs Spark cannot
     // re-read — and silently declare the whole corpus clean
     require(st.getLong(0) > 0L,
       "refusing to publish an EMPTY decontamination index")
-    indexRows(benchDocs)
-      .write.mode("errorifexists").partitionBy("pg")
-      .parquet(s"$root/grams")
-    writeMeta(spark, root, st.getLong(0), st.getLong(1))
-    Versioned.publish(spark, dir, v)
+    IndexLifecycle.publishVersion(spark, dir) { root =>
+      IndexLifecycle.writeTable(indexRows(benchDocs), root, Grams)
+      writeMeta(spark, root, st.getLong(0), st.getLong(1))
+    }
   }
 
   /** The gram rows minus retracted benchmarks — the single read path every
     * probe shares. The anti-join appears only when a takedown happened, so
     * the takedown-free plan keeps its join-probe shape. */
-  private def liveGrams(spark: SparkSession, root: String): DataFrame = {
-    val rows = spark.read.parquet(s"$root/grams")
-    if (!pathExists(spark, s"$root/tombstones")) rows
-    else rows.join(
-      broadcast(spark.read.parquet(s"$root/tombstones")
-        .select("bench_id").distinct()),
-      Seq("bench_id"), "left_anti")
-  }
+  private def liveGrams(spark: SparkSession, root: String): DataFrame =
+    IndexLifecycle.liveRows(spark, root, Grams, "bench_id")
 
   /** The probe join body, shared verbatim by [[probeShard]],
     * [[probeCorpus]], and the streaming twin: distinct corpus grams LEFT
@@ -210,11 +198,8 @@ object DecontIndex {
       min(col("doc_id").cast("long")),
       max(col("doc_id").cast("long"))).head()
     if (st.getLong(0) > 0L) {
-      require(st.getLong(1) > maxSeen,
-        s"monotonic-id ingest contract violated: shard min doc_id " +
-          s"${st.getLong(1)} <= index high-water mark $maxSeen")
-      indexRows(shardBench)
-        .write.mode("append").partitionBy("pg").parquet(s"$root/grams")
+      IndexLifecycle.requireMonotonic(st.getLong(1), maxSeen, "doc_id")
+      IndexLifecycle.appendTable(indexRows(shardBench), root, Grams)
       writeMeta(spark, root, nBench + st.getLong(0), st.getLong(2))
     }
   }
@@ -230,10 +215,9 @@ object DecontIndex {
     if (ids.nonEmpty) {
       val root = Versioned.resolveRoot(spark, dir)
       val (nBench, maxId) = readMeta(spark, root)
-      val already: Set[Long] =
-        if (!pathExists(spark, s"$root/tombstones")) Set.empty
-        else spark.read.parquet(s"$root/tombstones").select("bench_id")
-          .distinct().collect().map(_.getLong(0)).toSet
+      val already: Set[Long] = IndexLifecycle
+        .tombstonedIds(spark, root, "bench_id")
+        .collect().map(_.getLong(0)).toSet
       val fresh = ids.distinct.filterNot(already)
       if (fresh.nonEmpty) {
         // meta counts only benchmarks the index actually holds — a
@@ -241,8 +225,7 @@ object DecontIndex {
         val present = spark.read.parquet(s"$root/grams")
           .filter(col("bench_id").isin(fresh: _*))
           .select("bench_id").distinct().count()
-        fresh.toDF("bench_id").coalesce(1)
-          .write.mode("append").parquet(s"$root/tombstones")
+        IndexLifecycle.appendTombstones(fresh.toDF("bench_id"), root)
         writeMeta(spark, root, nBench - present, maxId)
       }
     }
@@ -257,14 +240,10 @@ object DecontIndex {
   def compactIndex(spark: SparkSession, dir: String): Unit = {
     val old = Versioned.resolveRoot(spark, dir)
     val (nBench, maxId) = readMeta(spark, old)
-    val v = Versioned.nextVersion(spark, dir)
-    val root = s"$dir/$v"
-    liveGrams(spark, old)
-      .repartition(col("pg"))
-      .write.mode("errorifexists").partitionBy("pg")
-      .parquet(s"$root/grams")
-    writeMeta(spark, root, nBench, maxId)
-    Versioned.publish(spark, dir, v)
+    IndexLifecycle.publishVersion(spark, dir) { root =>
+      IndexLifecycle.compactTable(liveGrams(spark, old), root, Grams)
+      writeMeta(spark, root, nBench, maxId)
+    }
   }
 
   // --------------------------------------------------------------------

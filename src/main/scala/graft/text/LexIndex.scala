@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.core.{Meta, Versioned}
+import graft.core.{IndexLifecycle, Meta, Versioned}
 
 /** Persisted BM25 inverted index — retrieval SERVING for the lexical
   * modality (SURVEY.md §2 B9.49). `text_bm25` scores the corpus against a
@@ -82,10 +82,8 @@ object LexIndex {
         size(tokens).as("dl"))
       .withColumn("pd", docBucket(col("doc_id")))
 
-  private def pathExists(spark: SparkSession, p: String): Boolean = {
-    val hp = new org.apache.hadoop.fs.Path(p)
-    hp.getFileSystem(spark.sessionState.newHadoopConf()).exists(hp)
-  }
+  private val Postings = IndexLifecycle.Table("postings", "pt")
+  private val DocLens = IndexLifecycle.Table("doclens", "pd")
 
   private def writeMeta(spark: SparkSession, root: String,
       nDocs: Long, sumDl: Long, maxId: Long): Unit = {
@@ -106,42 +104,25 @@ object LexIndex {
     * one broadcast literal, not a corpus aggregate. */
   def writeIndex(docs: DataFrame, dir: String): Unit = {
     val spark = docs.sparkSession
-    val v = Versioned.nextVersion(spark, dir)
-    val root = s"$dir/$v"
-    postingRows(docs)
-      .write.mode("errorifexists").partitionBy("pt")
-      .parquet(s"$root/postings")
-    docLenRows(docs)
-      .write.mode("errorifexists").partitionBy("pd")
-      .parquet(s"$root/doclens")
     val st = docs.agg(count(lit(1)), coalesce(sum(size(tokens)), lit(0L)),
       coalesce(max(col("doc_id").cast("long")), lit(-1L))).head()
     // an empty corpus would publish parquet dirs Spark cannot re-read
     require(st.getLong(0) > 0L, "refusing to publish an EMPTY lexical index")
-    writeMeta(spark, root, st.getLong(0), st.getLong(1), st.getLong(2))
-    Versioned.publish(spark, dir, v)
+    IndexLifecycle.publishVersion(spark, dir) { root =>
+      IndexLifecycle.writeTable(postingRows(docs), root, Postings)
+      IndexLifecycle.writeTable(docLenRows(docs), root, DocLens)
+      writeMeta(spark, root, st.getLong(0), st.getLong(1), st.getLong(2))
+    }
   }
 
   /** The postings minus tombstoned docs — the single read path every probe
     * shares. The anti-join appears only when a takedown happened, so the
     * takedown-free plan keeps its spec-pinned pruned-scan shape. */
-  private def livePostings(spark: SparkSession, root: String): DataFrame = {
-    val posts = spark.read.parquet(s"$root/postings")
-    if (!pathExists(spark, s"$root/tombstones")) posts
-    else posts.join(
-      broadcast(spark.read.parquet(s"$root/tombstones")
-        .select("doc_id").distinct()),
-      Seq("doc_id"), "left_anti")
-  }
+  private def livePostings(spark: SparkSession, root: String): DataFrame =
+    IndexLifecycle.liveRows(spark, root, Postings, "doc_id")
 
-  private def liveDocLens(spark: SparkSession, root: String): DataFrame = {
-    val dls = spark.read.parquet(s"$root/doclens")
-    if (!pathExists(spark, s"$root/tombstones")) dls
-    else dls.join(
-      broadcast(spark.read.parquet(s"$root/tombstones")
-        .select("doc_id").distinct()),
-      Seq("doc_id"), "left_anti")
-  }
+  private def liveDocLens(spark: SparkSession, root: String): DataFrame =
+    IndexLifecycle.liveRows(spark, root, DocLens, "doc_id")
 
   /** `text_bm25`'s per-term BM25 weight, verbatim tree (k1 = 1.2,
     * b = 0.75): one fixed sequence of exactly-rounded IEEE ops. */
@@ -269,13 +250,9 @@ object LexIndex {
       min(col("doc_id").cast("long")),
       max(col("doc_id").cast("long"))).head()
     if (st.getLong(0) > 0L) {
-      require(st.getLong(2) > maxSeen,
-        s"monotonic-id ingest contract violated: shard min doc_id " +
-          s"${st.getLong(2)} <= index high-water mark $maxSeen")
-      postingRows(shardDocs)
-        .write.mode("append").partitionBy("pt").parquet(s"$root/postings")
-      docLenRows(shardDocs)
-        .write.mode("append").partitionBy("pd").parquet(s"$root/doclens")
+      IndexLifecycle.requireMonotonic(st.getLong(2), maxSeen, "doc_id")
+      IndexLifecycle.appendTable(postingRows(shardDocs), root, Postings)
+      IndexLifecycle.appendTable(docLenRows(shardDocs), root, DocLens)
       writeMeta(spark, root, nDocs + st.getLong(0), sumDl + st.getLong(1),
         st.getLong(3))
     }
@@ -297,10 +274,9 @@ object LexIndex {
     if (ids.nonEmpty) {
       val root = Versioned.resolveRoot(spark, dir)
       val (nDocs, sumDl, maxId) = readMeta(spark, root)
-      val already: Set[Long] =
-        if (!pathExists(spark, s"$root/tombstones")) Set.empty
-        else spark.read.parquet(s"$root/tombstones").select("doc_id")
-          .distinct().collect().map(_.getLong(0)).toSet
+      val already: Set[Long] = IndexLifecycle
+        .tombstonedIds(spark, root, "doc_id")
+        .collect().map(_.getLong(0)).toSet
       val fresh = ids.distinct.filterNot(already)
       if (fresh.nonEmpty) {
         val freshDf = fresh.toDF("doc_id")
@@ -311,8 +287,7 @@ object LexIndex {
           .join(broadcast(freshDf), Seq("doc_id"), "left_semi")
           .agg(count(lit(1)), coalesce(sum(col("dl").cast("long")), lit(0L)))
           .head()
-        freshDf.coalesce(1)
-          .write.mode("append").parquet(s"$root/tombstones")
+        IndexLifecycle.appendTombstones(freshDf, root)
         writeMeta(spark, root, nDocs - gone.getLong(0),
           sumDl - gone.getLong(1), maxId)
       }
@@ -330,20 +305,14 @@ object LexIndex {
   def compactIndex(spark: SparkSession, dir: String): Unit = {
     val old = Versioned.resolveRoot(spark, dir)
     val (_, _, maxId) = readMeta(spark, old)
-    val v = Versioned.nextVersion(spark, dir)
-    val root = s"$dir/$v"
-    livePostings(spark, old)
-      .repartition(col("pt"))
-      .write.mode("errorifexists").partitionBy("pt")
-      .parquet(s"$root/postings")
-    val dls = liveDocLens(spark, old).localCheckpoint()
-    dls.repartition(col("pd"))
-      .write.mode("errorifexists").partitionBy("pd")
-      .parquet(s"$root/doclens")
-    val st = dls.agg(count(lit(1)),
-      coalesce(sum(col("dl").cast("long")), lit(0L))).head()
-    writeMeta(spark, root, st.getLong(0), st.getLong(1), maxId)
-    Versioned.publish(spark, dir, v)
+    IndexLifecycle.publishVersion(spark, dir) { root =>
+      IndexLifecycle.compactTable(livePostings(spark, old), root, Postings)
+      val dls = liveDocLens(spark, old).localCheckpoint()
+      IndexLifecycle.compactTable(dls, root, DocLens)
+      val st = dls.agg(count(lit(1)),
+        coalesce(sum(col("dl").cast("long")), lit(0L))).head()
+      writeMeta(spark, root, st.getLong(0), st.getLong(1), maxId)
+    }
   }
 
   // --------------------------------------------------------------------

@@ -3,7 +3,7 @@ package graft.text
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.{Meta, Versioned}
+import graft.core.{IndexLifecycle, Meta, Versioned}
 
 /** Persisted boilerplate line-frequency index — the PRODUCTION form of
   * `text_line_dedup` (B9.55): mine per-line document frequencies ONCE,
@@ -42,10 +42,7 @@ object LineIndex {
 
   val PartBuckets = 16
 
-  private def pathExists(spark: SparkSession, p: String): Boolean = {
-    val hp = new org.apache.hadoop.fs.Path(p)
-    hp.getFileSystem(spark.sessionState.newHadoopConf()).exists(hp)
-  }
+  private val Lines = IndexLifecycle.Table("lines", "pb")
 
   private def writeMeta(spark: SparkSession, root: String,
       nDocs: Long, maxId: Long): Unit = {
@@ -71,19 +68,16 @@ object LineIndex {
   /** Build and PUBLISH the index from a (doc_id, text) corpus. */
   def writeIndex(docs: DataFrame, dir: String): Unit = {
     val spark = docs.sparkSession
-    val v = Versioned.nextVersion(spark, dir)
-    val root = s"$dir/$v"
     val st = docs.agg(count(lit(1)),
       coalesce(max(col("doc_id").cast("long")), lit(-1L))).head()
     // an empty corpus would publish parquet dirs Spark cannot re-read —
     // and silently declare nothing boilerplate forever
     require(st.getLong(0) > 0L,
       "refusing to publish an EMPTY line index")
-    countRows(docs)
-      .write.mode("errorifexists").partitionBy("pb")
-      .parquet(s"$root/lines")
-    writeMeta(spark, root, st.getLong(0), st.getLong(1))
-    Versioned.publish(spark, dir, v)
+    IndexLifecycle.publishVersion(spark, dir) { root =>
+      IndexLifecycle.writeTable(countRows(docs), root, Lines)
+      writeMeta(spark, root, st.getLong(0), st.getLong(1))
+    }
   }
 
   /** Fold a corpus shard into the published version. The monotonic-id
@@ -98,11 +92,8 @@ object LineIndex {
       min(col("doc_id").cast("long")),
       max(col("doc_id").cast("long"))).head()
     if (st.getLong(0) > 0L) {
-      require(st.getLong(1) > maxSeen,
-        s"monotonic-id ingest contract violated: shard min doc_id " +
-          s"${st.getLong(1)} <= index high-water mark $maxSeen")
-      countRows(docs)
-        .write.mode("append").partitionBy("pb").parquet(s"$root/lines")
+      IndexLifecycle.requireMonotonic(st.getLong(1), maxSeen, "doc_id")
+      IndexLifecycle.appendTable(countRows(docs), root, Lines)
       writeMeta(spark, root, nDocs + st.getLong(0), st.getLong(2))
     }
   }
@@ -117,21 +108,17 @@ object LineIndex {
   def retract(docs: DataFrame, dir: String): Unit = {
     val spark = docs.sparkSession
     val root = Versioned.resolveRoot(spark, dir)
-    val already: DataFrame =
-      if (!pathExists(spark, s"$root/tombstones")) {
-        import spark.implicits._
-        Seq.empty[Long].toDF("doc_id")
-      } else spark.read.parquet(s"$root/tombstones").select("doc_id")
+    val already = IndexLifecycle.tombstonedIds(spark, root, "doc_id")
     val fresh = docs
-      .join(broadcast(already.distinct()), Seq("doc_id"), "left_anti")
+      .join(broadcast(already), Seq("doc_id"), "left_anti")
       .localCheckpoint() // two passes below must see ONE stable id set
     val (nDocs, maxId) = readMeta(spark, root)
     val n = fresh.count()
     if (n > 0L) {
-      countRows(fresh).withColumn("n", -col("n"))
-        .write.mode("append").partitionBy("pb").parquet(s"$root/lines")
-      fresh.select(col("doc_id").cast("long"))
-        .coalesce(1).write.mode("append").parquet(s"$root/tombstones")
+      IndexLifecycle.appendTable(countRows(fresh).withColumn("n", -col("n")),
+        root, Lines)
+      IndexLifecycle.appendTombstones(
+        fresh.select(col("doc_id").cast("long")), root)
       writeMeta(spark, root, nDocs - n, maxId)
     }
   }
@@ -165,19 +152,14 @@ object LineIndex {
   def compactIndex(spark: SparkSession, dir: String): Unit = {
     val old = Versioned.resolveRoot(spark, dir)
     val (nDocs, maxId) = readMeta(spark, old)
-    val v = Versioned.nextVersion(spark, dir)
-    val root = s"$dir/$v"
-    spark.read.parquet(s"$old/lines")
-      .groupBy("pb", "line").agg(sum("n").cast("long").as("n"))
-      .filter(col("n") > 0L)
-      .repartition(col("pb"))
-      .write.mode("errorifexists").partitionBy("pb")
-      .parquet(s"$root/lines")
-    if (pathExists(spark, s"$old/tombstones"))
-      spark.read.parquet(s"$old/tombstones").distinct()
-        .coalesce(1).write.mode("errorifexists")
-        .parquet(s"$root/tombstones")
-    writeMeta(spark, root, nDocs, maxId)
-    Versioned.publish(spark, dir, v)
+    IndexLifecycle.publishVersion(spark, dir) { root =>
+      IndexLifecycle.compactTable(
+        spark.read.parquet(s"$old/lines")
+          .groupBy("pb", "line").agg(sum("n").cast("long").as("n"))
+          .filter(col("n") > 0L),
+        root, Lines)
+      IndexLifecycle.carryTombstones(spark, old, root)
+      writeMeta(spark, root, nDocs, maxId)
+    }
   }
 }
