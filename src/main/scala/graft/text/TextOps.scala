@@ -49,16 +49,16 @@ object TextOps {
     * documents (md5 first hex nibble < budget); languages not listed get
     * [[mixDefault]]. One constants source generates both the Column chain
     * and the oracle CASE so the two cannot drift. */
-  private val mixWeights: Seq[(String, Int)] = Seq("en" -> 8, "de" -> 4,
-    "fr" -> 2)
-  private val mixDefault = 1
+  private[text] val mixWeights: Seq[(String, Int)] = Seq("en" -> 8,
+    "de" -> 4, "fr" -> 2)
+  private[text] val mixDefault = 1
 
   /** Token budget for `sample_budget`: each language's quota is its
     * [[mixWeights]] share in sixteenths of this total. Sized so every
     * language has both selected and excluded documents on the fixture —
     * the interesting regime for a budget filter. */
   private val budgetTokens = 20000L
-  private def quotaOf(w: Int): Long = budgetTokens * w / 16
+  private[text] def quotaOf(w: Int): Long = budgetTokens * w / 16
 
   /** `text_chunk` geometry: windows of ≤ [[chunkWindow]] tokens starting
     * every [[chunkStride]] tokens (overlap = window − stride = 8). */
@@ -211,14 +211,45 @@ object TextOps {
   def budgetSampleSubword(docs: DataFrame): DataFrame =
     budgetSampleBy(docs, subwordTokenEst(col("text")))
 
-  private def budgetSampleBy(docs: DataFrame, meter: Column): DataFrame = {
+  /** [[budgetSample]] metering the TRAINED tokenizer's OWN bill — the
+    * per-doc subword count under `model`'s merge table ([[Bpe.encode]]
+    * rolled up per doc) — completing B9.33's realism arc: estimate
+    * (len/4) → exact replay. "Fill B tokens" now spends exactly what the
+    * tokenizer will bill at training time. Costs are computed once per
+    * DISTINCT word and broadcast back onto occurrences (Bpe.encode's
+    * vocab-bounded shape), so the meter adds one doc-level rollup +
+    * small-side join ahead of the same lang-partitioned prefix window —
+    * no new corpus-sized shuffle. Selection mechanics are shared
+    * verbatim ([[budgetSelect]]), so growth-stability carries.
+    *
+    * TEST-gated, not oracled (SURVEY §7.5.7): replaying the merge table
+    * needs the boundary-pinned pair replace ((?<!\S)…(?!\S)), and RE2
+    * — DuckDB's regex engine — has no lookaround; TextOpsSpec instead
+    * pins the fill against an independent driver-side replay of both the
+    * tokenizer ([[org.apache.spark.sql.graftexpr.BpeEncodeExpr.encode]])
+    * and the quota selection. */
+  def budgetSampleBpe(docs: DataFrame, model: Bpe.Model): DataFrame = {
+    val perDoc = Bpe.encode(docs, model)
+      .groupBy("doc_id").agg(sum("n_subs").cast("long").as("n_tokens"))
+    budgetSelect(docs.select(col("doc_id"), col("lang"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_tokens")))
+  }
+
+  private def budgetSampleBy(docs: DataFrame, meter: Column): DataFrame =
+    budgetSelect(docs.select(col("doc_id"), col("lang"),
+      meter.as("n_tokens")))
+
+  /** The shared budget selection over pre-metered (doc_id, lang,
+    * n_tokens) rows: per-lang running token sum in doc_id order against
+    * the mixture-share quota. */
+  private def budgetSelect(metered: DataFrame): DataFrame = {
     val quota = mixWeights.foldRight(lit(quotaOf(mixDefault))) {
       case ((lang, w), els) =>
         when(col("lang") === lang, lit(quotaOf(w))).otherwise(els)
     }
     val wWin = Window.partitionBy("lang").orderBy("doc_id")
-    docs
-      .select(col("doc_id"), col("lang"), meter.as("n_tokens"))
+    metered
       .withColumn("cum_tokens", sum(col("n_tokens")).over(wWin))
       .withColumn("quota", quota)
       .filter(col("cum_tokens") <= col("quota"))

@@ -99,4 +99,60 @@ class TextOpsSpec extends SparkSpec {
     // each language's selected prefix relative to the ws-metered fill
     assert(selFull.subsetOf(ids(TextOps.budgetSample(docs))))
   }
+
+  test("bpe-metered budget: fill ≡ an independent driver replay of the " +
+      "trained tokenizer and the quota selection") {
+    import org.apache.spark.sql.graftexpr.BpeEncodeExpr
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val model = Bpe.train(docs, 30)
+    val sel = TextOps.budgetSampleBpe(docs, model).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(sel.nonEmpty)
+
+    // driver model leg 1 — the tokenizer's own bill, replayed through
+    // the kernel's pure-JVM entry point (no Spark plan involved)
+    val table = BpeEncodeExpr.MergeTable(model.merges)
+    def bill(text: String): Long =
+      text.split(" ", -1).map(w => BpeEncodeExpr.encode(
+        org.apache.spark.unsafe.types.UTF8String.fromString(w), table)
+        .numElements().toLong).sum
+    val all = docs.select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), bill(r.getString(2))))
+
+    // driver model leg 2 — the quota selection: per-lang prefix in
+    // doc_id order against the mixture-share quota
+    val weight = TextOps.mixWeights.toMap
+    val expected = all.groupBy(_._2).toSeq.flatMap { case (lang, rows) =>
+      val quota = TextOps.quotaOf(
+        weight.getOrElse(lang, TextOps.mixDefault))
+      var cum = 0L
+      rows.sortBy(_._1).flatMap { case (id, _, n) =>
+        cum += n
+        if (cum <= quota) Some((id, lang, n, cum, quota)) else None
+      }
+    }
+    assert(sel.sortBy(_._1) === expected.sortBy(_._1),
+      "engine fill must equal the driver replay row for row")
+
+    // the exact meter must genuinely differ from BOTH prior meters
+    // somewhere, or the variant is a no-op twin
+    val ws = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val est = docs.select(col("doc_id"),
+        TextOps.subwordTokenEst(col("text")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(all.exists { case (id, _, n) => n !== ws(id) })
+    assert(all.exists { case (id, _, n) => n !== est(id) })
+
+    // growth-stability carries to the exact meter (shared selection
+    // mechanics): appending docs never evicts a selected one
+    def ids2(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").as[Long](spark.implicits.newLongEncoder)
+        .collect().toSet
+    val selHalfBpe =
+      ids2(TextOps.budgetSampleBpe(docs.filter(col("doc_id") < 250), model))
+    assert(selHalfBpe === sel.map(_._1).toSet.filter(_ < 250))
+  }
 }
