@@ -147,6 +147,174 @@ object CurationVolume {
     (buildSec, shards, compactSec, post, ok)
   }
 
+  // ------------------------------------------------------------------
+  // FULL-STACK variant (VERDICT r12 #5): ALL opt-in gates on — quality
+  // 0a + decontamination 0b + line-clean 0c + the four dedup stages
+  // (exact, substring, minhash, SEMANTIC) + training-shard export. The
+  // pairwise compositions are spec-pinned (Lm/Decont/LineCurationSpec);
+  // this is the single artifact proving the seven-stage loop at volume
+  // with a planted kill per stage, ledger ordered 0a/0b/0c first.
+
+  val Dim = 16
+  val NBench = 200        // external benchmark battery (decont index)
+  val DecontMinHits = 8   // exact benchmark copies score 20 distinct-gram
+                          // hits; 8 puts incidental walk-gram collisions
+                          // (P(hit/gram) ≈ 1e-3 on this graph) at
+                          // binomial-tail-zero false-kill odds
+  val NBoiler = 8         // distinct boilerplate lines (line index)
+  val BoilerDf = 5        // docs per line in the external line corpus
+  val LineMinDf = 3
+  val CosThr = 0.99
+
+  /** Deterministic quasi-random unit-free embedding of an id: 16 dims in
+    * [-1, 1]. Independent ids give near-orthogonal vectors (16-dim
+    * cosine concentration), so only PLANTED twins can reach the 0.99
+    * semantic threshold. */
+  def vecOf(id: Column): Column =
+    array((0 until Dim).map(k =>
+      ((pmod(xxhash64(id, lit(k)), lit(2001L)) - 1000L) / lit(1000.0))
+        .cast("double")): _*)
+
+  /** Benchmark battery: walks over the SAME successor graph (so they
+    * pass the release-LM quality gate) in an id range disjoint from
+    * release, shard, and fresh walks. */
+  def benchCorpus(spark: SparkSession): DataFrame =
+    spark.range(NBench).select(col("id").as("doc_id"),
+      walkText(col("id") + 7000000L).as("text"))
+
+  private def boilerLine(j: Column): Column = walkText(j + 8000000L)
+
+  /** External line-frequency corpus: each of the [[NBoiler]] boilerplate
+    * lines appears as the full text of [[BoilerDf]] docs, so its df
+    * crosses [[LineMinDf]]; every other line in the universe has df 0. */
+  def lineCorpus(spark: SparkSession): DataFrame =
+    spark.range(NBoiler.toLong * BoilerDf).select(col("id").as("doc_id"),
+      boilerLine(col("id") % NBoiler).as("text"))
+
+  /** Full-stack ingest shard: seven planted categories (one per stage,
+    * category ranges disjoint; reference ids disjoint per shard AND per
+    * category) + fresh survivors. The semantic twin carries FRESH text
+    * with a COPIED release vector — the only category whose kill is
+    * invisible to every text stage. */
+  def fullShard(spark: SparkSession, base: Long, shardDocs: Long,
+      plants: Int, shardIdx: Int): (DataFrame, DataFrame) = {
+    val p = plants.toLong
+    val rid = (col("id") - base) % 10000L + lit(shardIdx * 4L * p)
+    val cat = col("id") - base
+    val docs = spark.range(base, base + shardDocs).select(
+      col("id").as("doc_id"), lit("shard").as("source"),
+      when(cat < p, // 0a quality: globally-unique tokens, all-OOV
+          concat_ws(" ", (0 until 12).map(k =>
+            concat(lit("j"), col("id") * 12 + k)): _*))
+        .when(cat < 2 * p, // 0b decont: exact benchmark copy (20 hits)
+          walkText((cat - p) % NBench + 7000000L))
+        .when(cat < 3 * p, // 0c line-clean: a boilerplate-only doc
+          boilerLine((cat - 2 * p) % NBoiler))
+        .when(cat < 4 * p, walkText(rid)) // 1 exact copy
+        .when(cat < 5 * p, // 2 substring: 16-token prefix
+          array_join(slice(split(walkText(rid + p), " "), 1, PrefixLen),
+            " "))
+        .when(cat < 6 * p, // 3 minhash: one appended unique token
+          concat(walkText(rid + 2 * p), lit(" uq"), col("id")))
+        .when(cat < 7 * p, // 4 semantic twin: FRESH text (vector below)
+          walkText(col("id") + 200000000L))
+        .otherwise(walkText(col("id") + 100000000L)) // fresh walk
+        .as("text"))
+    // walk-id universes are WIDELY separated (release 0..n, bench 7M+,
+    // boiler 8M+, fresh 100M+, twins 200M+): shard ids run into the
+    // millions, so a small offset would let one shard's fresh/twin walks
+    // land inside the benchmark range and die at decont instead of their
+    // own stage (the first cut of this harness lost exactly 20 semantic
+    // twins that way)
+    val emb = spark.range(base, base + shardDocs).select(
+      col("id").as("vec_id"),
+      when(cat >= 6 * p && cat < 7 * p, // twin: copy the target's vector
+        vecOf(rid + 3 * p)).otherwise(vecOf(col("id"))).as("embedding"))
+    (docs, emb)
+  }
+
+  /** Run the seven-stage loop + export; returns (buildSec, per-shard
+    * (ledger, sec), compactSec, postCompactLedger, exportDocs, allOk). */
+  def runFullStack(spark: SparkSession, dir: String, releaseDocs: Long,
+      shardDocs: Long, plants: Int):
+      (Double, Seq[(Map[String, (Long, Long, Long)], Double)], Double,
+        Map[String, (Long, Long, Long)], Long, Boolean) = {
+    import graft.text.{DecontIndex, LineIndex}
+    val release = releaseCorpus(spark, releaseDocs).localCheckpoint()
+    val relEmb = spark.range(releaseDocs).select(col("id").as("vec_id"),
+      vecOf(col("id")).as("embedding")).localCheckpoint()
+    val t0 = System.nanoTime()
+    // checkpoint the synthetic corpora before any index build — fusing a
+    // Range source into the same codegen stage as a fast-hashmap
+    // aggregate trips a Janino nested-class protected-access bug
+    // (IllegalAccessError on BufferedRowIterator.partitionIndex); the
+    // checkpoint breaks the fusion exactly like releaseCorpus's does
+    DecontIndex.writeIndex(benchCorpus(spark).localCheckpoint(),
+      s"$dir/bench")
+    LineIndex.writeIndex(lineCorpus(spark).localCheckpoint(),
+      s"$dir/boiler")
+    Curation.writeIndexes(release, Some(relEmb), s"$dir/rel",
+      lmQuality = true)
+    val buildSec = (System.nanoTime() - t0) / 1e9
+
+    def ingest(i: Int): (Map[String, (Long, Long, Long)], Double,
+        DataFrame) = {
+      val (sdocs, semb) = fullShard(spark, 1000000L * (i + 1), shardDocs,
+        plants, i)
+      val sd = sdocs.localCheckpoint(); val se = semb.localCheckpoint()
+      val t = System.nanoTime()
+      val r = Curation.ingestShard(sd, Some(se), s"$dir/rel",
+        maxDupFrac = MaxDupFrac, cosineThreshold = CosThr,
+        lmMinScore = Some(LmThr),
+        decont = Some(Curation.Decont(s"$dir/bench", DecontMinHits)),
+        lineClean = Some(Curation.LineClean(s"$dir/boiler", LineMinDf)))
+      (ledgerMap(r.ledger), (System.nanoTime() - t) / 1e9,
+        r.kept.localCheckpoint())
+    }
+    val runs = (0 until NShards).map(ingest)
+    val t1 = System.nanoTime()
+    Curation.compactRelease(spark, s"$dir/rel")
+    val compactSec = (System.nanoTime() - t1) / 1e9
+    val postRun = ingest(NShards)
+    val post = postRun._1
+
+    // export the full release content (seed + every shard's kept docs)
+    // as training shards; the manifest row sum must equal the re-read
+    // count must equal the ledger-predicted size — the loop's OUTPUT is
+    // itself verified, not just its drop accounting
+    val allKept = (runs.map(_._3) :+ postRun._3)
+      .foldLeft(release.select("doc_id", "source", "text"))(
+        (acc, k) => acc.union(k.select("doc_id", "source", "text")))
+    val manifest = graft.text.Export.writeShards(allKept, s"$dir/export")
+    val manifestDocs = manifest.agg(sum("n_docs").cast("long"))
+      .head().getLong(0)
+    val reread = graft.text.Export.readShards(spark, s"$dir/export")
+      .count()
+    val expectedDocs = releaseDocs +
+      (runs.map(_._1) :+ post).map(lm => lm("semantic")._3).sum
+
+    val p = plants.toLong
+    // six stages are deterministic verdicts — EXACT counts; minhash is
+    // the banded-LSH recall gate (≥99%); the ledger must arrive in the
+    // 0a/0b/0c-first stage order
+    val order = Seq("quality", "decont", "line_clean", "exact",
+      "substring", "near_dup", "semantic")
+    def okShard(lm: Map[String, (Long, Long, Long)]): Boolean = {
+      val near = lm("near_dup")._2
+      lm.keySet == order.toSet &&
+        lm("quality")._2 == p && lm("decont")._2 == p &&
+        lm("line_clean")._2 == p && lm("exact")._2 == p &&
+        lm("substring")._2 == p &&
+        near >= (p * 99 + 99) / 100 && near <= p &&
+        lm("semantic")._2 == p &&
+        lm("semantic")._3 == shardDocs - 6 * p - near
+    }
+    val ok = runs.forall(r => okShard(r._1)) && okShard(post) &&
+      manifestDocs == expectedDocs && reread == expectedDocs
+    (buildSec, runs.map(r => (r._1, r._2)), compactSec, post,
+      manifestDocs, ok)
+  }
+
   def main(args: Array[String]): Unit = {
     val releaseDocs = args.headOption.map(_.toLong).getOrElse(100000L)
     val shardDocs = args.lift(1).map(_.toLong).getOrElse(25000L)
@@ -166,6 +334,15 @@ object CurationVolume {
     val nearFound = (shards.map(_._1) :+ post)
       .map(_("near_dup")._2).sum
     val nearPlanted = plants.toLong * (shards.size + 1)
+
+    val fsDir = java.nio.file.Files
+      .createTempDirectory("graft_curvol_fs").toString
+    val (fsBuild, fsShards, fsCompact, fsPost, fsExport, fsOk) =
+      runFullStack(spark, fsDir, releaseDocs, shardDocs, plants)
+    val fsMean = fsShards.map(_._2).sum / fsShards.size
+    val fsNear = (fsShards.map(_._1) :+ fsPost)
+      .map(_("near_dup")._2).sum
+
     val line =
       f"""{"metric":"curation_ingest_docs_per_sec","value":${
         shardDocs / meanIngest}%.0f,"unit":"docs/s",""" +
@@ -176,14 +353,25 @@ object CurationVolume {
       f""""compact_sec":$compactSec%.1f,""" +
       f""""near_recall":${nearFound.toDouble / nearPlanted}%.4f,""" +
       f""""post_compact_kept":${post("near_dup")._3},""" +
-      s""""all_drops_accounted":$ok}"""
+      s""""all_drops_accounted":$ok,""" +
+      f""""full_stack":{"docs_per_sec":${shardDocs / fsMean}%.0f,""" +
+      f""""stages":7,"build_sec":$fsBuild%.1f,""" +
+      f""""ingest_sec":[${
+        fsShards.map(s => f"${s._2}%.1f").mkString(",")}],""" +
+      f""""compact_sec":$fsCompact%.1f,""" +
+      f""""near_recall":${fsNear.toDouble / nearPlanted}%.4f,""" +
+      f""""export_docs":$fsExport,""" +
+      s""""all_drops_accounted":$fsOk}}"""
     println(line)
     Artifacts.write("curation_volume.json", line)
     spark.stop()
-    if (!ok) {
+    if (!ok || !fsOk) {
       shards.zipWithIndex.foreach { case ((lm, _), i) =>
         System.err.println(s"[curvol] shard $i ledger: $lm") }
       System.err.println(s"[curvol] post-compact ledger: $post")
+      fsShards.zipWithIndex.foreach { case ((lm, _), i) =>
+        System.err.println(s"[curvol] full-stack shard $i ledger: $lm") }
+      System.err.println(s"[curvol] full-stack post ledger: $fsPost")
       System.err.println("[curvol] CONTRACT MISS"); sys.exit(1)
     }
   }

@@ -481,6 +481,26 @@ object Streaming {
     * md5-bucket acceptance makes a replayed batch select the IDENTICAL
     * subset (deterministic in doc_id — replay-safe by construction, the
     * streamRetract posture). */
+  /** Online token-budget fill (B10.26) — select each arriving
+    * micro-batch's documents into the training mix while their
+    * language's quota lasts, via [[graft.text.TextOps.budgetFillShard]]
+    * VERBATIM: the batch fill's growth-stability property (prefix
+    * selection in monotonic doc_id order only ever extends) is what
+    * makes the stream EXACT — the union of per-batch selections equals
+    * `sample_budget` over everything delivered so far, row for row. The
+    * carried per-lang token tally lives in a mergeable count table at
+    * `statePath` (one appended row set per batch, readers sum); a
+    * foreachBatch replay trips the tally's monotonic-id guard instead of
+    * double-counting. The sink receives each batch's selected rows. */
+  def streamBudgetFill(docs: DataFrame, statePath: String,
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      if (!batch.isEmpty)
+        sink(graft.text.TextOps.budgetFillShard(batch, statePath), id)
+    }
+
   def streamDsir(docs: DataFrame, rawLmDir: String, targetLmDir: String,
       sink: (DataFrame, Long) => Unit,
       minCount: Long = graft.text.LmScore.MinCount)

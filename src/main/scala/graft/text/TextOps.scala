@@ -240,19 +240,77 @@ object TextOps {
     budgetSelect(docs.select(col("doc_id"), col("lang"),
       meter.as("n_tokens")))
 
+  /** The per-language quota as a CASE column — one constants source
+    * ([[mixWeights]]) for the batch fill, the oracle, and the streaming
+    * shard fill. */
+  private def quotaCol: Column =
+    mixWeights.foldRight(lit(quotaOf(mixDefault))) {
+      case ((lang, w), els) =>
+        when(col("lang") === lang, lit(quotaOf(w))).otherwise(els)
+    }
+
   /** The shared budget selection over pre-metered (doc_id, lang,
     * n_tokens) rows: per-lang running token sum in doc_id order against
     * the mixture-share quota. */
   private def budgetSelect(metered: DataFrame): DataFrame = {
-    val quota = mixWeights.foldRight(lit(quotaOf(mixDefault))) {
-      case ((lang, w), els) =>
-        when(col("lang") === lang, lit(quotaOf(w))).otherwise(els)
-    }
     val wWin = Window.partitionBy("lang").orderBy("doc_id")
     metered
       .withColumn("cum_tokens", sum(col("n_tokens")).over(wWin))
-      .withColumn("quota", quota)
+      .withColumn("quota", quotaCol)
       .filter(col("cum_tokens") <= col("quota"))
+  }
+
+  /** SHARD form of the budget fill — the streaming twin's body
+    * ([[graft.stream.Streaming.streamBudgetFill]]): select an arriving
+    * shard's docs into the training mix while each language's quota
+    * lasts, carrying the per-lang token tally across shards in a tiny
+    * mergeable count table at `statePath` (the [[LmScore]] algebra: one
+    * appended row set per shard, readers SUM). Growth-stability is what
+    * makes the twin EXACT, not approximate: under the monotonic-id
+    * contract the batch fill's per-lang selected prefix only ever
+    * extends, so per-shard selection against carried tallies equals
+    * [[budgetSample]] over the union of all shards so far, row for row
+    * (TextOpsSpec pins it). The tally accumulates ALL processed docs'
+    * tokens — selected or not — exactly like the batch cumsum; a
+    * replayed shard trips the monotonic guard instead of double-counting
+    * the tally. */
+  def budgetFillShard(shard: DataFrame, statePath: String): DataFrame = {
+    val spark = shard.sparkSession
+    val exists = graft.core.IndexLifecycle.pathExists(spark, statePath)
+    val st =
+      if (exists) spark.read.parquet(statePath).localCheckpoint()
+      else null
+    val maxSeen =
+      if (exists) st.agg(coalesce(max("max_id"), lit(-1L)))
+        .head().getLong(0)
+      else -1L
+    val bounds = shard.agg(min(col("doc_id").cast("long")),
+      max(col("doc_id").cast("long"))).head()
+    if (bounds.isNullAt(0)) return budgetSelect(
+      shard.select(col("doc_id"), col("lang"),
+        size(tokens).cast("long").as("n_tokens")))
+    graft.core.IndexLifecycle.requireMonotonic(bounds.getLong(0), maxSeen,
+      "doc_id")
+    val metered = shard.select(col("doc_id"), col("lang"),
+      size(tokens).cast("long").as("n_tokens")).localCheckpoint()
+    val carried =
+      if (exists) st.groupBy("lang").agg(sum("c").cast("long").as("base"))
+      else null
+    val wWin = Window.partitionBy("lang").orderBy("doc_id")
+    val cum0 = metered.withColumn("cum0", sum(col("n_tokens")).over(wWin))
+    val sel = (if (carried == null) cum0.withColumn("base", lit(0L))
+      else cum0.join(broadcast(carried), Seq("lang"), "left")
+        .na.fill(0L, Seq("base")))
+      .withColumn("cum_tokens", col("cum0") + col("base"))
+      .withColumn("quota", quotaCol)
+      .filter(col("cum_tokens") <= col("quota"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("cum_tokens"), col("quota"))
+      .localCheckpoint() // materialize BEFORE the tally advances
+    metered.groupBy("lang").agg(sum("n_tokens").cast("long").as("c"))
+      .withColumn("max_id", lit(bounds.getLong(1)))
+      .coalesce(1).write.mode("append").parquet(statePath)
+    sel
   }
   private def hexChars(n: Int): Seq[String] =
     "0123456789abcdef".take(n).map(_.toString)

@@ -26,4 +26,22 @@ class CurationVolumeSpec extends SparkSpec {
     info(s"post-compact: $post")
     assert(ok, s"per-stage accounting failed: ${shards.map(_._1)} / $post")
   }
+
+  test("FULL-STACK release loop at CI scale: all seven stages on " +
+      "(quality + decont + line-clean + exact + substring + minhash + " +
+      "semantic), one planted kill per stage, export verified") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_curvol_fs_ci").toString
+    val (buildSec, shards, compactSec, post, exportDocs, ok) =
+      CurationVolume.runFullStack(spark, dir, releaseDocs = 5000L,
+        shardDocs = 1200L, plants = 30)
+    info(f"build $buildSec%.1fs, ingest ${
+      shards.map(s => f"${s._2}%.1f").mkString("/")}s, " +
+      f"compact $compactSec%.1fs, export $exportDocs docs")
+    shards.zipWithIndex.foreach { case ((lm, _), i) =>
+      info(s"shard $i: $lm") }
+    info(s"post-compact: $post")
+    assert(ok,
+      s"full-stack accounting failed: ${shards.map(_._1)} / $post")
+  }
 }

@@ -155,4 +155,47 @@ class TextOpsSpec extends SparkSpec {
       ids2(TextOps.budgetSampleBpe(docs.filter(col("doc_id") < 250), model))
     assert(selHalfBpe === sel.map(_._1).toSet.filter(_ < 250))
   }
+
+  test("streaming budget fill: union of per-batch selections ≡ the " +
+      "batch fill over everything delivered; replay trips the guard") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "text")
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_budgetfill").toString + "/state"
+    type Row5 = (Long, String, Long, Long, Long)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Row5] =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val all = docs.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    val cuts = Seq(all.length / 3, 2 * all.length / 3)
+    val batches = Seq(all.take(cuts(0)),
+      all.slice(cuts(0), cuts(1)), all.drop(cuts(1)))
+
+    val sunk = scala.collection.mutable.ArrayBuffer[Set[Row5]]()
+    val stream = MemoryStream[(Long, String, String)](173, spark, None)
+    val q = graft.stream.Streaming.streamBudgetFill(
+        stream.toDF().toDF("doc_id", "lang", "text"), statePath,
+        (df, _) => sunk += rows(df))
+      .start()
+    batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+    q.stop()
+    assert(sunk.size === 3)
+    // the whole point: the streamed union IS the batch fill
+    assert(sunk.reduce(_ ++ _) === rows(TextOps.budgetSample(docs)),
+      "per-batch selections must union to the batch fill row for row")
+    // quotas eventually bind: some later batch selects strictly less
+    // than it delivers
+    assert(sunk.last.size < batches.last.length)
+
+    // a replayed shard must fail loudly, not double-count the tally
+    val replay = intercept[IllegalArgumentException] {
+      TextOps.budgetFillShard(
+        batches.head.toSeq.toDF("doc_id", "lang", "text"), statePath)
+    }
+    assert(replay.getMessage.contains("monotonic"))
+  }
 }
