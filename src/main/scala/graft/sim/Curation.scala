@@ -710,6 +710,22 @@ object Curation {
       "reclaimable_bytes")
   }
 
+  /** Retention sweep over every versioned release component
+    * ([[graft.core.Versioned.sweep]] per family): deletes superseded
+    * versions and dead staging dirs that [[compactRelease]] and rebuilds
+    * leave behind as crash fallbacks. Returns one (component, n_swept,
+    * bytes) row per family. Run it AFTER the compacted version has been
+    * probed in anger — until then the superseded version IS the
+    * rollback. Single-writer contract as everywhere. */
+  def sweepRelease(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq("exact", "substring", "minhash", "semantic", "lm")
+      .map { c =>
+        val (n, bytes) = Versioned.sweep(spark, s"$dir/$c")
+        (c, n, bytes)
+      }.toDF("component", "n_swept", "bytes")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // One-row curation dashboard over the three DETERMINISTIC stages
     // (exact → substring → token-Jaccard near-dup), hash-checked end to

@@ -89,6 +89,35 @@ class VersionedSweepSpec extends SparkSpec {
     assert(Versioned.reclaimableBytes(spark, dir) === 0L)
   }
 
+  test("sweepRelease clears every curation family's superseded versions " +
+      "and the loop keeps ingesting afterwards") {
+    import graft.sim.Curation
+    val dir = tmp("rel")
+    val release = (0L until 400L)
+      .map(i => (i, "rel", s"r$i a b c d e f g h i j k l m n o p q r"))
+      .toDF("doc_id", "source", "text").localCheckpoint()
+    Curation.writeIndexes(release, None, dir, lmQuality = true)
+    Curation.compactRelease(spark, dir) // leaves v1 superseded everywhere
+    val before = Curation.manifest(spark, dir)
+      .agg(sum("reclaimable_bytes").cast("long")).head().getLong(0)
+    assert(before > 0L, "compaction must leave reclaimable versions")
+    val swept = Curation.sweepRelease(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(Seq("exact", "substring", "minhash", "lm")
+      .forall(c => swept(c)._1 >= 1 && swept(c)._2 > 0L),
+      s"each built family must shed its superseded version: $swept")
+    assert(swept("semantic") === ((0, 0L)), "no semantic index was built")
+    assert(Curation.manifest(spark, dir)
+      .agg(sum("reclaimable_bytes").cast("long")).head().getLong(0) === 0L)
+    // the loop is unharmed: a shard ingests against the swept release
+    val shard = Seq((1000L, "shard", "r7 a b c d e f g h i j k l m n o p q r"),
+        (1001L, "shard", "fresh unique words entirely new content here ok"))
+      .toDF("doc_id", "source", "text")
+    val r = Curation.ingestShard(shard, None, dir, lmMinScore = None)
+    assert(r.kept.select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(1001L), "exact copy must still drop after the sweep")
+  }
+
   test("end-to-end through FpIndex: compact then sweep; probe verdicts " +
       "unchanged and only the compacted version remains") {
     import graft.sim.FpIndex
