@@ -149,6 +149,14 @@ object ExplainAudit {
     // exchange — a join or hash exchange here means the params stopped
     // riding as literals and the 100 TB pipeline-inside-the-scan claim
     // is gone
+    // the classifier's model tables (class centroids + class mass) are
+    // vocabulary/class bounded and must BROADCAST back onto the tf rows;
+    // a sort-merge join here means the corpus is shuffling against its
+    // own model — the exact regression the frozen-model form exists to
+    // avoid at 100 TB
+    ("text_classify", "model joins broadcast (no SMJ against the corpus)",
+      p => "BroadcastHashJoin".r.findAllIn(finalPlan(p)).size >= 2
+        && !finalPlan(p).contains("SortMergeJoin")),
     ("sim_sq_encode", "map-only encode (params as literals, no join)",
       p => !finalPlan(p).contains("Join")
         && !finalPlan(p).contains("Exchange hashpartitioning")),

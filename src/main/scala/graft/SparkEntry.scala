@@ -18,6 +18,7 @@ object SparkEntry {
     ops.SqlFrontend.queries,
     ops.Scalars.queries,
     text.TextOps.queries,
+    text.Classify.queries,
     text.Bpe.queries,
     text.LexIndex.queries,
     text.DecontIndex.queries,
@@ -35,6 +36,7 @@ object SparkEntry {
     ops.SqlFrontend.oracleSql,
     ops.Scalars.oracleSql,
     text.TextOps.oracleSql,
+    text.Classify.oracleSql,
     text.Bpe.oracleSql,
     text.LexIndex.oracleSql,
     text.DecontIndex.oracleSql,

@@ -1,0 +1,126 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Seed-set text classification — the supervised curation primitive
+  * behind "score every crawl doc against labeled domain/quality seed
+  * corpora" (the role fastText linear filters play in CCNet/RefinedWeb
+  * pipelines), re-expressed relationally as CENTROID (Rocchio)
+  * classification (Han & Karypis 2000): a class's model is its token
+  * count vector, and a document's affinity to class s is
+  *
+  *   score(d, s) = Σ_w tf(d, w) · c(w, s)  /  (len(d) · N_s)
+  *
+  * — the dot product of the doc's tf vector with the class centroid,
+  * normalized by doc length and class mass. Predicted = argmax_s with a
+  * deterministic tie-break (score desc, class name asc).
+  *
+  * Chosen over multiplicative Naive Bayes DELIBERATELY: NB needs per-word
+  * log-probability sums, and a float sum's order is unspecified in SQL —
+  * the repo's oracle-exactness discipline (the [[LmScore]] comment)
+  * demands integer per-doc aggregates with ONE fixed IEEE tree at the
+  * end. Here the numerator Σ tf·c is an exact BIGINT sum and the
+  * denominator is one BIGINT product, so the score is a single
+  * exactly-rounded division — bit-identical cross-engine. (At true 100 TB
+  * the integer products stay ≤ 2⁵³ because tf and len are doc-bounded;
+  * the class-mass factor is the one to watch — swap to per-class scaled
+  * centroids if N_s outgrows 2⁵³/len.)
+  *
+  * Scale shape: one corpus-sized tf groupBy; the class-count table is
+  * VOCABULARY × CLASSES bounded and broadcast back onto the tf rows (the
+  * text_lm_score plan family — the corpus never shuffles for the model
+  * join); the per-(doc, class) rollup keys on doc_id — no skew. The
+  * frozen-model form ([[model]] + [[classifyWith]]) is the production
+  * path: train once on the seed sets, broadcast the centroids, classify
+  * every arriving shard map-side + one rollup; OOV words contribute
+  * nothing (left join, SUM skips nulls) — on the self-trained declared
+  * query no OOV exists, so the oracle's inner join is equivalent.
+  */
+object Classify {
+
+  /** Frozen classifier: per-(class, word) counts and per-class mass —
+    * both class-and-vocabulary bounded, never corpus-sized. */
+  final case class Model(classCounts: DataFrame, classMass: DataFrame)
+
+  private def tokens: Column = split(col("text"), " ")
+
+  private def tf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokens).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+
+  private def docLen(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), size(tokens).cast("long").as("n"))
+
+  /** Train on labeled docs (doc_id, text + `labelCol`): the centroids
+    * are plain token counts per class. */
+  def model(docs: DataFrame, labelCol: String = "source"): Model = {
+    val cls = tf(docs)
+      .join(docs.select(col("doc_id"), col(labelCol).as("src")), "doc_id")
+      .groupBy("src", "w").agg(sum("tf").cast("long").as("cw"))
+    val mass = cls.groupBy("src").agg(sum("cw").cast("long").as("ns"))
+    Model(cls, mass)
+  }
+
+  /** All (doc_id, src, score) affinities of `docs` under `m`. */
+  def scores(docs: DataFrame, m: Model): DataFrame =
+    tf(docs)
+      .join(broadcast(m.classCounts), Seq("w"), "left")
+      .filter(col("src").isNotNull) // OOV rows carry no class evidence
+      .groupBy("doc_id", "src")
+      .agg(sum(col("tf") * col("cw")).cast("long").as("num"))
+      .join(docLen(docs), "doc_id")
+      .join(broadcast(m.classMass), "src")
+      .select(col("doc_id"), col("src"),
+        (col("num").cast("double") /
+          (col("n") * col("ns")).cast("double")).as("score"))
+
+  /** Winner per doc: (doc_id, predicted, score), ties broken by class
+    * name — deterministic in both engines. */
+  def classifyWith(docs: DataFrame, m: Model): DataFrame = {
+    val w = Window.partitionBy("doc_id")
+      .orderBy(desc("score"), asc("src"))
+    scores(docs, m)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("src").as("predicted"), col("score"))
+  }
+
+  /** Self-trained corpus classification — the declared form: train on
+    * the corpus's own `source` labels, classify every doc. */
+  def classifyCorpus(docs: DataFrame): DataFrame =
+    classifyWith(docs, model(docs))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_classify" -> ((s, d) =>
+      classifyCorpus(graft.core.Tables.documents(s, d)).orderBy("doc_id"))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    // identical construction: tf -> class centroids -> integer affinity
+    // numerator -> one division -> deterministic argmax. All aggregates
+    // are BIGINT sums; the only float op is the final division of two
+    // exactly-representable integers.
+    "text_classify" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM tok GROUP BY doc_id, w),
+        |len AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM tok GROUP BY doc_id),
+        |cls AS (SELECT d.source AS src, t.w, CAST(SUM(t.tf) AS BIGINT) AS cw
+        |  FROM tf t JOIN documents d USING (doc_id) GROUP BY d.source, t.w),
+        |ntot AS (SELECT src, CAST(SUM(cw) AS BIGINT) AS ns
+        |  FROM cls GROUP BY src),
+        |sc AS (SELECT t.doc_id, c.src, CAST(SUM(t.tf * c.cw) AS BIGINT) AS num
+        |  FROM tf t JOIN cls c ON t.w = c.w GROUP BY t.doc_id, c.src),
+        |r AS (SELECT sc.doc_id, sc.src,
+        |    CAST(sc.num AS DOUBLE) / CAST(len.n * ntot.ns AS DOUBLE) AS score
+        |  FROM sc JOIN len USING (doc_id) JOIN ntot USING (src)),
+        |p AS (SELECT doc_id, src, score, ROW_NUMBER() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, src ASC) AS rn FROM r)
+        |SELECT doc_id, src AS predicted, score FROM p WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,84 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Centroid (Rocchio) seed-set classification ([[Classify]], declared
+  * `text_classify`): the frozen-model shard path equals the self-trained
+  * corpus slice (the production-form transfer argument every index
+  * family uses), OOV words carry no evidence, the scores match a
+  * driver-side model exactly, and the argmax tie-break is
+  * deterministic. */
+class ClassifySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val docs = graft.core.Tables.documents(spark, sfDir)
+    .select("doc_id", "source", "text").localCheckpoint()
+
+  test("scores equal an exact driver-side integer model") {
+    val m = Classify.model(docs)
+    val got = Classify.scores(docs, m).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+
+    val rows = docs.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val cls = scala.collection.mutable.Map.empty[(String, String), Long]
+    val mass = scala.collection.mutable.Map.empty[String, Long]
+    rows.foreach { case (_, src, text) =>
+      text.split(" ", -1).foreach { w =>
+        cls((src, w)) = cls.getOrElse((src, w), 0L) + 1L
+        mass(src) = mass.getOrElse(src, 0L) + 1L
+      }
+    }
+    val classes = mass.keySet.toSeq.sorted
+    var checked = 0
+    rows.foreach { case (id, _, text) =>
+      val toks = text.split(" ", -1)
+      val tf = toks.groupBy(identity).map { case (w, a) => w -> a.length }
+      classes.foreach { s =>
+        val num = tf.map { case (w, t) =>
+          t.toLong * cls.getOrElse((s, w), 0L) }.sum
+        val expect = num.toDouble / (toks.length.toLong * mass(s)).toDouble
+        assert(got((id, s)) === expect, s"doc $id class $s")
+        checked += 1
+      }
+    }
+    assert(checked === rows.length * classes.size)
+  }
+
+  test("frozen-model shard classification ≡ the self-trained corpus " +
+      "restricted to the shard; OOV words carry no evidence") {
+    val m = Classify.model(docs)
+    val whole = Classify.classifyWith(docs, m).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val shard = docs.filter(col("doc_id") % 3 === 0)
+    val got = Classify.classifyWith(shard, m).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got === whole.filter(_._1 % 3 == 0),
+      "shard classification must be the corpus result restricted")
+
+    // an OOV-bearing doc still classifies on its known words alone, and
+    // an ALL-OOV doc yields no evidence rows at all (no class wins by
+    // accident of join type)
+    val known = docs.head().getString(2).split(" ").take(3).mkString(" ")
+    val probe = Seq((900001L, s"zzqx1 zzqx2 $known"), (900002L, "zzqx3 zzqx4"))
+      .toDF("doc_id", "text")
+    val out = Classify.classifyWith(probe, m).collect()
+    assert(out.map(_.getLong(0)).toSet === Set(900001L))
+    assert(out.head.getDouble(2) > 0.0)
+  }
+
+  test("argmax tie-break is deterministic: equal scores pick the " +
+      "lexicographically first class") {
+    // two single-doc classes with identical content -> every probe ties
+    val train = Seq((1L, "sB", "a b c"), (2L, "sA", "a b c"))
+      .toDF("doc_id", "source", "text")
+    val out = Classify.classifyWith(
+      Seq((10L, "a b"), (11L, "c c c")).toDF("doc_id", "text"),
+      Classify.model(train)).collect()
+    assert(out.forall(_.getString(1) == "sA"),
+      s"ties must break by class name: ${out.mkString(",")}")
+  }
+}
