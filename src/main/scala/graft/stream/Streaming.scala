@@ -481,6 +481,22 @@ object Streaming {
     * md5-bucket acceptance makes a replayed batch select the IDENTICAL
     * subset (deterministic in doc_id — replay-safe by construction, the
     * streamRetract posture). */
+  /** Online seed-set classification (B10.27) — classify each arriving
+    * micro-batch against a FROZEN [[graft.text.Classify.Model]] via
+    * [[graft.text.Classify.classifyWith]] VERBATIM (ClassifySpec pins
+    * the frozen-model path ≡ the self-trained corpus slice, which
+    * transfers the declared `text_classify` oracle match here). The
+    * model tables are class/vocabulary bounded and broadcast per batch —
+    * pure map + one batch-sized rollup, no cross-batch state. */
+  def streamClassify(docs: DataFrame, model: graft.text.Classify.Model,
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      if (!batch.isEmpty)
+        sink(graft.text.Classify.classifyWith(batch, model), id)
+    }
+
   /** Online token-budget fill (B10.26) — select each arriving
     * micro-batch's documents into the training mix while their
     * language's quota lasts, via [[graft.text.TextOps.budgetFillShard]]

@@ -70,6 +70,29 @@ class ClassifySpec extends SparkSpec {
     assert(out.head.getDouble(2) > 0.0)
   }
 
+  test("streaming twin: per-batch classification ≡ the batch form") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val m = Classify.model(docs)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val all = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (b1, b2) = all.splitAt(all.length / 2)
+    val sunk = scala.collection.mutable
+      .ArrayBuffer[Set[(Long, String, Double)]]()
+    val stream = MemoryStream[(Long, String)](174, spark, None)
+    val q = graft.stream.Streaming.streamClassify(
+        stream.toDF().toDF("doc_id", "text"), m,
+        (df, _) => sunk += rows(df))
+      .start()
+    stream.addData(b1); q.processAllAvailable()
+    stream.addData(b2); q.processAllAvailable()
+    q.stop()
+    assert(sunk.size === 2)
+    assert(sunk.reduce(_ ++ _) === rows(Classify.classifyWith(docs, m)),
+      "streamed classifications must equal the batch form")
+  }
+
   test("argmax tie-break is deterministic: equal scores pick the " +
       "lexicographically first class") {
     // two single-doc classes with identical content -> every probe ties
