@@ -154,6 +154,15 @@ object ExplainAudit {
     // a sort-merge join here means the corpus is shuffling against its
     // own model — the exact regression the frozen-model form exists to
     // avoid at 100 TB
+    // the phrase query's top-1 bigram must be a TakeOrdered cut (a
+    // global-window rank would single-partition the pair table) and the
+    // winner must ride back as a broadcast — never a shuffle join of the
+    // corpus against a 1-row table
+    ("lex_phrase", "TakeOrdered top-1 + broadcast winner fan-back",
+      p => finalPlan(p).contains("TakeOrderedAndProject")
+        && finalPlan(p).contains("BroadcastHashJoin")
+        && !finalPlan(p).contains("SortMergeJoin")
+        && !finalPlan(p).contains("CartesianProduct")),
     ("text_classify", "model joins broadcast (no SMJ against the corpus)",
       p => "BroadcastHashJoin".r.findAllIn(finalPlan(p)).size >= 2
         && !finalPlan(p).contains("SortMergeJoin")),

@@ -82,8 +82,19 @@ object LexIndex {
         size(tokens).as("dl"))
       .withColumn("pd", docBucket(col("doc_id")))
 
+  /** Position rows for the PHRASE probe: one row per token occurrence
+    * (doc_id, pos, term), term-bucketed like the postings so a phrase
+    * probe statically prunes to its terms' buckets. Adjacency joins key
+    * on (doc_id, pos), so each join's sides are term-sliced — bounded by
+    * the phrase terms' posting mass, never corpus-sized. */
+  private[text] def positionRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+        posexplode(tokens).as(Seq("pos", "term")))
+      .withColumn("pt", termBucket(col("term")))
+
   private val Postings = IndexLifecycle.Table("postings", "pt")
   private val DocLens = IndexLifecycle.Table("doclens", "pd")
+  private val Positions = IndexLifecycle.Table("positions", "pt")
 
   private def writeMeta(spark: SparkSession, root: String,
       nDocs: Long, sumDl: Long, maxId: Long): Unit = {
@@ -101,8 +112,14 @@ object LexIndex {
 
   /** Build and PUBLISH the index from a (doc_id, text) corpus. Live-doc
     * corpus stats (n_docs, Σdl) ride the meta row — avgdl at probe time is
-    * one broadcast literal, not a corpus aggregate. */
-  def writeIndex(docs: DataFrame, dir: String): Unit = {
+    * one broadcast literal, not a corpus aggregate. `withPositions`
+    * (default on, the Lucene posture) adds the positional table behind
+    * [[phraseSearch]]; it is the index's biggest component (one row per
+    * token OCCURRENCE vs per distinct (doc, term) — measured ~2× total
+    * on-disk in dev/lex_volume.json), so a 100 TB deployment that never
+    * phrase-queries should opt out. */
+  def writeIndex(docs: DataFrame, dir: String,
+      withPositions: Boolean = true): Unit = {
     val spark = docs.sparkSession
     val st = docs.agg(count(lit(1)), coalesce(sum(size(tokens)), lit(0L)),
       coalesce(max(col("doc_id").cast("long")), lit(-1L))).head()
@@ -111,6 +128,8 @@ object LexIndex {
     IndexLifecycle.publishVersion(spark, dir) { root =>
       IndexLifecycle.writeTable(postingRows(docs), root, Postings)
       IndexLifecycle.writeTable(docLenRows(docs), root, DocLens)
+      if (withPositions)
+        IndexLifecycle.writeTable(positionRows(docs), root, Positions)
       writeMeta(spark, root, st.getLong(0), st.getLong(1), st.getLong(2))
     }
   }
@@ -123,6 +142,9 @@ object LexIndex {
 
   private def liveDocLens(spark: SparkSession, root: String): DataFrame =
     IndexLifecycle.liveRows(spark, root, DocLens, "doc_id")
+
+  private def livePositions(spark: SparkSession, root: String): DataFrame =
+    IndexLifecycle.liveRows(spark, root, Positions, "doc_id")
 
   /** `text_bm25`'s per-term BM25 weight, verbatim tree (k1 = 1.2,
     * b = 0.75): one fixed sequence of exactly-rounded IEEE ops. */
@@ -253,6 +275,10 @@ object LexIndex {
       IndexLifecycle.requireMonotonic(st.getLong(2), maxSeen, "doc_id")
       IndexLifecycle.appendTable(postingRows(shardDocs), root, Postings)
       IndexLifecycle.appendTable(docLenRows(shardDocs), root, DocLens)
+      // positions follow the build-time choice: appending to a
+      // positionless index stays positionless (and vice versa complete)
+      if (IndexLifecycle.pathExists(spark, s"$root/positions"))
+        IndexLifecycle.appendTable(positionRows(shardDocs), root, Positions)
       writeMeta(spark, root, nDocs + st.getLong(0), sumDl + st.getLong(1),
         st.getLong(3))
     }
@@ -307,6 +333,9 @@ object LexIndex {
     val (_, _, maxId) = readMeta(spark, old)
     IndexLifecycle.publishVersion(spark, dir) { root =>
       IndexLifecycle.compactTable(livePostings(spark, old), root, Postings)
+      if (IndexLifecycle.pathExists(spark, s"$old/positions"))
+        IndexLifecycle.compactTable(livePositions(spark, old), root,
+          Positions)
       val dls = liveDocLens(spark, old).localCheckpoint()
       IndexLifecycle.compactTable(dls, root, DocLens)
       val st = dls.agg(count(lit(1)),
@@ -328,13 +357,92 @@ object LexIndex {
     * `list_reduce(list(w ORDER BY term))` — DuckDB's init-free reduce
     * starts at w₁, Spark's 0.0 + w₁ is exact, and every later step is the
     * same exactly-rounded addition in the same order). */
+  /** Per-doc occurrence counts of an exact k-term phrase over a
+    * position table: anchor on the first term, verify each later term at
+    * pos + i via equi-joins on (doc_id, pos). Every join side is the
+    * phrase terms' position slice — posting-mass bounded. Overlapping
+    * occurrences count ("a a a" contains "a a" twice), matching the
+    * substring semantics a dedup/attribution pass expects. */
+  private def phraseOver(pos: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val p0 = pos.filter(col("term") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    phrase.zipWithIndex.drop(1).foldLeft(p0) { case (acc, (t, i)) =>
+      acc.join(pos.filter(col("term") === t)
+          .select(col("doc_id"), (col("pos") - i).as("pos")),
+        Seq("doc_id", "pos"))
+    }.groupBy("doc_id").agg(count(lit(1)).as("n_occ"))
+  }
+
+  /** Index-served exact-phrase search: (doc_id, n_occ) for every live
+    * doc containing the phrase. The positions scan statically prunes to
+    * the phrase terms' buckets (the same driver-side pure-function
+    * discipline as [[searchTopK]]). */
+  def phraseSearch(spark: SparkSession, dir: String,
+      phrase: Seq[String]): DataFrame = {
+    val root = Versioned.resolveRoot(spark, dir)
+    require(IndexLifecycle.pathExists(spark, s"$root/positions"),
+      s"index at $dir was built withPositions = false — no phrase table")
+    phraseOver(livePositions(spark, root)
+      .filter(col("pt").isin(phrase.map(bucketOfTerm).distinct: _*)),
+      phrase)
+  }
+
+  /** Driver-side twin of [[termBucket]] — xxhash64 seed 42, the Spark
+    * default — so the probe can compute its prune set without a plan. */
+  private def bucketOfTerm(term: String): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      .hash(org.apache.spark.unsafe.types.UTF8String.fromString(term),
+        org.apache.spark.sql.types.StringType, 42L)
+    ((h % IndexParts) + IndexParts).toInt % IndexParts
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lex_search" -> ((s, d) =>
       searchCorpus(graft.core.Tables.documents(s, d),
-        Seq("table", "join", "vector"), 20))
+        Seq("table", "join", "vector"), 20)),
+
+    // Exact-phrase occurrence counts — the query side of the positional
+    // index (LexIndexSpec pins [[phraseSearch]] ≡ this corpus recompute,
+    // which transfers the hash match to the index-served path). The
+    // phrase is the corpus's own most frequent bigram (deterministic
+    // tie-break: count desc, words asc), derived relationally: the
+    // transitions fan-out is the lambda-free text_ngrams shape, the
+    // top-1 is a TakeOrdered (never a global window), and the winner
+    // rides back as a one-row broadcast. Occurrences count transitions
+    // matching the winner — overlap-inclusive, integer-exact.
+    "lex_phrase" -> ((s, d) => {
+      val tr = LmScore.transitions(graft.core.Tables.documents(s, d))
+      val top = tr.groupBy(col("prev").as("w1"), col("cur").as("w2"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), asc("w1"), asc("w2")).limit(1)
+        .select("w1", "w2")
+      tr.join(broadcast(top),
+          col("prev") === col("w1") && col("cur") === col("w2"))
+        .groupBy("doc_id", "w1", "w2")
+        .agg(count(lit(1)).as("n_occ"))
+        .select(col("doc_id"), col("w1"), col("w2"), col("n_occ"))
+        .orderBy("doc_id")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
+    // identical construction: adjacent-pair fan-out, top-1 with the same
+    // tie-break, integer per-doc occurrence counts
+    "lex_phrase" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+        |    unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        |  FROM documents),
+        |tr AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
+        |  FROM tok a JOIN tok b
+        |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        |top AS (SELECT w1, w2 FROM (
+        |    SELECT w1, w2, COUNT(*) AS c FROM tr GROUP BY w1, w2)
+        |  ORDER BY c DESC, w1 ASC, w2 ASC LIMIT 1)
+        |SELECT tr.doc_id, tr.w1, tr.w2, CAST(COUNT(*) AS BIGINT) AS n_occ
+        |FROM tr JOIN top USING (w1, w2)
+        |GROUP BY tr.doc_id, tr.w1, tr.w2 ORDER BY tr.doc_id""".stripMargin,
+
     "lex_search" ->
       """WITH d2 AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         |docs AS (SELECT doc_id, len(ts) AS dl, ts FROM d2),

@@ -197,6 +197,84 @@ class LexIndexSpec extends SparkSpec {
       "postings scan lost its static partition prune")
   }
 
+  test("phrase search: index-served ≡ corpus recompute, overlaps count, " +
+      "k=3 phrases verify positionally, appends and retraction hold") {
+    val dir = tmp("phrase")
+    // hand-built docs with known phrase structure alongside the corpus
+    val extra = Seq(
+      (200L, "table join table join table"), // "table join" ×2 (overlap-adjacent)
+      (201L, "join table join"),             // "table join" ×1
+      (202L, "table merge join"),            // 0 (not adjacent)
+      (203L, "key key key key"))             // "key key" ×3 (overlapping)
+    val docs = df(corpus ++ extra)
+    LexIndex.writeIndex(docs, dir)
+
+    def served(phrase: Seq[String]): Map[Long, Long] =
+      LexIndex.phraseSearch(spark, dir, phrase).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver recompute: count start offsets where the phrase matches
+    def model(phrase: Seq[String]): Map[Long, Long] =
+      (corpus ++ extra).map { case (id, t) =>
+        val ts = t.split(" ")
+        id -> (0 to ts.length - phrase.length).count(i =>
+          phrase.indices.forall(j => ts(i + j) == phrase(j))).toLong
+      }.filter(_._2 > 0).toMap
+
+    val p2 = Seq("table", "join")
+    assert(served(p2) === model(p2))
+    assert(served(p2)(200L) === 2L && served(p2)(201L) === 1L
+      && !served(p2).contains(202L))
+    assert(served(Seq("key", "key"))(203L) === 3L,
+      "overlapping occurrences must all count")
+    val p3 = Seq("table", "join", "table")
+    assert(served(p3) === model(p3))
+    assert(served(p3)(200L) === 2L)
+
+    // append: new docs' phrases are served at shard cost
+    LexIndex.appendIndex(df(Seq((600L, "table join end"))), dir)
+    assert(served(p2)(600L) === 1L)
+    // retraction removes the doc from phrase results immediately
+    LexIndex.retract(spark, dir, Seq(200L))
+    assert(!served(p2).contains(200L))
+    // and compaction keeps the remaining verdicts
+    LexIndex.compactIndex(spark, dir)
+    val after = served(p2)
+    assert(!after.contains(200L) && after(201L) === 1L
+      && after(600L) === 1L)
+  }
+
+  test("a positionless index (withPositions = false) serves BM25 " +
+      "normally and refuses phrase queries loudly") {
+    val dir = tmp("nopos")
+    LexIndex.writeIndex(df(corpus), dir, withPositions = false)
+    assert(LexIndex.searchTopK(spark, dir, Seq("table"), 5).count() === 5L)
+    // appends keep the positionless layout
+    LexIndex.appendIndex(df(Seq((700L, "table join end"))), dir)
+    val e = intercept[IllegalArgumentException] {
+      LexIndex.phraseSearch(spark, dir, Seq("table", "join"))
+    }
+    assert(e.getMessage.contains("withPositions"))
+    // and compaction of a positionless index stays positionless
+    LexIndex.compactIndex(spark, dir)
+    intercept[IllegalArgumentException] {
+      LexIndex.phraseSearch(spark, dir, Seq("table", "join"))
+    }
+  }
+
+  test("plan: the phrase positions scan is statically pruned to the " +
+      "phrase terms' buckets") {
+    val dir = tmp("phraseprune")
+    LexIndex.writeIndex(df(corpus), dir)
+    val res = LexIndex.phraseSearch(spark, dir, Seq("table", "join"))
+    res.collect()
+    val physical = res.queryExecution.executedPlan.toString
+    assert(physical.linesIterator.exists(l =>
+      l.contains("PartitionFilters: [") && l.contains("pt")
+        && (l.contains("INSET") || l.contains(" IN (")
+          || l.contains(" = "))),
+      "positions scan lost its static partition prune")
+  }
+
   test("streaming twin: two micro-batches == sequential appendIndex == " +
       "one rebuild over everything") {
     val dir = tmp("stream")
