@@ -126,6 +126,25 @@ object Curation {
     (cleaned.select("doc_id").localCheckpoint(), rewritten)
   }
 
+  /** Opt-in seed-set class filter (stage 0d, after line cleaning — it
+    * must judge the text AS RELEASED): docs whose predicted class under
+    * the FROZEN [[graft.text.Classify.Model]] is not in `keep` drop
+    * before any dedup stage — the fastText-style domain/quality gate a
+    * crawl release runs, placed ahead of dedup for the same reason as
+    * [[Decont]]: an off-domain doc must never win a dedup cluster and
+    * push an on-domain twin out of the release. The model is EXTERNAL
+    * (trained on labeled seed corpora, never folded). Docs with no
+    * classifiable evidence (every word OOV to every seed class) PASS —
+    * the no-evidence-keeps convention shared by the quality and
+    * semantic stages. */
+  final case class ClassFilter(model: graft.text.Classify.Model,
+      keep: Set[String])
+
+  private def classDrops(docs: DataFrame, cf: ClassFilter): DataFrame =
+    graft.text.Classify.classifyWith(docs, cf.model)
+      .filter(!col("predicted").isin(cf.keep.toSeq: _*))
+      .select("doc_id")
+
   def curate(docs: DataFrame, emb: Option[DataFrame],
       shingleK: Int = SubstringDedup.declaredK, maxDupFrac: Double = 0.5,
       nearDupPairs: DataFrame => DataFrame = minhashPairs(0.8),
@@ -133,7 +152,8 @@ object Curation {
       lloydIters: Int = 3, semCentroids: Option[DataFrame] = None,
       quality: Option[Quality] = None,
       decont: Option[Decont] = None,
-      lineClean: Option[LineClean] = None): Result = {
+      lineClean: Option[LineClean] = None,
+      classFilter: Option[ClassFilter] = None): Result = {
     val ids0 = docs.select("doc_id")
 
     // 0. quality (optional): LM gate against a frozen LM — an anti-join
@@ -159,20 +179,29 @@ object Curation {
     // them ([[LineClean]]); fully-boilerplate docs drop here
     val (idsL, dl) = lineClean.fold((idsD, dd))(lineCleanStage(dd, _))
 
+    // 0d. class filter (optional): per-doc membership against the frozen
+    // seed-set classifier, on the text as released
+    val idsC = classFilter.fold(idsL) { cf =>
+      idsL.join(classDrops(dl, cf), Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+    }
+    val dcf = classFilter.fold(dl)(_ => dl.join(idsC, Seq("doc_id"),
+      "left_semi").localCheckpoint())
+
     // 1. exact: one digest-keyed aggregate; the 8-byte xxhash64 carries the
     // text's equality structure through the exchange (the dedup_exact
     // argument — collisions ≈ n²·2⁻⁶⁵).
-    val ids1 = dl.groupBy(xxhash64(col("text")).as("th"))
+    val ids1 = dcf.groupBy(xxhash64(col("text")).as("th"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id").localCheckpoint()
 
     // 2. substring budget over the stage-1 survivors
-    val d1 = dl.join(ids1, Seq("doc_id"), "left_semi")
+    val d1 = dcf.join(ids1, Seq("doc_id"), "left_semi")
     val ids2 = SubstringDedup.dedupStats(d1, shingleK, maxDupFrac)
       .filter(col("keep")).select("doc_id").localCheckpoint()
 
     // 3. near-dup pairs → components → min-id keep over stage-2 survivors
-    val d2 = dl.join(ids2, Seq("doc_id"), "left_semi")
+    val d2 = dcf.join(ids2, Seq("doc_id"), "left_semi")
     val drop3 = Dedup.clusters(nearDupPairs(d2), "doc_a", "doc_b")
       .filter(!col("keep")).select(col("member").as("doc_id"))
     val ids3 = ids2.join(drop3, Seq("doc_id"), "left_anti").localCheckpoint()
@@ -203,7 +232,9 @@ object Curation {
       (if (quality.isDefined) Seq(("quality", ids0, idsQ)) else Nil) ++
       (if (decont.isDefined) Seq(("decont", idsQ, idsD)) else Nil) ++
       (if (lineClean.isDefined) Seq(("line_clean", idsD, idsL)) else Nil) ++
-      Seq(("exact", idsL, ids1), ("substring", ids1, ids2),
+      (if (classFilter.isDefined) Seq(("class_filter", idsL, idsC))
+       else Nil) ++
+      Seq(("exact", idsC, ids1), ("substring", ids1, ids2),
         ("near_dup", ids2, ids3)) ++
       (if (emb.isDefined) Seq(("semantic", ids3, ids4)) else Nil)
     val ledger = stages.zipWithIndex.map { case ((name, in, out), i) =>
@@ -216,7 +247,7 @@ object Curation {
 
     // kept text is the text the dedup stages judged — CLEANED when the
     // line stage is on (dl = dd otherwise)
-    Result(dl.join(ids4, Seq("doc_id"), "left_semi"), ledger)
+    Result(dcf.join(ids4, Seq("doc_id"), "left_semi"), ledger)
   }
 
   /** The one-row release summary: corpus size, per-stage drops, final keep
@@ -404,7 +435,8 @@ object Curation {
       nprobe: Int = 1, pqMargin: Option[Double] = None,
       lmMinScore: Option[Double] = None,
       decont: Option[Decont] = None,
-      lineClean: Option[LineClean] = None): Result = {
+      lineClean: Option[LineClean] = None,
+      classFilter: Option[ClassFilter] = None): Result = {
     val spark = shard.sparkSession
     val maxSeen = metaOf(spark, dir)
     val bounds = shard.agg(min(col("doc_id").cast("long")),
@@ -446,25 +478,35 @@ object Curation {
     // nothing folds into it here; the caller advances it per shard
     val (idsL, sl) = lineClean.fold((idsD, sd))(lineCleanStage(sd, _))
 
+    // 0d. class filter (optional) — the frozen seed-set classifier
+    // ([[ClassFilter]]), on the text as released; EXTERNAL like the
+    // decont index, nothing ever folds into the model
+    val idsC = classFilter.fold(idsL) { cf =>
+      idsL.join(classDrops(sl, cf), Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+    }
+    val sc = classFilter.fold(sl)(_ => sl.join(idsC, Seq("doc_id"),
+      "left_semi").localCheckpoint())
+
     // 1. exact — within-shard min-id per digest, minus release hits
     // (exactHits already honors the tombstones)
-    val within1 = sl
+    val within1 = sc
       .groupBy(xxhash64(col("text")).as("th"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-    val ids1 = within1.join(exactHits(spark, sl, dir), Seq("doc_id"),
+    val ids1 = within1.join(exactHits(spark, sc, dir), Seq("doc_id"),
       "left_anti").localCheckpoint()
 
     // 2. substring budget over corpus∪shard counts, shard cost (retracted
     // docs left NEGATIVE gram rows — the probe's per-gram sum already
     // excludes them, no tombstone plumbing needed)
-    val d1 = sl.join(ids1, Seq("doc_id"), "left_semi")
+    val d1 = sc.join(ids1, Seq("doc_id"), "left_semi")
     val ids2 = SubstringDedup
       .shardDedupStats(d1, shingleK,
         Versioned.resolveRoot(spark, s"$dir/substring"), maxDupFrac)
       .filter(col("keep")).select("doc_id").localCheckpoint()
 
     // 3. MinHash near-dup against the band index and within the shard
-    val d2 = sl.join(ids2, Seq("doc_id"), "left_semi").localCheckpoint()
+    val d2 = sc.join(ids2, Seq("doc_id"), "left_semi").localCheckpoint()
     val ids3 = IncrementalDedup.dedupShard(spark, d2, "doc_id", "text",
         Versioned.resolveRoot(spark, s"$dir/minhash"), minhashThreshold,
         excludeIds = tomb.map(_.select(col("doc_id").as("id"))))
@@ -495,7 +537,7 @@ object Curation {
     // contract above), verdict already materialized via localCheckpoint.
     // kept text is what the probes judged — CLEANED when the line stage
     // is on (sl = sd otherwise), so the folded digests match the release
-    val kept = sl.join(ids4, Seq("doc_id"), "left_semi").localCheckpoint()
+    val kept = sc.join(ids4, Seq("doc_id"), "left_semi").localCheckpoint()
     digests(kept).write.mode("append").partitionBy("pb")
       .parquet(Versioned.resolveRoot(spark, s"$dir/exact"))
     SubstringDedup.appendShingleIndex(kept, shingleK,
@@ -521,7 +563,9 @@ object Curation {
       (if (lmMinScore.isDefined) Seq(("quality", ids0, idsQ)) else Nil) ++
       (if (decont.isDefined) Seq(("decont", idsQ, idsD)) else Nil) ++
       (if (lineClean.isDefined) Seq(("line_clean", idsD, idsL)) else Nil) ++
-      Seq(("exact", idsL, ids1), ("substring", ids1, ids2),
+      (if (classFilter.isDefined) Seq(("class_filter", idsL, idsC))
+       else Nil) ++
+      Seq(("exact", idsC, ids1), ("substring", ids1, ids2),
         ("near_dup", ids2, ids3)) ++
       (if (emb.isDefined) Seq(("semantic", ids3, ids4)) else Nil)
     val ledger = stages.zipWithIndex.map { case ((name, in, out), i) =>
