@@ -165,6 +165,7 @@ object CurationVolume {
   val BoilerDf = 5        // docs per line in the external line corpus
   val LineMinDf = 3
   val CosThr = 0.99
+  val NSeedPerClass = 50  // labeled seed docs per class (classifier)
 
   /** Deterministic quasi-random unit-free embedding of an id: 16 dims in
     * [-1, 1]. Independent ids give near-orthogonal vectors (16-dim
@@ -184,6 +185,25 @@ object CurationVolume {
 
   private def boilerLine(j: Column): Column = walkText(j + 8000000L)
 
+  /** Spam vocabulary — disjoint from the walk vocabulary, so a spam doc
+    * classifies off-domain with certainty and an in-domain doc carries
+    * zero spam evidence. */
+  private def spamText(seed: Column): Column =
+    concat_ws(" ", (0 until 12).map(k =>
+      concat(lit("buy"), pmod(xxhash64(seed, lit(k)), lit(40L)),
+        lit("now"))): _*)
+
+  /** Labeled seed corpora for the stage-0d classifier: "good" = walks
+    * over the release graph (id range 9M+, disjoint from everything),
+    * "spam" = the junk vocabulary. The trained model is EXTERNAL, the
+    * [[graft.sim.Curation.Decont]] posture. */
+  def seedCorpus(spark: SparkSession): DataFrame =
+    spark.range(NSeedPerClass).select(col("id").as("doc_id"),
+        lit("good").as("source"), walkText(col("id") + 9000000L).as("text"))
+      .unionByName(spark.range(NSeedPerClass).select(
+        (col("id") + NSeedPerClass).as("doc_id"), lit("spam").as("source"),
+        spamText(col("id") + 500L).as("text")))
+
   /** External line-frequency corpus: each of the [[NBoiler]] boilerplate
     * lines appears as the full text of [[BoilerDf]] docs, so its df
     * crosses [[LineMinDf]]; every other line in the universe has df 0. */
@@ -191,7 +211,7 @@ object CurationVolume {
     spark.range(NBoiler.toLong * BoilerDf).select(col("id").as("doc_id"),
       boilerLine(col("id") % NBoiler).as("text"))
 
-  /** Full-stack ingest shard: seven planted categories (one per stage,
+  /** Full-stack ingest shard: EIGHT planted categories (one per stage,
     * category ranges disjoint; reference ids disjoint per shard AND per
     * category) + fresh survivors. The semantic twin carries FRESH text
     * with a COPIED release vector — the only category whose kill is
@@ -210,13 +230,22 @@ object CurationVolume {
           walkText((cat - p) % NBench + 7000000L))
         .when(cat < 3 * p, // 0c line-clean: a boilerplate-only doc
           boilerLine((cat - 2 * p) % NBoiler))
-        .when(cat < 4 * p, walkText(rid)) // 1 exact copy
-        .when(cat < 5 * p, // 2 substring: 16-token prefix
+        .when(cat < 4 * p, // 0d class filter: spam-vocabulary doc.
+          // NOTE it must NOT die earlier: spam words are unique to the
+          // spam class but SHARED across spam docs, so the release LM —
+          // which never folds them — scores them OOV... which is the
+          // quality stage's kill. The spam text therefore rides ON TOP
+          // of a fresh walk (in-graph bigrams dominate the LM score,
+          // spam words dominate the classifier evidence).
+          concat(walkText(col("id") + 300000000L), lit(" "),
+            spamText(col("id"))))
+        .when(cat < 5 * p, walkText(rid)) // 1 exact copy
+        .when(cat < 6 * p, // 2 substring: 16-token prefix
           array_join(slice(split(walkText(rid + p), " "), 1, PrefixLen),
             " "))
-        .when(cat < 6 * p, // 3 minhash: one appended unique token
+        .when(cat < 7 * p, // 3 minhash: one appended unique token
           concat(walkText(rid + 2 * p), lit(" uq"), col("id")))
-        .when(cat < 7 * p, // 4 semantic twin: FRESH text (vector below)
+        .when(cat < 8 * p, // 4 semantic twin: FRESH text (vector below)
           walkText(col("id") + 200000000L))
         .otherwise(walkText(col("id") + 100000000L)) // fresh walk
         .as("text"))
@@ -228,7 +257,7 @@ object CurationVolume {
     // twins that way)
     val emb = spark.range(base, base + shardDocs).select(
       col("id").as("vec_id"),
-      when(cat >= 6 * p && cat < 7 * p, // twin: copy the target's vector
+      when(cat >= 7 * p && cat < 8 * p, // twin: copy the target's vector
         vecOf(rid + 3 * p)).otherwise(vecOf(col("id"))).as("embedding"))
     (docs, emb)
   }
@@ -239,7 +268,7 @@ object CurationVolume {
       shardDocs: Long, plants: Int):
       (Double, Seq[(Map[String, (Long, Long, Long)], Double)], Double,
         Map[String, (Long, Long, Long)], Long, Boolean) = {
-    import graft.text.{DecontIndex, LineIndex}
+    import graft.text.{Classify, DecontIndex, LineIndex}
     val release = releaseCorpus(spark, releaseDocs).localCheckpoint()
     val relEmb = spark.range(releaseDocs).select(col("id").as("vec_id"),
       vecOf(col("id")).as("embedding")).localCheckpoint()
@@ -253,6 +282,8 @@ object CurationVolume {
       s"$dir/bench")
     LineIndex.writeIndex(lineCorpus(spark).localCheckpoint(),
       s"$dir/boiler")
+    val classifier = Classify.model(seedCorpus(spark).localCheckpoint())
+    classifier.classCounts.localCheckpoint()
     Curation.writeIndexes(release, Some(relEmb), s"$dir/rel",
       lmQuality = true)
     val buildSec = (System.nanoTime() - t0) / 1e9
@@ -267,7 +298,8 @@ object CurationVolume {
         maxDupFrac = MaxDupFrac, cosineThreshold = CosThr,
         lmMinScore = Some(LmThr),
         decont = Some(Curation.Decont(s"$dir/bench", DecontMinHits)),
-        lineClean = Some(Curation.LineClean(s"$dir/boiler", LineMinDf)))
+        lineClean = Some(Curation.LineClean(s"$dir/boiler", LineMinDf)),
+        classFilter = Some(Curation.ClassFilter(classifier, Set("good"))))
       (ledgerMap(r.ledger), (System.nanoTime() - t) / 1e9,
         r.kept.localCheckpoint())
     }
@@ -294,20 +326,20 @@ object CurationVolume {
       (runs.map(_._1) :+ post).map(lm => lm("semantic")._3).sum
 
     val p = plants.toLong
-    // six stages are deterministic verdicts — EXACT counts; minhash is
+    // seven stages are deterministic verdicts — EXACT counts; minhash is
     // the banded-LSH recall gate (≥99%); the ledger must arrive in the
-    // 0a/0b/0c-first stage order
-    val order = Seq("quality", "decont", "line_clean", "exact",
-      "substring", "near_dup", "semantic")
+    // 0a/0b/0c/0d-first stage order
+    val order = Seq("quality", "decont", "line_clean", "class_filter",
+      "exact", "substring", "near_dup", "semantic")
     def okShard(lm: Map[String, (Long, Long, Long)]): Boolean = {
       val near = lm("near_dup")._2
       lm.keySet == order.toSet &&
         lm("quality")._2 == p && lm("decont")._2 == p &&
-        lm("line_clean")._2 == p && lm("exact")._2 == p &&
-        lm("substring")._2 == p &&
+        lm("line_clean")._2 == p && lm("class_filter")._2 == p &&
+        lm("exact")._2 == p && lm("substring")._2 == p &&
         near >= (p * 99 + 99) / 100 && near <= p &&
         lm("semantic")._2 == p &&
-        lm("semantic")._3 == shardDocs - 6 * p - near
+        lm("semantic")._3 == shardDocs - 7 * p - near
     }
     val ok = runs.forall(r => okShard(r._1)) && okShard(post) &&
       manifestDocs == expectedDocs && reread == expectedDocs
@@ -355,7 +387,7 @@ object CurationVolume {
       f""""post_compact_kept":${post("near_dup")._3},""" +
       s""""all_drops_accounted":$ok,""" +
       f""""full_stack":{"docs_per_sec":${shardDocs / fsMean}%.0f,""" +
-      f""""stages":7,"build_sec":$fsBuild%.1f,""" +
+      f""""stages":8,"build_sec":$fsBuild%.1f,""" +
       f""""ingest_sec":[${
         fsShards.map(s => f"${s._2}%.1f").mkString(",")}],""" +
       f""""compact_sec":$fsCompact%.1f,""" +

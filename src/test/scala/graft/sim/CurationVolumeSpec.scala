@@ -27,9 +27,10 @@ class CurationVolumeSpec extends SparkSpec {
     assert(ok, s"per-stage accounting failed: ${shards.map(_._1)} / $post")
   }
 
-  test("FULL-STACK release loop at CI scale: all seven stages on " +
-      "(quality + decont + line-clean + exact + substring + minhash + " +
-      "semantic), one planted kill per stage, export verified") {
+  test("FULL-STACK release loop at CI scale: all eight stages on " +
+      "(quality + decont + line-clean + class-filter + exact + " +
+      "substring + minhash + semantic), one planted kill per stage, " +
+      "export verified") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_curvol_fs_ci").toString
     val (buildSec, shards, compactSec, post, exportDocs, ok) =
