@@ -219,7 +219,13 @@ object CurationVolume {
   def fullShard(spark: SparkSession, base: Long, shardDocs: Long,
       plants: Int, shardIdx: Int): (DataFrame, DataFrame) = {
     val p = plants.toLong
-    val rid = (col("id") - base) % 10000L + lit(shardIdx * 4L * p)
+    // stride 8p, not 4p: the four ref-using categories read release ids
+    // rid..rid+3p over cat∈[4p,8p), i.e. blocks {[4p,5p),[6p,7p),[8p,9p),
+    // [10p,11p)}+stride·i — at stride 4p shard i's minhash block
+    // coincided with shard i+1's exact block and its semantic block with
+    // shard i+1's substring block (ADVICE r13); 8p keeps every block
+    // disjoint across shards and categories, max ref id 35p ≪ releaseDocs
+    val rid = (col("id") - base) % 10000L + lit(shardIdx * 8L * p)
     val cat = col("id") - base
     val docs = spark.range(base, base + shardDocs).select(
       col("id").as("doc_id"), lit("shard").as("source"),
@@ -282,8 +288,13 @@ object CurationVolume {
       s"$dir/bench")
     LineIndex.writeIndex(lineCorpus(spark).localCheckpoint(),
       s"$dir/boiler")
-    val classifier = Classify.model(seedCorpus(spark).localCheckpoint())
-    classifier.classCounts.localCheckpoint()
+    // materialize the frozen model ONCE (localCheckpoint returns a new
+    // Dataset — build the Model from the checkpointed frames, ADVICE r13)
+    // so the per-shard class_filter stage re-broadcasts cached rows
+    // instead of re-deriving the centroids from the seed corpus
+    val m0 = Classify.model(seedCorpus(spark).localCheckpoint())
+    val classifier = Classify.Model(m0.classCounts.localCheckpoint(),
+      m0.classMass.localCheckpoint())
     Curation.writeIndexes(release, Some(relEmb), s"$dir/rel",
       lmQuality = true)
     val buildSec = (System.nanoTime() - t0) / 1e9

@@ -30,6 +30,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * it is the fallback for a reader that checked `meta`'s existence just
   * before step 3; the next publish retires it.
   *
+  * RECOVERY path (ADVICE r13): when `meta` is ABSENT at publish time —
+  * the prior publish crashed between steps 3 and 4, so `meta.prev` is
+  * the ONLY committed row — steps 2–3 are skipped and `meta.next` is
+  * renamed straight into place; the stale `meta.prev` is left for the
+  * next publish's step 2. Deleting it first (the old order) opened a
+  * double-crash window with NO committed row anywhere.
+  *
   * Single-writer contract as everywhere in the index layer; readers are
   * unrestricted.
   */
@@ -47,19 +54,24 @@ object Meta {
     val dst = new org.apache.hadoop.fs.Path(s"$root/meta")
     val prev = new org.apache.hadoop.fs.Path(s"$root/meta.prev")
     row.coalesce(1).write.mode("overwrite").parquet(next.toString)
-    fs.delete(prev, true)
-    if (fs.exists(dst))
+    if (fs.exists(dst)) {
+      fs.delete(prev, true)
       require(fs.rename(dst, prev), s"meta retire rename failed under $root")
+    }
     require(fs.rename(next, dst), s"meta publish rename failed under $root")
   }
 
   /** The committed meta as a one-row LOCAL DataFrame: `meta` when
     * present, else the `meta.prev` a publish crashed between retiring
     * and replacing. Also falls back to `meta.prev` when `meta` exists
-    * but cannot be read — the reader raced step 3/4 of a publish and
-    * caught the directory mid-rename. Fully materialized before
-    * returning (it is one row), so later `.head()` calls cannot trip
-    * over a concurrent rename either. */
+    * but VANISHES mid-load — the reader raced step 3/4 of a publish and
+    * caught the directory mid-rename. A `meta` that still exists after
+    * the failed load is genuinely corrupt and the error is RETHROWN
+    * (ADVICE r13: silently serving a stale `meta.prev` high-water mark
+    * would let a replayed shard pass the monotonic guard and
+    * double-fold); fatal throwables (OOM, interrupt) always propagate.
+    * Fully materialized before returning (it is one row), so later
+    * `.head()` calls cannot trip over a concurrent rename either. */
   def read(spark: SparkSession, root: String): DataFrame = {
     val fs = fsOf(spark, root)
     val dst = new org.apache.hadoop.fs.Path(s"$root/meta")
@@ -71,7 +83,12 @@ object Meta {
     }
     if (fs.exists(dst)) {
       try return load(dst)
-      catch { case _: Throwable if fs.exists(prev) => () }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          // fall back only when meta actually vanished (rename race);
+          // a still-present-but-unreadable meta is corruption — surface
+          if (fs.exists(dst) || !fs.exists(prev)) throw e
+      }
     }
     require(fs.exists(prev), s"no committed meta under $root")
     load(prev)

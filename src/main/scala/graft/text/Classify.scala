@@ -34,9 +34,9 @@ import org.apache.spark.sql.functions._
   * join); the per-(doc, class) rollup keys on doc_id — no skew. The
   * frozen-model form ([[model]] + [[classifyWith]]) is the production
   * path: train once on the seed sets, broadcast the centroids, classify
-  * every arriving shard map-side + one rollup; OOV words contribute
-  * nothing (left join, SUM skips nulls) — on the self-trained declared
-  * query no OOV exists, so the oracle's inner join is equivalent.
+  * every arriving shard map-side + one rollup; OOV words carry no class
+  * evidence, so the centroid join is INNER and OOV tf rows drop before
+  * the rollup — exactly the oracle's join shape.
   */
 object Classify {
 
@@ -66,8 +66,7 @@ object Classify {
   /** All (doc_id, src, score) affinities of `docs` under `m`. */
   def scores(docs: DataFrame, m: Model): DataFrame =
     tf(docs)
-      .join(broadcast(m.classCounts), Seq("w"), "left")
-      .filter(col("src").isNotNull) // OOV rows carry no class evidence
+      .join(broadcast(m.classCounts), Seq("w")) // OOV rows drop here
       .groupBy("doc_id", "src")
       .agg(sum(col("tf") * col("cw")).cast("long").as("num"))
       .join(docLen(docs), "doc_id")

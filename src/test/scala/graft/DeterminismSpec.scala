@@ -29,6 +29,19 @@ class DeterminismSpec extends SparkSpec {
       val a = runAll("2")
       val b = runAll("7")
       val differing = a.keys.toSeq.sorted.filter(k => a(k) != b(k))
+      // committed audit trail (VERDICT r13: the suite left no trace in
+      // the sbt log — auditable only by suite arithmetic): one line with
+      // the surface size, the two partitionings, and the verdict,
+      // rewritten by every `sbt test` run. No timestamp — the file only
+      // diffs when the surface or the verdict changes.
+      val art = new java.io.File("dev/determinism.json")
+      art.getParentFile.mkdirs()
+      java.nio.file.Files.write(art.toPath,
+        (s"""{"gate":"DeterminismSpec","n_queries":${a.size},""" +
+          s""""partitionings":[2,7],"compares":"values+order",""" +
+          s""""differing":[${differing.map("\"" + _ + "\"").mkString(",")}],""" +
+          s""""pass":${differing.isEmpty && a.keySet == SparkEntry.queries.keySet}}""" +
+          "\n").getBytes("UTF-8"))
       assert(differing.isEmpty,
         s"partition-dependent output in: ${differing.mkString(", ")}")
       // the declared map IS the surface — no hand-maintained count to rot

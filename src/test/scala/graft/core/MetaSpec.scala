@@ -70,6 +70,41 @@ class MetaSpec extends SparkSpec {
     assert(Meta.read(spark, root).head().getLong(0) === 11L)
   }
 
+  test("recovery publish commits the new meta BEFORE touching meta.prev") {
+    val root = tmp()
+    Meta.write(row(7L), root)
+    // crash state: meta retired to meta.prev, replace never happened —
+    // meta.prev is the ONLY committed row in existence
+    val f = fs(root)
+    assert(f.rename(new org.apache.hadoop.fs.Path(s"$root/meta"),
+      new org.apache.hadoop.fs.Path(s"$root/meta.prev")))
+    Meta.write(row(11L), root)
+    // ADVICE r13: the recovery publish must NOT delete meta.prev before
+    // the new meta is committed (a second crash in that window would
+    // leave zero committed rows). The implementation skips the prev
+    // cleanup entirely on this path — prev stays until the next normal
+    // publish retires it.
+    assert(f.exists(new org.apache.hadoop.fs.Path(s"$root/meta.prev")),
+      "recovery publish must leave the fallback row in place")
+    assert(Meta.read(spark, root).head().getLong(0) === 11L)
+    Meta.write(row(13L), root)
+    assert(Meta.read(spark, root).head().getLong(0) === 13L)
+  }
+
+  test("a corrupt (still-present) meta rethrows instead of serving prev") {
+    val root = tmp()
+    Meta.write(row(7L), root)
+    Meta.write(row(11L), root) // leaves meta.prev = 7
+    // corrupt every parquet data file under meta: the directory still
+    // exists, so this is NOT the rename race — serving prev's stale
+    // high-water mark (7) would let a replayed shard double-fold
+    val dir = new java.io.File(s"$root/meta")
+    dir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { pf =>
+      java.nio.file.Files.write(pf.toPath, Array.fill[Byte](16)(0x5a))
+    }
+    intercept[Exception] { Meta.read(spark, root).head() }
+  }
+
   test("read fails loudly when nothing was ever committed") {
     val root = tmp()
     val e = intercept[IllegalArgumentException] {
