@@ -504,6 +504,98 @@ object ExplainAudit {
       })
   )
 
+  // ------------------------------------------------------------------
+  // Whole-surface structural floor + fingerprint manifest (round 14,
+  // VERDICT r13 #1). The targeted checks above gate ~half the declared
+  // keys; a silent broadcast→SMJ flip or a lost pushdown in an ungated
+  // key passes correctness, determinism, and bench noise undetected. The
+  // sweep below runs EVERY declared query and (a) asserts a structural
+  // floor no key may violate, (b) records a per-key operator fingerprint
+  // into dev/plan_map.json, diffed in ExplainAuditSpec — so ANY
+  // structural plan change anywhere on the surface fails `sbt test`
+  // until it is explicitly committed as intended.
+
+  /** Nodes no declared query's final plan may contain: an unblocked
+    * cartesian product, any Python/Scala UDF evaluation, or typed
+    * object-space operators (the zero-UDF policy — `mapPartitions` is
+    * sanctioned only in the two non-declared sites, KLL build and media
+    * decode, which have no Catalyst equivalent). */
+  private[graft] val bannedNodes: Seq[String] = Seq(
+    "CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+    "FlatMapGroupsInPandas", "MapPartitions", "MapElements",
+    "DeserializeToObject", "UDF(")
+
+  /** Per-key exemptions from the floor — each one a contract row whose
+    * SEMANTICS is the banned node. */
+  private[graft] val floorExempt: Map[String, Set[String]] = Map(
+    "join_cross" -> Set("CartesianProduct")) // B3.8 IS the cross join
+
+  /** (key, banned-node) pairs present in any final plan — must be empty. */
+  def floorViolations(plans: Seq[(String, String)]): Seq[(String, String)] =
+    plans.flatMap { case (name, p) =>
+      val f = finalPlan(p)
+      bannedNodes
+        .filter(b => f.contains(b) &&
+          !floorExempt.getOrElse(name, Set.empty).contains(b))
+        .map(name -> _)
+    }
+
+  /** Structural fingerprint of a final plan: counts of every exchange /
+    * join / aggregate / window / generate / scan node family. Counts are
+    * partitioning-independent (node structure, not partition counts), so
+    * the manifest is stable across local[2]/local[4] and box load. */
+  private[graft] def fingerprint(plan: String): Seq[(String, Int)] = {
+    val f = finalPlan(plan)
+    def n(re: String) = re.r.findAllIn(f).size
+    Seq(
+      "x_hash" -> n("Exchange hashpartitioning"),
+      "x_range" -> n("Exchange rangepartitioning"),
+      "x_single" -> n("Exchange SinglePartition"),
+      "x_bcast" -> n("BroadcastExchange"),
+      "j_bhj" -> n("BroadcastHashJoin"),
+      "j_smj" -> n("SortMergeJoin"),
+      "j_shj" -> n("ShuffledHashJoin"),
+      "j_bnlj" -> n("BroadcastNestedLoopJoin"),
+      "j_cart" -> n("CartesianProduct"),
+      "agg_hash" -> n("HashAggregate"),
+      "agg_obj" -> n("ObjectHashAggregate"),
+      "agg_sort" -> n("SortAggregate"),
+      "win" -> n("\\bWindow\\b"),
+      "wgl" -> n("WindowGroupLimit"),
+      "topk" -> n("TakeOrderedAndProject"),
+      "gen" -> n("\\bGenerate\\b"),
+      "scan" -> n("FileScan"))
+  }
+
+  /** The first real operator of the final plan (under AQE headers). */
+  private[graft] def topOp(plan: String): String =
+    finalPlan(plan).linesIterator
+      .filterNot(l => l.contains("==") || l.contains("AdaptiveSparkPlan")
+        || l.contains("ResultQueryStage") || l.trim.isEmpty)
+      .flatMap(l => "[A-Za-z][A-Za-z0-9]*".r.findFirstIn(l))
+      .nextOption().getOrElse("?")
+
+  /** Run EVERY declared query (collect() so AQE finalizes) and return
+    * (key, executedPlan string) sorted by key. */
+  def allPlans(spark: SparkSession, sfDir: String): Seq[(String, String)] =
+    SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect()
+      name -> df.queryExecution.executedPlan.toString
+    }
+
+  /** Render the manifest: one line per key, zero counts omitted, keys
+    * sorted — a one-key regression is a one-line git diff. */
+  def manifest(plans: Seq[(String, String)]): String = {
+    val rows = plans.map { case (name, p) =>
+      val counts = fingerprint(p).filter(_._2 > 0)
+        .map { case (k, v) => s""""$k":$v""" }.mkString(",")
+      s"""  "$name": {"top":"${topOp(p)}"${
+        if (counts.nonEmpty) "," + counts else ""}}"""
+    }
+    "{\n" + rows.mkString(",\n") + "\n}\n"
+  }
+
   /** Executes each checked query (collect(), so AQE finalizes — codegen
     * spans and reused exchanges only appear in the final plan) and applies
     * its predicate. Returns (query, what, passed, plan). */
@@ -527,6 +619,19 @@ object ExplainAudit {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if (args.lift(1).contains("--map")) {
+      // whole-surface sweep: print floor violations + write the manifest
+      // (for inspection; the COMMITTED dev/plan_map.json is produced by
+      // ExplainAuditSpec under the test session's config)
+      val plans = allPlans(spark, sfDir)
+      val bad = floorViolations(plans)
+      bad.foreach { case (q, node) => println(s"FLOOR  $q: $node") }
+      Artifacts.write("plan_map.json", manifest(plans).stripSuffix("\n"))
+      println(s"MAP ${plans.size} keys, ${
+        if (bad.isEmpty) "FLOOR CLEAN" else s"${bad.size} floor violations"}")
+      spark.stop(); if (bad.nonEmpty) sys.exit(1) else return
+    }
 
     if (args.length > 1) {
       args.drop(1).foreach { name =>

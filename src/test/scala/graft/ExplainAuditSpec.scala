@@ -12,6 +12,82 @@ class ExplainAuditSpec extends SparkSpec {
     }.mkString("\n\n"))
   }
 
+  // Whole-surface gate (round 14): the targeted checks above cover ~half
+  // the declared keys; this sweep runs EVERY key, asserts the structural
+  // floor (no cartesian except join_cross, no UDF / object-space nodes),
+  // and diffs each key's operator fingerprint against the COMMITTED
+  // dev/plan_map.json — a broadcast→SMJ flip or a lost exchange anywhere
+  // on the surface is a failing diff here, never a silent drift. An
+  // INTENDED plan change is accepted by copying the freshly-written
+  // target/plan_map.json over dev/plan_map.json and committing it.
+  test("whole-surface structural floor + committed plan manifest") {
+    val plans = ExplainAudit.allPlans(spark, "/root/testdata/sf0.001")
+    assert(plans.map(_._1) == SparkEntry.queries.keys.toSeq.sorted,
+      "sweep must cover the whole declared surface")
+
+    val bad = ExplainAudit.floorViolations(plans)
+    assert(bad.isEmpty, "structural-floor violations: " + bad.map {
+      case (q, node) => s"$q contains $node" }.mkString(", "))
+
+    val fresh = ExplainAudit.manifest(plans)
+    val freshPath = java.nio.file.Paths.get("target/plan_map.json")
+    java.nio.file.Files.createDirectories(freshPath.getParent)
+    java.nio.file.Files.write(freshPath, fresh.getBytes("UTF-8"))
+
+    val committedPath = java.nio.file.Paths.get("dev/plan_map.json")
+    assert(java.nio.file.Files.exists(committedPath),
+      s"no committed manifest — bootstrap by copying $freshPath to " +
+        s"$committedPath and committing it")
+    val committed = new String(
+      java.nio.file.Files.readAllBytes(committedPath), "UTF-8")
+    if (committed != fresh) {
+      def rows(s: String): Map[String, String] = s.linesIterator
+        .filter(_.contains("\": {")).map { l =>
+          val k = l.trim.stripPrefix("\"").takeWhile(_ != '"'); (k, l.trim)
+        }.toMap
+      val (a, b) = (rows(committed), rows(fresh))
+      val changed = (a.keySet ++ b.keySet).toSeq.sorted
+        .filter(k => a.get(k) != b.get(k))
+        .map(k => s"$k:\n  committed: ${a.getOrElse(k, "(absent)")}\n  " +
+          s"fresh:     ${b.getOrElse(k, "(absent)")}")
+      fail(s"plan manifest drifted for ${changed.size} key(s) — if " +
+        s"intended, copy $freshPath over $committedPath and commit:\n" +
+        changed.mkString("\n"))
+    }
+  }
+
+  // ...and the manifest gate is not vacuous: a deliberately broken plan
+  // (the verdict's example — hint an SMJ onto join_broadcast_inner) must
+  // produce a DIFFERENT fingerprint than the committed one, i.e. the diff
+  // above would catch exactly this regression.
+  test("plan manifest catches a forced SMJ on join_broadcast_inner") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val good = SparkEntry.queries("join_broadcast_inner")(spark, d)
+    good.collect()
+    val goodFp = ExplainAudit.fingerprint(
+      good.queryExecution.executedPlan.toString)
+    assert(goodFp.toMap.apply("j_smj") == 0 && goodFp.toMap.apply("j_bhj") >= 1,
+      "declared query must broadcast")
+
+    // the regression: the same query with the dim's broadcast() hint
+    // replaced by a merge hint — what a dropped hint + lost size estimate
+    // produce at scale
+    import graft.core.Tables
+    val regressed = Tables.customer(spark, d)
+      .join(Tables.nation(spark, d).hint("merge"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "c_name", "n_name")
+      .orderBy("c_custkey")
+    regressed.collect()
+    val fp = ExplainAudit.fingerprint(
+      regressed.queryExecution.executedPlan.toString)
+    assert(fp != goodFp,
+      "forced-SMJ plan must fingerprint differently (manifest diff fires)")
+    assert(fp.toMap.apply("j_smj") >= 1 && fp.toMap.apply("j_bhj") == 0,
+      "the broadcast join must actually be gone in the regressed plan")
+  }
+
   // The fw checks mix negative spellings (!contains("hashpartitioning(
   // event_id")) with positive structure (matcher-once). Negative checks
   // pass vacuously if the spelling ever drifts — so prove the pair is NOT
