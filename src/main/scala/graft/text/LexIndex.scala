@@ -388,6 +388,46 @@ object LexIndex {
       phrase)
   }
 
+  /** Serve a BATCH of phrase queries (qid, phrase array<string>) — the
+    * [[searchTopKBatch]] posture for positions: ONE pruned positions scan
+    * shared by every phrase, no per-term chained joins. The chained
+    * equi-join of [[phraseOver]] is re-expressed as anchor arithmetic —
+    * a position row (doc_id, pos, term) matching phrase offset i votes
+    * for anchor pos − i, and an occurrence is an anchor that collected
+    * ALL |phrase| offsets (each offset matches at most one row per
+    * anchor, so a plain count is exact — duplicate phrase terms
+    * included, since distinct offsets vote from distinct positions).
+    * The offset table rides a broadcast (query-batch bounded); the
+    * anchor rollup keys on (qid, doc_id, anchor) — posting-mass
+    * bounded, never corpus-sized; the static bucket IN stays
+    * driver-safe because distinct `pt` values cap at [[IndexParts]].
+    * Returns (qid, doc_id, n_occ); a phrase with no occurrences (or an
+    * empty phrase) yields no rows for its qid.
+    * LexIndexSpec pins this ≡ per-phrase [[phraseSearch]] at k=2 and
+    * k=3 incl. overlap and duplicate-term phrases. */
+  def phraseSearchBatch(spark: SparkSession, queries: DataFrame,
+      dir: String): DataFrame = {
+    val root = Versioned.resolveRoot(spark, dir)
+    require(IndexLifecycle.pathExists(spark, s"$root/positions"),
+      s"index at $dir was built withPositions = false — no phrase table")
+    val q = queries.select(col("qid").cast("long").as("qid"),
+        posexplode(col("phrase")).as(Seq("i", "term")))
+      .localCheckpoint() // tiny; the prune-set job below must not replan it
+    val qLen = q.groupBy("qid").agg(count(lit(1)).as("len"))
+    val qTerms = q.select("term").distinct()
+    val buckets = qTerms.select(termBucket(col("term")))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val anchors = livePositions(spark, root)
+      .filter(col("pt").isin(buckets: _*))
+      .join(broadcast(q), Seq("term"))
+      .select(col("qid"), col("doc_id"), (col("pos") - col("i")).as("anchor"))
+    anchors.groupBy("qid", "doc_id", "anchor")
+      .agg(count(lit(1)).as("n_terms"))
+      .join(broadcast(qLen), "qid")
+      .filter(col("n_terms") === col("len"))
+      .groupBy("qid", "doc_id").agg(count(lit(1)).as("n_occ"))
+  }
+
   /** Driver-side twin of [[termBucket]] — xxhash64 seed 42, the Spark
     * default — so the probe can compute its prune set without a plan. */
   private def bucketOfTerm(term: String): Int = {
@@ -423,6 +463,25 @@ object LexIndex {
         .agg(count(lit(1)).as("n_occ"))
         .select(col("doc_id"), col("w1"), col("w2"), col("n_occ"))
         .orderBy("doc_id")
+    }),
+
+    // Depth-3 twin (VERDICT r13 #8): the most frequent TRIGRAM, same
+    // derivation and tie-break — exercises the positional chain at k=3
+    // (the corpus form of the three-way positional verify the index path
+    // runs in phraseSearch/phraseSearchBatch).
+    "lex_phrase3" -> ((s, d) => {
+      val tg = LmScore.trigrams(graft.core.Tables.documents(s, d))
+        .select(col("doc_id"), col("w1"), col("w2"), col("cur").as("w3"))
+      val top = tg.groupBy("w1", "w2", "w3")
+        .agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), asc("w1"), asc("w2"), asc("w3")).limit(1)
+        .select("w1", "w2", "w3")
+      tg.join(broadcast(top), Seq("w1", "w2", "w3"))
+        .groupBy("doc_id", "w1", "w2", "w3")
+        .agg(count(lit(1)).as("n_occ"))
+        .select(col("doc_id"), col("w1"), col("w2"), col("w3"),
+          col("n_occ"))
+        .orderBy("doc_id")
     })
   )
 
@@ -442,6 +501,26 @@ object LexIndex {
         |SELECT tr.doc_id, tr.w1, tr.w2, CAST(COUNT(*) AS BIGINT) AS n_occ
         |FROM tr JOIN top USING (w1, w2)
         |GROUP BY tr.doc_id, tr.w1, tr.w2 ORDER BY tr.doc_id""".stripMargin,
+
+    // same construction one step wider: adjacent-triple fan-out, top-1
+    // with the same tie-break, integer per-doc occurrence counts
+    "lex_phrase3" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+        |    unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        |  FROM documents),
+        |tr AS (SELECT a.doc_id, a.w AS w1, b.w AS w2, c.w AS w3
+        |  FROM tok a JOIN tok b
+        |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  JOIN tok c
+        |    ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        |top AS (SELECT w1, w2, w3 FROM (
+        |    SELECT w1, w2, w3, COUNT(*) AS c FROM tr GROUP BY w1, w2, w3)
+        |  ORDER BY c DESC, w1 ASC, w2 ASC, w3 ASC LIMIT 1)
+        |SELECT tr.doc_id, tr.w1, tr.w2, tr.w3,
+        |  CAST(COUNT(*) AS BIGINT) AS n_occ
+        |FROM tr JOIN top USING (w1, w2, w3)
+        |GROUP BY tr.doc_id, tr.w1, tr.w2, tr.w3
+        |ORDER BY tr.doc_id""".stripMargin,
 
     "lex_search" ->
       """WITH d2 AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),

@@ -243,6 +243,46 @@ class LexIndexSpec extends SparkSpec {
       && after(600L) === 1L)
   }
 
+  test("phrase batch serving: one pruned scan ≡ per-phrase phraseSearch, " +
+      "duplicate-term and no-hit phrases included") {
+    import spark.implicits._
+    val dir = tmp("phrasebatch")
+    val extra = Seq(
+      (200L, "table join table join table"),
+      (201L, "join table join"),
+      (203L, "key key key key"))
+    LexIndex.writeIndex(df(corpus ++ extra), dir)
+
+    val batch = Seq(
+      (1L, Seq("table", "join")),           // k=2, overlapping in 200
+      (2L, Seq("table", "join", "table")),  // k=3
+      (3L, Seq("key", "key")),              // duplicate-term phrase
+      (4L, Seq("nosuchterm", "join")))      // no occurrences anywhere
+    val got = LexIndex.phraseSearchBatch(spark,
+        batch.toDF("qid", "phrase"), dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val want = batch.flatMap { case (qid, phrase) =>
+      LexIndex.phraseSearch(spark, dir, phrase).collect()
+        .map(r => (qid, r.getLong(0)) -> r.getLong(1))
+    }.toMap
+    assert(got === want, "batch results must equal the per-phrase path")
+    assert(!got.keySet.exists(_._1 == 4L), "no-hit phrase yields no rows")
+    assert(got((3L, 203L)) === 3L, "overlaps count in the batch path too")
+
+    // the shared positions scan stays statically pruned to the batch's
+    // term buckets (the searchTopKBatch discipline)
+    val res = LexIndex.phraseSearchBatch(spark,
+      batch.toDF("qid", "phrase"), dir)
+    res.collect()
+    val physical = res.queryExecution.executedPlan.toString
+    assert(physical.linesIterator.exists(l =>
+      l.contains("PartitionFilters: [") && l.contains("pt")
+        && (l.contains("INSET") || l.contains(" IN (")
+          || l.contains(" = "))),
+      "batch positions scan lost its static partition prune")
+  }
+
   test("a positionless index (withPositions = false) serves BM25 " +
       "normally and refuses phrase queries loudly") {
     val dir = tmp("nopos")
