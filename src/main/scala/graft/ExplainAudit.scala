@@ -171,6 +171,13 @@ object ExplainAudit {
     ("text_classify", "model joins broadcast (no SMJ against the corpus)",
       p => "BroadcastHashJoin".r.findAllIn(finalPlan(p)).size >= 2
         && !finalPlan(p).contains("SortMergeJoin")),
+    // the hashed form must keep the same broadcast-model shape AND its
+    // bigram fan-out lambda-free (slice+zip, the transitions discipline)
+    ("text_classify_bigram",
+      "broadcast hashed model + lambda-free bigram fan-out, no SMJ",
+      p => "BroadcastHashJoin".r.findAllIn(finalPlan(p)).size >= 2
+        && !finalPlan(p).contains("SortMergeJoin")
+        && !finalPlan(p).contains("lambdafunction")),
     ("sim_sq_encode", "map-only encode (params as literals, no join)",
       p => !finalPlan(p).contains("Join")
         && !finalPlan(p).contains("Exchange hashpartitioning")),

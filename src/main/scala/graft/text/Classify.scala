@@ -31,7 +31,12 @@ import org.apache.spark.sql.functions._
   * Scale shape: one corpus-sized tf groupBy; the class-count table is
   * VOCABULARY × CLASSES bounded and broadcast back onto the tf rows (the
   * text_lm_score plan family — the corpus never shuffles for the model
-  * join); the per-(doc, class) rollup keys on doc_id — no skew. The
+  * join); the per-(doc, class) rollup keys on doc_id — no skew.
+  * BOUNDED-VOCABULARY ASSUMPTION (the LmScore posture): the broadcast
+  * holds while the vocabulary does — a web-scale open vocabulary
+  * outgrows it, and the production hedge is the HASHED-FEATURE form
+  * below ([[modelHashed]]), whose model is [[FeatureBuckets]] × classes
+  * rows — a CONSTANT — at any vocabulary. The
   * frozen-model form ([[model]] + [[classifyWith]]) is the production
   * path: train once on the seed sets, broadcast the centroids, classify
   * every arriving shard map-side + one rollup; OOV words carry no class
@@ -91,9 +96,104 @@ object Classify {
   def classifyCorpus(docs: DataFrame): DataFrame =
     classifyWith(docs, model(docs))
 
+  // --------------------------------------------------------------------
+  // Hashed-feature form (round 14, VERDICT r13 #5) — the actual fastText
+  // recipe (Joulin et al. 2016): features are unigrams AND adjacent
+  // bigrams, hashed into a FIXED bucket space. Two things the unigram
+  // centroid cannot give:
+  //   1. the model is BUCKETS × CLASSES bounded (2²⁰ rows max) no matter
+  //      how large the web-scale vocabulary grows — the broadcast bound
+  //      is a constant, not a corpus property (the unigram form's hedge);
+  //   2. word-order sensitivity — two classes with identical bags of
+  //      words but different adjacencies separate on bigram evidence
+  //      (ClassifySpec plants exactly that corpus).
+  // Counts stay BIGINT and the score stays ONE exactly-rounded division,
+  // so the hashed form is oracle-able — the hash is md5 nibble
+  // arithmetic (the split_assign recipe), NOT xxhash64, because DuckDB
+  // must mirror it byte-for-byte. Collisions are the documented fastText
+  // trade: both engines collide identically, so exactness is unaffected.
+
+  /** Fixed feature-bucket space: 16 bits (65,536 buckets). */
+  val FeatureBuckets = 1 << 16
+
+  /** SQL for the feature bucket of string expression `e` — first four
+    * md5 hex nibbles as an int in [0, [[FeatureBuckets]]); valid in BOTH
+    * Spark SQL and DuckDB (md5 / substr / instr agree). */
+  private[text] def featureBucketSql(e: String): String = {
+    val hx = "'0123456789abcdef'"
+    def nib(i: Int) = s"(instr($hx, substr(md5($e), $i, 1)) - 1)"
+    s"(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)})"
+  }
+
+  /** (doc_id, fb) hashed feature rows: one per token (unigram) plus one
+    * per adjacent pair (bigram) — the fastText feature set. The bigram
+    * fan-out is the lambda-free slice+zip shape ([[LmScore.transitions]]
+    * verbatim). */
+  private def featureRows(docs: DataFrame): DataFrame = {
+    val uni = docs.select(col("doc_id"), explode(tokens).as("feat"))
+    val big = LmScore.transitions(docs)
+      .select(col("doc_id"), concat_ws(" ", col("prev"), col("cur")).as("feat"))
+    uni.unionByName(big)
+      .select(col("doc_id"),
+        expr(featureBucketSql("feat")).cast("long").as("fb"))
+  }
+
+  private def featureTf(docs: DataFrame): DataFrame =
+    featureRows(docs).groupBy("doc_id", "fb")
+      .agg(count(lit(1)).as("tf"))
+
+  /** Per-doc total feature count (n tokens + n−1 bigrams) — the hashed
+    * form's length normalizer, derived from the same feature rows so the
+    * two cannot drift. */
+  private def featureLen(docs: DataFrame): DataFrame =
+    featureRows(docs).groupBy("doc_id")
+      .agg(count(lit(1)).as("n"))
+
+  /** Train hashed-feature centroids: per-(class, bucket) BIGINT counts
+    * and per-class mass — both ≤ [[FeatureBuckets]] × classes rows,
+    * broadcast-safe at ANY vocabulary. */
+  def modelHashed(docs: DataFrame, labelCol: String = "source"): Model = {
+    val cls = featureTf(docs)
+      .join(docs.select(col("doc_id"), col(labelCol).as("src")), "doc_id")
+      .groupBy("src", "fb").agg(sum("tf").cast("long").as("cw"))
+    val mass = cls.groupBy("src").agg(sum("cw").cast("long").as("ns"))
+    Model(cls, mass)
+  }
+
+  /** All (doc_id, src, score) affinities under a hashed model — the
+    * [[scores]] plan shape verbatim (broadcast model, doc-keyed rollup,
+    * one exactly-rounded division). */
+  def scoresHashed(docs: DataFrame, m: Model): DataFrame =
+    featureTf(docs)
+      .join(broadcast(m.classCounts), Seq("fb")) // unseen buckets drop here
+      .groupBy("doc_id", "src")
+      .agg(sum(col("tf") * col("cw")).cast("long").as("num"))
+      .join(featureLen(docs), "doc_id")
+      .join(broadcast(m.classMass), "src")
+      .select(col("doc_id"), col("src"),
+        (col("num").cast("double") /
+          (col("n") * col("ns")).cast("double")).as("score"))
+
+  /** Winner per doc under a hashed model, [[classifyWith]] tie-break. */
+  def classifyHashedWith(docs: DataFrame, m: Model): DataFrame = {
+    val w = Window.partitionBy("doc_id")
+      .orderBy(desc("score"), asc("src"))
+    scoresHashed(docs, m)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("src").as("predicted"), col("score"))
+  }
+
+  /** Self-trained hashed-feature classification — the declared form. */
+  def classifyHashedCorpus(docs: DataFrame): DataFrame =
+    classifyHashedWith(docs, modelHashed(docs))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_classify" -> ((s, d) =>
-      classifyCorpus(graft.core.Tables.documents(s, d)).orderBy("doc_id"))
+      classifyCorpus(graft.core.Tables.documents(s, d)).orderBy("doc_id")),
+    "text_classify_bigram" -> ((s, d) =>
+      classifyHashedCorpus(graft.core.Tables.documents(s, d))
+        .orderBy("doc_id"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -114,6 +214,40 @@ object Classify {
         |  FROM cls GROUP BY src),
         |sc AS (SELECT t.doc_id, c.src, CAST(SUM(t.tf * c.cw) AS BIGINT) AS num
         |  FROM tf t JOIN cls c ON t.w = c.w GROUP BY t.doc_id, c.src),
+        |r AS (SELECT sc.doc_id, sc.src,
+        |    CAST(sc.num AS DOUBLE) / CAST(len.n * ntot.ns AS DOUBLE) AS score
+        |  FROM sc JOIN len USING (doc_id) JOIN ntot USING (src)),
+        |p AS (SELECT doc_id, src, score, ROW_NUMBER() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, src ASC) AS rn FROM r)
+        |SELECT doc_id, src AS predicted, score FROM p WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    // hashed-feature twin: unigram + adjacent-bigram features through
+    // the SAME md5 nibble bucket (the featureBucketSql helper is spliced
+    // into both engines' SQL, so the hash cannot drift), then the
+    // identical BIGINT-numerator / one-division / argmax chain
+    "text_classify_bigram" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+        |    unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        |  FROM documents),
+        |feat AS (
+        |  SELECT doc_id, w AS feat FROM tok
+        |  UNION ALL
+        |  SELECT a.doc_id, a.w || ' ' || b.w AS feat
+        |  FROM tok a JOIN tok b
+        |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        |fbt AS (SELECT doc_id,
+        |    CAST(${featureBucketSql("feat")} AS BIGINT) AS fb FROM feat),
+        |tf AS (SELECT doc_id, fb, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM fbt GROUP BY doc_id, fb),
+        |len AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM fbt GROUP BY doc_id),
+        |cls AS (SELECT d.source AS src, t.fb, CAST(SUM(t.tf) AS BIGINT) AS cw
+        |  FROM tf t JOIN documents d USING (doc_id) GROUP BY d.source, t.fb),
+        |ntot AS (SELECT src, CAST(SUM(cw) AS BIGINT) AS ns
+        |  FROM cls GROUP BY src),
+        |sc AS (SELECT t.doc_id, c.src, CAST(SUM(t.tf * c.cw) AS BIGINT) AS num
+        |  FROM tf t JOIN cls c ON t.fb = c.fb GROUP BY t.doc_id, c.src),
         |r AS (SELECT sc.doc_id, sc.src,
         |    CAST(sc.num AS DOUBLE) / CAST(len.n * ntot.ns AS DOUBLE) AS score
         |  FROM sc JOIN len USING (doc_id) JOIN ntot USING (src)),

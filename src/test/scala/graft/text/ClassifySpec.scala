@@ -93,6 +93,50 @@ class ClassifySpec extends SparkSpec {
       "streamed classifications must equal the batch form")
   }
 
+  test("hashed-bigram model separates word-order classes the unigram " +
+      "centroid provably cannot, at two partitionings") {
+    val n = 20
+    // identical bags of words, different adjacencies: unigram centroids
+    // are equal for both classes, so every unigram score TIES and the
+    // tie-break predicts the lexicographically-first class for every doc
+    // — class "bbb" is 100% misclassified BY CONSTRUCTION. The bigram
+    // features ("alpha beta" ×3 vs ×2) carry the order signal.
+    val planted = ((0 until n).map(i => (i.toLong, "aaa",
+        "alpha beta alpha beta alpha beta")) ++
+      (0 until n).map(i => ((i + n).toLong, "bbb",
+        "beta alpha beta alpha beta alpha")))
+      .toDF("doc_id", "source", "text").localCheckpoint()
+
+    val uni = Classify.classifyCorpus(planted).collect()
+    assert(uni.length === 2 * n && uni.forall(_.getString(1) == "aaa"),
+      "unigram model must tie everywhere (the planted failure mode)")
+
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    def run(parts: String) = {
+      spark.conf.set(key, parts)
+      Classify.classifyHashedCorpus(planted).collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    }
+    try {
+      val a = run("2")
+      val b = run("7")
+      assert(a === b, "hashed classification must be partition-independent")
+      assert((0 until n).forall(i => a(i.toLong)._1 == "aaa"))
+      assert((0 until n).forall(i => a((i + n).toLong)._1 == "bbb"),
+        "bigram evidence must separate the word-order classes")
+    } finally spark.conf.set(key, prev)
+
+    // frozen-model transfer holds for the hashed form too
+    val m = Classify.modelHashed(planted)
+    val whole = Classify.classifyHashedWith(planted, m).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val shard = Classify.classifyHashedWith(
+        planted.filter(col("doc_id") % 2 === 0), m).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(shard === whole.filter(_._1 % 2 == 0))
+  }
+
   test("argmax tie-break is deterministic: equal scores pick the " +
       "lexicographically first class") {
     // two single-doc classes with identical content -> every probe ties
