@@ -205,8 +205,15 @@ object Bpe {
     * fans bins back onto the subword rows by doc_id — no global pass
     * anywhere. */
   def packCorpus(docs: DataFrame, model: Model,
-      binSize: Long = 512L): DataFrame = {
-    val enc = encode(docs, model)
+      binSize: Long = 512L): DataFrame =
+    packEncoded(docs, encode(docs, model), binSize)
+
+  /** The packing stage alone, over any (doc_id, pos, word, subs, n_subs)
+    * encoding — shared by BPE and the unigram tokenizer
+    * ([[Unigram.packCorpus]]), so "encode then pack" cannot drift
+    * between tokenizer families. */
+  private[text] def packEncoded(docs: DataFrame, enc: DataFrame,
+      binSize: Long): DataFrame = {
     val perDoc = enc.groupBy("doc_id")
       .agg(sum("n_subs").cast("long").as("doc_subs"))
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
