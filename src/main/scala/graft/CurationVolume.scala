@@ -268,12 +268,24 @@ object CurationVolume {
     (docs, emb)
   }
 
-  /** Run the seven-stage loop + export; returns (buildSec, per-shard
-    * (ledger, sec), compactSec, postCompactLedger, exportDocs, allOk). */
+  /** One full-stack run's results: per-shard ledgers + wall times, the
+    * MEAN per-stage seconds across shards (the 179-docs/s floor made
+    * legible — VERDICT r13 #3), and the export/accounting verdicts. */
+  final case class FullStack(buildSec: Double,
+      shards: Seq[(Map[String, (Long, Long, Long)], Double)],
+      stageSec: Seq[(String, Double)], compactSec: Double,
+      post: Map[String, (Long, Long, Long)], exportDocs: Long,
+      ok: Boolean)
+
+  /** Run the eight-stage loop + export. `pqM > 0` builds the semantic
+    * index with PQ codes and probes through the ADC prefilter at
+    * `pqMargin` — margin 0.0 is LOSSLESS by the per-row qerr
+    * certificates (SemDedup/Pq, B9.39), so the two modes must produce
+    * IDENTICAL ledgers (CurationVolumeSpec gates that equality; the
+    * artifact records both throughputs). */
   def runFullStack(spark: SparkSession, dir: String, releaseDocs: Long,
-      shardDocs: Long, plants: Int):
-      (Double, Seq[(Map[String, (Long, Long, Long)], Double)], Double,
-        Map[String, (Long, Long, Long)], Long, Boolean) = {
+      shardDocs: Long, plants: Int, pqM: Int = 0,
+      pqMargin: Option[Double] = None): FullStack = {
     import graft.text.{Classify, DecontIndex, LineIndex}
     val release = releaseCorpus(spark, releaseDocs).localCheckpoint()
     val relEmb = spark.range(releaseDocs).select(col("id").as("vec_id"),
@@ -296,9 +308,11 @@ object CurationVolume {
     val classifier = Classify.Model(m0.classCounts.localCheckpoint(),
       m0.classMass.localCheckpoint())
     Curation.writeIndexes(release, Some(relEmb), s"$dir/rel",
-      lmQuality = true)
+      lmQuality = true, pqM = pqM)
     val buildSec = (System.nanoTime() - t0) / 1e9
 
+    val stageAcc = scala.collection.mutable
+      .LinkedHashMap.empty[String, Double]
     def ingest(i: Int): (Map[String, (Long, Long, Long)], Double,
         DataFrame) = {
       val (sdocs, semb) = fullShard(spark, 1000000L * (i + 1), shardDocs,
@@ -307,10 +321,13 @@ object CurationVolume {
       val t = System.nanoTime()
       val r = Curation.ingestShard(sd, Some(se), s"$dir/rel",
         maxDupFrac = MaxDupFrac, cosineThreshold = CosThr,
+        pqMargin = pqMargin,
         lmMinScore = Some(LmThr),
         decont = Some(Curation.Decont(s"$dir/bench", DecontMinHits)),
         lineClean = Some(Curation.LineClean(s"$dir/boiler", LineMinDf)),
-        classFilter = Some(Curation.ClassFilter(classifier, Set("good"))))
+        classFilter = Some(Curation.ClassFilter(classifier, Set("good"))),
+        stageTimer = Some((n, s) =>
+          stageAcc(n) = stageAcc.getOrElse(n, 0.0) + s))
       (ledgerMap(r.ledger), (System.nanoTime() - t) / 1e9,
         r.kept.localCheckpoint())
     }
@@ -354,8 +371,10 @@ object CurationVolume {
     }
     val ok = runs.forall(r => okShard(r._1)) && okShard(post) &&
       manifestDocs == expectedDocs && reread == expectedDocs
-    (buildSec, runs.map(r => (r._1, r._2)), compactSec, post,
-      manifestDocs, ok)
+    val nIngests = (NShards + 1).toDouble
+    FullStack(buildSec, runs.map(r => (r._1, r._2)),
+      stageAcc.toSeq.map { case (n, s) => (n, s / nIngests) },
+      compactSec, post, manifestDocs, ok)
   }
 
   def main(args: Array[String]): Unit = {
@@ -380,11 +399,22 @@ object CurationVolume {
 
     val fsDir = java.nio.file.Files
       .createTempDirectory("graft_curvol_fs").toString
-    val (fsBuild, fsShards, fsCompact, fsPost, fsExport, fsOk) =
-      runFullStack(spark, fsDir, releaseDocs, shardDocs, plants)
-    val fsMean = fsShards.map(_._2).sum / fsShards.size
-    val fsNear = (fsShards.map(_._1) :+ fsPost)
+    val fs = runFullStack(spark, fsDir, releaseDocs, shardDocs, plants)
+    val fsMean = fs.shards.map(_._2).sum / fs.shards.size
+    val fsNear = (fs.shards.map(_._1) :+ fs.post)
       .map(_("near_dup")._2).sum
+
+    // the same loop with the PQ accelerator ON (codes in the semantic
+    // index, ADC prefilter at margin 0 — lossless by the per-row qerr
+    // certificates): the ledgers must be IDENTICAL, only the time may
+    // move (VERDICT r13 #3 — measure the accelerator, don't leave it off)
+    val fsPqDir = java.nio.file.Files
+      .createTempDirectory("graft_curvol_fspq").toString
+    val fsPq = runFullStack(spark, fsPqDir, releaseDocs, shardDocs,
+      plants, pqM = 4, pqMargin = Some(0.0))
+    val fsPqMean = fsPq.shards.map(_._2).sum / fsPq.shards.size
+    val modesAgree =
+      fs.shards.map(_._1) == fsPq.shards.map(_._1) && fs.post == fsPq.post
 
     val line =
       f"""{"metric":"curation_ingest_docs_per_sec","value":${
@@ -398,23 +428,35 @@ object CurationVolume {
       f""""post_compact_kept":${post("near_dup")._3},""" +
       s""""all_drops_accounted":$ok,""" +
       f""""full_stack":{"docs_per_sec":${shardDocs / fsMean}%.0f,""" +
-      f""""stages":8,"build_sec":$fsBuild%.1f,""" +
+      f""""stages":8,"build_sec":${fs.buildSec}%.1f,""" +
       f""""ingest_sec":[${
-        fsShards.map(s => f"${s._2}%.1f").mkString(",")}],""" +
-      f""""compact_sec":$fsCompact%.1f,""" +
+        fs.shards.map(s => f"${s._2}%.1f").mkString(",")}],""" +
+      s""""stage_sec":{${fs.stageSec.map { case (n, s) =>
+        f""""$n":$s%.1f""" }.mkString(",")}},""" +
+      f""""compact_sec":${fs.compactSec}%.1f,""" +
       f""""near_recall":${fsNear.toDouble / nearPlanted}%.4f,""" +
-      f""""export_docs":$fsExport,""" +
-      s""""all_drops_accounted":$fsOk}}"""
+      f""""export_docs":${fs.exportDocs},""" +
+      s""""all_drops_accounted":${fs.ok}},""" +
+      f""""full_stack_pq":{"pq_m":4,"pq_margin":0.0,""" +
+      f""""docs_per_sec":${shardDocs / fsPqMean}%.0f,""" +
+      f""""build_sec":${fsPq.buildSec}%.1f,""" +
+      s""""stage_sec":{${fsPq.stageSec.map { case (n, s) =>
+        f""""$n":$s%.1f""" }.mkString(",")}},""" +
+      s""""ledgers_identical_to_float_mode":$modesAgree,""" +
+      s""""all_drops_accounted":${fsPq.ok}}}"""
     println(line)
     Artifacts.write("curation_volume.json", line)
     spark.stop()
-    if (!ok || !fsOk) {
+    if (!ok || !fs.ok || !fsPq.ok || !modesAgree) {
       shards.zipWithIndex.foreach { case ((lm, _), i) =>
         System.err.println(s"[curvol] shard $i ledger: $lm") }
       System.err.println(s"[curvol] post-compact ledger: $post")
-      fsShards.zipWithIndex.foreach { case ((lm, _), i) =>
+      fs.shards.zipWithIndex.foreach { case ((lm, _), i) =>
         System.err.println(s"[curvol] full-stack shard $i ledger: $lm") }
-      System.err.println(s"[curvol] full-stack post ledger: $fsPost")
+      System.err.println(s"[curvol] full-stack post ledger: ${fs.post}")
+      fsPq.shards.zipWithIndex.foreach { case ((lm, _), i) =>
+        System.err.println(s"[curvol] PQ-mode shard $i ledger: $lm") }
+      System.err.println(s"[curvol] PQ-mode post ledger: ${fsPq.post}")
       System.err.println("[curvol] CONTRACT MISS"); sys.exit(1)
     }
   }

@@ -436,8 +436,20 @@ object Curation {
       lmMinScore: Option[Double] = None,
       decont: Option[Decont] = None,
       lineClean: Option[LineClean] = None,
-      classFilter: Option[ClassFilter] = None): Result = {
+      classFilter: Option[ClassFilter] = None,
+      stageTimer: Option[(String, Double) => Unit] = None): Result = {
     val spark = shard.sparkSession
+    // per-stage wall clock (CurationVolume's breakdown): every stage's
+    // verdict ends in an EAGER localCheckpoint, so timing the block is
+    // timing the stage's actual work, not lazy plan construction
+    def timed[T](name: String)(f: => T): T = stageTimer match {
+      case None => f
+      case Some(cb) =>
+        val t = System.nanoTime()
+        val r = f
+        cb(name, (System.nanoTime() - t) / 1e9)
+        r
+    }
     val maxSeen = metaOf(spark, dir)
     val bounds = shard.agg(min(col("doc_id").cast("long")),
       max(col("doc_id").cast("long"))).head()
@@ -451,70 +463,84 @@ object Curation {
     // `dir/lm` ([[writeIndexes]](lmQuality = true)), resolved BEFORE any
     // append so the verdict is against the pre-shard release; survivors'
     // counts fold in at the end, keeping the LM = the release's LM
-    val idsQ = lmMinScore.fold(ids0) { thr =>
-      ids0.join(
-          qualityDrops(shard, Quality(
-            graft.text.LmScore.readLm(spark, s"$dir/lm"), thr)),
-          Seq("doc_id"), "left_anti")
-        .localCheckpoint()
+    val (idsQ, sq) = timed("quality") {
+      val i = lmMinScore.fold(ids0) { thr =>
+        ids0.join(
+            qualityDrops(shard, Quality(
+              graft.text.LmScore.readLm(spark, s"$dir/lm"), thr)),
+            Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+      }
+      (i, lmMinScore.fold(shard)(_ => shard.join(i, Seq("doc_id"),
+        "left_semi").localCheckpoint()))
     }
-    val sq = lmMinScore.fold(shard)(_ => shard.join(idsQ, Seq("doc_id"),
-      "left_semi").localCheckpoint())
 
     // 0b. decontamination (optional) — the shard probed against the
     // EXTERNAL benchmark gram index ([[Decont]]); nothing ever folds
     // back into it, so unlike the release LM there is no append step
-    val idsD = decont.fold(idsQ) { dc =>
-      idsQ.join(decontDrops(sq, dc), Seq("doc_id"), "left_anti")
-        .localCheckpoint()
+    val (idsD, sd) = timed("decont") {
+      val i = decont.fold(idsQ) { dc =>
+        idsQ.join(decontDrops(sq, dc), Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+      }
+      (i, decont.fold(sq)(_ => shard.join(i, Seq("doc_id"),
+        "left_semi").localCheckpoint()))
     }
-    val sd = decont.fold(sq)(_ => shard.join(idsD, Seq("doc_id"),
-      "left_semi").localCheckpoint())
 
     // 0c. line cleaning (optional) — the shard is REWRITTEN without its
     // boilerplate lines before any probe ([[LineClean]]): the release
     // indexes hold digests of CLEANED text, so the probe must compare
     // like with like. The line index is EXTERNAL ([[Decont]] posture) —
     // nothing folds into it here; the caller advances it per shard
-    val (idsL, sl) = lineClean.fold((idsD, sd))(lineCleanStage(sd, _))
+    val (idsL, sl) = timed("line_clean") {
+      lineClean.fold((idsD, sd))(lineCleanStage(sd, _))
+    }
 
     // 0d. class filter (optional) — the frozen seed-set classifier
     // ([[ClassFilter]]), on the text as released; EXTERNAL like the
     // decont index, nothing ever folds into the model
-    val idsC = classFilter.fold(idsL) { cf =>
-      idsL.join(classDrops(sl, cf), Seq("doc_id"), "left_anti")
-        .localCheckpoint()
+    val (idsC, sc) = timed("class_filter") {
+      val i = classFilter.fold(idsL) { cf =>
+        idsL.join(classDrops(sl, cf), Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+      }
+      (i, classFilter.fold(sl)(_ => sl.join(i, Seq("doc_id"),
+        "left_semi").localCheckpoint()))
     }
-    val sc = classFilter.fold(sl)(_ => sl.join(idsC, Seq("doc_id"),
-      "left_semi").localCheckpoint())
 
     // 1. exact — within-shard min-id per digest, minus release hits
     // (exactHits already honors the tombstones)
-    val within1 = sc
-      .groupBy(xxhash64(col("text")).as("th"))
-      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-    val ids1 = within1.join(exactHits(spark, sc, dir), Seq("doc_id"),
-      "left_anti").localCheckpoint()
+    val ids1 = timed("exact") {
+      val within1 = sc
+        .groupBy(xxhash64(col("text")).as("th"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      within1.join(exactHits(spark, sc, dir), Seq("doc_id"),
+        "left_anti").localCheckpoint()
+    }
 
     // 2. substring budget over corpus∪shard counts, shard cost (retracted
     // docs left NEGATIVE gram rows — the probe's per-gram sum already
     // excludes them, no tombstone plumbing needed)
-    val d1 = sc.join(ids1, Seq("doc_id"), "left_semi")
-    val ids2 = SubstringDedup
-      .shardDedupStats(d1, shingleK,
-        Versioned.resolveRoot(spark, s"$dir/substring"), maxDupFrac)
-      .filter(col("keep")).select("doc_id").localCheckpoint()
+    val ids2 = timed("substring") {
+      val d1 = sc.join(ids1, Seq("doc_id"), "left_semi")
+      SubstringDedup
+        .shardDedupStats(d1, shingleK,
+          Versioned.resolveRoot(spark, s"$dir/substring"), maxDupFrac)
+        .filter(col("keep")).select("doc_id").localCheckpoint()
+    }
 
     // 3. MinHash near-dup against the band index and within the shard
-    val d2 = sc.join(ids2, Seq("doc_id"), "left_semi").localCheckpoint()
-    val ids3 = IncrementalDedup.dedupShard(spark, d2, "doc_id", "text",
-        Versioned.resolveRoot(spark, s"$dir/minhash"), minhashThreshold,
-        excludeIds = tomb.map(_.select(col("doc_id").as("id"))))
-      .select("doc_id").localCheckpoint()
+    val ids3 = timed("near_dup") {
+      val d2 = sc.join(ids2, Seq("doc_id"), "left_semi").localCheckpoint()
+      IncrementalDedup.dedupShard(spark, d2, "doc_id", "text",
+          Versioned.resolveRoot(spark, s"$dir/minhash"), minhashThreshold,
+          excludeIds = tomb.map(_.select(col("doc_id").as("id"))))
+        .select("doc_id").localCheckpoint()
+    }
 
     // 4. semantic probe of the survivors' vectors against the IVF index;
     // vectorless docs pass through ([[curate]]'s stage-4 contract)
-    val ids4 = emb match {
+    val ids4 = timed("semantic") { emb match {
       case None => ids3
       case Some(e) =>
         val vecs = e
@@ -531,33 +557,36 @@ object Curation {
         val drop4 = vecs.select(col("vec_id").as("doc_id"))
           .join(keptVec, Seq("doc_id"), "left_anti")
         ids3.join(drop4, Seq("doc_id"), "left_anti").localCheckpoint()
-    }
+    } }
 
     // fold the SURVIVORS into every index (the-index-is-the-release
     // contract above), verdict already materialized via localCheckpoint.
     // kept text is what the probes judged — CLEANED when the line stage
     // is on (sl = sd otherwise), so the folded digests match the release
-    val kept = sc.join(ids4, Seq("doc_id"), "left_semi").localCheckpoint()
-    digests(kept).write.mode("append").partitionBy("pb")
-      .parquet(Versioned.resolveRoot(spark, s"$dir/exact"))
-    SubstringDedup.appendShingleIndex(kept, shingleK,
-      Versioned.resolveRoot(spark, s"$dir/substring"))
-    IncrementalDedup.appendIndex(kept, "doc_id", "text",
-      Versioned.resolveRoot(spark, s"$dir/minhash"))
-    emb.foreach { e =>
-      SemDedup.appendIndex(
-        e.join(kept.select(col("doc_id").as("vec_id")), Seq("vec_id"),
-          "left_semi"),
-        s"$dir/semantic")
+    val kept = timed("fold_in") {
+      val k = sc.join(ids4, Seq("doc_id"), "left_semi").localCheckpoint()
+      digests(k).write.mode("append").partitionBy("pb")
+        .parquet(Versioned.resolveRoot(spark, s"$dir/exact"))
+      SubstringDedup.appendShingleIndex(k, shingleK,
+        Versioned.resolveRoot(spark, s"$dir/substring"))
+      IncrementalDedup.appendIndex(k, "doc_id", "text",
+        Versioned.resolveRoot(spark, s"$dir/minhash"))
+      emb.foreach { e =>
+        SemDedup.appendIndex(
+          e.join(k.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+            "left_semi"),
+          s"$dir/semantic")
+      }
+      // survivors' n-gram counts fold into the release LM (mergeable
+      // counts — [[graft.text.LmScore.appendLm]]), so the next shard is
+      // judged against "the release including this shard", exactly like
+      // every other stage index
+      if (lmMinScore.isDefined)
+        graft.text.LmScore.appendLm(k.select("doc_id", "text"),
+          s"$dir/lm")
+      if (!bounds.isNullAt(1)) writeMetaOf(spark, dir, bounds.getLong(1))
+      k
     }
-    // survivors' n-gram counts fold into the release LM (mergeable
-    // counts — [[graft.text.LmScore.appendLm]]), so the next shard is
-    // judged against "the release including this shard", exactly like
-    // every other stage index
-    if (lmMinScore.isDefined)
-      graft.text.LmScore.appendLm(kept.select("doc_id", "text"),
-        s"$dir/lm")
-    if (!bounds.isNullAt(1)) writeMetaOf(spark, dir, bounds.getLong(1))
 
     val stages =
       (if (lmMinScore.isDefined) Seq(("quality", ids0, idsQ)) else Nil) ++
