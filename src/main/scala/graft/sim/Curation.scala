@@ -649,7 +649,22 @@ object Curation {
       tomb.fold(df)(t =>
         df.join(t.select(col("doc_id").as(on)), Seq(on), "left_anti"))
     compact(s"$dir/exact", dropTomb("doc_id"), Some("pb"))
-    compact(s"$dir/minhash", dropTomb("id"), Some("pb"))
+    // the minhash index is TWO tables under one versioned root (the
+    // slim-bands layout, IncrementalDedup.withBucket note): compact both
+    // into the same new version, one file per partition each, pointer
+    // flip last
+    locally {
+      val path = s"$dir/minhash"
+      val root = Versioned.resolveRoot(spark, path)
+      val version = Versioned.nextVersion(spark, path)
+      dropTomb("id")(spark.read.parquet(s"$root/bands"))
+        .repartition(col("pb")).write.mode("overwrite")
+        .partitionBy("pb").parquet(s"$path/$version/bands")
+      dropTomb("id")(spark.read.parquet(s"$root/toks"))
+        .repartition(col("pt")).write.mode("overwrite")
+        .partitionBy("pt").parquet(s"$path/$version/toks")
+      Versioned.publish(spark, path, version)
+    }
     compact(s"$dir/substring",
       _.groupBy("gh").agg(sum(col("nd")).as("nd"))
         .filter(col("nd") =!= 0L),

@@ -12,14 +12,17 @@ import org.apache.spark.sql.functions._
   * Mechanics: at corpus-build time, [[writeIndex]] persists the MinHash
   * band table (band keys are a pure function of each document —
   * [[MinHash.bandTable]] is shared with the batch self-join, so index and
-  * probe can never drift), hash-partitioned on disk by a bucket of the band
-  * key. At shard time, [[dedupShard]] probes the shard's band keys against
-  * the index: the equi-join carries the partition bucket, so dynamic
-  * partition pruning reads ONLY the index partitions holding matching band
-  * keys (runtime `SubqueryBroadcast dynamicpruning` on the index scan —
-  * plan-gated in DedupSpec). At 100 TB the index is the big side and this
-  * pruning is the whole point: a daily shard touches the band buckets its
-  * own documents hash into, never the full index.
+  * probe can never drift) as a SLIM collision table hash-partitioned by a
+  * bucket of the band-key hash, with the verify-side token sets in a
+  * separate once-per-doc table (layout note on [[withBucket]]). At shard
+  * time, [[dedupShard]] probes the shard's band keys against the index:
+  * the equi-join carries the partition bucket, so the scan reads ONLY the
+  * index partitions holding matching band keys (static IN prune,
+  * plan-gated in DedupSpec), the collision shuffle carries 8-byte hashes,
+  * and token arrays are fetched only for colliding candidates. At 100 TB
+  * the index is the big side and this is the whole point: a shard probe's
+  * heavy-column traffic is bounded by its collisions, never by the
+  * corpus's token mass.
   *
   * Semantics — equal to whole-corpus dedup restricted to the shard,
   * PROVIDED every shard id is greater than every corpus id (the natural
@@ -48,9 +51,37 @@ object IncrementalDedup {
     * target partition size. */
   val IndexParts = 32
 
+  /** Index LAYOUT (round 14 — measured on the full-stack curation
+    * profile, where the near-dup probe was the dominant stage): TWO
+    * tables instead of one.
+    *
+    *   path/bands  (id, band_id, bkh, pb) — SLIM collision rows: `bkh`
+    *               is the 8-byte xxhash64 of the band key, replacing the
+    *               r-slot key STRING, and `toks` no longer rides along.
+    *               The old single-table form duplicated every document's
+    *               token array once PER BAND (8×), so every probe
+    *               shuffled 8 copies of the corpus's token mass; the
+    *               probe-side collision join now moves ~28 bytes/row.
+    *               A bkh collision between distinct band keys only
+    *               CREATES A CANDIDATE, which the exact-Jaccard verify
+    *               then rejects — correctness is untouched.
+    *   path/toks   (id, toks, pt) — the verify payload ONCE per doc,
+    *               fetched only for ids that actually collide (the
+    *               candidate join is collision-bounded, never
+    *               corpus-bounded). pt = id-hash bucket, for one-file-
+    *               per-partition compaction.
+    */
   private def withBucket(banded: DataFrame): DataFrame =
-    banded.withColumn("pb",
-      pmod(xxhash64(col("band_key")), lit(IndexParts)).cast("int"))
+    banded
+      .withColumn("bkh", xxhash64(col("band_key")))
+      .withColumn("pb", pmod(col("bkh"), lit(IndexParts)).cast("int"))
+
+  private def toksRows(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+        MinHash.tokSet(col(textCol)).as("toks"))
+      .withColumn("pt", pmod(xxhash64(col("id")), lit(IndexParts))
+        .cast("int"))
 
   /** The probe-side band table `(id, toks, band_id, band_key, pb)` — a pure
     * per-row transform (no shuffle, no state), which is what makes it legal
@@ -68,10 +99,14 @@ object IncrementalDedup {
     * included, since a shard doc matching ANY corpus member must drop. */
   def writeIndex(corpus: DataFrame, idCol: String, textCol: String,
       path: String, numHashes: Int = 32, bands: Int = 8,
-      shingleK: Int = 3): Unit =
+      shingleK: Int = 3): Unit = {
     withBucket(MinHash.bandTable(corpus, idCol, textCol, numHashes, bands,
         shingleK))
-      .write.mode("overwrite").partitionBy("pb").parquet(path)
+      .select("id", "band_id", "bkh", "pb")
+      .write.mode("overwrite").partitionBy("pb").parquet(s"$path/bands")
+    toksRows(corpus, idCol, textCol)
+      .write.mode("overwrite").partitionBy("pt").parquet(s"$path/toks")
+  }
 
   /** Fold one ingested shard into the persisted index at SHARD cost — the
     * write half of the probe→drop→fold-in production loop ([[ingestShard]]),
@@ -90,10 +125,14 @@ object IncrementalDedup {
     * [[graft.ops.QuantileSketch]] append discipline. */
   def appendIndex(shard: DataFrame, idCol: String, textCol: String,
       path: String, numHashes: Int = 32, bands: Int = 8,
-      shingleK: Int = 3): Unit =
+      shingleK: Int = 3): Unit = {
     withBucket(MinHash.bandTable(shard, idCol, textCol, numHashes, bands,
         shingleK))
-      .write.mode("append").partitionBy("pb").parquet(path)
+      .select("id", "band_id", "bkh", "pb")
+      .write.mode("append").partitionBy("pb").parquet(s"$path/bands")
+    toksRows(shard, idCol, textCol)
+      .write.mode("append").partitionBy("pt").parquet(s"$path/toks")
+  }
 
   /** The complete ingest step: dedupe `shard` against the index (and
     * itself), fold the shard into the index, return the kept rows. The
@@ -132,17 +171,30 @@ object IncrementalDedup {
     val probe = probeBands(shard, idCol, textCol, numHashes, bands, shingleK)
       .localCheckpoint()
     val buckets = probe.select("pb").distinct().collect().map(_.getInt(0)).toSeq
-    val index0 = spark.read.parquet(indexPath)
+    val bands0 = spark.read.parquet(s"$indexPath/bands")
       .filter(col("pb").isin(buckets: _*))
     // retraction support (round 12): tombstoned corpus ids must not hit
-    val index = excludeIds.fold(index0)(ex =>
-      index0.join(ex.select(col("id")), Seq("id"), "left_anti"))
-    probe.alias("p").join(index.alias("i"),
-        col("p.pb") === col("i.pb")
-          && col("p.band_id") === col("i.band_id")
-          && col("p.band_key") === col("i.band_key"))
-      .select(col("p.id").as("id"),
-        MinHash.exactJaccard(col("p.toks"), col("i.toks")).as("jaccard"))
+    val bandsIdx = excludeIds.fold(bands0)(ex =>
+      bands0.join(ex.select(col("id")), Seq("id"), "left_anti"))
+    // 1. collision join on SLIM rows — the shuffle carries 8-byte band
+    //    hashes, never token arrays; distinct (probe, corpus) pairs so a
+    //    multi-band collision is verified once, not once per band
+    val cand = probe
+      .select(col("id").as("pid"), col("band_id"), col("bkh"), col("pb"))
+      .join(bandsIdx.select(col("id").as("iid"), col("band_id"),
+        col("bkh"), col("pb")), Seq("pb", "band_id", "bkh"))
+      .select("pid", "iid").distinct()
+    // 2. fetch the verify payload only for ids that actually collided
+    //    (candidate-bounded), then the SAME exact-Jaccard verify as the
+    //    batch pipeline
+    val corpusToks = spark.read.parquet(s"$indexPath/toks")
+    cand
+      .join(corpusToks.select(col("id").as("iid"),
+        col("toks").as("itoks")), Seq("iid"))
+      .join(probe.select(col("id").as("pid"), col("toks"))
+        .dropDuplicates("pid"), Seq("pid"))
+      .select(col("pid").as("id"),
+        MinHash.exactJaccard(col("toks"), col("itoks")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .select("id").distinct()
   }

@@ -44,6 +44,12 @@ object MinHash {
     size(array_intersect(tokA, tokB)).cast("double") /
       size(array_union(tokA, tokB))
 
+  /** The verify-side token set — ONE definition shared by [[bandTable]]
+    * and the slim index's toks table ([[IncrementalDedup.writeIndex]]),
+    * so the two can never drift. */
+  private[sim] def tokSet(text: Column): Column =
+    array_distinct(split(text, " "))
+
   /** Near-duplicate pairs via banded LSH + exact verification, in the
     * deterministic (id_a, id_b) order a report wants. Pipelines that
     * consume the pairs as a GRAPH (connected components in [[Dedup]])
@@ -94,7 +100,7 @@ object MinHash {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val base = docs.select(col(idCol).as("id"),
-      array_distinct(split(col(textCol), " ")).as("toks"),
+      tokSet(col(textCol)).as("toks"),
       signature(shingles(col(textCol), shingleK), numHashes).as("sig"))
     // band key: the r-slot slice of the signature, joined to one string
     base.select(col("id"), col("toks"),

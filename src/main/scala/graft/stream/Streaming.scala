@@ -123,26 +123,38 @@ object Streaming {
     * probe's on identical input. */
   def streamCorpusDupFlags(docs: DataFrame, indexPath: String,
       threshold: Double = 0.8, numHashes: Int = 32, bands: Int = 8,
-      shingleK: Int = 3): DataFrame =
+      shingleK: Int = 3): DataFrame = {
+    val s = docs.sparkSession
     probeAgainstIndex(docs,
-      docs.sparkSession.read.parquet(indexPath),
+      s.read.parquet(s"$indexPath/bands"),
+      s.read.parquet(s"$indexPath/toks"),
       threshold, numHashes, bands, shingleK)
+  }
 
   /** The probe join itself, static-DataFrame-typed on the index side so
     * [[streamCorpusDupFlags]] (fixed snapshot) and
     * [[streamCorpusDupFlagsLive]] (fresh read per batch) share one body —
-    * the same cannot-drift discipline as `probeBands`. */
-  private def probeAgainstIndex(docs: DataFrame, index: DataFrame,
-      threshold: Double, numHashes: Int, bands: Int,
+    * the same cannot-drift discipline as `probeBands`. Two stream-static
+    * joins (round 14, the slim-index layout): collide on the 8-byte band
+    * hashes, then fetch the verify token sets only for colliding corpus
+    * ids — both stateless equi-joins, so the no-state contract above is
+    * unchanged, and so is the per-colliding-band multiplicity (no
+    * `distinct`, which would be a stateful op on a stream). */
+  private def probeAgainstIndex(docs: DataFrame, bandsIdx: DataFrame,
+      toksIdx: DataFrame, threshold: Double, numHashes: Int, bands: Int,
       shingleK: Int): DataFrame = {
     val probe = graft.sim.IncrementalDedup.probeBands(docs, "doc_id", "text",
       numHashes, bands, shingleK)
-    probe.alias("p").join(index.alias("i"),
+    probe.alias("p").join(bandsIdx.alias("i"),
         col("p.pb") === col("i.pb")
           && col("p.band_id") === col("i.band_id")
-          && col("p.band_key") === col("i.band_key"))
+          && col("p.bkh") === col("i.bkh"))
       .select(col("p.id").as("doc_id"), col("i.id").as("dup_of"),
-        graft.sim.MinHash.exactJaccard(col("p.toks"), col("i.toks"))
+        col("p.toks"))
+      .join(toksIdx.select(col("id").as("dup_of"),
+        col("toks").as("itoks")), Seq("dup_of"))
+      .select(col("doc_id"), col("dup_of"),
+        graft.sim.MinHash.exactJaccard(col("toks"), col("itoks"))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
@@ -163,8 +175,10 @@ object Streaming {
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
-      val index = batch.sparkSession.read.parquet(indexPath)
-      sink(probeAgainstIndex(batch, index,
+      val s = batch.sparkSession
+      sink(probeAgainstIndex(batch,
+        s.read.parquet(s"$indexPath/bands"),
+        s.read.parquet(s"$indexPath/toks"),
         threshold, numHashes, bands, shingleK), id)
     }
 

@@ -99,9 +99,12 @@ class CurationRetractSpec extends SparkSpec {
     assert(spark.read.parquet(pub(s"$dir/exact"))
       .filter(col("doc_id").isin(1, 3)).count() === 0L,
       "compaction must drop the tombstoned digests")
-    assert(spark.read.parquet(pub(s"$dir/minhash"))
+    assert(spark.read.parquet(s"${pub(s"$dir/minhash")}/bands")
       .filter(col("id").isin(1, 3)).count() === 0L,
       "compaction must drop the tombstoned band rows")
+    assert(spark.read.parquet(s"${pub(s"$dir/minhash")}/toks")
+      .filter(col("id").isin(1, 3)).count() === 0L,
+      "compaction must drop the tombstoned verify payloads too")
     assert(spark.read
       .parquet(s"${SemDedup.resolveRoot(spark, s"$dir/semantic")}/assigned")
       .filter(col("vec_id").isin(1, 3)).count() === 0L,
