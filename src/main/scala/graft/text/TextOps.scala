@@ -236,6 +236,23 @@ object TextOps {
       .na.fill(0L, Seq("n_tokens")))
   }
 
+  /** The budget fill metered by the UNIGRAM-LM tokenizer ([[Unigram]],
+    * B9.62) — the second tokenizer family's bill, same selection
+    * mechanics (docs with no tokens cost 0, OOV chars still tokenize —
+    * the kernel's fallback keeps encode total). A pipeline that meters
+    * budgets must bill in the tokenizer the trainer will actually run,
+    * and the two families segment differently (TextOpsSpec proves this
+    * meter diverges from the BPE bill on the same corpus and model
+    * budgets). */
+  def budgetSampleUnigram(docs: DataFrame,
+      model: Unigram.Model): DataFrame = {
+    val perDoc = Unigram.encode(docs, model)
+      .groupBy("doc_id").agg(sum("n_subs").cast("long").as("n_tokens"))
+    budgetSelect(docs.select(col("doc_id"), col("lang"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_tokens")))
+  }
+
   private def budgetSampleBy(docs: DataFrame, meter: Column): DataFrame =
     budgetSelect(docs.select(col("doc_id"), col("lang"),
       meter.as("n_tokens")))

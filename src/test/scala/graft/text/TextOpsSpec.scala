@@ -100,6 +100,48 @@ class TextOpsSpec extends SparkSpec {
     assert(selFull.subsetOf(ids(TextOps.budgetSample(docs))))
   }
 
+  test("unigram-metered budget: fill ≡ a driver replay of the Viterbi " +
+      "bill + quota selection, and the two tokenizer bills diverge") {
+    import org.apache.spark.sql.graftexpr.UnigramEncodeExpr
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val uModel = Unigram.train(docs, targetMultis = 30)
+    val sel = TextOps.budgetSampleUnigram(docs, uModel).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(sel.nonEmpty)
+
+    // driver replay: the kernel's pure-JVM entry point bills each word
+    val table = UnigramEncodeExpr.PieceTable(uModel.pieces)
+    def bill(text: String): Long =
+      text.split(" ", -1).map(w => UnigramEncodeExpr.encode(
+        org.apache.spark.unsafe.types.UTF8String.fromString(w), table)
+        .numElements().toLong).sum
+    val all = docs.select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), bill(r.getString(2))))
+    val weight = TextOps.mixWeights.toMap
+    val expected = all.groupBy(_._2).toSeq.flatMap { case (lang, rows) =>
+      val quota = TextOps.quotaOf(
+        weight.getOrElse(lang, TextOps.mixDefault))
+      var cum = 0L
+      rows.sortBy(_._1).flatMap { case (id, _, n) =>
+        cum += n
+        if (cum <= quota) Some((id, lang, n, cum, quota)) else None
+      }
+    }
+    assert(sel.sortBy(_._1) === expected.sortBy(_._1),
+      "engine fill must equal the driver replay row for row")
+
+    // the whole point of carrying both families: their bills differ on
+    // the same corpus at comparable model budgets — a budget metered in
+    // the wrong tokenizer over/under-charges
+    val bModel = Bpe.train(docs, 30)
+    val bpeBill = TextOps.budgetSampleBpe(docs, bModel).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(sel.exists { case (id, _, n, _, _) =>
+      bpeBill.get(id).exists(_ != n) },
+      "unigram and BPE bills must diverge somewhere on this corpus")
+  }
+
   test("bpe-metered budget: fill ≡ an independent driver replay of the " +
       "trained tokenizer and the quota selection") {
     import org.apache.spark.sql.graftexpr.BpeEncodeExpr
