@@ -369,6 +369,14 @@ object ExplainAudit {
       p => p.contains("TakeOrderedAndProject")
         && "HashAggregate".r.findAllIn(finalPlan(p)).size >= 2
         && !p.contains("Join") && !p.contains("lambdafunction")),
+    // unigram seed stats: the two substring-window fan-outs must stay
+    // generates (no lambda, no join), the candidate count partial+final,
+    // the top-100 a TakeOrdered cut
+    ("text_unigram_seed",
+      "lambda-free window fan-out + partial agg + TakeOrdered",
+      p => p.contains("TakeOrderedAndProject")
+        && "HashAggregate".r.findAllIn(finalPlan(p)).size >= 2
+        && !p.contains("Join") && !p.contains("lambdafunction")),
     // the trigram chain adds two more LM tables (tri + the context
     // bigram view) — five broadcasts onto one fan-out, still no SMJ
     ("text_lm3_score", "broadcast trigram chain + two-phase rollup, no SMJ",

@@ -20,6 +20,7 @@ object SparkEntry {
     text.TextOps.queries,
     text.Classify.queries,
     text.Bpe.queries,
+    text.Unigram.queries,
     text.LexIndex.queries,
     text.DecontIndex.queries,
     text.SubstringDedup.queries,
@@ -38,6 +39,7 @@ object SparkEntry {
     text.TextOps.oracleSql,
     text.Classify.oracleSql,
     text.Bpe.oracleSql,
+    text.Unigram.oracleSql,
     text.LexIndex.oracleSql,
     text.DecontIndex.oracleSql,
     text.SubstringDedup.oracleSql,

@@ -79,9 +79,12 @@ object Unigram {
   /** All substrings of 1..[[MaxPieceLen]] code points of every distinct
     * word, with freq-weighted occurrence counts — the seed candidate
     * table (vocabulary-bounded fan-out: ≤ MaxPieceLen rows per word
-    * character). (piece, n, cp_len). */
+    * character). (piece, n, cp_len). Empty words (double-space tokens)
+    * are filtered BEFORE the start fan-out: `sequence(1, 0)` would
+    * descend, not vanish. */
   private[text] def seedCandidates(wf: DataFrame): DataFrame =
     wf.select(col("freq"), charsOf(col("word")).as("cs"))
+      .filter(size(col("cs")) >= 1 && col("cs").getItem(0) =!= "")
       .select(col("freq"), col("cs"),
         explode(sequence(lit(1), size(col("cs")))).as("start"))
       .select(col("freq"), col("cs"), col("start"),
@@ -191,4 +194,48 @@ object Unigram {
   def packCorpus(docs: DataFrame, model: Model,
       binSize: Long = 512L): DataFrame =
     Bpe.packEncoded(docs, encode(docs, model), binSize)
+
+  /** The seed-candidate statistics as a declared, oracle-checked query —
+    * the [[Bpe.queries]] `text_bpe_pairs` posture: training itself is
+    * TEST-gated (float likelihoods, §7.5.7), but the exact integer table
+    * the FIRST training step reads is hash-checkable, anchoring the
+    * whole family's fan-out (code-point chars, substring windows,
+    * freq-weighted counts) against an independent engine. Top-100 by
+    * (count desc, piece asc) — piece determines its own length, so the
+    * tie-break is total. */
+  def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+      org.apache.spark.sql.DataFrame] = Map(
+    "text_unigram_seed" -> ((s, d) =>
+      seedCandidates(Bpe.wordFreq(graft.core.Tables.documents(s, d)))
+        .select(col("piece"), col("len").cast("long").as("len"), col("n"))
+        .orderBy(desc("n"), asc("piece"))
+        .limit(100)))
+
+  def oracleSql: Map[String, String] = Map(
+    // identical construction: word counts → per-code-point split (RE2
+    // spells the same replacement; trim strips only the injected
+    // trailing space — words are space-split upstream, so none occur
+    // inside) → substring windows of 1..MaxPieceLen code points →
+    // freq-weighted counts
+    "text_unigram_seed" ->
+      s"""WITH wf AS (SELECT w AS word, COUNT(*) AS freq FROM
+        |  (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w),
+        |cs AS (SELECT freq, string_split(
+        |    trim(regexp_replace(word, '(?s)(.)', '\\1 ', 'g')), ' ')
+        |    AS chars FROM wf),
+        |ok AS (SELECT * FROM cs WHERE len(chars) >= 1 AND chars[1] != ''),
+        |st AS (SELECT freq, chars,
+        |    unnest(range(1, len(chars) + 1)) AS start FROM ok),
+        |pc AS (SELECT freq,
+        |    array_to_string(list_slice(chars, start, start + l - 1), '')
+        |      AS piece, l
+        |  FROM (SELECT freq, chars, start,
+        |      unnest(range(1, least($MaxPieceLen, len(chars) - start + 1)
+        |        + 1)) AS l
+        |    FROM st))
+        |SELECT piece, CAST(l AS BIGINT) AS len,
+        |  CAST(SUM(freq) AS BIGINT) AS n
+        |FROM pc GROUP BY piece, l
+        |ORDER BY n DESC, piece ASC LIMIT 100""".stripMargin)
 }
