@@ -531,6 +531,42 @@ object Streaming {
         sink(graft.text.TextOps.budgetFillShard(batch, statePath), id)
     }
 
+  /** Online subword encoding against the PUBLISHED tokenizer (B10.28) —
+    * each micro-batch of (doc_id, text) documents encoded by the model
+    * at `dir` ([[graft.text.TokenizerStore]]), RE-RESOLVED from the
+    * Versioned pointer per batch inside foreachBatch: a retrained
+    * tokenizer republished mid-stream takes effect at the next batch
+    * boundary, atomically — a batch sees vocab N or vocab N+1, never
+    * half a merge list (the streamLmScore pointer discipline). Stateless
+    * map-side work once the model broadcasts; encoding is a pure
+    * function of (doc, model), so at-least-once replays are idempotent
+    * per (doc_id, pos). TokenizerStoreSpec pins batch-≡-stream and the
+    * republish visibility for BOTH tokenizer families. */
+  def streamEncodeBpe(docs: DataFrame, dir: String,
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      if (!batch.isEmpty) {
+        val m = graft.text.TokenizerStore.readBpe(batch.sparkSession, dir)
+        sink(graft.text.Bpe.encode(batch, m), id)
+      }
+    }
+
+  /** [[streamEncodeBpe]] for the unigram-LM family (B10.29) — same
+    * pointer re-resolution, same idempotence argument. */
+  def streamEncodeUnigram(docs: DataFrame, dir: String,
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      if (!batch.isEmpty) {
+        val m = graft.text.TokenizerStore
+          .readUnigram(batch.sparkSession, dir)
+        sink(graft.text.Unigram.encode(batch, m), id)
+      }
+    }
+
   def streamDsir(docs: DataFrame, rawLmDir: String, targetLmDir: String,
       sink: (DataFrame, Long) => Unit,
       minCount: Long = graft.text.LmScore.MinCount)

@@ -1,0 +1,78 @@
+package graft.text
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.core.Versioned
+
+/** Versioned persistence for FROZEN tokenizer models — the production
+  * form the other model-bearing families already have (LM counts,
+  * classifier centroids ride index tables; the tokenizers lived only as
+  * driver-side Seqs until round 14). A training pipeline retrains its
+  * tokenizer rarely but must ship the change atomically: every consumer
+  * (budget metering B9.33/B9.61, corpus packing, the encode stream) must
+  * flip from vocab N to vocab N+1 at a batch boundary, never read half a
+  * merge list.
+  *
+  * Layout: one parquet table per published version under the
+  * [[graft.core.Versioned]] `_CURRENT`-pointer discipline — a republish
+  * writes a COMPLETE v<N+1> and flips the pointer last, so a reader
+  * racing a retrain sees the old model or the new one, never a mix; a
+  * crash mid-write leaves inert debris [[Versioned.sweep]] reclaims.
+  *
+  *  - BPE:     (rank, x, y)   — the ORDERED merge list; order IS the
+  *              model (the encode replay applies merges in training
+  *              order), so rank is materialized as a column and read
+  *              back under an explicit sort.
+  *  - unigram: (piece, n)     — the count table ([[Unigram.Model]]);
+  *              piece probabilities derive from the BIGINT counts in
+  *              the kernel, so persisting counts (not floats) keeps the
+  *              store exact and the round-trip an identity.
+  *
+  * Reads COLLECT the table — deliberately: tokenizer models are
+  * driver-resident by design everywhere in this engine (they broadcast
+  * into kernels as task-shared reference objects), and both tables are
+  * vocabulary-bounded, never corpus-sized. TokenizerStoreSpec pins
+  * round-trip identity, atomic-flip visibility, debris inertness, and
+  * the streaming twins' republish-at-batch-boundary semantics. */
+object TokenizerStore {
+
+  def writeBpe(model: Bpe.Model, dir: String,
+      spark: SparkSession): Unit = {
+    import spark.implicits._
+    val version = Versioned.nextVersion(spark, dir)
+    model.merges.zipWithIndex
+      .map { case ((x, y), r) => (r, x, y) }
+      .toDF("rank", "x", "y")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/$version")
+    Versioned.publish(spark, dir, version)
+  }
+
+  def readBpe(spark: SparkSession, dir: String): Bpe.Model = {
+    val root = Versioned.resolveRoot(spark, dir)
+    Bpe.Model(spark.read.parquet(root)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq)
+  }
+
+  def writeUnigram(model: Unigram.Model, dir: String,
+      spark: SparkSession): Unit = {
+    import spark.implicits._
+    val version = Versioned.nextVersion(spark, dir)
+    // the inventory order is immaterial to the kernel (a piece's score
+    // depends only on its own count), but it is materialized as `ord`
+    // anyway so the round-trip is an IDENTITY, not just an equivalence
+    model.pieces.zipWithIndex
+      .map { case ((p, n), o) => (o, p, n) }
+      .toDF("ord", "piece", "n")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/$version")
+    Versioned.publish(spark, dir, version)
+  }
+
+  def readUnigram(spark: SparkSession, dir: String): Unigram.Model = {
+    val root = Versioned.resolveRoot(spark, dir)
+    Unigram.Model(spark.read.parquet(root)
+      .orderBy("ord").collect()
+      .map(r => (r.getString(1), r.getLong(2))).toSeq)
+  }
+}
