@@ -511,6 +511,21 @@ object Streaming {
         sink(graft.text.Classify.classifyWith(batch, model), id)
     }
 
+  /** [[streamClassify]] for the hashed-bigram model (round 14 — the
+    * `text_classify_bigram` form): identical posture, and the model is
+    * buckets × classes bounded, so the per-batch broadcast is a CONSTANT
+    * at any vocabulary — the variant that stays broadcast-safe on a
+    * web-scale stream. */
+  def streamClassifyHashed(docs: DataFrame,
+      model: graft.text.Classify.Model,
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      if (!batch.isEmpty)
+        sink(graft.text.Classify.classifyHashedWith(batch, model), id)
+    }
+
   /** Online token-budget fill (B10.26) — select each arriving
     * micro-batch's documents into the training mix while their
     * language's quota lasts, via [[graft.text.TextOps.budgetFillShard]]

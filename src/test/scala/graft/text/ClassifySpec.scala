@@ -91,6 +91,21 @@ class ClassifySpec extends SparkSpec {
     assert(sunk.size === 2)
     assert(sunk.reduce(_ ++ _) === rows(Classify.classifyWith(docs, m)),
       "streamed classifications must equal the batch form")
+
+    // the hashed-model twin shares the posture — one-pass pin
+    val mh = Classify.modelHashed(docs)
+    val hsunk = scala.collection.mutable
+      .ArrayBuffer[Set[(Long, String, Double)]]()
+    val hstream = MemoryStream[(Long, String)](175, spark, None)
+    val hq = graft.stream.Streaming.streamClassifyHashed(
+        hstream.toDF().toDF("doc_id", "text"), mh,
+        (df, _) => hsunk += rows(df))
+      .start()
+    hstream.addData(all.toSeq); hq.processAllAvailable()
+    hq.stop()
+    assert(hsunk.reduce(_ ++ _) ===
+      rows(Classify.classifyHashedWith(docs.select("doc_id", "text"), mh)),
+      "streamed hashed classifications must equal the batch form")
   }
 
   test("hashed-bigram model separates word-order classes the unigram " +
