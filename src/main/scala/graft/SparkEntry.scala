@@ -25,6 +25,7 @@ object SparkEntry {
     text.DecontIndex.queries,
     text.SubstringDedup.queries,
     sim.Similarity.queries,
+    sim.EmbedFp.queries,
     sim.Dedup.queries,
     sim.Curation.queries,
     sim.Eval.queries
@@ -44,6 +45,7 @@ object SparkEntry {
     text.DecontIndex.oracleSql,
     text.SubstringDedup.oracleSql,
     sim.Similarity.oracleSql,
+    sim.EmbedFp.oracleSql,
     sim.Dedup.oracleSql,
     sim.Curation.oracleSql,
     sim.Eval.oracleSql

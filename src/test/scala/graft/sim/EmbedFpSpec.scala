@@ -1,0 +1,100 @@
+package graft.sim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Hyperplane-LSH embedding fingerprints ([[EmbedFp]]): the banded
+  * near-dup join ≡ a brute-force Hamming model (pigeonhole recall +
+  * exact verify), the encode is partitioning-independent, geometric
+  * identities hold exactly (copy → hamming 0, negation → hamming 63),
+  * and the fingerprints feed the persisted [[FpIndex]] loop unchanged.
+  */
+class EmbedFpSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val Dim = 64
+
+  // deterministic corpus: 40 base vectors + 10 planted near-copies
+  // (tiny relative perturbation — a near-dup in angle, so fingerprints
+  // land within a few bits) + 5 exact copies + 2 negations
+  private lazy val vecs: Seq[(Long, Seq[Double])] = {
+    val rnd = new scala.util.Random(42)
+    val base = (0L until 40L).map(i =>
+      (i, Seq.fill(Dim)(rnd.nextGaussian())))
+    val near = (0 until 10).map { j =>
+      val (_, v) = base(j * 3)
+      (100L + j, v.map(x => x * (1.0 + 0.01 * rnd.nextGaussian())))
+    }
+    val copies = (0 until 5).map(j => (200L + j, base(j * 7)._2))
+    val negs = (0 until 2).map(j => (300L + j, base(j * 11)._2.map(-_)))
+    base ++ near ++ copies ++ negs
+  }
+
+  private lazy val emb: DataFrame =
+    vecs.toDF("vec_id", "embedding")
+
+  private def fpMap: Map[Long, Long] =
+    EmbedFp.fingerprints(emb, Dim).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def brutePairs(fps: Map[Long, Long], r: Int): Set[(Long, Long, Int)] = {
+    val ids = fps.keys.toSeq.sorted
+    (for {
+      a <- ids; b <- ids if a < b
+      h = java.lang.Long.bitCount(fps(a) ^ fps(b)) if h <= r
+    } yield (a, b, h)).toSet
+  }
+
+  test("banded near-dup pairs == brute-force hamming join (planted corpus)") {
+    val fps = fpMap
+    val expected = brutePairs(fps, EmbedFp.DeclaredRadius)
+    assert(expected.nonEmpty, "planted corpus must produce near pairs")
+    // exact copies are in there at hamming 0
+    assert(expected.exists(_._3 == 0))
+    val got = EmbedFp.nearDupPairs(emb, Dim).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === expected)
+  }
+
+  test("geometric identities: copy -> 0 bits, negation -> 63 bits") {
+    val fps = fpMap
+    (0 until 5).foreach { j =>
+      assert(fps(200L + j) === fps(j * 7L), s"exact copy $j")
+    }
+    (0 until 2).foreach { j =>
+      val h = java.lang.Long.bitCount(fps(300L + j) ^ fps(j * 11L))
+      assert(h === 63, s"negation flips every sign bit (got $h)")
+    }
+  }
+
+  test("encode is partitioning-independent") {
+    val a = EmbedFp.fingerprints(emb.repartition(2), Dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val b = EmbedFp.fingerprints(emb.repartition(7), Dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(a === b)
+  }
+
+  test("fingerprints feed the persisted FpIndex loop unchanged") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("embedfp_idx").toString
+    val corpus = emb.filter(col("vec_id") < 100)
+    val shard = emb.filter(col("vec_id") >= 100)
+    FpIndex.writeIndex(EmbedFp.fingerprints(corpus, Dim), dir,
+      maxHamming = EmbedFp.DeclaredRadius)
+    val got = FpIndex.probe(spark, EmbedFp.fingerprints(shard, Dim), dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val fps = fpMap
+    val expected = (for {
+      s <- fps.keys if s >= 100L
+      c <- fps.keys if c < 100L
+      h = java.lang.Long.bitCount(fps(s) ^ fps(c))
+        if h <= EmbedFp.DeclaredRadius
+    } yield (s, c, h)).toSet
+    assert(expected.nonEmpty) // the planted copies/near-copies
+    assert(got === expected)
+  }
+}
