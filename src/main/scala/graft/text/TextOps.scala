@@ -335,6 +335,82 @@ object TextOps {
     s"substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN (${
       hexChars(w).map(c => s"'$c'").mkString(", ")})"
 
+  /** `sample_quality_bucket`'s middle-tercile keep rate, in sixteenths
+    * (the md5-nibble draw every sampler here uses): head keeps all,
+    * middle keeps 8/16, tail drops — the CCNet keep-head+sampled-middle
+    * shape. */
+  private val MiddleKeepSixteenths = 8
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2019 §4.3): score
+    * every document with the corpus-trained LM ([[LmScore.score]] — the
+    * oracled bit-exact scorer), split EACH LANGUAGE into head/middle/tail
+    * score terciles (ntile over (lm_score DESC, doc_id) — a total order,
+    * so the split is deterministic and cross-engine), and keep head fully
+    * + middle at the md5-nibble rate. Output one row per scored doc with
+    * its bucket and keep verdict — the sampler is an AUDITABLE TABLE, not
+    * a filter, so the drop ledger is first-class.
+    *
+    * Scale shape: the LM scoring is the text_lm_score plan (vocabulary-
+    * bounded broadcasts, one corpus rollup); the ntile windows sort only
+    * the SLIM (doc_id, lang, score) projection per language. The
+    * production/shard form is [[qualityBucketByCuts]] — freeze the
+    * corpus's tercile boundary scores once, bucket every future shard
+    * map-side against the broadcast cuts (the frozen-LM posture: the
+    * release's terciles are the terciles). */
+  private[graft] def qualityBuckets(docs: DataFrame): DataFrame = {
+    val scored = LmScore.score(docs, LmScore.lmFrom(docs))
+      .select(col("doc_id"), col("lm_score"))
+    val t3 = ntile(3).over(Window.partitionBy("lang")
+      .orderBy(col("lm_score").desc, col("doc_id")))
+    val nib = substring(md5(col("doc_id").cast("string")), 1, 1)
+    docs.select(col("doc_id"), col("lang"))
+      .join(scored, "doc_id")
+      .withColumn("t3", t3)
+      .select(col("doc_id"), col("lang"), col("lm_score"),
+        when(col("t3") === 1, lit("head"))
+          .when(col("t3") === 2, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"),
+        (col("t3") === 1 || (col("t3") === 2
+          && nib.isin(hexChars(MiddleKeepSixteenths): _*))).as("kept"))
+  }
+
+  /** The frozen-cuts tercile boundaries of a scored corpus: per language,
+    * the MINIMUM lm_score of the head and middle ntile groups — exactly
+    * the values [[qualityBucketByCuts]] needs to reproduce
+    * [[qualityBuckets]] on score-distinct data. Lang-count bounded. */
+  private[graft] def qualityCuts(docs: DataFrame): DataFrame = {
+    val scored = LmScore.score(docs, LmScore.lmFrom(docs))
+      .select(col("doc_id"), col("lm_score"))
+    val t3 = ntile(3).over(Window.partitionBy("lang")
+      .orderBy(col("lm_score").desc, col("doc_id")))
+    docs.select(col("doc_id"), col("lang"))
+      .join(scored, "doc_id")
+      .withColumn("t3", t3)
+      .groupBy("lang").agg(
+        min(when(col("t3") === 1, col("lm_score"))).as("head_min"),
+        min(when(col("t3") === 2, col("lm_score"))).as("middle_min"))
+  }
+
+  /** The SHARD form of [[qualityBuckets]]: bucket a scored shard
+    * (doc_id, lang, lm_score) against FROZEN per-language cuts — pure
+    * map-side (one broadcast join, no window, no sort), so it runs at
+    * shard cost, re-shards freely, and is streaming-legal. Equal to the
+    * declared ntile form whenever scores are distinct at the boundaries
+    * (ntile splits ties by doc_id; value cuts cannot — the usual
+    * quantile-vs-rank boundary caveat, spec-pinned on distinct data). */
+  private[graft] def qualityBucketByCuts(scoredLang: DataFrame,
+      cuts: DataFrame): DataFrame = {
+    val nib = substring(md5(col("doc_id").cast("string")), 1, 1)
+    scoredLang.join(broadcast(cuts), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("lm_score"),
+        when(col("lm_score") >= col("head_min"), lit("head"))
+          .when(col("lm_score") >= col("middle_min"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .withColumn("kept", col("bucket") === "head"
+        || (col("bucket") === "middle"
+          && nib.isin(hexChars(MiddleKeepSixteenths): _*)))
+  }
+
   /** Line-dedup knobs. The synthetic corpus ships single-line documents,
     * so the declared queries derive line structure deterministically:
     * every ` the ` occurrence becomes a line break (a literal regex with
@@ -742,6 +818,13 @@ object TextOps {
       dsirSelect(docs, raw, tgt).orderBy("doc_id")
     }),
 
+    // CCNet perplexity bucketing — head/middle/tail LM-score terciles per
+    // language with the keep-head+sampled-middle policy; the sampler
+    // whose production form is the frozen-cuts shard bucketing (see
+    // [[qualityBuckets]]/[[qualityBucketByCuts]]).
+    "sample_quality_bucket" -> ((s, d) =>
+      qualityBuckets(Tables.documents(s, d)).orderBy("doc_id")),
+
     // Train/eval contamination check — the n-gram-overlap audit every LLM
     // data pipeline runs before trusting an eval: which eval-split
     // documents (source src0) share rare 5-grams with any train-split
@@ -1019,6 +1102,46 @@ object TextOps {
         col("weight"), col("bucket"))
   }
 
+  /** The text_lm_score oracle's CTE chain (tokens → transitions → LM
+    * tables → per-doc integer sums `d` + corpus total `n`) — ONE source
+    * string spliced by both text_lm_score and sample_quality_bucket, so
+    * the two oracles cannot drift. */
+  private val lmScoreOracleCtes: String =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |  FROM documents),
+      |tr0 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+      |    i -> toks[i] || ' ' || toks[i + 1])) AS bg FROM t),
+      |tr AS (SELECT doc_id, string_split(bg, ' ')[1] AS prev,
+      |    string_split(bg, ' ')[2] AS cur FROM tr0),
+      |big AS (SELECT prev, cur, COUNT(*) AS cb FROM tr
+      |  GROUP BY prev, cur HAVING COUNT(*) >= 2),
+      |uni AS (SELECT w, COUNT(*) AS cu FROM
+      |  (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY w),
+      |n AS (SELECT CAST(SUM(cu) AS BIGINT) AS n_tokens FROM uni),
+      |j AS (SELECT tr.doc_id, b.cb, up.cu AS cu_prev, uc.cu AS cu_cur
+      |  FROM tr LEFT JOIN big b ON b.prev = tr.prev AND b.cur = tr.cur
+      |  JOIN uni up ON up.w = tr.prev
+      |  JOIN uni uc ON uc.w = tr.cur),
+      |d AS (SELECT doc_id, COUNT(*) AS n_trans, COUNT(cb) AS n_seen,
+      |    CAST(COALESCE(SUM(cb), 0) AS BIGINT) AS hit_num,
+      |    CAST(COALESCE(SUM(CASE WHEN cb IS NOT NULL THEN cu_prev END),
+      |      0) AS BIGINT) AS ctx_den,
+      |    COUNT(*) - COUNT(cb) AS n_unseen,
+      |    CAST(COALESCE(SUM(CASE WHEN cb IS NULL THEN cu_cur END),
+      |      0) AS BIGINT) AS bo_num
+      |  FROM j GROUP BY doc_id)""".stripMargin
+
+  /** The one fixed IEEE score tree over `d CROSS JOIN n`'s columns —
+    * spliced beside [[lmScoreOracleCtes]]. */
+  private val lmScoreOracleExpr: String =
+    """(CASE WHEN n_seen = 0 THEN 0.0
+      |        ELSE CAST(hit_num AS DOUBLE) / CAST(ctx_den AS DOUBLE) END)
+      |  + 0.4 * (CASE WHEN n_unseen = 0 THEN 0.0
+      |        ELSE CAST(bo_num AS DOUBLE)
+      |          / (CAST(n_unseen AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+      |        END)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "text_pii_mask" ->
       s"""WITH e AS (SELECT event_id,
@@ -1205,40 +1328,33 @@ object TextOps {
     // integer sums per doc, one fixed CASE/division tree at the end —
     // mirrors the Spark expression op-for-op (the bigram fan-out rides a
     // 'prev cur' join string because tokens are space-free by
-    // construction, so the re-split is lossless)
+    // construction, so the re-split is lossless). CTE body + score
+    // expression factored (lmScoreOracleCtes/lmScoreOracleExpr) so
+    // sample_quality_bucket's oracle SPLICES the same scoring SQL.
     "text_lm_score" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
-        |  FROM documents),
-        |tr0 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
-        |    i -> toks[i] || ' ' || toks[i + 1])) AS bg FROM t),
-        |tr AS (SELECT doc_id, string_split(bg, ' ')[1] AS prev,
-        |    string_split(bg, ' ')[2] AS cur FROM tr0),
-        |big AS (SELECT prev, cur, COUNT(*) AS cb FROM tr
-        |  GROUP BY prev, cur HAVING COUNT(*) >= 2),
-        |uni AS (SELECT w, COUNT(*) AS cu FROM
-        |  (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-        |  GROUP BY w),
-        |n AS (SELECT CAST(SUM(cu) AS BIGINT) AS n_tokens FROM uni),
-        |j AS (SELECT tr.doc_id, b.cb, up.cu AS cu_prev, uc.cu AS cu_cur
-        |  FROM tr LEFT JOIN big b ON b.prev = tr.prev AND b.cur = tr.cur
-        |  JOIN uni up ON up.w = tr.prev
-        |  JOIN uni uc ON uc.w = tr.cur),
-        |d AS (SELECT doc_id, COUNT(*) AS n_trans, COUNT(cb) AS n_seen,
-        |    CAST(COALESCE(SUM(cb), 0) AS BIGINT) AS hit_num,
-        |    CAST(COALESCE(SUM(CASE WHEN cb IS NOT NULL THEN cu_prev END),
-        |      0) AS BIGINT) AS ctx_den,
-        |    COUNT(*) - COUNT(cb) AS n_unseen,
-        |    CAST(COALESCE(SUM(CASE WHEN cb IS NULL THEN cu_cur END),
-        |      0) AS BIGINT) AS bo_num
-        |  FROM j GROUP BY doc_id)
+      s"""WITH $lmScoreOracleCtes
         |SELECT doc_id, n_trans, n_seen, hit_num, ctx_den, n_unseen, bo_num,
-        |  (CASE WHEN n_seen = 0 THEN 0.0
-        |        ELSE CAST(hit_num AS DOUBLE) / CAST(ctx_den AS DOUBLE) END)
-        |  + 0.4 * (CASE WHEN n_unseen = 0 THEN 0.0
-        |        ELSE CAST(bo_num AS DOUBLE)
-        |          / (CAST(n_unseen AS DOUBLE) * CAST(n_tokens AS DOUBLE))
-        |        END) AS lm_score
+        |  $lmScoreOracleExpr AS lm_score
         |FROM d CROSS JOIN n ORDER BY doc_id""".stripMargin,
+
+    // the lm_score CTE spliced verbatim, then per-language ntile(3) over
+    // the same (score DESC, doc_id) total order and the md5-nibble
+    // middle draw — every piece an already-proven cross-engine idiom
+    "sample_quality_bucket" ->
+      s"""WITH $lmScoreOracleCtes,
+        |s AS (SELECT doc_id, $lmScoreOracleExpr AS lm_score
+        |  FROM d CROSS JOIN n),
+        |l AS (SELECT s.doc_id, dd.lang, s.lm_score
+        |  FROM s JOIN documents dd ON dd.doc_id = s.doc_id),
+        |b AS (SELECT doc_id, lang, lm_score,
+        |    ntile(3) OVER (PARTITION BY lang
+        |      ORDER BY lm_score DESC, doc_id) AS t3 FROM l)
+        |SELECT doc_id, lang, lm_score,
+        |  CASE WHEN t3 = 1 THEN 'head' WHEN t3 = 2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket,
+        |  (t3 = 1 OR (t3 = 2 AND ${mixSqlArm(MiddleKeepSixteenths)}))
+        |    AS kept
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     // aligned multi-unnest carries (w1, prev, cur) with w1 NULL ahead of
     // each doc's first transition; LEFT joins at every level mirror the

@@ -1,0 +1,84 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** CCNet-style perplexity bucketing ([[TextOps.qualityBuckets]]): tercile
+  * structure and keep policy hold, the frozen-cuts shard form reproduces
+  * the declared ntile form on score-distinct data, and both are
+  * partitioning-independent.
+  */
+class QualityBucketSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // corpus with structurally different repetition levels per doc so LM
+  // scores separate cleanly (distinct at every tercile boundary): doc i
+  // repeats a common bigram i times and pads with unique words
+  private lazy val docs: DataFrame = {
+    val rows = (0 until 30).map { i =>
+      val lang = if (i % 2 == 0) "en" else "de"
+      val common = Seq.fill(i + 1)(s"alpha$lang beta$lang").mkString(" ")
+      val unique = (0 until (30 - i)).map(k => s"u${i}w$k").mkString(" ")
+      (i.toLong, lang, s"$common $unique")
+    }
+    rows.toDF("doc_id", "lang", "text")
+  }
+
+  private def bucketsOf(df: DataFrame): Map[Long, (String, String, Boolean)] =
+    df.collect().map(r => r.getLong(0) ->
+      (r.getString(1), r.getString(3), r.getBoolean(4))).toMap
+
+  test("tercile structure: equal-sized groups, head outscores tail") {
+    val b = TextOps.qualityBuckets(docs)
+    val sizes = b.groupBy("lang", "bucket").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    Seq("en", "de").foreach { l =>
+      val s = Seq("head", "middle", "tail").map(sizes(l, _))
+      assert(s.max - s.min <= 1, s"$l tercile sizes $s")
+    }
+    // min head score >= max middle score >= ... per language
+    val rows = b.collect().map(r =>
+      (r.getString(1), r.getString(3), r.getDouble(2)))
+    Seq("en", "de").foreach { l =>
+      def scores(bk: String) = rows.collect { case (`l`, `bk`, s) => s }
+      assert(scores("head").min >= scores("middle").max)
+      assert(scores("middle").min >= scores("tail").max)
+    }
+  }
+
+  test("keep policy: head all, tail none, middle by md5 nibble") {
+    val b = TextOps.qualityBuckets(docs).collect()
+      .map(r => (r.getLong(0), r.getString(3), r.getBoolean(4)))
+    assert(b.collect { case (_, "head", k) => k }.forall(identity))
+    assert(b.collect { case (_, "tail", k) => k }.forall(!_))
+    val mid = b.collect { case (id, "middle", k) => (id, k) }
+    assert(mid.nonEmpty)
+    mid.foreach { case (id, k) =>
+      val nib = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = String.format("%02x", Byte.box(nib(0))).charAt(0)
+      assert(k === ("01234567".contains(hex)), s"doc $id nibble $hex")
+    }
+  }
+
+  test("frozen-cuts shard form == declared ntile form (distinct scores)") {
+    val declared = bucketsOf(TextOps.qualityBuckets(docs))
+    val scored = LmScore.score(docs, LmScore.lmFrom(docs))
+      .select(col("doc_id"), col("lm_score"))
+    val scoredLang = docs.select(col("doc_id"), col("lang"))
+      .join(scored, "doc_id")
+    val cuts = TextOps.qualityCuts(docs)
+    val byCuts = bucketsOf(TextOps.qualityBucketByCuts(scoredLang, cuts)
+      .select("doc_id", "lang", "lm_score", "bucket", "kept"))
+    assert(byCuts === declared)
+  }
+
+  test("partitioning-independent") {
+    val a = bucketsOf(TextOps.qualityBuckets(docs.repartition(2)))
+    val b = bucketsOf(TextOps.qualityBuckets(docs.repartition(7)))
+    assert(a === b)
+  }
+}
