@@ -37,6 +37,41 @@ object Relational {
   private def davg(c: Column): Column =
     dsum(c) / count(lit(1))
 
+  /** `join_skew_salted`'s fan-out factor — how many sub-keys a hot key
+    * spreads over (and how many copies of each right row ship). */
+  private[graft] val SkewSalts = 8
+
+  /** Salted inner equi-join — the manual skew recipe for when one key's
+    * row count dwarfs the rest and a single reducer becomes the stage's
+    * straggler: every LEFT row scatters to one of [[SkewSalts]] sub-keys
+    * via a caller-chosen DISCRIMINATOR (any expression that varies within
+    * the hot key — here a row-identity hash; a random would work but
+    * break the repo's determinism discipline), the RIGHT side replicates
+    * ×salts via a generated salt column, and the join keys on
+    * (key, salt) — so the hot key's probe work spreads over `salts`
+    * reducers at the price of a salts× copy of the (small but
+    * non-broadcastable) right side. Replicate-right inner-join algebra
+    * makes the result EXACTLY the plain join's: each left row meets each
+    * matching right row exactly once (at its own salt).
+    *
+    * Relationship to AQE: `OptimizeSkewedJoin` splits oversized
+    * post-shuffle partitions at runtime and is the first thing to reach
+    * for; the salt is the PLAN-level form for when AQE can't see or
+    * can't act — a skewed key feeding a downstream keyed AGGREGATION
+    * (AQE won't split a partition an agg requires whole), stats hidden
+    * by compressed inputs, or a fixed-topology streaming stage. */
+  private[graft] def saltedJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      discriminator: Column): DataFrame = {
+    val l = left.withColumn("salt_l",
+      pmod(discriminator, lit(SkewSalts.toLong)).cast("int"))
+    val r = right.withColumn("salt_r",
+      explode(sequence(lit(0), lit(SkewSalts - 1))))
+    l.join(r, col(leftKey) === col(rightKey)
+        && col("salt_l") === col("salt_r"))
+      .drop("salt_l", "salt_r")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ------------------------------------------------ B2 filters
@@ -76,6 +111,20 @@ object Relational {
           .as("revenue"),
           count(lit(1)).as("n_lines"))
         .orderBy("o_orderkey")),
+
+    // The skew-salting recipe as a DECLARED, oracle-checked operator:
+    // identical result to the plain shuffle join — proven by the oracle,
+    // whose SQL knows nothing of salts — with the hot key's rows spread
+    // over [[SkewSalts]] sub-keys (see [[saltedJoin]]). Aggregated to the
+    // 5-row priority rollup so the declared output is compact.
+    "join_skew_salted" -> ((s, d) =>
+      saltedJoin(Tables.lineitem(s, d), Tables.orders(s, d),
+          "l_orderkey", "o_orderkey",
+          xxhash64(col("l_orderkey"), col("l_linenumber")))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          dsum(col("l_extendedprice")).as("price_total"))
+        .orderBy("o_orderpriority")),
 
     "join_left_outer" -> ((s, d) =>
       Tables.customer(s, d)
@@ -693,6 +742,16 @@ object Relational {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderkey, o_orderpriority
         |ORDER BY o_orderkey""".stripMargin,
+
+    // deliberately salt-free: the oracle is the PLAIN join, so equality
+    // IS the proof that salting preserves join semantics exactly
+    "join_skew_salted" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+        |    AS DOUBLE) AS price_total
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "join_left_outer" ->
       """SELECT c_custkey, COUNT(o_orderkey) AS n_big_orders,
