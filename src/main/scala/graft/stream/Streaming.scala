@@ -443,6 +443,33 @@ object Streaming {
       }
     }
 
+  /** Online CCNet perplexity bucketing (B10.31) — each micro-batch of
+    * (doc_id, lang, text) documents scored against the FROZEN published
+    * LM at `lmDir` (re-resolved per batch behind the Versioned pointer —
+    * the streamLmScore discipline) and bucketed head/middle/tail against
+    * FROZEN per-language tercile cuts
+    * ([[graft.text.TextOps.qualityBucketByCuts]] VERBATIM — the shard
+    * form the declared `sample_quality_bucket` freezes into; map-side:
+    * one broadcast join, no window). The release's terciles are the
+    * terciles — a shard never re-derives quantiles from itself.
+    * Stateless and a pure function of (doc, LM, cuts), so at-least-once
+    * replays are idempotent per doc_id. */
+  def streamQualityBucket(docs: DataFrame, lmDir: String,
+      cuts: DataFrame, sink: (DataFrame, Long) => Unit,
+      minCount: Long = graft.text.LmScore.MinCount)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      if (!batch.isEmpty) {
+        val s = batch.sparkSession
+        val scored = graft.text.LmScore.score(batch,
+            graft.text.LmScore.readLm(s, lmDir, minCount))
+          .select(col("doc_id"), col("lm_score"))
+        val scoredLang = batch.select("doc_id", "lang").join(scored, "doc_id")
+        sink(graft.text.TextOps.qualityBucketByCuts(scoredLang, cuts), id)
+      }
+    }
+
   /** Online BPE tokenization — [[graft.text.Bpe.encode]] applied per
     * micro-batch against a FROZEN model (the merge list is driver-side
     * data, fixed at stream definition like every frozen model here):

@@ -78,6 +78,37 @@ class EmbedFpSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("streaming composition: the fingerprint projection is streaming-" +
+      "legal and the generic fp twin flags embedding near-dups per batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files
+      .createTempDirectory("embedfp_stream").toString
+    val corpus = emb.filter(col("vec_id") < 100)
+    FpIndex.writeIndex(EmbedFp.fingerprints(corpus, Dim), dir,
+      maxHamming = EmbedFp.DeclaredRadius)
+    val fps = fpMap
+    def expected(ids: Seq[Long]): Set[Long] =
+      ids.filter(s => fps.keys.exists(c => c < 100L &&
+        java.lang.Long.bitCount(fps(s) ^ fps(c)) <=
+          EmbedFp.DeclaredRadius)).toSet
+    val b1 = vecs.filter(v => v._1 >= 100L && v._1 < 200L)
+    val b2 = vecs.filter(_._1 >= 200L)
+    val sunk = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    val stream = MemoryStream[(Long, Seq[Double])](95, spark, None)
+    val q = graft.stream.Streaming.streamFpDupFlags(
+        EmbedFp.fingerprints(
+          stream.toDF().toDF("vec_id", "embedding"), Dim), dir,
+        (flags, _) => sunk += flags.collect().map(_.getLong(0)).toSet)
+      .start()
+    stream.addData(b1); q.processAllAvailable()
+    stream.addData(b2); q.processAllAvailable()
+    q.stop()
+    assert(sunk.size === 2)
+    assert(sunk(0) === expected(b1.map(_._1)))
+    assert(sunk(1) === expected(b2.map(_._1)))
+    assert(sunk(1).nonEmpty, "the exact copies must flag")
+  }
+
   test("fingerprints feed the persisted FpIndex loop unchanged") {
     val dir = java.nio.file.Files
       .createTempDirectory("embedfp_idx").toString

@@ -76,6 +76,43 @@ class QualityBucketSpec extends SparkSpec {
     assert(byCuts === declared)
   }
 
+  test("streaming twin: per-batch cut bucketing against the published " +
+      "LM == the batch shard form on the same rows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files
+      .createTempDirectory("qb_stream").toString
+    LmScore.writeLm(docs, dir)
+    val cuts = TextOps.qualityCuts(docs).localCheckpoint()
+
+    def expected(batch: DataFrame): Map[Long, (String, Boolean)] = {
+      val scored = LmScore.score(batch, LmScore.readLm(spark, dir))
+        .select(col("doc_id"), col("lm_score"))
+      TextOps.qualityBucketByCuts(
+          batch.select("doc_id", "lang").join(scored, "doc_id"), cuts)
+        .collect().map(r => r.getLong(0) ->
+          (r.getString(3), r.getBoolean(4))).toMap
+    }
+    val rows = docs.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val (b1, b2) = rows.partition(_._1 < 15L)
+
+    val sunk = scala.collection.mutable.ArrayBuffer[
+      Map[Long, (String, Boolean)]]()
+    val stream = MemoryStream[(Long, String, String)](96, spark, None)
+    val q = graft.stream.Streaming.streamQualityBucket(
+        stream.toDF().toDF("doc_id", "lang", "text"), dir, cuts,
+        (out, _) => sunk += out.collect().map(r => r.getLong(0) ->
+          (r.getString(3), r.getBoolean(4))).toMap)
+      .start()
+    stream.addData(b1.toSeq); q.processAllAvailable()
+    stream.addData(b2.toSeq); q.processAllAvailable()
+    q.stop()
+    assert(sunk.size === 2)
+    assert(sunk(0) === expected(b1.toSeq.toDF("doc_id", "lang", "text")))
+    assert(sunk(1) === expected(b2.toSeq.toDF("doc_id", "lang", "text")))
+    assert(sunk(0).nonEmpty && sunk(1).nonEmpty)
+  }
+
   test("partitioning-independent") {
     val a = bucketsOf(TextOps.qualityBuckets(docs.repartition(2)))
     val b = bucketsOf(TextOps.qualityBuckets(docs.repartition(7)))
