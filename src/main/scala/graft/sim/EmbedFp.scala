@@ -69,10 +69,23 @@ object EmbedFp {
   }
 
   /** 63-bit fingerprint of a double-array column: bit j = [v·plane_j ≥ 0]
-    * (ties to +, the [[Bq]] sign convention). One codegen'd dot-product
-    * loop per bit over a constant array literal — map-only, legal on
-    * streaming frames. */
-  def fingerprint(v: Column, dim: Int): Column = {
+    * (ties to +, the [[Bq]] sign convention). ONE codegen'd kernel — the
+    * `rademacher_fp` native expression (B11.4 #14), which carries the
+    * plane matrix as a task-shared reference object so the whole-stage
+    * span stays unbroken; map-only, legal on streaming frames. Measured:
+    * the composed 63-dot-product form below knocks the projection onto
+    * the interpreted path (2.3k vecs/s); this kernel runs the identical
+    * IEEE arithmetic inside codegen (see [[fingerprintViaComposed]],
+    * spec-pinned bit-equal). */
+  def fingerprint(v: Column, dim: Int): Column =
+    org.apache.spark.sql.graftexpr.RademacherFpExpr
+      .column(v, planeSigns(dim))
+
+  /** Reference composition of built-ins — bit-identical to
+    * [[fingerprint]] on null-free uniform-dim input (EmbedFpSpec pins
+    * it); kept for property tests and as the semantics documentation:
+    * bit j = [dot_f64(v, plane_j) ≥ 0]. */
+  private[graft] def fingerprintViaComposed(v: Column, dim: Int): Column = {
     val planes = planeSigns(dim)
     (0 until Bits).map { j =>
       when(VectorMath.dot(v, typedLit(planes(j))) >= 0,

@@ -70,6 +70,26 @@ class EmbedFpSpec extends SparkSpec {
     }
   }
 
+  test("rademacher_fp kernel == the composed dot-product form, inside " +
+      "whole-stage codegen") {
+    val viaKernel = EmbedFp.fingerprints(emb, Dim)
+    val viaComposed = emb.select(col("vec_id").as("id"),
+      EmbedFp.fingerprintViaComposed(
+        col("embedding").cast("array<double>"), Dim).as("fp"))
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(viaKernel) === m(viaComposed))
+    // a real (non-LocalRelation) input, or ConvertToLocalRelation folds
+    // the projection away before any plan exists to inspect; collect
+    // first so the adaptive plan is final
+    val df = EmbedFp.fingerprints(emb.repartition(2), Dim)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("rademacher_fp"), "kernel must be in the plan")
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("),
+      "the fingerprint projection must stay inside whole-stage codegen")
+  }
+
   test("encode is partitioning-independent") {
     val a = EmbedFp.fingerprints(emb.repartition(2), Dim)
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
