@@ -391,6 +391,48 @@ object TextOps {
         min(when(col("t3") === 2, col("lm_score"))).as("middle_min"))
   }
 
+  /** [[qualityCuts]] at 100 TB: the exact form ranks every language's
+    * corpus (a per-lang sort of the slim score projection — fine to
+    * ~10⁹ rows/lang, a real cost beyond), so the production path is KLL
+    * tercile estimation: ONE pass building per-partition per-lang
+    * sketches (the [[graft.ops.QuantileSketch]] build shape — this is
+    * the repo's sanctioned KLL `mapPartitions` site; NOT a declared
+    * query), merged per language (kB payloads), boundaries read at
+    * normalized ranks 2/3 and 1/3 of the score distribution. k=200 ⇒
+    * ~1.65% single-sided rank error: a doc within ε of a tercile
+    * boundary may land one bucket over — the explicit approximation
+    * contract, spec-measured (QualityBucketSpec: ≥98% bucket agreement
+    * on a 6k-score corpus; lossless below sketch capacity up to the
+    * rank-convention at the exact boundary). Input is the SCORED slim
+    * projection (doc_id, lang, lm_score). */
+  private[graft] def qualityCutsApprox(scoredLang: DataFrame,
+      k: Int = 200): DataFrame = {
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
+    val spark = scoredLang.sparkSession
+    import spark.implicits._
+    val perPart = scoredLang.select(col("lang"), col("lm_score"))
+      .as[(String, Double)]
+      .mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap
+          .empty[String, KllDoublesSketch]
+        it.foreach { case (l, s) =>
+          m.getOrElseUpdate(l, KllDoublesSketch.newHeapInstance(k))
+            .update(s)
+        }
+        m.iterator.map { case (l, sk) => (l, sk.toByteArray) }
+      }.toDF("lang", "sketch")
+    val mergeFn = org.apache.spark.sql.functions.udaf(
+      new graft.ops.QuantileSketch.KllMerge(k),
+      org.apache.spark.sql.Encoders.BINARY)
+    perPart.groupBy("lang").agg(mergeFn(col("sketch")).as("sk"))
+      .as[(String, Array[Byte])]
+      .map { case (l, b) =>
+        val sk = KllDoublesSketch.heapify(Memory.wrap(b))
+        (l, sk.getQuantile(2.0 / 3), sk.getQuantile(1.0 / 3))
+      }.toDF("lang", "head_min", "middle_min")
+  }
+
   /** The SHARD form of [[qualityBuckets]]: bucket a scored shard
     * (doc_id, lang, lm_score) against FROZEN per-language cuts — pure
     * map-side (one broadcast join, no window, no sort), so it runs at

@@ -76,6 +76,39 @@ class QualityBucketSpec extends SparkSpec {
     assert(byCuts === declared)
   }
 
+  test("KLL approximate cuts: bucket agreement within the rank-error " +
+      "contract on a 6k-score corpus, boundaries between the terciles") {
+    // synthetic scored projection — no LM needed; distinct scores by
+    // construction (i-indexed), two languages, shuffled order
+    val n = 6000
+    val scored = (0 until n).map { i =>
+      (i.toLong, if (i % 2 == 0) "en" else "de",
+        (i * 7919 % n).toDouble + (if (i % 2 == 0) 0.25 else 0.5))
+    }.toDF("doc_id", "lang", "lm_score").repartition(8)
+
+    val t3 = ntile(3).over(org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("lm_score").desc, col("doc_id")))
+    val exact = scored.withColumn("t3", t3)
+      .select(col("doc_id"),
+        when(col("t3") === 1, "head").when(col("t3") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    val cuts = TextOps.qualityCutsApprox(scored)
+    val approx = TextOps.qualityBucketByCuts(scored, cuts)
+      .select("doc_id", "bucket")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    val agree = exact.count { case (id, b) => approx(id) == b }
+    assert(agree.toDouble / n >= 0.98,
+      s"bucket agreement ${agree.toDouble / n} below the KLL contract")
+    // boundaries are real terciles: each bucket holds 1/3 ± ε per lang
+    val sizes = approx.groupBy(_._2).view.mapValues(_.size).toMap
+    Seq("head", "middle", "tail").foreach { b =>
+      assert(math.abs(sizes(b) - n / 3.0) <= 0.05 * n, s"$b: ${sizes(b)}")
+    }
+  }
+
   test("streaming twin: per-batch cut bucketing against the published " +
       "LM == the batch shard form on the same rows") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
