@@ -143,50 +143,73 @@ object Classify {
       .agg(count(lit(1)).as("tf"))
 
   /** Per-doc total feature count (n tokens + n−1 bigrams) — the hashed
-    * form's length normalizer, derived from the same feature rows so the
-    * two cannot drift. */
-  private def featureLen(docs: DataFrame): DataFrame =
-    featureRows(docs).groupBy("doc_id")
-      .agg(count(lit(1)).as("n"))
+    * form's length normalizer. Derived from the TF TABLE (Σ tf ≡ the
+    * occurrence count), so every consumer of one tf table shares one
+    * feature fan-out and the two counts cannot drift. */
+  private def featureLenFromTf(tf: DataFrame): DataFrame =
+    tf.groupBy("doc_id").agg(sum("tf").cast("long").as("n"))
 
-  /** Train hashed-feature centroids: per-(class, bucket) BIGINT counts
-    * and per-class mass — both ≤ [[FeatureBuckets]] × classes rows,
-    * broadcast-safe at ANY vocabulary. */
-  def modelHashed(docs: DataFrame, labelCol: String = "source"): Model = {
-    val cls = featureTf(docs)
+  private def modelHashedFromTf(tf: DataFrame, docs: DataFrame,
+      labelCol: String): Model = {
+    val cls = tf
       .join(docs.select(col("doc_id"), col(labelCol).as("src")), "doc_id")
       .groupBy("src", "fb").agg(sum("tf").cast("long").as("cw"))
     val mass = cls.groupBy("src").agg(sum("cw").cast("long").as("ns"))
     Model(cls, mass)
   }
 
-  /** All (doc_id, src, score) affinities under a hashed model — the
-    * [[scores]] plan shape verbatim (broadcast model, doc-keyed rollup,
-    * one exactly-rounded division). */
-  def scoresHashed(docs: DataFrame, m: Model): DataFrame =
-    featureTf(docs)
-      .join(broadcast(m.classCounts), Seq("fb")) // unseen buckets drop here
+  /** Train hashed-feature centroids: per-(class, bucket) BIGINT counts
+    * and per-class mass — both ≤ [[FeatureBuckets]] × classes rows,
+    * broadcast-safe at ANY vocabulary. */
+  def modelHashed(docs: DataFrame, labelCol: String = "source"): Model =
+    modelHashedFromTf(featureTf(docs), docs, labelCol)
+
+  private def scoresHashedFromTf(tf: DataFrame, m: Model): DataFrame =
+    tf.join(broadcast(m.classCounts), Seq("fb")) // unseen buckets drop here
       .groupBy("doc_id", "src")
       .agg(sum(col("tf") * col("cw")).cast("long").as("num"))
-      .join(featureLen(docs), "doc_id")
+      .join(featureLenFromTf(tf), "doc_id")
       .join(broadcast(m.classMass), "src")
       .select(col("doc_id"), col("src"),
         (col("num").cast("double") /
           (col("n") * col("ns")).cast("double")).as("score"))
 
+  /** All (doc_id, src, score) affinities under a hashed model — the
+    * [[scores]] plan shape verbatim (broadcast model, doc-keyed rollup,
+    * one exactly-rounded division). The feature fan-out (explode + md5
+    * per feature — the corpus-sized map) runs ONCE: the compact
+    * (doc_id, fb, tf) table is localCheckpointed and feeds both the
+    * affinity rollup and the length normalizer. Local-scale
+    * cost-neutral (measured parity at sf0.1 — the checkpoint sync
+    * offsets the saved recompute on a small corpus); the call flips the
+    * other way from sample_dsir's recompute-wins note because here the
+    * materialized table is the GROUPED tf — smaller than the exploded
+    * features it replaces — where dsir would have materialized a
+    * larger-than-input transition fan-out. */
+  def scoresHashed(docs: DataFrame, m: Model): DataFrame =
+    scoresHashedFromTf(featureTf(docs).localCheckpoint(), m)
+
   /** Winner per doc under a hashed model, [[classifyWith]] tie-break. */
-  def classifyHashedWith(docs: DataFrame, m: Model): DataFrame = {
+  def classifyHashedWith(docs: DataFrame, m: Model): DataFrame =
+    hashedWinner(scoresHashed(docs, m))
+
+  private def hashedWinner(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy("doc_id")
       .orderBy(desc("score"), asc("src"))
-    scoresHashed(docs, m)
+    scored
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("src").as("predicted"), col("score"))
   }
 
-  /** Self-trained hashed-feature classification — the declared form. */
-  def classifyHashedCorpus(docs: DataFrame): DataFrame =
-    classifyHashedWith(docs, modelHashed(docs))
+  /** Self-trained hashed-feature classification — the declared form.
+    * ONE feature fan-out for the whole query: the checkpointed tf table
+    * feeds training, scoring, and the length normalizer. */
+  def classifyHashedCorpus(docs: DataFrame): DataFrame = {
+    val tf = featureTf(docs).localCheckpoint()
+    hashedWinner(scoresHashedFromTf(tf,
+      modelHashedFromTf(tf, docs, "source")))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_classify" -> ((s, d) =>
