@@ -21,6 +21,7 @@ object SparkEntry {
     text.Classify.queries,
     text.Bpe.queries,
     text.Unigram.queries,
+    text.WordPiece.queries,
     text.LexIndex.queries,
     text.DecontIndex.queries,
     text.SubstringDedup.queries,
@@ -41,6 +42,7 @@ object SparkEntry {
     text.Classify.oracleSql,
     text.Bpe.oracleSql,
     text.Unigram.oracleSql,
+    text.WordPiece.oracleSql,
     text.LexIndex.oracleSql,
     text.DecontIndex.oracleSql,
     text.SubstringDedup.oracleSql,

@@ -609,6 +609,22 @@ object Streaming {
       }
     }
 
+  /** The third tokenizer family's online encode (B10.32) — the
+    * streamEncodeBpe posture verbatim: published WordPiece model
+    * re-resolved per batch behind the Versioned pointer, greedy
+    * longest-match in the kernel, replays idempotent per (doc_id, pos). */
+  def streamEncodeWordPiece(docs: DataFrame, dir: String,
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      if (!batch.isEmpty) {
+        val m = graft.text.TokenizerStore
+          .readWordPiece(batch.sparkSession, dir)
+        sink(graft.text.WordPiece.encode(batch, m), id)
+      }
+    }
+
   def streamDsir(docs: DataFrame, rawLmDir: String, targetLmDir: String,
       sink: (DataFrame, Long) => Unit,
       minCount: Long = graft.text.LmScore.MinCount)

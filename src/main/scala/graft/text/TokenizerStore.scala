@@ -75,4 +75,31 @@ object TokenizerStore {
       .orderBy("ord").collect()
       .map(r => (r.getString(1), r.getLong(2))).toSeq)
   }
+
+  /** WordPiece (round 14, the third family): one table of tagged rows —
+    * kind 'v' carries the ORDERED vocabulary (order is the alphabet-
+    * then-training-order convention; encode reads only the set, but the
+    * identity round-trip keeps the model inspectable), kind 'm' the
+    * merge list that built it. */
+  def writeWordPiece(model: WordPiece.Model, dir: String,
+      spark: SparkSession): Unit = {
+    import spark.implicits._
+    val version = Versioned.nextVersion(spark, dir)
+    val v = model.vocab.zipWithIndex
+      .map { case (p, o) => (o, "v", p, null: String) }
+    val m = model.merges.zipWithIndex
+      .map { case ((x, y), o) => (o, "m", x, y) }
+    (v ++ m).toDF("ord", "kind", "x", "y")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/$version")
+    Versioned.publish(spark, dir, version)
+  }
+
+  def readWordPiece(spark: SparkSession, dir: String): WordPiece.Model = {
+    val root = Versioned.resolveRoot(spark, dir)
+    val rows = spark.read.parquet(root).orderBy("ord").collect()
+    WordPiece.Model(
+      rows.filter(_.getString(1) == "v").map(_.getString(2)).toSeq,
+      rows.filter(_.getString(1) == "m")
+        .map(r => (r.getString(2), r.getString(3))).toSeq)
+  }
 }

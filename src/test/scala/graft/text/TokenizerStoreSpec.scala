@@ -21,7 +21,7 @@ class TokenizerStoreSpec extends SparkSpec {
   private def tmp(): String =
     java.nio.file.Files.createTempDirectory("graft_tokstore").toString
 
-  test("round-trip identity for both families") {
+  test("round-trip identity for all three families") {
     val dir = tmp()
     val bpe = Bpe.train(docs, 25)
     TokenizerStore.writeBpe(bpe, s"$dir/bpe", spark)
@@ -32,6 +32,43 @@ class TokenizerStoreSpec extends SparkSpec {
     TokenizerStore.writeUnigram(uni, s"$dir/uni", spark)
     assert(TokenizerStore.readUnigram(spark, s"$dir/uni") === uni,
       "unigram piece inventory must round-trip identically")
+
+    val wp = WordPiece.train(docs, 15)
+    assert(wp.merges.nonEmpty && wp.vocab.nonEmpty)
+    TokenizerStore.writeWordPiece(wp, s"$dir/wp", spark)
+    assert(TokenizerStore.readWordPiece(spark, s"$dir/wp") === wp,
+      "WordPiece vocab + merges must round-trip in order")
+  }
+
+  test("WordPiece streaming encode re-resolves the published model " +
+      "per batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = tmp()
+    val m1 = WordPiece.train(docs, 5)
+    val m2 = WordPiece.train(docs, 15)
+    assert(m1.vocab !== m2.vocab, "fixture needs two models")
+    TokenizerStore.writeWordPiece(m1, dir, spark)
+    val b = Seq((9001L, "hello world"), (9002L, "spark tokenizer"))
+    def expect(m: WordPiece.Model) =
+      WordPiece.encode(b.toDF("doc_id", "text"), m)
+        .collect().map(r => (r.getLong(0), r.getInt(1),
+          r.getSeq[String](3).toSeq)).toSet
+    val sunk = scala.collection.mutable.ArrayBuffer[
+      Set[(Long, Int, Seq[String])]]()
+    val stream = MemoryStream[(Long, String)](97, spark, None)
+    val q = graft.stream.Streaming.streamEncodeWordPiece(
+        stream.toDF().toDF("doc_id", "text"), dir,
+        (out, _) => sunk += out.collect().map(r => (r.getLong(0),
+          r.getInt(1), r.getSeq[String](3).toSeq)).toSet)
+      .start()
+    stream.addData(b); q.processAllAvailable()
+    TokenizerStore.writeWordPiece(m2, dir, spark) // retrain mid-stream
+    stream.addData(b); q.processAllAvailable()
+    q.stop()
+    assert(sunk.size === 2)
+    assert(sunk(0) === expect(m1))
+    assert(sunk(1) === expect(m2),
+      "the republish must take effect at the next batch boundary")
   }
 
   test("republish flips atomically; staged-but-unpublished debris is inert") {
