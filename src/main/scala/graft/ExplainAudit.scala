@@ -521,6 +521,54 @@ object ExplainAudit {
         "Exchange".r.findAllIn(f).size == 1 && !f.contains("Join") &&
           f.contains("nfc_normalize") &&
           (f.contains("WholeStageCodegen") || f.contains("*("))
+      }),
+
+    // round 14: the embedding fingerprint must be the rademacher_fp
+    // kernel inside codegen, map-only before the declared ORDER BY's
+    // range exchange — if the kernel ever falls back to the composed
+    // 63-dot-product form the projection drops out of codegen (measured
+    // 87× slower) and this gate fails before bench noise could hide it
+    ("sim_embed_fp", "rademacher_fp kernel, map-only, inside codegen",
+      p => {
+        val f = finalPlan(p)
+        f.contains("rademacher_fp") && !f.contains("Join") &&
+          !f.contains("dot_f64") &&
+          (f.contains("WholeStageCodegen") || f.contains("*("))
+      }),
+    // the banded self-join must key its exchanges on the block values,
+    // never ship an all-pairs product
+    ("dedup_embed_fp", "banded fp join keyed on (blk, bval)",
+      p => {
+        val f = finalPlan(p)
+        !f.contains("CartesianProduct") &&
+          (f.contains("hashpartitioning(blk") ||
+            f.contains("hashpartitioning(pb") || f.contains("bval"))
+      }),
+    // the salted join's exchanges must carry the salt in their keys —
+    // that IS the operator; a Catalyst simplification that dropped the
+    // salt would still pass correctness (result ≡ plain join)
+    ("join_skew_salted", "join exchanges keyed on (key, salt)",
+      p => {
+        val f = finalPlan(p)
+        f.contains("salt_l") && f.contains("salt_r")
+      }),
+    // the quality bucketing must keep the lm_score plan family's
+    // broadcast-model discipline and exactly one window (the per-lang
+    // ntile) — a model join flipping to SMJ re-shuffles the corpus
+    ("sample_quality_bucket", "broadcast LM joins + one ntile window",
+      p => {
+        val f = finalPlan(p)
+        "BroadcastHashJoin".r.findAllIn(f).size >= 3 &&
+          f.contains("ntile(3)") && !f.contains("SortMergeJoin")
+      }),
+    // the wordpiece selection table: symbol-count joins broadcast, the
+    // declared top-50 stays TakeOrdered (no global sort)
+    ("text_wordpiece_pairs", "broadcast symbol joins + TakeOrdered",
+      p => {
+        val f = finalPlan(p)
+        "BroadcastHashJoin".r.findAllIn(f).size >= 2 &&
+          f.contains("TakeOrderedAndProject") &&
+          !f.contains("SortMergeJoin")
       })
   )
 
