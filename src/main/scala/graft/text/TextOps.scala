@@ -253,6 +253,21 @@ object TextOps {
       .na.fill(0L, Seq("n_tokens")))
   }
 
+  /** The budget fill metered by WORDPIECE ([[WordPiece]], B9.65) — the
+    * third family's bill, same selection mechanics. One honest
+    * difference from the siblings: WordPiece is lossy on unk words
+    * (whole-word `[UNK]`, one token), so an unk-heavy document bills at
+    * its [UNK] count, exactly what the trainer would consume — the
+    * meter stays bill-what-runs by construction. */
+  def budgetSampleWordPiece(docs: DataFrame,
+      model: WordPiece.Model): DataFrame = {
+    val perDoc = WordPiece.encode(docs, model)
+      .groupBy("doc_id").agg(sum("n_subs").cast("long").as("n_tokens"))
+    budgetSelect(docs.select(col("doc_id"), col("lang"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_tokens")))
+  }
+
   private def budgetSampleBy(docs: DataFrame, meter: Column): DataFrame =
     budgetSelect(docs.select(col("doc_id"), col("lang"),
       meter.as("n_tokens")))

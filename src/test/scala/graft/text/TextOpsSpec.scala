@@ -100,6 +100,37 @@ class TextOpsSpec extends SparkSpec {
     assert(selFull.subsetOf(ids(TextOps.budgetSample(docs))))
   }
 
+  test("wordpiece-metered budget: fill ≡ a driver replay of the greedy " +
+      "bill + quota selection, [UNK] words billed at one token") {
+    import org.apache.spark.sql.graftexpr.WordPieceEncodeExpr
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val wModel = WordPiece.train(docs, 30)
+    val sel = TextOps.budgetSampleWordPiece(docs, wModel).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(sel.nonEmpty)
+
+    val table = WordPieceEncodeExpr.Vocab(wModel.vocab)
+    def bill(text: String): Long =
+      text.split(" ", -1).map(w => WordPieceEncodeExpr.encode(
+        org.apache.spark.unsafe.types.UTF8String.fromString(w), table)
+        .numElements().toLong).sum
+    val all = docs.select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), bill(r.getString(2))))
+    val weight = TextOps.mixWeights.toMap
+    val expected = all.groupBy(_._2).toSeq.flatMap { case (lang, rows) =>
+      val quota = TextOps.quotaOf(
+        weight.getOrElse(lang, TextOps.mixDefault))
+      var cum = 0L
+      rows.sortBy(_._1).flatMap { case (id, _, n) =>
+        cum += n
+        if (cum <= quota) Some((id, lang, n, cum, quota)) else None
+      }
+    }
+    assert(sel.sortBy(_._1) === expected.sortBy(_._1),
+      "engine fill must equal the driver replay row for row")
+  }
+
   test("unigram-metered budget: fill ≡ a driver replay of the Viterbi " +
       "bill + quota selection, and the two tokenizer bills diverge") {
     import org.apache.spark.sql.graftexpr.UnigramEncodeExpr
