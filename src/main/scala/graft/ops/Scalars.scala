@@ -210,7 +210,20 @@ object Scalars {
           shiftright(ip, 8).bitwiseAND(lit(255L)),
           ip.bitwiseAND(lit(255L))).as("src_ip_str"))
         .orderBy("event_id")
-    })
+    }),
+
+    // Morton/Z-value of two bucketed key dimensions — the clustering key
+    // under [[graft.core.Layout.writeZOrdered]] (B1.7); declared so the
+    // bit interleave that decides row-group pruning is itself
+    // oracle-checked, not just spec'd. Pure BIGINT shift/and/or tree.
+    "fn_zorder" -> ((s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        pmod(col("o_custkey"), lit(256)).cast("long").as("za"),
+        pmod(col("o_orderkey"), lit(256)).cast("long").as("zb"))
+        .withColumn("z",
+          graft.core.Layout.zValue(col("za"), col("zb"), 8))
+        .orderBy("o_orderkey"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -335,6 +348,15 @@ object Scalars {
         |    ip & 255) AS src_ip_str
         |FROM (SELECT event_id,
         |  167772160 + (user_id % 256) * 256 + (event_id % 256) AS ip
-        |  FROM events) ORDER BY event_id""".stripMargin
+        |  FROM events) ORDER BY event_id""".stripMargin,
+
+    // the identical interleave, spliced from Layout.zValueSql — one
+    // source for the Spark tree and the oracle arithmetic
+    "fn_zorder" ->
+      s"""SELECT o_orderkey, za, zb,
+        |  ${graft.core.Layout.zValueSql("za", "zb", 8)} AS z
+        |FROM (SELECT o_orderkey,
+        |    o_custkey % 256 AS za, o_orderkey % 256 AS zb
+        |  FROM orders) ORDER BY o_orderkey""".stripMargin
   )
 }
