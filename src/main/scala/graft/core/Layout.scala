@@ -29,21 +29,29 @@ import org.apache.spark.sql.functions._
   * the `fn_zorder` oracle. */
 object Layout {
 
-  /** Morton/Z-value of two non-negative dimensions, `bits` bits each,
-    * interleaved a-even/b-odd into one BIGINT: bit 2i = a's bit i,
-    * bit 2i+1 = b's bit i. A fixed tree of shift/and/or builtins —
-    * whole-stage-codegen'd, no UDF, no lambda. Caller owns the range
-    * contract (values ≥ 2^bits fold into the top z-stripe — clamp or
-    * bucket first; the declared query buckets with pmod). */
-  def zValue(a: Column, b: Column, bits: Int = 16): Column = {
-    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
-    val al = a.cast("long"); val bl = b.cast("long")
-    (0 until bits).map { i =>
-      (shiftright(al, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)))
-        .bitwiseOR(
-          shiftright(bl, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
-    }.reduce(_ bitwiseOR _)
+  /** Morton/Z-value of N non-negative dimensions, `bits` bits each,
+    * round-robin interleaved into one BIGINT: bit (i·N + d) = dimension
+    * d's bit i. A fixed tree of shift/and/or builtins — whole-stage-
+    * codegen'd, no UDF, no lambda. Caller owns the range contract
+    * (values ≥ 2^bits fold into the top z-stripe — clamp or bucket
+    * first; the declared query buckets with pmod) and the width budget
+    * (N·bits ≤ 62 keeps the BIGINT non-negative). */
+  def zValueN(dims: Seq[Column], bits: Int): Column = {
+    val n = dims.length
+    require(n >= 2, s"need at least 2 dimensions, got $n")
+    require(bits >= 1 && n * bits <= 62,
+      s"need 1 <= bits and n*bits <= 62, got $n x $bits")
+    val longs = dims.map(_.cast("long"))
+    (for { i <- 0 until bits; d <- 0 until n } yield
+      shiftright(longs(d), i).bitwiseAND(lit(1L))
+        * lit(1L << (i * n + d))
+    ).reduce(_ bitwiseOR _)
   }
+
+  /** The 2-D form (bit 2i = a's bit i, bit 2i+1 = b's bit i) — the
+    * declared `fn_zorder` key's shape. */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column =
+    zValueN(Seq(a, b), bits)
 
   /** The oracle's identical arithmetic (DuckDB spells shift/and/or as
     * operators): spliced, not copied, wherever a z oracle is declared. */
@@ -53,15 +61,19 @@ object Layout {
         s"| (($b >> $i) & 1) * ${1L << (2 * i + 1)})"
     }.mkString("(", " | ", ")")
 
-  /** Write `df` Z-clustered on (a, b): range-partition by the z-value
+  /** Write `df` Z-clustered on `dims`: range-partition by the z-value
     * into `nFiles` files and sort inside each — every output row group
-    * covers a compact Morton-curve segment, i.e. a tight (a, b) box.
+    * covers a compact Morton-curve segment, i.e. a tight N-dim box.
     * Restartable by delete-and-rerun (same content either way). */
-  def writeZOrdered(df: DataFrame, dir: String, a: Column, b: Column,
-      nFiles: Int, bits: Int = 16): Unit =
-    df.withColumn("__z", zValue(a, b, bits))
+  def writeZOrderedN(df: DataFrame, dir: String, dims: Seq[Column],
+      nFiles: Int, bits: Int): Unit =
+    df.withColumn("__z", zValueN(dims, bits))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(dir)
+
+  def writeZOrdered(df: DataFrame, dir: String, a: Column, b: Column,
+      nFiles: Int, bits: Int = 16): Unit =
+    writeZOrderedN(df, dir, Seq(a, b), nFiles, bits)
 }

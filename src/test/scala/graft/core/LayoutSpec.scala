@@ -47,6 +47,36 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("3-D interleave: driver replay + each dimension's stripe prunes") {
+    // 64^3 grid, 20.7% of a full BIGINT's bits (3 x 6)
+    val n3 = 262144
+    val g3 = spark.range(n3).select(col("id"),
+      (col("id") % 64).as("a"), expr("(id div 64) % 64").as("b"),
+      expr("id div 4096").as("c"))
+    val got = g3.limit(3000).select(col("a"), col("b"), col("c"),
+        Layout.zValueN(Seq(col("a"), col("b"), col("c")), 6))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    got.foreach { case (a, b, c, z) =>
+      var e = 0L
+      (0 until 6).foreach { i =>
+        e |= ((a >> i) & 1L) << (3 * i)
+        e |= ((b >> i) & 1L) << (3 * i + 1)
+        e |= ((c >> i) & 1L) << (3 * i + 2)
+      }
+      assert(z === e, s"z($a, $b, $c)")
+    }
+    val dir = tmp("z3")
+    Layout.writeZOrderedN(g3, dir,
+      Seq(col("a"), col("b"), col("c")), Files, bits = 6)
+    Seq("a", "b", "c").foreach { dim =>
+      val read = scanRows(spark.read.parquet(dir)
+        .filter(col(dim) >= 16 && col(dim) <= 23))
+      assert(read <= n3 / 2,
+        s"$dim-stripe must prune under the 3-D layout: $read")
+    }
+  }
+
   test("z layout prunes row groups on BOTH dimensions; a single-column " +
       "sort serves only its own") {
     val zDir = tmp("z"); val aDir = tmp("a")
