@@ -569,6 +569,18 @@ object ExplainAudit {
         "BroadcastHashJoin".r.findAllIn(f).size >= 2 &&
           f.contains("TakeOrderedAndProject") &&
           !f.contains("SortMergeJoin")
+      }),
+    // IVF serving (round 14): the 16-centroid table broadcasts into the
+    // assignment, the nprobe probe-list cut broadcasts into a LeftSemi
+    // (at scale: static partition pruning on centroid_id), and the final
+    // k stays TakeOrdered — no sort-merge anywhere, nothing corpus-sized
+    // on the build side of any join
+    ("sim_ivf_topk", "broadcast assignment + semi-join probe cut + TakeOrdered",
+      p => {
+        val f = finalPlan(p)
+        "BroadcastHashJoin .*LeftSemi".r.findFirstIn(f).nonEmpty &&
+          f.contains("TakeOrderedAndProject") &&
+          !f.contains("SortMergeJoin")
       })
   )
 

@@ -26,6 +26,7 @@ object SparkEntry {
     text.DecontIndex.queries,
     text.SubstringDedup.queries,
     sim.Similarity.queries,
+    sim.Ann.queries,
     sim.EmbedFp.queries,
     sim.Dedup.queries,
     sim.Curation.queries,
@@ -47,6 +48,7 @@ object SparkEntry {
     text.DecontIndex.oracleSql,
     text.SubstringDedup.oracleSql,
     sim.Similarity.oracleSql,
+    sim.Ann.oracleSql,
     sim.EmbedFp.oracleSql,
     sim.Dedup.oracleSql,
     sim.Curation.oracleSql,

@@ -33,7 +33,7 @@ object Ann {
     * fewer than n centroids on sparse ids and none at all when ids start
     * above n. centroid_id keeps the seed's vec_id (rank order ≡ id order,
     * so downstream tie-breaks are unchanged on dense ids). */
-  private def bootstrapCentroids(vecs: DataFrame, n: Int): DataFrame =
+  private[sim] def bootstrapCentroids(vecs: DataFrame, n: Int): DataFrame =
     vecs.select(col("vec_id").as("centroid_id"), col("v").as("cv"))
       .orderBy("centroid_id").limit(n)
 
@@ -134,6 +134,103 @@ object Ann {
       .orderBy(desc("cosine"), asc("vec_id"))
       .limit(k)
   }
+
+  /** Batch IVF serving — a `(qid, pv)` probe DataFrame routed through ONE
+    * candidate join instead of one driver round-trip per probe (the
+    * `LexIndex.searchTopKBatch` posture). Per-qid probe lists are cut in a
+    * WindowGroupLimit window over the broadcast centroid table with the
+    * single-probe tie-break (csim DESC, centroid_id ASC), so each batch row
+    * reproduces [[ivfSearchWith]] exactly (SimSpec pins the equivalence);
+    * the candidate join keys on centroid_id, and at scale — with the corpus
+    * written partitioned by centroid_id ([[SemDedup]]'s index layout) — the
+    * batch's union of probe lists IS the pruned-partition set, so q probes
+    * cost one scan of ≤ q·nprobe inverted lists, not q corpus scans.
+    * Probes broadcast (a batch is model-sized, the corpus side is not).
+    * Returns `(qid, vec_id, cosine, rank ≤ k)`. */
+  def ivfSearchBatch(assigned: DataFrame, centroids: DataFrame, nprobe: Int,
+      probes: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wProbe = Window.partitionBy("qid")
+      .orderBy(desc("csim"), asc("centroid_id"))
+    val routes = probes.crossJoin(broadcast(centroids))
+      .select(col("qid"), col("pv"), col("centroid_id"),
+        cosine(col("cv"), col("pv")).as("csim"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), col("pv"), col("centroid_id"))
+    val wK = Window.partitionBy("qid").orderBy(desc("cosine"), asc("vec_id"))
+    assigned.alias("c").join(broadcast(routes.alias("q")),
+        col("q.centroid_id") === col("c.centroid_id"))
+      .select(col("q.qid").as("qid"), col("c.vec_id").as("vec_id"),
+        cosine(col("c.v"), col("q.pv")).as("cosine"))
+      .withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= k)
+  }
+
+  /** Declared IVF serving query — the ANN scale path as a first-class
+    * oracled key beside the exact baseline (`sim_cosine_topk`) and the
+    * binary/scalar quantizers (`sim_bq_topk`/`sim_sq_encode`). Bootstrap
+    * centroids (first 16 corpus vectors by rank) rather than the k-means
+    * build, because Lloyd means are float SUMS over cluster members — an
+    * unspecified summation order on BOTH engines — where the bootstrap is
+    * pure selection; every cosine then folds left-to-right
+    * ([[VectorMath.dot]] ≡ DuckDB `list_reduce`), so the whole approximate
+    * search is bit-reproducible and the oracle mirrors the ALGORITHM
+    * (argmax assignment with ties to the higher centroid, nprobe=4 probe
+    * list, in-list exact rank) rather than re-deriving ground truth — the
+    * same mirror-the-algorithm posture as `sim_sq_encode`. nprobe=4 of 16
+    * lists scans ~1/4 of the corpus; at 100 TB the corpus is written
+    * partitioned by centroid_id and the probe-list cut becomes static
+    * partition pruning. Recall against the exact top-k is measured in
+    * SimSpec, not assumed. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_ivf_topk" -> ((s, d) => {
+      val emb = graft.core.Tables.embeddings(s, d)
+      val probe = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      val vecs = vecsOf(emb.filter(col("vec_id") =!= 0))
+      val centroids = bootstrapCentroids(vecs, 16)
+      ivfSearchWith(ivfAssignWith(vecs, centroids), centroids,
+        nprobe = 4, probe, k = 20)
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    // mirrors the algorithm step-for-step: shared left-fold dot products
+    // (bit-identical to VectorMath.dot), assignment = row_number over
+    // (csim DESC, centroid_id DESC) ≡ max_by(struct(csim, centroid_id)),
+    // probe list = csim DESC / cid ASC LIMIT nprobe ≡ orderBy().limit()
+    "sim_ivf_topk" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |normed AS (SELECT vec_id, v,
+        |    sqrt(list_reduce(list_transform(list_zip(v, v), z -> z[1] * z[2]),
+        |      (acc, x) -> acc + x)) AS norm FROM emb),
+        |probe AS (SELECT v AS p, norm AS pnorm FROM normed WHERE vec_id = 0),
+        |corpus AS (SELECT vec_id, v, norm FROM normed WHERE vec_id <> 0),
+        |cent AS (SELECT vec_id AS centroid_id, v AS cv, norm AS cnorm
+        |  FROM corpus ORDER BY vec_id LIMIT 16),
+        |ascore AS (SELECT c.vec_id, c.v, c.norm, t.centroid_id,
+        |    list_reduce(list_transform(list_zip(c.v, t.cv), z -> z[1] * z[2]),
+        |      (acc, x) -> acc + x) / (c.norm * t.cnorm) AS csim
+        |  FROM corpus c CROSS JOIN cent t),
+        |asg AS (SELECT vec_id, v, norm, centroid_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY csim DESC, centroid_id DESC) AS rn FROM ascore)
+        |  WHERE rn = 1),
+        |plist AS (SELECT centroid_id AS cid FROM (
+        |    SELECT t.centroid_id,
+        |      list_reduce(list_transform(list_zip(t.cv, p.p), z -> z[1] * z[2]),
+        |        (acc, x) -> acc + x) / (t.cnorm * p.pnorm) AS csim
+        |    FROM cent t CROSS JOIN probe p)
+        |  ORDER BY csim DESC, centroid_id ASC LIMIT 4),
+        |scored AS (SELECT a.vec_id,
+        |    list_reduce(list_transform(list_zip(a.v, p.p), z -> z[1] * z[2]),
+        |      (acc, x) -> acc + x) / (a.norm * p.pnorm) AS cosine
+        |  FROM asg a JOIN plist ON a.centroid_id = plist.cid
+        |  CROSS JOIN probe p)
+        |SELECT vec_id, cosine FROM scored
+        |ORDER BY cosine DESC, vec_id ASC LIMIT 20""".stripMargin)
 
   /** IVF-candidate k-NN GRAPH — the scale path behind the declared
     * `sim_knn_graph` (which is label-blocked exact, the documented

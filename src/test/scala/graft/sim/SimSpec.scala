@@ -371,6 +371,30 @@ class SimSpec extends SparkSpec {
     assert(approx.contains(7L))
   }
 
+  test("ivfSearchBatch reproduces the single-probe search per qid") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val vecs = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v")).localCheckpoint()
+    val cents = Ann.bootstrapCentroids(vecs, 16).localCheckpoint()
+    val assigned = Ann.ivfAssignWith(vecs, cents).localCheckpoint()
+    val qids = Seq(3L, 57L, 101L, 444L)
+    val probes = vecs.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("v").as("pv"))
+    val batch = Ann.ivfSearchBatch(assigned, cents, nprobe = 3, probes, k = 10)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getInt(3))))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).sortBy(_._3) }
+    for (pid <- qids) {
+      val p = vecs.filter(col("vec_id") === pid).select("v")
+        .head.getSeq[Double](0)
+      val single = Ann.ivfSearchWith(assigned, cents, 3, p, 10).collect()
+        .zipWithIndex
+        .map { case (r, i) => (r.getLong(0), r.getDouble(1), i + 1) }
+      assert(batch(pid).toSeq == single.toSeq,
+        s"batch result for qid=$pid must equal the single-probe search")
+    }
+  }
+
   test("hyperplane-LSH ANN finds the probe and reaches reasonable recall") {
     val emb = graft.core.Tables.embeddings(spark, sfDir)
     val probe = emb.filter(col("vec_id") === 7)
