@@ -89,6 +89,85 @@ object Eval {
           .as("precision_at_10"))
   }
 
+  // ------------------------------------------------------------- nDCG@10
+  // The gain table 1/log2(rank+1) and its prefix sums (ideal DCG at m
+  // relevant results) are computed ONCE here and spliced as IDENTICAL
+  // double literals into the Spark expression and the DuckDB oracle —
+  // Double.toString round-trips, so both engines parse the same bit
+  // pattern and the transcendental log never runs at query time on either
+  // side (the text_tfidf no-transcendentals discipline). DCG itself is a
+  // rank-ORDERED left fold (≤ 10 terms), not a SQL SUM, so summation
+  // order is pinned on both engines (the lex_search BM25 fold posture).
+
+  /** gains(r-1) = 1/log2(r+1) for rank r ∈ 1..10. */
+  private[sim] val ndcgGains: Seq[Double] =
+    (1 to 10).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0)))
+
+  /** idcgTable(m) = ideal DCG with m relevant results, m ∈ 0..10 (left
+    * fold, matching the query-side fold order). */
+  private[sim] val idcgTable: Seq[Double] =
+    ndcgGains.scanLeft(0.0)(_ + _)
+
+  /** Per-probe nDCG@10 over scored (probe × corpus) pairs with binary
+    * label relevance: (probe_id, n_rel, dcg, ndcg), ndcg = 0 where the
+    * probe has no relevant corpus vector (idcg would be 0). n_rel counts
+    * ALL relevant corpus vectors (the ideal ranking fills its top-10 from
+    * the whole corpus, not from the retrieved cut). Scale shape: the
+    * top-10 cut prunes map-side in the same WindowGroupLimit window as
+    * [[retrievalMetrics]]; the n_rel count is a (probe × label)-bounded
+    * partial aggregate; gains enter via one 10-element literal lookup. */
+  def ndcgAt10(pairs: DataFrame): DataFrame = {
+    val gainArr = typedLit(ndcgGains)
+    val idcgArr = typedLit(idcgTable)
+    // ONE pass: rank everything (n_rel needs every relevant row anyway, so
+    // there is no rank ≤ k cut to prune behind), then a single per-probe
+    // aggregate — no join-back, no second scan of the pair fan-out. The
+    // when() emits NULL for non-contributing rows and collect_list drops
+    // them; least() keeps the literal lookup in bounds at rank > 10.
+    val rel = col("label") === col("probe_label")
+    pairs
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("probe_id").orderBy(desc("cosine"), asc("vec_id"))))
+      .groupBy("probe_id")
+      .agg(
+        sum(when(rel, 1L).otherwise(0L)).as("n_rel"),
+        aggregate(
+          transform(
+            array_sort(collect_list(when(rel && col("rank") <= 10,
+              struct(col("rank"),
+                element_at(gainArr, least(col("rank"), lit(10)).cast("int"))
+                  .as("gain"))))),
+            x => x.getField("gain")),
+          lit(0.0), (acc, x) => acc + x).as("dcg"))
+      .withColumn("idcg",
+        element_at(idcgArr, least(col("n_rel"), lit(10L)).cast("int") + 1))
+      .select(col("probe_id"), col("n_rel"), col("dcg"),
+        when(col("idcg") > 0.0, col("dcg") / col("idcg")).otherwise(lit(0.0))
+          .as("ndcg"))
+      .orderBy("probe_id")
+  }
+
+  /** The rank→gain CASE and the n_rel→ideal-DCG CASE rendered from the
+    * SAME literal tables the Spark expression uses — the oracle cannot
+    * drift from the query. */
+  /** Exact-decimal rendering: `Double.toString`'s shortest form is only
+    * guaranteed to round-trip through a CORRECTLY-rounded parser, and
+    * DuckDB types 17-significant-digit literals as DECIMAL first (measured:
+    * 0.38685280723454163 comes back one ulp off). The full exact decimal
+    * expansion of the double (≤ ~55 digits) is longer than DECIMAL's 38-
+    * digit ceiling, so DuckDB parses it directly as DOUBLE — and since the
+    * string IS the double's exact value, any nearest-parse returns the
+    * identical bit pattern. */
+  private def exactLit(d: Double): String =
+    s"CAST(${new java.math.BigDecimal(d).toPlainString} AS DOUBLE)"
+
+  private def gainCaseSql: String =
+    "CASE rank " + ndcgGains.zipWithIndex.map { case (g, i) =>
+      s"WHEN ${i + 1} THEN ${exactLit(g)}" }.mkString(" ") + " END"
+  private def idcgCaseSql(nRelExpr: String): String =
+    s"CASE least($nRelExpr, 10) " + idcgTable.zipWithIndex.map {
+      case (v, m) => s"WHEN $m THEN ${exactLit(v)}" }.mkString(" ") + " END"
+
   /** k-NN label prediction per probe: majority vote over the top-5
     * neighbors' labels (ties: larger vote count, then smaller label — the
     * agg_mode discipline). One row per probe with the correctness bit. */
@@ -194,7 +273,13 @@ object Eval {
     // hardest negatives, by exact cosine.
     "mine_hard_negatives" -> ((s, d) =>
       hardNegatives(scoredPairs(Tables.embeddings(s, d)))
-        .orderBy("anchor_id", "neg_rank"))
+        .orderBy("anchor_id", "neg_rank")),
+
+    // Graded-position retrieval quality: per-probe nDCG@10 with binary
+    // label relevance — the standard ranking metric MRR/precision cannot
+    // see (it rewards EVERY relevant position, discounted by depth).
+    "eval_ndcg" -> ((s, d) =>
+      ndcgAt10(scoredPairs(Tables.embeddings(s, d))))
   )
 
   // Shared oracle CTE chain — the sim_knn_graph dot-product fold with the
@@ -311,6 +396,31 @@ object Eval {
         |SELECT p.probe_id AS anchor_id, pos_id, pos_cosine, neg_id,
         |  neg_cosine, neg_rank
         |FROM pos p JOIN neg n ON p.probe_id = n.probe_id
-        |ORDER BY anchor_id, neg_rank""".stripMargin)
+        |ORDER BY anchor_id, neg_rank""".stripMargin),
+
+    // gains and ideal-DCG prefix sums are the SAME double literals the
+    // Spark expression carries (rendered from one table — cannot drift);
+    // DCG is a rank-ordered list_reduce fold ≡ Spark's aggregate fold
+    "eval_ndcg" -> (pairsCte +
+      s""",
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+        |    ORDER BY cosine DESC, vec_id ASC) AS rank FROM pairs),
+        |rel AS (SELECT probe_id, rank, $gainCaseSql AS gain
+        |  FROM ranked WHERE rank <= 10 AND label = probe_label),
+        |dcgt AS (SELECT probe_id,
+        |    list_reduce(list(gain ORDER BY rank ASC), (acc, x) -> acc + x)
+        |      AS dcg
+        |  FROM rel GROUP BY probe_id),
+        |nrel AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_rel
+        |  FROM pairs WHERE label = probe_label GROUP BY probe_id),
+        |probes AS (SELECT DISTINCT probe_id FROM pairs),
+        |j AS (SELECT p.probe_id, COALESCE(n.n_rel, 0) AS n_rel,
+        |    COALESCE(d.dcg, 0.0) AS dcg
+        |  FROM probes p LEFT JOIN nrel n ON p.probe_id = n.probe_id
+        |  LEFT JOIN dcgt d ON p.probe_id = d.probe_id)
+        |SELECT probe_id, n_rel, dcg,
+        |  CASE WHEN ${idcgCaseSql("n_rel")} > 0.0
+        |    THEN dcg / ${idcgCaseSql("n_rel")} ELSE 0.0 END AS ndcg
+        |FROM j ORDER BY probe_id""".stripMargin)
   )
 }

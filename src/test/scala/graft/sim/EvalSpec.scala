@@ -70,6 +70,29 @@ class EvalSpec extends SparkSpec {
     assert(nProbes > 0 && nHit > 0)
   }
 
+  test("eval_ndcg matches the brute-force nDCG model exactly") {
+    val model = probes.map { p =>
+      val r = rankedFor(p)
+      val nRel = r.count(_._2 == p._2).toLong
+      // the SAME fold order as the query: gains in rank order from 0.0
+      var dcg = 0.0
+      r.take(10).zipWithIndex.foreach { case ((_, lab, _), i) =>
+        if (lab == p._2) dcg += Eval.ndcgGains(i)
+      }
+      val idcg = Eval.idcgTable(math.min(nRel, 10L).toInt)
+      val ndcg = if (idcg > 0.0) dcg / idcg else 0.0
+      (p._1, nRel, dcg, ndcg)
+    }.sortBy(_._1)
+
+    val got = runQuery("eval_ndcg").collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("n_rel"),
+        r.getAs[Double]("dcg"), r.getAs[Double]("ndcg"))).toSeq
+    assert(got === model)
+    // non-vacuity: the metric must separate probes (not all 0 or all 1)
+    assert(got.map(_._4).distinct.size > 1)
+    assert(got.forall(x => x._4 >= 0.0 && x._4 <= 1.0))
+  }
+
   test("eval_knn_accuracy matches the brute-force majority-vote model") {
     val model = probes.map { p =>
       val top5 = rankedFor(p).take(5)
