@@ -570,6 +570,14 @@ object ExplainAudit {
           f.contains("TakeOrderedAndProject") &&
           !f.contains("SortMergeJoin")
       }),
+    // the Hilbert clustering key: one fused kernel in a map-only plan,
+    // inside whole-stage codegen — no join, no shuffle before the sort
+    ("fn_hilbert", "hilbert_d kernel, map-only, inside codegen",
+      p => {
+        val f = finalPlan(p)
+        f.contains("hilbert_d") && !f.contains("Join") &&
+          (f.contains("WholeStageCodegen") || f.contains("*("))
+      }),
     // IVF serving (round 14): the 16-centroid table broadcasts into the
     // assignment, the nprobe probe-list cut broadcasts into a LeftSemi
     // (at scale: static partition pruning on centroid_id), and the final

@@ -76,4 +76,56 @@ object Layout {
   def writeZOrdered(df: DataFrame, dir: String, a: Column, b: Column,
       nFiles: Int, bits: Int = 16): Unit =
     writeZOrderedN(df, dir, Seq(a, b), nFiles, bits)
+
+  // ------------------------------------------------------- Hilbert curve
+
+  /** Hilbert index of a 2-D cell — the CONTINUOUS space-filling curve
+    * (every step Manhattan-adjacent, spec-proven over the full grid),
+    * where Morton jumps at power-of-two boundaries; sorted runs therefore
+    * never straddle a jump and stripe-query pruning is measurably tighter
+    * (LayoutSpec). One fused codegen kernel
+    * ([[org.apache.spark.sql.graftexpr.HilbertExpr]]) — the per-level
+    * frame rotation threads state, which a built-in composition can only
+    * express as `bits` chained projections. Same range contract as
+    * [[zValueN]]: caller buckets into [0, 2^bits). */
+  def hValue(x: Column, y: Column, bits: Int = 16): Column =
+    org.apache.spark.sql.graftexpr.HilbertExpr.column(x, y, lit(bits))
+
+  /** The oracle's identical per-level arithmetic as a generated chain of
+    * nested subqueries (state can't thread through one SELECT) — spliced,
+    * not copied, wherever a Hilbert oracle is declared. `carry` columns
+    * pass through untouched; `src` provides (`x`, `y`) plus the carries;
+    * the result column is named `out`. DuckDB spells integer xor as
+    * `xor()` (its `^` is exponentiation). */
+  def hilbertSql(x: String, y: String, bits: Int, carry: Seq[String],
+      src: String, out: String): String = {
+    val cs = carry.mkString(", ")
+    val inner = s"SELECT $cs, CAST($x AS BIGINT) AS hx, " +
+      s"CAST($y AS BIGINT) AS hy, CAST(0 AS BIGINT) AS hd FROM $src"
+    val chained = (bits - 1 to 0 by -1).foldLeft(inner) { (acc, lvl) =>
+      val s = 1L << lvl
+      val rx = s"(CASE WHEN (hx & $s) <> 0 THEN 1 ELSE 0 END)"
+      val ry = s"(CASE WHEN (hy & $s) <> 0 THEN 1 ELSE 0 END)"
+      s"""SELECT $cs,
+         |  hd + ${s * s} * xor(3 * $rx, $ry) AS hd,
+         |  CASE WHEN (hy & $s) = 0 THEN
+         |    (CASE WHEN (hx & $s) <> 0 THEN $s - 1 - hy ELSE hy END)
+         |    ELSE hx END AS hx,
+         |  CASE WHEN (hy & $s) = 0 THEN
+         |    (CASE WHEN (hx & $s) <> 0 THEN $s - 1 - hx ELSE hx END)
+         |    ELSE hy END AS hy
+         |FROM ($acc)""".stripMargin
+    }
+    s"SELECT $cs, hd AS $out FROM ($chained)"
+  }
+
+  /** Write `df` Hilbert-clustered on (x, y): [[writeZOrderedN]] with the
+    * continuous curve as the range-partition + sort key. */
+  def writeHilbert(df: DataFrame, dir: String, x: Column, y: Column,
+      nFiles: Int, bits: Int = 16): Unit =
+    df.withColumn("__h", hValue(x, y, bits))
+      .repartitionByRange(nFiles, col("__h"))
+      .sortWithinPartitions("__h")
+      .drop("__h")
+      .write.mode("overwrite").parquet(dir)
 }

@@ -223,6 +223,20 @@ object Scalars {
         pmod(col("o_orderkey"), lit(256)).cast("long").as("zb"))
         .withColumn("z",
           graft.core.Layout.zValue(col("za"), col("zb"), 8))
+        .orderBy("o_orderkey")),
+
+    // Hilbert index of the same bucketed dimensions — the CONTINUOUS
+    // clustering key under [[graft.core.Layout.writeHilbert]] (B1.7);
+    // declared so the rotation/reflection loop that decides row-group
+    // pruning is oracle-checked against the identical per-level
+    // arithmetic generated as SQL (Layout.hilbertSql — one source).
+    "fn_hilbert" -> ((s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        pmod(col("o_custkey"), lit(256)).cast("long").as("ha"),
+        pmod(col("o_orderkey"), lit(256)).cast("long").as("hb"))
+        .withColumn("h",
+          graft.core.Layout.hValue(col("ha"), col("hb"), 8))
         .orderBy("o_orderkey"))
   )
 
@@ -357,6 +371,15 @@ object Scalars {
         |  ${graft.core.Layout.zValueSql("za", "zb", 8)} AS z
         |FROM (SELECT o_orderkey,
         |    o_custkey % 256 AS za, o_orderkey % 256 AS zb
-        |  FROM orders) ORDER BY o_orderkey""".stripMargin
+        |  FROM orders) ORDER BY o_orderkey""".stripMargin,
+
+    // the identical per-level rotation arithmetic, generated from
+    // Layout.hilbertSql — one source for the kernel loop and the oracle
+    "fn_hilbert" ->
+      (graft.core.Layout.hilbertSql("ha", "hb", 8,
+        Seq("o_orderkey", "ha", "hb"),
+        """(SELECT o_orderkey,
+          |    o_custkey % 256 AS ha, o_orderkey % 256 AS hb
+          |  FROM orders)""".stripMargin, "h") + " ORDER BY o_orderkey")
   )
 }

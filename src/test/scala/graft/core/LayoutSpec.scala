@@ -89,6 +89,62 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("hValue == the driver xy2d replay") {
+    val got = grid.limit(5000)
+      .select(col("a"), col("b"), Layout.hValue(col("a"), col("b"), 9))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (a, b, h) =>
+      assert(h === org.apache.spark.sql.graftexpr.HilbertExpr.xy2d(a, b, 9),
+        s"h($a, $b)")
+    }
+  }
+
+  test("the Hilbert curve is a CONTINUOUS bijection over the full grid — " +
+      "the property Morton lacks") {
+    // all 256 cells of a 16x16 grid, indexed through the codegen kernel
+    val cells = spark.range(256)
+      .select((col("id") % 16).as("x"), expr("id div 16").as("y"))
+      .select(col("x"), col("y"), Layout.hValue(col("x"), col("y"), 4).as("h"))
+      .collect().map(r => (r.getLong(2), (r.getLong(0), r.getLong(1))))
+      .sortBy(_._1)
+    // bijection: h is exactly 0..255
+    assert(cells.map(_._1).toSeq === (0L until 256L))
+    // continuity: every consecutive pair of curve positions is a
+    // Manhattan-adjacent cell pair
+    cells.sliding(2).foreach { case Array((_, (x1, y1)), (h2, (x2, y2))) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1L,
+        s"jump at h=$h2: ($x1,$y1) -> ($x2,$y2)")
+    }
+    // ...and Morton at the same size is NOT continuous (the gate is not
+    // vacuous): it jumps at every power-of-two boundary
+    val morton = spark.range(256)
+      .select((col("id") % 16).as("x"), expr("id div 16").as("y"))
+      .select(Layout.zValue(col("x"), col("y"), 4).as("z"),
+        col("x"), col("y"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .sortBy(_._1)
+    val mortonJumps = morton.sliding(2).count {
+      case Array((_, (x1, y1)), (_, (x2, y2))) =>
+        math.abs(x1 - x2) + math.abs(y1 - y2) > 1L
+    }
+    assert(mortonJumps > 0, "Morton should jump; Hilbert should not")
+  }
+
+  test("hilbert layout prunes row groups on BOTH dimensions") {
+    val hDir = tmp("h")
+    Layout.writeHilbert(grid, hDir, col("a"), col("b"), Files, bits = 9)
+    val qB = (df: DataFrame) => df.filter(col("b") >= 200 && col("b") <= 207)
+    val qA = (df: DataFrame) => df.filter(col("a") >= 200 && col("a") <= 207)
+    // correctness: the clustered copy holds the same table
+    assert(qB(spark.read.parquet(hDir)).select("id").collect()
+      .map(_.getLong(0)).toSet
+      === qB(grid).select("id").collect().map(_.getLong(0)).toSet)
+    val hB = scanRows(qB(spark.read.parquet(hDir)))
+    val hA = scanRows(qA(spark.read.parquet(hDir)))
+    assert(hB <= N / 4, s"hilbert layout must prune the b-stripe: $hB")
+    assert(hA <= N / 4, s"hilbert layout must prune the a-stripe too: $hA")
+  }
+
   test("z layout prunes row groups on BOTH dimensions; a single-column " +
       "sort serves only its own") {
     val zDir = tmp("z"); val aDir = tmp("a")
