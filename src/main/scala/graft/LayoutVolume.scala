@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.core.Layout
+
+/** Volume proof for the clustered-layout family ([[graft.core.Layout]],
+  * SURVEY B1.7/B1.8) — the row-group-pruning claim MEASURED at parquet
+  * volume on all three layouts over the identical table:
+  *
+  *   - `a_sort`: single-column range sort — the baseline every warehouse
+  *     ships; perfect pruning on its own column, none on the other.
+  *   - `z`: Morton interleave ([[Layout.writeZOrdered]]).
+  *   - `h`: Hilbert curve ([[Layout.writeHilbert]]).
+  *
+  * Three queries per layout — an `a` stripe (the sort's home game), a `b`
+  * stripe (where a single-column sort reads everything), and a 2-D box —
+  * each measured as the parquet scan's output-rows metric (rows surviving
+  * row-group statistics pruning; file listing can't prune without
+  * partition columns, so this is THE number that decides scan cost).
+  * Row counts are cross-checked equal across layouts first (same table,
+  * same answer), so the pruning comparison can't silently compare
+  * different queries.
+  *
+  * The claims asserted (exit-fail): the b-stripe reads ≥ 90% under the
+  * a-sort and ≤ 35% under BOTH curves; the a-stripe reads ≤ 35% under
+  * both curves (the √-trade). The h-vs-z margin is REPORTED, not
+  * asserted — on stripe queries the continuous curve usually reads
+  * slightly less (no jump-straddling row group), but the margin is
+  * data-placement-dependent, not a theorem (the DedupVolume posture:
+  * honest numbers over flattering gates).
+  *
+  * Usage: runMain graft.LayoutVolume [side] [files]   (defaults 4096, 128
+  * — a 16.7M-row grid)
+  */
+object LayoutVolume {
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_layoutvol_$tag").toString
+
+  private def scanRows(df: DataFrame): Long = {
+    df.sparkSession.conf.set("spark.sql.parquet.filterPushdown", "true")
+    df.collect()
+    df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s.metrics("numOutputRows").value
+    }.sum
+  }
+
+  def run(spark: SparkSession, side: Long, files: Int): String = {
+    require((side & (side - 1)) == 0, s"side must be a power of two: $side")
+    val bits = java.lang.Long.numberOfTrailingZeros(side)
+    val n = side * side
+    val grid = spark.range(n).select(col("id"),
+      (col("id") % side).as("a"), (col("id") / side).cast("long").as("b"))
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val aDir = tmp("asort"); val zDir = tmp("z"); val hDir = tmp("h")
+    val (_, aSec) = timed {
+      grid.withColumn("__s", col("a"))
+        .repartitionByRange(files, col("__s")).sortWithinPartitions("__s")
+        .drop("__s").write.mode("overwrite").parquet(aDir)
+    }
+    val (_, zSec) = timed {
+      Layout.writeZOrdered(grid, zDir, col("a"), col("b"), files, bits)
+    }
+    val (_, hSec) = timed {
+      Layout.writeHilbert(grid, hDir, col("a"), col("b"), files, bits)
+    }
+
+    // stripe width side/64 (≈1.6% of rows), box side/16 on each dim
+    val w = side / 64; val lo = side / 2; val boxLo = side / 4
+    val boxW = side / 16
+    val queries: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "a_stripe" -> ((df: DataFrame) =>
+        df.filter(col("a") >= lo && col("a") < lo + w)),
+      "b_stripe" -> ((df: DataFrame) =>
+        df.filter(col("b") >= lo && col("b") < lo + w)),
+      "box" -> ((df: DataFrame) =>
+        df.filter(col("a") >= boxLo && col("a") < boxLo + boxW
+          && col("b") >= boxLo && col("b") < boxLo + boxW)))
+    val layouts = Seq("a_sort" -> aDir, "z" -> zDir, "h" -> hDir)
+
+    val measured = queries.map { case (qName, q) =>
+      // same answer under every layout, or the comparison is meaningless
+      val counts = layouts.map { case (_, dir) =>
+        q(spark.read.parquet(dir)).count() }
+      require(counts.distinct.size == 1,
+        s"$qName row counts diverge across layouts: $counts")
+      qName -> layouts.map { case (lName, dir) =>
+        lName -> scanRows(q(spark.read.parquet(dir)))
+      }
+    }
+
+    def rowsOf(q: String, l: String): Long =
+      measured.find(_._1 == q).get._2.find(_._1 == l).get._2
+    val parts = measured.flatMap { case (qName, ls) =>
+      ls.map { case (lName, rows) =>
+        f""""${qName}_${lName}_frac":${rows.toDouble / n}%.4f""" }
+    }
+
+    f"""{"metric":"layout_volume_rows","value":$n,"unit":"rows",""" +
+      f""""side":$side,"files":$files,"bits":$bits,""" +
+      f""""write_sec_a":$aSec%.1f,"write_sec_z":$zSec%.1f,""" +
+      f""""write_sec_h":$hSec%.1f,""" +
+      parts.mkString(",") + "," +
+      f""""b_stripe_h_vs_z":${
+        rowsOf("b_stripe", "h").toDouble /
+          math.max(rowsOf("b_stripe", "z"), 1L)}%.3f}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    val side = args.headOption.map(_.toLong).getOrElse(4096L)
+    val files = args.drop(1).headOption.map(_.toInt).getOrElse(128)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val line = run(spark, side, files)
+    println(line)
+    Artifacts.write("layout_volume.json", line)
+    spark.stop()
+
+    def frac(k: String): Double =
+      ("\"" + k + "\":([0-9.]+)").r.findFirstMatchIn(line).get
+        .group(1).toDouble
+    val ok = frac("b_stripe_a_sort_frac") >= 0.90 &&
+      frac("b_stripe_z_frac") <= 0.35 && frac("b_stripe_h_frac") <= 0.35 &&
+      frac("a_stripe_z_frac") <= 0.35 && frac("a_stripe_h_frac") <= 0.35
+    if (!ok) {
+      System.err.println("[layoutvol] PRUNING CLAIM VIOLATED")
+      sys.exit(1)
+    }
+  }
+}
