@@ -82,6 +82,31 @@ object TextNorm {
       (exprs: Seq[Expression]) => NfcNormalizeExpr(exprs(0)))
 }
 
+/** Public wiring for `porter_stem` — the Porter 1980 suffix stripper,
+  * the lexical-retrieval recall lever
+  * ([[org.apache.spark.sql.graftexpr.PorterStemExpr]]). */
+object PorterStem {
+  import org.apache.spark.sql.graftexpr.PorterStemExpr
+
+  private[functions] def info =
+    new ExpressionInfo(classOf[PorterStemExpr].getName, null,
+      "porter_stem",
+      "_FUNC_(word) - Returns the Porter (1980) stem of an English word. " +
+        "ASCII uppercase is folded first; words of length <= 2 or " +
+        "containing any non-ASCII-letter character are returned " +
+        "unchanged (numbers, URLs, and non-English scripts should not " +
+        "have English suffixes stripped).", "")
+
+  /** Column-DSL form: `porter_stem($"term")`. */
+  def porter_stem(s: Column): Column = PorterStemExpr.column(s)
+
+  /** Register `porter_stem` for SQL in an existing session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("porter_stem"), info,
+      (exprs: Seq[Expression]) => PorterStemExpr(exprs(0)))
+}
+
 /** Session extension — `.withExtensions(new GraftExtensions)` or config
   * `spark.sql.extensions=graft.functions.GraftExtensions` wires the custom
   * function surface into every session of a deployment. */
@@ -96,6 +121,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("nfc_normalize"), TextNorm.info,
       (exprs: Seq[Expression]) =>
         org.apache.spark.sql.graftexpr.NfcNormalizeExpr(exprs(0))))
+    e.injectFunction((FunctionIdentifier("porter_stem"), PorterStem.info,
+      (exprs: Seq[Expression]) =>
+        org.apache.spark.sql.graftexpr.PorterStemExpr(exprs(0))))
   }
 }
 

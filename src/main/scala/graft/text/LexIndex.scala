@@ -61,6 +61,34 @@ object LexIndex {
 
   private def tokens: Column = split(col("text"), " ")
 
+  // ------------------------------------------------ analyzer-stage stemming
+  // The Lucene arrangement: stemming is a TEXT-ANALYSIS stage applied
+  // symmetrically to the corpus before any build and to query terms
+  // before any probe — the index machinery itself stays byte-level
+  // unaware, so every existing path (build, append, retract, compact,
+  // phrase, batch serving, the streaming twin) composes unchanged. The
+  // contract is the analyzer-symmetry one every lexical engine documents:
+  // an index built from [[stemCorpus]] output must be probed with
+  // [[stemTerms]] output, or recall silently collapses (LexIndexSpec
+  // pins both the morphological-recall win and the symmetry).
+
+  /** Rewrite every whitespace token of `text` to its Porter stem — the
+    * pre-build half of the analyzer pair. One map-side higher-order
+    * transform over the codegen'd `porter_stem` kernel (B11.4 #17);
+    * non-letter tokens pass through by the kernel's contract. */
+  def stemCorpus(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      array_join(transform(split(col("text"), " "),
+        w => org.apache.spark.sql.graftexpr.PorterStemExpr.column(w)), " "))
+
+  /** The pre-probe half: stem query terms with the IDENTICAL algorithm
+    * (driver-side twin of the kernel, spec-pinned equal). */
+  def stemTerms(terms: Seq[String]): Seq[String] =
+    terms.map { t =>
+      val s = org.apache.spark.sql.graftexpr.PorterStemExpr.stem(t)
+      if (s == null) t else s
+    }
+
   private def termBucket(term: Column): Column =
     pmod(xxhash64(term), lit(IndexParts)).cast("int")
 

@@ -378,4 +378,41 @@ class LexIndexSpec extends SparkSpec {
     assert(declared.exists(_._2.isEmpty) || declared.exists(_._3.isEmpty),
       "fixture too easy: every fused doc appeared in both legs")
   }
+
+  test("analyzer-stage stemming: morphological variants fold into one " +
+      "postings row; symmetry is load-bearing") {
+    import spark.implicits._
+    val morph = Seq(
+      (0L, "relational databases and tables"),
+      (1L, "relations between tables and queries"),
+      (2L, "relate the table to the join"),
+      (3L, "vectors scanned quickly"))
+      .toDF("doc_id", "text")
+
+    // the raw index sees three different terms — a "relate" query finds
+    // only the exact form
+    val rawHits = LexIndex.searchCorpus(morph, Seq("relate"), 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rawHits === Set(2L), "raw recall misses morphological variants")
+
+    // the analyzer pair folds all three onto the stem
+    assert(LexIndex.stemTerms(Seq("relate")) === Seq("relat"))
+    val stemmed = LexIndex.stemCorpus(morph)
+    val q = LexIndex.stemTerms(Seq("relate"))
+    val corpusHits = LexIndex.searchCorpus(stemmed, q, 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(corpusHits === Set(0L, 1L, 2L),
+      "stemmed recall must cover relational/relations/relate")
+
+    // the persisted index serves the same ranking as the corpus path
+    val dir = tmp("stem")
+    LexIndex.writeIndex(stemmed, dir)
+    assert(collected(LexIndex.searchTopK(spark, dir, q, 10))
+      === collected(LexIndex.searchCorpus(stemmed, q, 10)))
+
+    // analyzer SYMMETRY: probing the stemmed index with the unstemmed
+    // term finds nothing — the documented contract, pinned so it cannot
+    // silently become "mostly works"
+    assert(LexIndex.searchTopK(spark, dir, Seq("relate"), 10).count() === 0L)
+  }
 }
