@@ -573,6 +573,26 @@ object Streaming {
         sink(graft.text.TextOps.budgetFillShard(batch, statePath), id)
     }
 
+  /** Online temperature fill (B10.33) — [[streamBudgetFill]]'s carried-
+    * tally mechanics against a FROZEN (lang, quota) table: the release
+    * corpus prices languages once ([[graft.text.TextOps
+    * .temperatureQuotas]]), each micro-batch fills against that price
+    * while its quotas last. Quotas are re-read per batch from `quotaPath`
+    * so a republished pricing takes effect at the next batch boundary —
+    * the streamEncodeBpe pointer discipline. Replay safety = the shard
+    * form's monotonic-id guard. */
+  def streamTemperatureFill(docs: DataFrame, statePath: String,
+      quotaPath: String, sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      if (!batch.isEmpty) {
+        val quotas = batch.sparkSession.read.parquet(quotaPath)
+        sink(graft.text.TextOps.temperatureFillShard(batch, statePath,
+          quotas), id)
+      }
+    }
+
   /** Online subword encoding against the PUBLISHED tokenizer (B10.28) —
     * each micro-batch of (doc_id, text) documents encoded by the model
     * at `dir` ([[graft.text.TokenizerStore]]), RE-RESOLVED from the

@@ -272,6 +272,96 @@ object TextOps {
     budgetSelect(docs.select(col("doc_id"), col("lang"),
       meter.as("n_tokens")))
 
+  // --------------------------------------------- temperature sampling
+  // The multilingual-mixture recipe (Conneau & Lample 2019's XLM; XLM-R
+  // and mC4/mT5 α-sampling): sample languages with p_l ∝ c_l^α, α < 1,
+  // so low-resource languages are UPWEIGHTED relative to proportional
+  // sampling — the standard fix for high-resource languages drowning the
+  // mixture. Here the quota table is DERIVED FROM THE CORPUS (per-lang
+  // token masses), where sample_budget's mixWeights are hand-set shares.
+
+  /** Token budget for the declared `sample_temperature` fill — sized so
+    * every language has both selected and excluded documents at every
+    * testdata scale (measured: per-lang masses 3.5k–112k tokens). */
+  private[text] val temperatureBudget = 12000L
+
+  /** Temperature-scaled per-language quotas: (lang, c, s, quota) with
+    * quota = ⌊B·√c_l / Σ√c⌋. α is FIXED at 1/2 because sqrt is the one
+    * fractional power IEEE 754 requires correctly rounded — both engines
+    * return the identical double, which is what keeps the quota table
+    * oracle-able (general α needs pow, whose last ulp is libm-specific —
+    * the TEST-gated path via `temperatureQuotasPow`). The share
+    * denominator folds in lang order (lang-count-bounded list, never a
+    * SQL SUM), the eval_ndcg discipline. Scale shape: one corpus
+    * aggregate to lang granularity; everything after is lang-bounded. */
+  def temperatureQuotas(docs: DataFrame, budget: Long): DataFrame = {
+    val counts = docs.groupBy("lang")
+      .agg(sum(size(tokens)).cast("long").as("c"))
+      .withColumn("s", sqrt(col("c").cast("double")))
+    val total = counts.agg(aggregate(
+      transform(array_sort(collect_list(struct(col("lang"), col("s")))),
+        x => x.getField("s")),
+      lit(0.0), (acc, x) => acc + x).as("total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("lang"), col("c"), col("s"),
+        floor(col("s") * lit(budget.toDouble) / col("total"))
+          .cast("long").as("quota"))
+  }
+
+  /** General-α variant (pow — TEST-gated per §7.5.7, see
+    * [[temperatureQuotas]]); α = 0.5 reproduces the declared quotas, the
+    * spec-pinned bridge between the two. */
+  def temperatureQuotasPow(docs: DataFrame, budget: Long,
+      alpha: Double): DataFrame = {
+    val counts = docs.groupBy("lang")
+      .agg(sum(size(tokens)).cast("long").as("c"))
+      .withColumn("s", pow(col("c").cast("double"), lit(alpha)))
+    val total = counts.agg(aggregate(
+      transform(array_sort(collect_list(struct(col("lang"), col("s")))),
+        x => x.getField("s")),
+      lit(0.0), (acc, x) => acc + x).as("total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("lang"), col("c"), col("s"),
+        floor(col("s") * lit(budget.toDouble) / col("total"))
+          .cast("long").as("quota"))
+  }
+
+  /** The temperature fill: [[temperatureQuotas]] against the same
+    * growth-stable doc_id-prefix selection as [[budgetSample]] — the
+    * quota table rides a broadcast (lang-bounded) instead of the
+    * mixWeights CASE, so the fill stays one lang-partitioned window +
+    * one broadcast join at any corpus size. */
+  def temperatureSample(docs: DataFrame, budget: Long): DataFrame =
+    temperatureSampleWith(docs, temperatureQuotas(docs, budget))
+
+  /** The fill against an EXPLICIT (lang, quota) table — the frozen-model
+    * form ([[temperatureQuotas]] computed once on the release corpus,
+    * shards and streams filled against it; the qualityBucketByCuts
+    * posture). Languages absent from the quota table select nothing
+    * (inner join — an unknown language has no budget, the conservative
+    * default). */
+  def temperatureSampleWith(docs: DataFrame, quotas: DataFrame): DataFrame = {
+    val wWin = Window.partitionBy("lang").orderBy("doc_id")
+    docs.select(col("doc_id"), col("lang"),
+        size(tokens).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(wWin))
+      .join(broadcast(quotas.select(col("lang"), col("quota"))), Seq("lang"))
+      .filter(col("cum_tokens") <= col("quota"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("cum_tokens"), col("quota"))
+  }
+
+  /** SHARD form of the temperature fill — [[budgetFillShard]]'s carried-
+    * tally mechanics against a FROZEN quota table: the release corpus
+    * prices the languages once, every arriving shard fills against that
+    * price while its quotas last. Same exactness argument: under the
+    * monotonic-id contract, per-shard selection with carried per-lang
+    * tallies ≡ [[temperatureSampleWith]] (same frozen quotas) over the
+    * union of all shards so far, row for row (TextOpsSpec pins it). */
+  def temperatureFillShard(shard: DataFrame, statePath: String,
+      quotas: DataFrame): DataFrame =
+    fillShardWith(shard, statePath, quotas)
+
   /** The per-language quota as a CASE column — one constants source
     * ([[mixWeights]]) for the batch fill, the oracle, and the streaming
     * shard fill. */
@@ -306,7 +396,15 @@ object TextOps {
     * tokens — selected or not — exactly like the batch cumsum; a
     * replayed shard trips the monotonic guard instead of double-counting
     * the tally. */
-  def budgetFillShard(shard: DataFrame, statePath: String): DataFrame = {
+  def budgetFillShard(shard: DataFrame, statePath: String): DataFrame =
+    fillShardWith(shard, statePath, null)
+
+  /** The shared shard-fill body: `quotas == null` prices languages with
+    * the [[mixWeights]] CASE (the budget fill); a non-null (lang, quota)
+    * table prices them from a frozen model (the temperature fill — inner
+    * join, unknown languages select nothing). */
+  private def fillShardWith(shard: DataFrame, statePath: String,
+      quotas: DataFrame): DataFrame = {
     val spark = shard.sparkSession
     val exists = graft.core.IndexLifecycle.pathExists(spark, statePath)
     val st =
@@ -318,9 +416,12 @@ object TextOps {
       else -1L
     val bounds = shard.agg(min(col("doc_id").cast("long")),
       max(col("doc_id").cast("long"))).head()
-    if (bounds.isNullAt(0)) return budgetSelect(
-      shard.select(col("doc_id"), col("lang"),
-        size(tokens).cast("long").as("n_tokens")))
+    if (bounds.isNullAt(0)) {
+      val metered0 = shard.select(col("doc_id"), col("lang"),
+        size(tokens).cast("long").as("n_tokens"))
+      return if (quotas == null) budgetSelect(metered0)
+      else temperatureSampleWith(shard, quotas)
+    }
     graft.core.IndexLifecycle.requireMonotonic(bounds.getLong(0), maxSeen,
       "doc_id")
     val metered = shard.select(col("doc_id"), col("lang"),
@@ -330,11 +431,15 @@ object TextOps {
       else null
     val wWin = Window.partitionBy("lang").orderBy("doc_id")
     val cum0 = metered.withColumn("cum0", sum(col("n_tokens")).over(wWin))
-    val sel = (if (carried == null) cum0.withColumn("base", lit(0L))
+    val based = (if (carried == null) cum0.withColumn("base", lit(0L))
       else cum0.join(broadcast(carried), Seq("lang"), "left")
         .na.fill(0L, Seq("base")))
       .withColumn("cum_tokens", col("cum0") + col("base"))
-      .withColumn("quota", quotaCol)
+    val priced =
+      if (quotas == null) based.withColumn("quota", quotaCol)
+      else based.join(broadcast(quotas.select(col("lang"), col("quota"))),
+        Seq("lang"))
+    val sel = priced
       .filter(col("cum_tokens") <= col("quota"))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         col("cum_tokens"), col("quota"))
@@ -623,6 +728,15 @@ object TextOps {
     // cumsum, no extra shuffle at any scale.
     "sample_budget_subword" -> ((s, d) =>
       budgetSampleSubword(Tables.documents(s, d)).orderBy("doc_id")),
+
+    // Temperature-scaled (α = 1/2) language sampling — quotas derived
+    // from the corpus's own per-lang token masses (p_l ∝ √c_l, the
+    // XLM-R/mC4 low-resource upweighting), then the same growth-stable
+    // doc_id-prefix fill as sample_budget. sqrt keeps the quota table
+    // bit-exact cross-engine; the share denominator folds in lang order.
+    "sample_temperature" -> ((s, d) =>
+      temperatureSample(Tables.documents(s, d), temperatureBudget)
+        .orderBy("doc_id")),
 
     // Repetition-based quality signals (the Gopher/MassiveText rule
     // family): per-document duplicate-token fraction and top-bigram
@@ -1259,6 +1373,31 @@ object TextOps {
          |SELECT doc_id, lang, n_tokens, cum_tokens, quota FROM c
          |WHERE cum_tokens <= quota ORDER BY doc_id""".stripMargin
     },
+
+    // the α=1/2 quota arithmetic mirrored step-for-step: sqrt is
+    // correctly rounded on both engines, the denominator folds in lang
+    // order via list_reduce ≡ Spark's sorted-struct aggregate fold, and
+    // floor((s·B)/total) is the identical IEEE sequence
+    "sample_temperature" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |cnt AS (SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS c
+         |  FROM t GROUP BY lang),
+         |sq AS (SELECT lang, sqrt(CAST(c AS DOUBLE)) AS s FROM cnt),
+         |tot AS (SELECT list_reduce(list(s ORDER BY lang ASC),
+         |    (acc, x) -> acc + x) AS total FROM sq),
+         |q AS (SELECT lang, CAST(floor(s * CAST($temperatureBudget AS
+         |    DOUBLE) / total) AS BIGINT) AS quota
+         |  FROM sq CROSS JOIN tot),
+         |c AS (SELECT doc_id, lang, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_tokens
+         |  FROM t)
+         |SELECT c.doc_id, c.lang, c.n_tokens, c.cum_tokens, q.quota
+         |FROM c JOIN q USING (lang)
+         |WHERE cum_tokens <= quota ORDER BY doc_id""".stripMargin,
 
     "text_repetition" ->
       """WITH base AS (SELECT doc_id,

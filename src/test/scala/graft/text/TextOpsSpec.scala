@@ -63,6 +63,56 @@ class TextOpsSpec extends SparkSpec {
     assert(over === 0L)
   }
 
+  test("temperature sampling: quotas ≡ a driver model, low-resource " +
+      "languages upweighted, budget respected, pow(0.5) bridge") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val B = 12000L
+
+    // driver model: same fold order (langs ascending), same IEEE ops
+    val masses = docs
+      .groupBy("lang").agg(sum(size(split(col("text"), " "))).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val roots = masses.map { case (l, c) => (l, math.sqrt(c.toDouble)) }
+    var total = 0.0
+    roots.foreach { case (_, s) => total += s }
+    val wantQuota = roots.map { case (l, s) =>
+      (l, math.floor(s * B.toDouble / total).toLong) }.toMap
+
+    val got = TextOps.temperatureQuotas(docs, B).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(got.map(x => (x._1, x._3)).toMap === wantQuota)
+
+    // the point of temperature: every language's quota share must exceed
+    // α=1 proportional sampling for below-average-mass languages and sit
+    // below it for above-average ones (√ compresses toward the mean)
+    val sumC = masses.map(_._2).sum.toDouble
+    val sumQ = wantQuota.values.sum.toDouble
+    masses.foreach { case (l, c) =>
+      val raw = c / sumC
+      val temp = wantQuota(l) / sumQ
+      if (c.toDouble < sumC / masses.size) // below mean mass
+        assert(temp > raw, s"$l: temperature must upweight ($temp vs $raw)")
+    }
+    assert(wantQuota.values.sum <= B, "floor keeps the fill under budget")
+
+    // the fill respects quotas, selects AND excludes in every language
+    val fill = TextOps.temperatureSample(docs, B)
+    assert(fill.filter(col("cum_tokens") > col("quota")).count() === 0L)
+    val perLang = fill.groupBy("lang").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val allLang = docs.groupBy("lang").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    allLang.foreach { case (l, n) =>
+      assert(perLang.getOrElse(l, 0L) > 0, s"$l must select some docs")
+      assert(perLang.getOrElse(l, 0L) < n, s"$l must exclude some docs")
+    }
+
+    // general-α bridge: pow at α = 0.5 reproduces the declared quotas
+    val viaPow = TextOps.temperatureQuotasPow(docs, B, 0.5).collect()
+      .map(r => (r.getString(0), r.getLong(3))).toMap
+    assert(viaPow === wantQuota)
+  }
+
   test("subword token estimate: exact arithmetic, bracketed by ws tokens and chars") {
     val docs = graft.core.Tables.documents(spark, sfDir)
     val rows = docs
@@ -270,5 +320,47 @@ class TextOpsSpec extends SparkSpec {
         batches.head.toSeq.toDF("doc_id", "lang", "text"), statePath)
     }
     assert(replay.getMessage.contains("monotonic"))
+  }
+
+  test("streaming temperature fill: frozen quotas + carried tallies ≡ " +
+      "the batch fill with the same quotas") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "text")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_tempfill").toString
+    val statePath = base + "/state"; val quotaPath = base + "/quotas"
+    // freeze the pricing from the release corpus ONCE
+    TextOps.temperatureQuotas(docs, 12000L)
+      .select("lang", "quota").write.parquet(quotaPath)
+    val frozen = spark.read.parquet(quotaPath)
+
+    type Row5 = (Long, String, Long, Long, Long)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Row5] =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val all = docs.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    val half = all.length / 2
+    val batches = Seq(all.take(half), all.drop(half))
+
+    val sunk = scala.collection.mutable.ArrayBuffer[Set[Row5]]()
+    val stream = MemoryStream[(Long, String, String)](179, spark, None)
+    val q = graft.stream.Streaming.streamTemperatureFill(
+        stream.toDF().toDF("doc_id", "lang", "text"), statePath, quotaPath,
+        (df, _) => sunk += rows(df))
+      .start()
+    batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+    q.stop()
+    assert(sunk.size === 2)
+    assert(sunk.reduce(_ ++ _)
+      === rows(TextOps.temperatureSampleWith(docs, frozen)),
+      "per-batch selections must union to the frozen-quota batch fill")
+    // and the declared query (quotas recomputed on the SAME corpus) is
+    // the identical selection — one corpus, one price
+    assert(sunk.reduce(_ ++ _) === rows(TextOps.temperatureSample(docs,
+      12000L)))
   }
 }
