@@ -72,6 +72,48 @@ object Relational {
       .drop("salt_l", "salt_r")
   }
 
+  /** CDC MERGE/upsert apply (the SQL:2003 MERGE / Delta-Lake MERGE INTO
+    * semantics as a relational operator): `changes` carries FULL
+    * replacement rows plus an `op` column — matched keys are replaced
+    * (update), unmatched inserted, and `op = 'D'` rows deleted. The
+    * production shape deliberately avoids a full-outer join (which no
+    * engine can broadcast): untouched target rows survive a LEFT ANTI
+    * against the delta's key set, then the delta's survivors union in —
+    * with a small delta (the normal CDC regime) the anti-join broadcasts
+    * and the TARGET NEVER SHUFFLES; `broadcastDelta = false` is the
+    * large-backfill fallback (plain shuffled anti-join, AQE handles
+    * skew). Exactly-once per key requires the delta be key-distinct —
+    * upstream compaction's contract, not re-checked here. */
+  def mergeUpsert(target: DataFrame, changes: DataFrame, key: String,
+      broadcastDelta: Boolean = true): DataFrame = {
+    val keys = changes.select(key).distinct()
+    val untouched = target.join(
+      if (broadcastDelta) broadcast(keys) else keys, Seq(key), "left_anti")
+    untouched.unionByName(changes.filter(col("op") =!= "D").drop("op"))
+  }
+
+  /** Merge-on-read view (the Hudi MoR / Delta change-feed-apply
+    * semantics): the delta LOG may carry several versions of a key —
+    * latest (max `seq`) wins, then the CDC apply ([[mergeUpsert]]). An
+    * update-then-delete history deletes; a delete-then-reinsert history
+    * reinserts — per-key time travel collapses to ONE row before the
+    * apply, so the view's cost is the log's (one key-partitioned
+    * window over the slim log), never the target's. (`key`, `seq`)
+    * uniqueness is the log's write contract (every CDC log orders its
+    * own stream) — ties would make "latest" meaningless in any engine;
+    * under that contract the dropDuplicates below is an exact no-op on
+    * a clean log and collapses byte-identical REPLAYED appends (the
+    * streaming twin's at-least-once hedge) deterministically. */
+  def mergeView(target: DataFrame, deltaLog: DataFrame, key: String,
+      seq: String, broadcastDelta: Boolean = true): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy(col(seq).desc)
+    val latest = deltaLog.dropDuplicates(key, seq)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", seq)
+    mergeUpsert(target, latest, key, broadcastDelta)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ------------------------------------------------ B2 filters
@@ -125,6 +167,73 @@ object Relational {
         .agg(count(lit(1)).as("n_lines"),
           dsum(col("l_extendedprice")).as("price_total"))
         .orderBy("o_orderpriority")),
+
+    // MERGE as a declared, oracle-checked key: the change feed is DERIVED
+    // deterministically from orders itself (md5-nibble routing, the
+    // sampler discipline — both engines derive the identical delta):
+    // nibbles 0/1 update (price doubled — an exact exponent bump — and
+    // status 'U'), nibble 2 deletes, nibble 3 inserts a re-keyed copy.
+    // The oracle knows nothing of the anti+union plan — it states MERGE
+    // semantics directly (NOT IN + UNION ALL), so equality proves the
+    // decomposition, not just the arithmetic.
+    "merge_upsert" -> ((s, d) => {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice").map(col)
+      val target = Tables.orders(s, d).select(cols: _*)
+      val base = Tables.orders(s, d).withColumn("nib",
+        substring(md5(col("o_orderkey").cast("string")), 1, 1))
+      val updates = base.filter(col("nib").isin("0", "1"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          lit("U").as("o_orderstatus"),
+          (col("o_totalprice") * 2).as("o_totalprice"), lit("U").as("op"))
+      val deletes = base.filter(col("nib") === "2")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), lit("D").as("op"))
+      val inserts = base.filter(col("nib") === "3")
+        .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+          col("o_custkey"), lit("N").as("o_orderstatus"),
+          col("o_totalprice"), lit("I").as("op"))
+      mergeUpsert(target,
+          updates.unionByName(deletes).unionByName(inserts), "o_orderkey")
+        .orderBy("o_orderkey")
+    }),
+
+    // Merge-on-read with a MULTI-VERSION delta log: nibble-0 keys carry
+    // an update at seq 1 (price ×2) SUPERSEDED by seq 2 (price ×3);
+    // nibble-2 keys carry update-then-delete (the delete wins); nibble-3
+    // keys a seq-1 insert. Latest-per-key collapse, then the CDC apply —
+    // the oracle replays the same history with a window rank.
+    "merge_view" -> ((s, d) => {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice").map(col)
+      val target = Tables.orders(s, d).select(cols: _*)
+      val base = Tables.orders(s, d).withColumn("nib",
+        substring(md5(col("o_orderkey").cast("string")), 1, 1))
+      val log = base.filter(col("nib") === "0")
+        .select(col("o_orderkey"), col("o_custkey"),
+          lit("U").as("o_orderstatus"),
+          (col("o_totalprice") * 2).as("o_totalprice"),
+          lit("U").as("op"), lit(1L).as("seq"))
+        .unionByName(base.filter(col("nib") === "0")
+          .select(col("o_orderkey"), col("o_custkey"),
+            lit("U").as("o_orderstatus"),
+            (col("o_totalprice") * 3).as("o_totalprice"),
+            lit("U").as("op"), lit(2L).as("seq")))
+        .unionByName(base.filter(col("nib") === "2")
+          .select(col("o_orderkey"), col("o_custkey"),
+            lit("U").as("o_orderstatus"),
+            (col("o_totalprice") * 2).as("o_totalprice"),
+            lit("U").as("op"), lit(1L).as("seq")))
+        .unionByName(base.filter(col("nib") === "2")
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"), col("o_totalprice"),
+            lit("D").as("op"), lit(2L).as("seq")))
+        .unionByName(base.filter(col("nib") === "3")
+          .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+            col("o_custkey"), lit("N").as("o_orderstatus"),
+            col("o_totalprice"), lit("I").as("op"), lit(1L).as("seq")))
+      mergeView(target, log, "o_orderkey", "seq").orderBy("o_orderkey")
+    }),
 
     "join_left_outer" -> ((s, d) =>
       Tables.customer(s, d)
@@ -752,6 +861,65 @@ object Relational {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    // MERGE semantics stated directly (NOT IN + UNION ALL) — the Spark
+    // side's broadcast-anti + union decomposition must reproduce it
+    "merge_upsert" ->
+      """WITH chg AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |    o_totalprice * 2 AS o_totalprice, 'U' AS op
+        |  FROM orders
+        |  WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0','1')
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 'D'
+        |  FROM orders
+        |  WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '2'
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000000, o_custkey, 'N', o_totalprice, 'I'
+        |  FROM orders
+        |  WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '3')
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM chg)
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM chg WHERE op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // the same history replayed declaratively: window-rank to the latest
+    // version per key, then MERGE semantics stated as NOT IN + UNION ALL
+    "merge_view" ->
+      """WITH lg AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |    o_totalprice * 2 AS o_totalprice, 'U' AS op, 1 AS seq
+        |  FROM orders
+        |  WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, 'U', o_totalprice * 3, 'U', 2
+        |  FROM orders
+        |  WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, 'U', o_totalprice * 2, 'U', 1
+        |  FROM orders
+        |  WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '2'
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 'D', 2
+        |  FROM orders
+        |  WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '2'
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000000, o_custkey, 'N', o_totalprice,
+        |    'I', 1
+        |  FROM orders
+        |  WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '3'),
+        |latest AS (
+        |  SELECT * FROM (SELECT *, row_number() OVER (
+        |      PARTITION BY o_orderkey ORDER BY seq DESC) AS rn FROM lg)
+        |  WHERE rn = 1)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM latest)
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM latest WHERE op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin,
 
     "join_left_outer" ->
       """SELECT c_custkey, COUNT(o_orderkey) AS n_big_orders,

@@ -593,6 +593,40 @@ object Streaming {
       }
     }
 
+  /** Online multi-epoch fill (B10.34) — [[streamTemperatureFill]]'s
+    * posture for the upsampling form: the frozen pricing table (lang, c,
+    * quota, full_epochs, rem from [[graft.text.TextOps.epochQuotas]]) is
+    * re-read per batch from `quotaPath`; full passes are STATELESS
+    * map-side fan-out, the partial pass rides the carried tally. Replay
+    * safety = the shard form's monotonic-id guard. */
+  def streamEpochFill(docs: DataFrame, statePath: String,
+      quotaPath: String, sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      if (!batch.isEmpty) {
+        val quotas = batch.sparkSession.read.parquet(quotaPath)
+        sink(graft.text.TextOps.epochFillShard(batch, statePath, quotas),
+          id)
+      }
+    }
+
+  /** CDC log ingestion (B10.35) — the merge-on-read write path: each
+    * micro-batch of change rows (full replacement values + `op` + `seq`)
+    * APPENDS to the delta log; the target is never rewritten in-stream.
+    * Readers get MERGE semantics on demand via
+    * [[graft.ops.Relational.mergeView]] (latest-per-key collapse + CDC
+    * apply). At-least-once replays append byte-identical rows, which the
+    * view's (key, seq) dedup collapses — the view, not the writer, is
+    * the idempotence point. */
+  def streamMergeLog(changes: DataFrame, logPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    changes.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      if (!batch.isEmpty)
+        batch.write.mode("append").parquet(logPath)
+    }
+
   /** Online subword encoding against the PUBLISHED tokenizer (B10.28) —
     * each micro-batch of (doc_id, text) documents encoded by the model
     * at `dir` ([[graft.text.TokenizerStore]]), RE-RESOLVED from the

@@ -362,6 +362,105 @@ object TextOps {
       quotas: DataFrame): DataFrame =
     fillShardWith(shard, statePath, quotas)
 
+  // --------------------------------------------------- multi-epoch fill
+  // Upsampling: when α-sampling prices a low-resource language ABOVE its
+  // own mass (quota > c_l), the published recipe REPEATS its documents —
+  // LLaMA's reported per-source epoch counts, mT5's repeat cap, and
+  // Muennighoff et al. 2023's data-constrained scaling (returns diminish
+  // sharply past ~4 repeats — the default cap here). The fill emits
+  // (doc_id, epoch) rows: ⌊quota/c_l⌋ full passes over every document of
+  // the language plus one partial pass filled by the same growth-stable
+  // doc_id-prefix rule on the remainder. The fan-out per document is
+  // ≤ cap rows by construction — bounded at any corpus size.
+
+  /** Declared-key constants: the budget is `factor`× the corpus's OWN
+    * token mass (so it rescales with the corpus and both regimes are
+    * exercised at every testdata scale: high-resource languages truncate
+    * below one epoch while low-resource ones repeat); epochs cap at 4
+    * (the data-constrained-scaling knee). */
+  private[text] val epochRepeatFactor = 2L
+  private[text] val epochCap = 4L
+
+  /** Per-language epoch pricing: (lang, c, quota, full_epochs, rem) with
+    * quota = ⌊√c_l · B / Σ√c⌋ and B = factor·Σc — the
+    * [[temperatureQuotas]] arithmetic with the budget derived IN-PLAN
+    * from the corpus: Σc is a BIGINT SUM (order-independent, exact), so
+    * there is no driver round-trip and no float until the one oracled
+    * floor. full_epochs = min(quota div c, cap); rem = quota mod c while
+    * the cap is not binding, else 0 (a capped language runs exactly cap
+    * full passes and no partial). Everything past the floor is integer. */
+  def epochQuotas(docs: DataFrame, factor: Long, cap: Long): DataFrame = {
+    val counts = docs.groupBy("lang")
+      .agg(sum(size(tokens)).cast("long").as("c"))
+      .withColumn("s", sqrt(col("c").cast("double")))
+    val total = counts.agg(
+      sum(col("c")).cast("long").as("mass"),
+      aggregate(
+        transform(array_sort(collect_list(struct(col("lang"), col("s")))),
+          x => x.getField("s")),
+        lit(0.0), (acc, x) => acc + x).as("total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("quota",
+        floor(col("s") * (col("mass") * lit(factor)).cast("double")
+          / col("total")).cast("long"))
+      .withColumn("full_epochs", least(expr("quota div c"), lit(cap)))
+      .withColumn("rem",
+        when(col("full_epochs") >= lit(cap), lit(0L))
+          .otherwise(col("quota") % col("c")))
+      .select("lang", "c", "quota", "full_epochs", "rem")
+  }
+
+  /** The declared multi-epoch fill: [[epochQuotas]] at the declared
+    * constants, then [[epochSampleWith]]. */
+  def epochSample(docs: DataFrame): DataFrame =
+    epochSampleWith(docs, epochQuotas(docs, epochRepeatFactor, epochCap))
+
+  /** The fill against an EXPLICIT pricing table (the frozen-model form,
+    * [[temperatureSampleWith]]'s posture): one lang-partitioned window
+    * for the partial-pass cumsum, one broadcast join for the pricing,
+    * then a ≤cap-wide `sequence` explode — no shuffle beyond the window
+    * sort, fan-out bounded per row. Unknown languages select nothing
+    * (inner join). */
+  def epochSampleWith(docs: DataFrame, quotas: DataFrame): DataFrame = {
+    val wWin = Window.partitionBy("lang").orderBy("doc_id")
+    docs.select(col("doc_id"), col("lang"),
+        size(tokens).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(wWin))
+      .join(broadcast(quotas.select(col("lang"), col("full_epochs"),
+        col("rem"))), Seq("lang"))
+      .withColumn("n_epochs", col("full_epochs") +
+        when(col("cum_tokens") <= col("rem"), lit(1L)).otherwise(lit(0L)))
+      .filter(col("n_epochs") >= lit(1L))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        explode(sequence(lit(1L), col("n_epochs"))).as("epoch"))
+  }
+
+  /** SHARD form — the two passes decompose cleanly: full epochs are
+    * STATELESS (frozen pricing, map-side — every doc of a priced language
+    * repeats full_epochs times, no tally needed), and the partial pass IS
+    * the carried-tally quota fill ([[fillShardWith]]) on the rem table,
+    * emitted at epoch full_epochs+1. Union over shards ≡
+    * [[epochSampleWith]] on the union (TextOpsSpec pins it row for row);
+    * replay safety is the shared monotonic-id guard. */
+  def epochFillShard(shard: DataFrame, statePath: String,
+      quotas: DataFrame): DataFrame = {
+    val metered = shard.select(col("doc_id"), col("lang"),
+      size(tokens).cast("long").as("n_tokens"))
+    val partial = fillShardWith(shard, statePath,
+        quotas.filter(col("rem") > 0L)
+          .select(col("lang"), col("rem").as("quota")))
+      .join(broadcast(quotas.select(col("lang"), col("full_epochs"))),
+        Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        (col("full_epochs") + lit(1L)).as("epoch"))
+    val full = metered
+      .join(broadcast(quotas.filter(col("full_epochs") >= 1L)
+        .select(col("lang"), col("full_epochs"))), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        explode(sequence(lit(1L), col("full_epochs"))).as("epoch"))
+    full.unionByName(partial)
+  }
+
   /** The per-language quota as a CASE column — one constants source
     * ([[mixWeights]]) for the batch fill, the oracle, and the streaming
     * shard fill. */
@@ -737,6 +836,13 @@ object TextOps {
     "sample_temperature" -> ((s, d) =>
       temperatureSample(Tables.documents(s, d), temperatureBudget)
         .orderBy("doc_id")),
+
+    // Multi-epoch upsampling (LLaMA per-source epochs / mT5 repeat cap /
+    // Muennighoff 2023): α=1/2 pricing at budget = 2× the corpus's own
+    // mass — low-resource languages repeat (epoch ≥ 2), high-resource
+    // ones truncate below one pass; fan-out ≤ 4 rows/doc by the cap.
+    "sample_epochs" -> ((s, d) =>
+      epochSample(Tables.documents(s, d)).orderBy("doc_id", "epoch")),
 
     // Repetition-based quality signals (the Gopher/MassiveText rule
     // family): per-document duplicate-token fraction and top-bigram
@@ -1398,6 +1504,41 @@ object TextOps {
          |SELECT c.doc_id, c.lang, c.n_tokens, c.cum_tokens, q.quota
          |FROM c JOIN q USING (lang)
          |WHERE cum_tokens <= quota ORDER BY doc_id""".stripMargin,
+
+    // the epoch pricing mirrored step-for-step: the budget is 2·Σc with
+    // Σc an exact BIGINT SUM, the one float floor is the sample_temperature
+    // IEEE sequence, and everything after (div/mod/least/generate_series)
+    // is integer arithmetic on both engines
+    "sample_epochs" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |cnt AS (SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS c
+         |  FROM t GROUP BY lang),
+         |sq AS (SELECT lang, c, sqrt(CAST(c AS DOUBLE)) AS s FROM cnt),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS mass,
+         |    list_reduce(list(s ORDER BY lang ASC),
+         |      (acc, x) -> acc + x) AS total FROM sq),
+         |q AS (SELECT lang, c, CAST(floor(s * CAST(mass * $epochRepeatFactor
+         |    AS DOUBLE) / total) AS BIGINT) AS quota
+         |  FROM sq CROSS JOIN tot),
+         |e AS (SELECT lang, c, quota,
+         |    least(quota // c, $epochCap) AS full_epochs,
+         |    CASE WHEN quota // c >= $epochCap THEN 0
+         |      ELSE quota % c END AS rem
+         |  FROM q),
+         |cum AS (SELECT doc_id, lang, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_tokens
+         |  FROM t),
+         |n AS (SELECT doc_id, cum.lang, n_tokens,
+         |    full_epochs + CASE WHEN cum_tokens <= rem THEN 1 ELSE 0 END
+         |      AS n_epochs
+         |  FROM cum JOIN e USING (lang))
+         |SELECT doc_id, lang, n_tokens,
+         |  CAST(unnest(generate_series(1, n_epochs)) AS BIGINT) AS epoch
+         |FROM n WHERE n_epochs >= 1 ORDER BY doc_id, epoch""".stripMargin,
 
     "text_repetition" ->
       """WITH base AS (SELECT doc_id,

@@ -113,6 +113,117 @@ class TextOpsSpec extends SparkSpec {
     assert(viaPow === wantQuota)
   }
 
+  test("multi-epoch fill: pricing ≡ a driver model, low-resource repeats " +
+      "+ high-resource truncates, fan-out capped, mass billed to quota") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val F = TextOps.epochRepeatFactor; val CAP = TextOps.epochCap
+
+    // driver model of the pricing — same IEEE sequence
+    val masses = docs
+      .groupBy("lang").agg(sum(size(split(col("text"), " "))).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val mass = masses.map(_._2).sum
+    var total = 0.0
+    masses.foreach { case (_, c) => total += math.sqrt(c.toDouble) }
+    val model = masses.map { case (l, c) =>
+      val quota = math.floor(
+        math.sqrt(c.toDouble) * (mass * F).toDouble / total).toLong
+      val fullE = math.min(quota / c, CAP)
+      val rem = if (fullE >= CAP) 0L else quota % c
+      l -> ((c, quota, fullE, rem))
+    }.toMap
+
+    val priced = TextOps.epochQuotas(docs, F, CAP).collect()
+      .map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(priced === model)
+
+    // the α-sampling regimes diverge on the testdata: the lowest-mass
+    // language runs strictly more full passes than the highest-mass one
+    // (quota/c = 2T/(√c·Σ√c) is mass-share-dependent only, so this is
+    // scale-stable), and at least one language repeats
+    assert(model.values.exists(_._3 >= 1L), "some language must repeat")
+    val loLang = masses.minBy(_._2)._1; val hiLang = masses.maxBy(_._2)._1
+    assert(model(loLang)._3 > model(hiLang)._3,
+      "low-resource language must run more full passes than high-resource")
+
+    // truncation (full_epochs == 0) and the binding cap, pinned on a
+    // synthetic extreme-skew corpus: one dominant language (mass 10000)
+    // over 50 small ones (mass 100 each) — Σ√c = 600 while 2T = 30000,
+    // so quota_big/c_big = 0.5 (truncation) and quota_small/c_small = 5
+    // (cap binds at 4)
+    {
+      import spark.implicits._
+      val w100 = Seq.fill(100)("w").mkString(" ")
+      val skew = (1L to 100L).map(i => (i, "big", w100)) ++
+        (1 to 50).map(j => (100L + j, f"l$j%02d", w100))
+      val df = skew.toDF("doc_id", "lang", "text")
+      val q = TextOps.epochQuotas(df, F, CAP).collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))).toMap
+      assert(q("big")._3 === 0L && q("big")._4 < q("big")._1,
+        s"dominant language must truncate: ${q("big")}")
+      assert(q("l01")._3 === CAP && q("l01")._4 === 0L,
+        s"small language must cap: ${q("l01")}")
+      val f = TextOps.epochSampleWith(df, TextOps.epochQuotas(df, F, CAP))
+      assert(f.filter(col("lang") === "l01").count() === CAP,
+        "capped language emits exactly cap rows for its one doc")
+      assert(f.filter(col("lang") === "big").count() < 100L,
+        "truncated language excludes documents")
+    }
+
+    val fill = TextOps.epochSample(docs)
+    // fan-out bound: no doc appears more than cap (+1 partial never
+    // coexists with a binding cap) times
+    val perDoc = fill.groupBy("doc_id").count()
+      .agg(max("count")).head().getLong(0)
+    assert(perDoc <= CAP)
+    // epochs are dense 1..n per doc
+    val dense = fill.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max("epoch").as("m"), min("epoch").as("lo"))
+      .filter(col("n") =!= col("m") || col("lo") =!= 1L).count()
+    assert(dense === 0L)
+    // billed mass per lang = full_epochs·c + partial-prefix tokens ≤ quota
+    // (when the cap is not binding) — the budget is respected exactly
+    val billed = fill.groupBy("lang").agg(sum("n_tokens").as("b")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    model.foreach { case (l, (c, quota, fullE, rem)) =>
+      if (fullE < CAP)
+        assert(billed.getOrElse(l, 0L) <= quota,
+          s"$l bills ${billed.getOrElse(l, 0L)} over quota $quota")
+      else assert(billed(l) === CAP * c, s"$l capped bill must be CAP·c")
+    }
+  }
+
+  test("epoch shard fill: frozen pricing + carried tally ≡ the batch " +
+      "fill, across two shards") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "text")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_epochfill").toString
+    val statePath = base + "/state"; val quotaPath = base + "/quotas"
+    TextOps.epochQuotas(docs, TextOps.epochRepeatFactor, TextOps.epochCap)
+      .write.parquet(quotaPath)
+    val frozen = spark.read.parquet(quotaPath)
+
+    type R = (Long, String, Long, Long)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[R] =
+      df.select("doc_id", "lang", "n_tokens", "epoch").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSet
+    val all = docs.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    val half = all.length / 2
+    import spark.implicits._
+    val got = Seq(all.take(half), all.drop(half)).map { b =>
+      rows(TextOps.epochFillShard(
+        b.toSeq.toDF("doc_id", "lang", "text"), statePath, frozen))
+    }.reduce(_ ++ _)
+    assert(got === rows(TextOps.epochSampleWith(docs, frozen)))
+    assert(got === rows(TextOps.epochSample(docs)))
+  }
+
   test("subword token estimate: exact arithmetic, bracketed by ws tokens and chars") {
     val docs = graft.core.Tables.documents(spark, sfDir)
     val rows = docs
