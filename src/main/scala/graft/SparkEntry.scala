@@ -30,7 +30,8 @@ object SparkEntry {
     sim.EmbedFp.queries,
     sim.Dedup.queries,
     sim.Curation.queries,
-    sim.Eval.queries
+    sim.Eval.queries,
+    graph.Graph.queries
   )
 
   private def oracleModules = Seq(
@@ -52,7 +53,8 @@ object SparkEntry {
     sim.EmbedFp.oracleSql,
     sim.Dedup.oracleSql,
     sim.Curation.oracleSql,
-    sim.Eval.oracleSql
+    sim.Eval.oracleSql,
+    graph.Graph.oracleSql
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

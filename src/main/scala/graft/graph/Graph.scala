@@ -1,0 +1,270 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Graph centrality over similarity graphs (SURVEY §2 B9.71): PageRank
+  * (Page et al. 1999) and personalized PageRank (the seed-restart random
+  * walk — Haveliwala 2002's topic-sensitive form) as relational
+  * operators over an (src, dst) edge table. The data-pipeline use is
+  * graph-diffusion data selection: rank documents by centrality in the
+  * k-NN similarity graph (representative-sample mining), or diffuse a
+  * trusted seed set outward (the graph sibling of the Rocchio seed-set
+  * classifier) — both published curation recipes.
+  *
+  * Determinism discipline: a PageRank iteration is per-node float SUMS
+  * over in-neighbors, whose order no SQL engine specifies. The ORACLED
+  * forms below fold each node's in-flow in src order (collect_list →
+  * array_sort → aggregate ≡ DuckDB `list_reduce(list(... ORDER BY
+  * src))` — the eval_ndcg discipline), so every iteration is bit-exact
+  * cross-engine. The fold materializes each node's in-neighbor list, so
+  * its cost is in-degree-bounded — fine on bounded-degree similarity
+  * graphs (k-NN in-degree concentrates near k), wrong on a web graph
+  * with 10⁷-in-degree hubs; [[pageRankFast]] is the production form
+  * (plain mergeable SUM — map-side combine, no list), spec-pinned to
+  * rank identically and agree within float-accumulation noise.
+  *
+  * Dangling nodes: every node of the declared k-NN graph has out-degree
+  * ≥ 1 by construction (each vector emits k edges), so no dangling mass
+  * exists on the declared keys. The operators implement the LEAKING
+  * variant (no dangling redistribution — a node with in-edges only
+  * contributes nothing), the documented choice that keeps each
+  * iteration one join + one fold with no global float reduction; the
+  * total-mass invariant is asserted in the spec on dangling-free input.
+  */
+object Graph {
+
+  private val Damping = 0.85
+
+  /** (1-d)/n teleport share — both engines compute the SAME IEEE tree
+    * (1 - 0.85 in doubles, then the divide), never a pre-folded 0.15
+    * literal (a shortest-decimal 0.15 is a DIFFERENT double than the
+    * subtraction's result). */
+  private def teleport(nCol: Column, d: Double): Column =
+    (lit(1.0) - lit(d)) / nCol.cast("double")
+
+  /** src-ordered deterministic fold of per-edge contributions into each
+    * dst's in-flow. */
+  private def inflowFold: Column =
+    aggregate(
+      transform(array_sort(collect_list(struct(col("src"), col("contrib")))),
+        x => x.getField("contrib")),
+      lit(0.0), (acc, x) => acc + x).as("inflow")
+
+  /** Node table (id) = distinct src ∪ dst, and the in-plan node count —
+    * a one-row broadcast, no driver round-trip. */
+  private def nodesAndCount(edges: DataFrame): (DataFrame, DataFrame) = {
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+    (nodes, nodes.agg(count(lit(1)).as("n")))
+  }
+
+  /** Deterministic PageRank: `iters` exact power iterations at damping
+    * `d`, r₀ = 1/n, rₜ₊₁(v) = (1-d)/n + d·Σ_{u→v} rₜ(u)/outdeg(u) with
+    * the sum folded in src order. Returns (id, pr). Per iteration: one
+    * broadcast-able (outdeg, rank) attach on src, one groupBy(dst) fold,
+    * one left join back to nodes — shuffle ∝ |E| on dst, never
+    * all-pairs. */
+  def pageRank(edges: DataFrame, iters: Int,
+      d: Double = Damping): DataFrame = {
+    val (nodes, cnt) = nodesAndCount(edges)
+    val out = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    var ranks = nodes.crossJoin(broadcast(cnt))
+      .select(col("id"), (lit(1.0) / col("n").cast("double")).as("pr"))
+    for (_ <- 1 to iters) {
+      val contribs = edges
+        .join(out, "src")
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"), col("src"),
+          (col("pr") / col("outdeg")).as("contrib"))
+      val inflow = contribs.groupBy("dst").agg(inflowFold)
+      ranks = nodes.crossJoin(broadcast(cnt))
+        .join(inflow.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id"),
+          (teleport(col("n"), d) +
+            lit(d) * coalesce(col("inflow"), lit(0.0))).as("pr"))
+    }
+    ranks
+  }
+
+  /** Personalized PageRank: the teleport mass restarts at the SEED SET
+    * instead of uniformly — rₜ₊₁(v) = (1-d)·t(v) + d·inflow with
+    * t(v) = 1/|S| on seeds, 0 elsewhere; r₀ = t. Diffusion distance
+    * from a trusted set, the curation seed-expansion primitive. `seeds`
+    * is one `id` column; the seed share rides a one-row broadcast. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
+      d: Double = Damping): DataFrame = {
+    val (nodes, _) = nodesAndCount(edges)
+    val out = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val sCnt = seeds.agg(count(lit(1)).as("ns"))
+    val seeded = nodes
+      .join(seeds.select(col("id"), lit(1).as("is_seed")), Seq("id"), "left")
+      .crossJoin(broadcast(sCnt))
+      .select(col("id"),
+        when(col("is_seed").isNotNull,
+          lit(1.0) / col("ns").cast("double"))
+          .otherwise(lit(0.0)).as("t"))
+    var ranks = seeded.select(col("id"), col("t").as("pr"))
+    for (_ <- 1 to iters) {
+      val contribs = edges
+        .join(out, "src")
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"), col("src"),
+          (col("pr") / col("outdeg")).as("contrib"))
+      val inflow = contribs.groupBy("dst").agg(inflowFold)
+      ranks = seeded
+        .join(inflow.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id"),
+          ((lit(1.0) - lit(d)) * col("t") +
+            lit(d) * coalesce(col("inflow"), lit(0.0))).as("pr"))
+    }
+    ranks
+  }
+
+  /** Production PageRank: plain SUM in-flows (mergeable partial
+    * aggregates, map-side combine, no per-node list — the hub-safe
+    * shape) + `localCheckpoint` every 5 iterations to bound lineage on
+    * long runs. Float-accumulation order is engine-chosen, so this form
+    * is TEST-gated (§7.5.7): GraphSpec pins it to [[pageRank]] within
+    * accumulation noise and rank-identical on the fixture. */
+  def pageRankFast(edges: DataFrame, iters: Int,
+      d: Double = Damping): DataFrame = {
+    val (nodes, cnt) = nodesAndCount(edges)
+    val out = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    var ranks = nodes.crossJoin(broadcast(cnt))
+      .select(col("id"), (lit(1.0) / col("n").cast("double")).as("pr"))
+    for (i <- 1 to iters) {
+      val contribs = edges
+        .join(out, "src")
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"), (col("pr") / col("outdeg")).as("contrib"))
+      val inflow = contribs.groupBy("dst")
+        .agg(sum(col("contrib")).as("inflow"))
+      ranks = nodes.crossJoin(broadcast(cnt))
+        .join(inflow.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id"),
+          (teleport(col("n"), d) +
+            lit(d) * coalesce(col("inflow"), lit(0.0))).as("pr"))
+      if (i % 5 == 0) ranks = ranks.localCheckpoint()
+    }
+    ranks
+  }
+
+  /** The declared edge set: the `sim_knn_graph` k=3 label-blocked exact
+    * k-NN graph (Similarity.scala) projected to (src, dst) — the one
+    * similarity graph whose edge list is already proven bit-exact
+    * cross-engine. */
+  private[graph] def knnEdges(s: SparkSession, d: String): DataFrame = {
+    val dot = graft.sim.VectorMath.dot _
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(desc("cosine"), asc("nbr_id"))
+    emb.alias("a").join(emb.alias("b"),
+        col("a.label") === col("b.label")
+          && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
+        (dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")))
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // 3 power iterations of deterministic PageRank over the k-NN
+    // similarity graph — centrality-ranked vectors, bit-exact both
+    // engines (every float op mirrored, in-flows folded in src order).
+    "graph_pagerank" -> ((s, d) =>
+      pageRank(knnEdges(s, d), iters = 3)
+        .select(col("id").as("vec_id"), col("pr"))
+        .orderBy("vec_id")),
+
+    // Personalized PageRank from the md5-nibble-0 seed set (the sampler
+    // discipline — both engines derive the identical seeds): diffusion
+    // affinity to a trusted set through the similarity graph.
+    "graph_ppr" -> ((s, d) => {
+      val edges = knnEdges(s, d)
+      val seeds = Tables.embeddings(s, d).select(col("vec_id").as("id"))
+        .filter(substring(md5(col("id").cast("string")), 1, 1) === "0")
+      personalizedPageRank(edges, seeds, iters = 3)
+        .select(col("id").as("vec_id"), col("pr"))
+        .orderBy("vec_id")
+    })
+  )
+
+  // ------------------------------------------------------------ oracle
+
+  /** The shared edge-set CTE prefix — the sim_knn_graph chain verbatim,
+    * projected to (src, dst), plus nodes = distinct src ∪ dst and the
+    * node count. */
+  private val edgeCtes =
+    """WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |normed AS (SELECT vec_id, label, v,
+      |    sqrt(list_reduce(list_transform(list_zip(v, v), z -> z[1] * z[2]),
+      |      (acc, x) -> acc + x)) AS norm FROM emb),
+      |prs AS (
+      |  SELECT a.vec_id AS src, b.vec_id AS dst,
+      |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+      |      list_reduce(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]),
+      |        (acc, x) -> acc + x) / (a.norm * b.norm) DESC,
+      |      b.vec_id ASC) AS rank
+      |  FROM normed a JOIN normed b
+      |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+      |edges AS (SELECT src, dst FROM prs WHERE rank <= 3),
+      |outd AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+      |nodes AS (SELECT DISTINCT src AS id FROM edges
+      |  UNION SELECT DISTINCT dst FROM edges),
+      |cnt AS (SELECT COUNT(*) AS n FROM nodes)""".stripMargin
+
+  /** One unrolled iteration (contribs → src-ordered fold → rank update)
+    * reading r${i-1}, producing r$i; `rank` is the per-node update
+    * expression with `COALESCE(inflow, CAST(0 AS DOUBLE))` spliced as
+    * `IN`. */
+  private def iterCtes(i: Int, rankExpr: String): String =
+    s"""c$i AS (SELECT e.dst, e.src, r${i - 1}.pr / outd.outdeg AS contrib
+       |  FROM edges e JOIN outd ON e.src = outd.src
+       |  JOIN r${i - 1} ON e.src = r${i - 1}.id),
+       |i$i AS (SELECT dst, list_reduce(list(contrib ORDER BY src),
+       |    (acc, x) -> acc + x) AS inflow FROM c$i GROUP BY dst),
+       |r$i AS (SELECT id, ${rankExpr} AS pr
+       |  FROM base LEFT JOIN i$i ON base.id = i$i.dst)""".stripMargin
+
+  private val In = "COALESCE(inflow, CAST(0 AS DOUBLE))"
+
+  def oracleSql: Map[String, String] = Map(
+    "graph_pagerank" -> {
+      val upd = "(CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / CAST(n AS DOUBLE)" +
+        s" + CAST(0.85 AS DOUBLE) * $In"
+      s"""$edgeCtes,
+         |base AS (SELECT id, n FROM nodes CROSS JOIN cnt),
+         |r0 AS (SELECT id, CAST(1 AS DOUBLE) / CAST(n AS DOUBLE) AS pr
+         |  FROM base),
+         |${(1 to 3).map(i => iterCtes(i, upd)).mkString(",\n")}
+         |SELECT id AS vec_id, pr FROM r3 ORDER BY vec_id""".stripMargin
+    },
+    "graph_ppr" -> {
+      val upd = "(CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * t" +
+        s" + CAST(0.85 AS DOUBLE) * $In"
+      s"""$edgeCtes,
+         |seeds AS (SELECT vec_id AS id FROM embeddings
+         |  WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) = '0'),
+         |scnt AS (SELECT COUNT(*) AS ns FROM seeds),
+         |base AS (SELECT nodes.id,
+         |    CASE WHEN seeds.id IS NOT NULL
+         |      THEN CAST(1 AS DOUBLE) / CAST(ns AS DOUBLE)
+         |      ELSE CAST(0 AS DOUBLE) END AS t
+         |  FROM nodes LEFT JOIN seeds ON nodes.id = seeds.id
+         |  CROSS JOIN scnt),
+         |r0 AS (SELECT id, t AS pr FROM base),
+         |${(1 to 3).map(i => iterCtes(i, upd)).mkString(",\n")}
+         |SELECT id AS vec_id, pr FROM r3 ORDER BY vec_id""".stripMargin
+    }
+  )
+}

@@ -1,0 +1,99 @@
+package graft.graph
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // 1→2, 2→1, 2→3, 3→1 — outdegs 1/2/1, no dangling nodes
+  private def tinyEdges = {
+    import spark.implicits._
+    Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+  }
+
+  /** Driver replay with the same fold order (in-neighbors ascending) and
+    * the same per-node teleport ADDEND expression as the engine —
+    * `tele(v)` must be computed by the caller with the engine's exact
+    * IEEE tree ((1-d)/n for uniform, (1-d)·t(v) for personalized; the
+    * two differ in the last ulp). */
+  private def replay(edges: Seq[(Long, Long)], iters: Int, d: Double,
+      r0: Map[Long, Double], tele: Map[Long, Double]): Map[Long, Double] = {
+    val out = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = r0
+    for (_ <- 1 to iters) {
+      val inflow = edges.groupBy(_._2).view.mapValues { es =>
+        var acc = 0.0
+        es.sortBy(_._1).foreach { case (u, _) => acc += r(u) / out(u) }
+        acc
+      }.toMap
+      r = r0.keys.map { v =>
+        v -> (tele(v) + d * inflow.getOrElse(v, 0.0))
+      }.toMap
+    }
+    r
+  }
+
+  test("pageRank ≡ a driver replay bit-for-bit; mass conserved on a " +
+      "dangling-free graph") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L))
+    val n = 3
+    val r0 = (1L to 3L).map(_ -> 1.0 / n).toMap
+    val tele = (1L to 3L).map(_ -> (1.0 - 0.85) / n).toMap
+    val want = replay(edges, 3, 0.85, r0, tele)
+    val got = Graph.pageRank(tinyEdges, 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === want)
+    assert(math.abs(got.values.sum - 1.0) < 1e-12,
+      "every node has out-edges, so no mass leaks")
+    // node 1 receives from both 2 and 3 — it must outrank 3 (one weak
+    // in-edge from the shared-out node 2)
+    assert(got(1L) > got(3L))
+  }
+
+  test("pageRankFast agrees with the oracled form within accumulation " +
+      "noise and ranks identically") {
+    val det = Graph.pageRank(tinyEdges, 7).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val fast = Graph.pageRankFast(tinyEdges, 7).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(det.keySet === fast.keySet)
+    det.foreach { case (k, v) =>
+      assert(math.abs(fast(k) - v) < 1e-12, s"node $k drifted") }
+    assert(det.toSeq.sortBy(-_._2).map(_._1) ===
+      fast.toSeq.sortBy(-_._2).map(_._1))
+  }
+
+  test("personalized PageRank: converged mass decays with distance from " +
+      "the seed; unreachable components receive nothing; ≡ driver replay") {
+    import spark.implicits._
+    // cycle 1→2→3→4→1 (stationary PPR decays as d^distance along it)
+    // plus an isolated pair 5⇄6, unreachable from the seed
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (5L, 6L),
+      (6L, 5L))
+    val seeds = Seq(1L).toDF("id")
+    val got = Graph.personalizedPageRank(es.toDF("src", "dst"), seeds, 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) > got(2L) && got(2L) > got(3L) && got(3L) > got(4L),
+      s"diffusion must decay with distance: $got")
+    assert(got(5L) === 0.0 && got(6L) === 0.0,
+      "unreachable components receive nothing")
+    // and ≡ the driver replay with the seed teleport
+    val t = (1L to 6L).map(v => v -> (if (v == 1L) 1.0 else 0.0)).toMap
+    val tele = t.map { case (v, tv) => v -> (1.0 - 0.85) * tv }
+    assert(got === replay(es, 20, 0.85, t, tele))
+  }
+
+  test("declared keys run non-trivially on the testdata graph") {
+    val pr = Graph.queries("graph_pagerank")(spark, sfDir)
+    val rows = pr.collect()
+    assert(rows.length > 0)
+    val prs = rows.map(_.getDouble(1))
+    assert(prs.distinct.length > 1, "centrality must separate nodes")
+    assert(math.abs(prs.sum - 1.0) < 1e-9,
+      "k-NN graph is dangling-free: mass conserved")
+    val ppr = Graph.queries("graph_ppr")(spark, sfDir).collect()
+    assert(ppr.map(_.getDouble(1)).count(_ > 0) > 0)
+  }
+}
