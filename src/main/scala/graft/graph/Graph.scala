@@ -152,6 +152,30 @@ object Graph {
     ranks
   }
 
+  /** Per-node triangle counts of the UNDIRECTED graph: canonicalize to
+    * u < v (each undirected edge once), enumerate ordered triangles
+    * a < b < c via the standard edge-iterator join chain — (a,b)⋈(b,c)
+    * closed by (a,c) — then credit each corner. Candidate volume is
+    * Σ deg² (bounded on a k-NN graph where in-degree concentrates near
+    * k), every join an equi-join on edge endpoints; exact integers end
+    * to end. The data-pipeline read: a document in many triangles sits
+    * in a densely-connected similarity neighborhood — a cluster core,
+    * the complement of the centrality signal. */
+  def triangles(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val tri = und.select(col("u").as("a"), col("v").as("b"))
+      .join(und.select(col("u").as("b2"), col("v").as("c")),
+        col("b") === col("b2"))
+      .join(und.select(col("u").as("a3"), col("v").as("c3")),
+        col("a") === col("a3") && col("c") === col("c3"), "left_semi")
+      .select(col("a"), col("b"), col("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+  }
+
   /** The declared edge set: the `sim_knn_graph` k=3 label-blocked exact
     * k-NN graph (Similarity.scala) projected to (src, dst) — the one
     * similarity graph whose edge list is already proven bit-exact
@@ -195,7 +219,21 @@ object Graph {
       personalizedPageRank(edges, seeds, iters = 3)
         .select(col("id").as("vec_id"), col("pr"))
         .orderBy("vec_id")
-    })
+    }),
+
+    // Connected components of the (undirected) k-NN graph — the PROVEN
+    // Dedup min-label propagation reused verbatim on a new edge source;
+    // integer-exact, oracled against a recursive reachability CTE.
+    "graph_components" -> ((s, d) =>
+      graft.sim.Dedup.connectedComponents(knnEdges(s, d), "src", "dst")
+        .select(col("id").as("vec_id"), col("label"))
+        .orderBy("vec_id")),
+
+    // Per-node triangle counts — density of the similarity neighborhood.
+    "graph_triangles" -> ((s, d) =>
+      triangles(knnEdges(s, d))
+        .select(col("id").as("vec_id"), col("n_tri"))
+        .orderBy("vec_id"))
   )
 
   // ------------------------------------------------------------ oracle
@@ -265,6 +303,33 @@ object Graph {
          |r0 AS (SELECT id, t AS pr FROM base),
          |${(1 to 3).map(i => iterCtes(i, upd)).mkString(",\n")}
          |SELECT id AS vec_id, pr FROM r3 ORDER BY vec_id""".stripMargin
-    }
+    },
+
+    // reachability to fixpoint — the Dedup oracle pattern on the k-NN
+    // edge set, symmetrized
+    "graph_components" ->
+      s"""${edgeCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |und AS (SELECT src AS u, dst AS v FROM edges
+         |  UNION SELECT dst, src FROM edges),
+         |reach(id, root) AS (
+         |  SELECT DISTINCT u, u FROM und
+         |  UNION
+         |  SELECT e.v, r.root FROM reach r JOIN und e ON e.u = r.id)
+         |SELECT id AS vec_id, MIN(root) AS label FROM reach
+         |GROUP BY id ORDER BY vec_id""".stripMargin,
+
+    "graph_triangles" ->
+      s"""$edgeCtes,
+         |und AS (SELECT DISTINCT least(src, dst) AS u,
+         |    greatest(src, dst) AS v
+         |  FROM edges WHERE src <> dst),
+         |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         |  FROM und e1 JOIN und e2 ON e1.v = e2.u
+         |  WHERE EXISTS (SELECT 1 FROM und e3
+         |    WHERE e3.u = e1.u AND e3.v = e2.v)),
+         |corners AS (SELECT a AS id FROM tri
+         |  UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+         |SELECT id AS vec_id, COUNT(*) AS n_tri FROM corners
+         |GROUP BY id ORDER BY vec_id""".stripMargin
   )
 }

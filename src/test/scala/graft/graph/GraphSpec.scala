@@ -85,6 +85,29 @@ class GraphSpec extends SparkSpec {
     assert(got === replay(es, 20, 0.85, t, tele))
   }
 
+  test("triangles: exact per-node counts on a known graph — shared " +
+      "edges credit all member triangles, bridges credit none") {
+    import spark.implicits._
+    // two triangles sharing edge (2,3): {1,2,3} and {2,3,4};
+    // a pendant edge 4→5 and a directed duplicate 3→2 (must canonicalize)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L), (3L, 4L),
+      (3L, 2L), (4L, 5L)).toDF("src", "dst")
+    val got = Graph.triangles(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L),
+      s"got $got")
+  }
+
+  test("components: reused Dedup propagation labels the k-NN graph; " +
+      "a two-component fixture separates") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val got = graft.sim.Dedup.connectedComponents(edges, "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L,
+      11L -> 10L))
+  }
+
   test("declared keys run non-trivially on the testdata graph") {
     val pr = Graph.queries("graph_pagerank")(spark, sfDir)
     val rows = pr.collect()
