@@ -114,6 +114,29 @@ object Relational {
     mergeUpsert(target, latest, key, broadcastDelta)
   }
 
+  /** SCD Type-2 history build (Kimball's slowly-changing dimension):
+    * turn a (key, seq, attributes…) change log into versioned validity
+    * intervals — valid_from = the version's own seq, valid_to = the NEXT
+    * version's seq (null while current), is_current on the last. One
+    * key-partitioned window over the log (lead), no join, no shuffle
+    * beyond the window sort — the log is the slim side by construction. */
+  def scd2Build(log: DataFrame, key: String, seq: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy(col(seq))
+    log.withColumn("valid_from", col(seq))
+      .withColumn("valid_to", lead(col(seq), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop(seq)
+  }
+
+  /** Point-in-time read over an SCD2 table: the version whose interval
+    * covers `at` — the time-travel primitive. Map-side filter; with the
+    * history partitioned by is_current, current-state reads prune to one
+    * partition. */
+  def scd2Snapshot(hist: DataFrame, at: Column): DataFrame =
+    hist.filter(col("valid_from") <= at &&
+      (col("valid_to").isNull || at < col("valid_to")))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ------------------------------------------------ B2 filters
@@ -233,6 +256,25 @@ object Relational {
             col("o_custkey"), lit("N").as("o_orderstatus"),
             col("o_totalprice"), lit("I").as("op"), lit(1L).as("seq")))
       mergeView(target, log, "o_orderkey", "seq").orderBy("o_orderkey")
+    }),
+
+    // SCD2 over a derived change history: every order has a seq-1 birth
+    // version; nibble-0 keys gain a seq-2 price revision (×2). The build
+    // turns the log into validity intervals — revised keys show a closed
+    // [1,2) original and a current ×2 row, everyone else one current row.
+    "scd2_build" -> ((s, d) => {
+      val base = Tables.orders(s, d).withColumn("nib",
+        substring(md5(col("o_orderkey").cast("string")), 1, 1))
+      val log = base
+        .select(col("o_orderkey"), col("o_totalprice"), lit(1L).as("seq"))
+        .unionByName(base.filter(col("nib") === "0")
+          .select(col("o_orderkey"),
+            (col("o_totalprice") * 2).as("o_totalprice"),
+            lit(2L).as("seq")))
+      scd2Build(log, "o_orderkey", "seq")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("valid_from"), col("valid_to"), col("is_current"))
+        .orderBy("o_orderkey", "valid_from")
     }),
 
     "join_left_outer" -> ((s, d) =>
@@ -920,6 +962,20 @@ object Relational {
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM latest WHERE op <> 'D'
         |ORDER BY o_orderkey""".stripMargin,
+
+    "scd2_build" ->
+      """WITH lg AS (
+        |  SELECT o_orderkey, o_totalprice, 1 AS seq FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice * 2, 2 FROM orders
+        |  WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0')
+        |SELECT o_orderkey, o_totalprice,
+        |  CAST(seq AS BIGINT) AS valid_from,
+        |  CAST(lead(seq) OVER (PARTITION BY o_orderkey ORDER BY seq)
+        |    AS BIGINT) AS valid_to,
+        |  lead(seq) OVER (PARTITION BY o_orderkey ORDER BY seq) IS NULL
+        |    AS is_current
+        |FROM lg ORDER BY o_orderkey, valid_from""".stripMargin,
 
     "join_left_outer" ->
       """SELECT c_custkey, COUNT(o_orderkey) AS n_big_orders,

@@ -108,6 +108,38 @@ class MergeSpec extends SparkSpec {
       !streamed.exists(_._1 == 2L))
   }
 
+  test("scd2: intervals chain with no gaps or overlaps, exactly one " +
+      "current row per key, snapshots read the covering version") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, 10.0, 100L), (1L, 11.0, 200L), (1L, 12.0, 300L),
+      (2L, 20.0, 150L))
+      .toDF("id", "amount", "seq")
+    val hist = Relational.scd2Build(log, "id", "seq")
+    val rows = hist.collect().map(r => (r.getLong(0), r.getDouble(1),
+      r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3)),
+      r.getBoolean(4)))
+    // chaining: valid_to of version n is valid_from of version n+1
+    val k1 = rows.filter(_._1 == 1L).sortBy(_._3)
+    assert(k1.map(x => (x._3, x._4)) ===
+      Seq((100L, Some(200L)), (200L, Some(300L)), (300L, None)))
+    assert(rows.count(_._5) === 2, "one current row per key")
+    assert(rows.filter(_._5).forall(_._4.isEmpty))
+    // snapshots: at 250 key 1 reads the [200,300) version, key 2 its
+    // only version; at 50 nothing exists yet
+    def snap(at: Long) = Relational.scd2Snapshot(hist, lit(at))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(snap(250L) === Map(1L -> 11.0, 2L -> 20.0))
+    assert(snap(300L) === Map(1L -> 12.0, 2L -> 20.0))
+    assert(snap(50L) === Map.empty)
+    // every (key, t ≥ birth) resolves to exactly one version
+    (100L to 400L by 50L).foreach { t =>
+      val n = Relational.scd2Snapshot(hist, lit(t))
+        .filter(col("id") === 1L).count()
+      assert(n === 1L, s"snapshot at $t matched $n versions")
+    }
+  }
+
   test("broadcast-delta plan: the target side survives via a broadcast " +
       "LEFT ANTI — no target shuffle, no full-outer join") {
     val (target, changes) = fixture()
