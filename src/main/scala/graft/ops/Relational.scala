@@ -258,6 +258,26 @@ object Relational {
       mergeView(target, log, "o_orderkey", "seq").orderBy("o_orderkey")
     }),
 
+    // UNPIVOT (melt): wide per-nation metric columns back to long
+    // (nk, metric, value) rows — the inverse of agg_pivot, via the
+    // native Dataset.unpivot (codegen'd Expand, one pass, no join).
+    "agg_unpivot" -> ((s, d) => {
+      val sup = Tables.supplier(s, d)
+        .groupBy(col("s_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_suppliers"))
+      val cus = Tables.customer(s, d)
+        .groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_customers"))
+      sup.join(cus, Seq("nk"), "full")
+        .select(col("nk"),
+          coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"),
+          coalesce(col("n_customers"), lit(0L)).as("n_customers"))
+        .unpivot(Array(col("nk")),
+          Array(col("n_suppliers"), col("n_customers")),
+          "metric", "value")
+        .orderBy("nk", "metric")
+    }),
+
     // SCD2 over a derived change history: every order has a seq-1 birth
     // version; nibble-0 keys gain a seq-2 price revision (×2). The build
     // turns the log into validity intervals — revised keys show a closed
@@ -962,6 +982,22 @@ object Relational {
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM latest WHERE op <> 'D'
         |ORDER BY o_orderkey""".stripMargin,
+
+    // UNPIVOT stated as UNION ALL — the relational definition the Expand
+    // plan must reproduce
+    "agg_unpivot" ->
+      """WITH sup AS (SELECT s_nationkey AS nk, COUNT(*) AS n
+        |  FROM supplier GROUP BY 1),
+        |cus AS (SELECT c_nationkey AS nk, COUNT(*) AS n
+        |  FROM customer GROUP BY 1),
+        |wide AS (SELECT COALESCE(sup.nk, cus.nk) AS nk,
+        |    COALESCE(sup.n, 0) AS n_suppliers,
+        |    COALESCE(cus.n, 0) AS n_customers
+        |  FROM sup FULL JOIN cus ON sup.nk = cus.nk)
+        |SELECT nk, 'n_suppliers' AS metric, n_suppliers AS value FROM wide
+        |UNION ALL
+        |SELECT nk, 'n_customers', n_customers FROM wide
+        |ORDER BY nk, metric""".stripMargin,
 
     "scd2_build" ->
       """WITH lg AS (

@@ -461,6 +461,34 @@ object TextOps {
     full.unionByName(partial)
   }
 
+  // ------------------------------------------ weighted sampling (WOR)
+  // Efraimidis & Spirakis 2006: weighted sampling WITHOUT replacement —
+  // draw u ~ U(0,1] per item, rank by u^(1/w) (equivalently ln(u)/w),
+  // keep the top k; inclusion probability is exactly proportional-to-
+  // size without replacement, and the whole draw is one scan + one
+  // top-k (TakeOrdered — no global sort shuffle, re-runnable at any
+  // parallelism). Deterministic here because u derives from md5 of the
+  // doc_id (16 bits is plenty for a sampler; +1 keeps u > 0 so ln is
+  // finite) and ln is the one transcendental this oracle surface has
+  // already proven bit-exact cross-engine (text_lm_score).
+
+  /** Declared `sample_weighted` draw size. */
+  private[text] val weightedK = 100
+
+  /** The ES score column: ln((b16+1)/65536)/w with w = whitespace token
+    * count — longer documents proportionally likelier. */
+  def weightedSample(docs: DataFrame, k: Int): DataFrame = {
+    val b16 = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+      16, 10).cast("long")
+    docs.select(col("doc_id"), col("lang"),
+        size(tokens).cast("long").as("n_tokens"))
+      .withColumn("score",
+        log((b16 + lit(1L)).cast("double") / lit(65536.0))
+          / col("n_tokens").cast("double"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
   /** The per-language quota as a CASE column — one constants source
     * ([[mixWeights]]) for the batch fill, the oracle, and the streaming
     * shard fill. */
@@ -843,6 +871,17 @@ object TextOps {
     // ones truncate below one pass; fan-out ≤ 4 rows/doc by the cap.
     "sample_epochs" -> ((s, d) =>
       epochSample(Tables.documents(s, d)).orderBy("doc_id", "epoch")),
+
+    // Efraimidis–Spirakis weighted sampling without replacement, weight
+    // = token mass: one scan + one TakeOrdered. The declared output is
+    // the SELECTION, not the score — ln differs by one ulp between
+    // JVM and libm (measured: doc 388 at sf0.01), which cannot flip
+    // membership (score gaps ~1e-4 vs ulp ~1e-19) but would fail a
+    // bit-compare of the score column; the score itself is pinned to a
+    // driver replay in TextOpsSpec instead.
+    "sample_weighted" -> ((s, d) =>
+      weightedSample(Tables.documents(s, d), weightedK)
+        .select("doc_id", "lang", "n_tokens").orderBy("doc_id")),
 
     // Repetition-based quality signals (the Gopher/MassiveText rule
     // family): per-document duplicate-token fraction and top-bigram
@@ -1539,6 +1578,28 @@ object TextOps {
          |SELECT doc_id, lang, n_tokens,
          |  CAST(unnest(generate_series(1, n_epochs)) AS BIGINT) AS epoch
          |FROM n WHERE n_epochs >= 1 ORDER BY doc_id, epoch""".stripMargin,
+
+    // the ES draw mirrored: the 16-bit u decodes via the instr hex chain
+    // (≡ Spark's conv — same integer), then ln((b+1)/65536)/w; the score
+    // ranks the draw but stays OUT of the output (JVM and libm ln differ
+    // in the last ulp — membership is ulp-robust, bit-compare is not)
+    "sample_weighted" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    md5(CAST(doc_id AS VARCHAR)) AS m
+         |  FROM documents),
+         |b AS (SELECT doc_id, lang, n_tokens,
+         |    CAST((instr('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+         |      + (instr('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+         |      + (instr('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+         |      + (instr('0123456789abcdef', substr(m, 4, 1)) - 1)
+         |      AS BIGINT) AS b16
+         |  FROM t),
+         |top AS (SELECT doc_id, lang, n_tokens,
+         |    ln(CAST(b16 + 1 AS DOUBLE) / 65536.0)
+         |      / CAST(n_tokens AS DOUBLE) AS score
+         |  FROM b ORDER BY score DESC, doc_id LIMIT $weightedK)
+         |SELECT doc_id, lang, n_tokens FROM top ORDER BY doc_id""".stripMargin,
 
     "text_repetition" ->
       """WITH base AS (SELECT doc_id,

@@ -224,6 +224,33 @@ class TextOpsSpec extends SparkSpec {
     assert(got === rows(TextOps.epochSample(docs)))
   }
 
+  test("weighted sampling (Efraimidis–Spirakis): ≡ a driver replay of " +
+      "ln(u)/w top-k, and the weights genuinely shift the draw") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val k = 50
+    // driver replay — same md5-16-bit u, same IEEE sequence
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u16(id: Long): Long = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 4)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val base = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = base.map { case (id, w) =>
+      (id, math.log((u16(id) + 1L).toDouble / 65536.0) / w.toDouble)
+    }.sortBy { case (id, s) => (-s, id) }.take(k)
+    val got = TextOps.weightedSample(docs, k).collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    assert(got.toSeq === want.toSeq)
+    // weights matter: the unweighted top-k by u alone differs
+    val unweighted = base.map { case (id, _) => (id, u16(id)) }
+      .sortBy { case (id, u) => (-u, id) }.take(k).map(_._1).toSet
+    assert(got.map(_._1).toSet !== unweighted,
+      "the token-mass weight must shift the selection")
+  }
+
   test("subword token estimate: exact arithmetic, bracketed by ws tokens and chars") {
     val docs = graft.core.Tables.documents(spark, sfDir)
     val rows = docs
