@@ -176,6 +176,30 @@ object Graph {
       .groupBy("id").agg(count(lit(1)).as("n_tri"))
   }
 
+  /** Local clustering coefficient (Watts & Strogatz 1998):
+    * cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) over the undirected distinct
+    * neighborhood — "how close is v's neighborhood to a clique". All
+    * integers up to ONE exactly-rounded IEEE division, so the
+    * coefficient is oracle-able; nodes of degree ≤ 1 are excluded (their
+    * coefficient is undefined — 0/0). Composition of the degree
+    * aggregate and [[triangles]]: one extra groupBy + one broadcast-able
+    * join over the triangle table. */
+  def clusteringCoef(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val deg = und.select(col("u").as("id"))
+      .unionByName(und.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    deg.filter(col("deg") >= 2L)
+      .join(triangles(edges), Seq("id"), "left")
+      .na.fill(0L, Seq("n_tri"))
+      .select(col("id"), col("deg"), col("n_tri"),
+        ((col("n_tri") * 2L).cast("double") /
+          (col("deg") * (col("deg") - 1L)).cast("double")).as("coef"))
+  }
+
   /** The declared edge set: the `sim_knn_graph` k=3 label-blocked exact
     * k-NN graph (Similarity.scala) projected to (src, dst) — the one
     * similarity graph whose edge list is already proven bit-exact
@@ -233,6 +257,14 @@ object Graph {
     "graph_triangles" -> ((s, d) =>
       triangles(knnEdges(s, d))
         .select(col("id").as("vec_id"), col("n_tri"))
+        .orderBy("vec_id")),
+
+    // Watts–Strogatz local clustering coefficient — integers to one
+    // exactly-rounded division, so it stays oracle-able.
+    "graph_clustering_coef" -> ((s, d) =>
+      clusteringCoef(knnEdges(s, d))
+        .select(col("id").as("vec_id"), col("deg"), col("n_tri"),
+          col("coef"))
         .orderBy("vec_id"))
   )
 
@@ -330,6 +362,29 @@ object Graph {
          |corners AS (SELECT a AS id FROM tri
          |  UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
          |SELECT id AS vec_id, COUNT(*) AS n_tri FROM corners
-         |GROUP BY id ORDER BY vec_id""".stripMargin
+         |GROUP BY id ORDER BY vec_id""".stripMargin,
+
+    "graph_clustering_coef" ->
+      s"""$edgeCtes,
+         |und AS (SELECT DISTINCT least(src, dst) AS u,
+         |    greatest(src, dst) AS v
+         |  FROM edges WHERE src <> dst),
+         |deg AS (SELECT id, COUNT(*) AS deg FROM (
+         |    SELECT u AS id FROM und UNION ALL SELECT v FROM und)
+         |  GROUP BY id),
+         |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         |  FROM und e1 JOIN und e2 ON e1.v = e2.u
+         |  WHERE EXISTS (SELECT 1 FROM und e3
+         |    WHERE e3.u = e1.u AND e3.v = e2.v)),
+         |ntri AS (SELECT id, COUNT(*) AS n_tri FROM (
+         |    SELECT a AS id FROM tri
+         |    UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+         |  GROUP BY id)
+         |SELECT deg.id AS vec_id, deg.deg,
+         |  COALESCE(ntri.n_tri, 0) AS n_tri,
+         |  CAST(COALESCE(ntri.n_tri, 0) * 2 AS DOUBLE)
+         |    / CAST(deg.deg * (deg.deg - 1) AS DOUBLE) AS coef
+         |FROM deg LEFT JOIN ntri ON deg.id = ntri.id
+         |WHERE deg.deg >= 2 ORDER BY vec_id""".stripMargin
   )
 }

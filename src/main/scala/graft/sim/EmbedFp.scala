@@ -126,7 +126,18 @@ object EmbedFp {
     // plus the exact verify, checked end-to-end on real data.
     "dedup_embed_fp" -> ((s, d) =>
       nearDupPairs(Tables.embeddings(s, d), 64)
-        .orderBy("vec_a", "vec_b"))
+        .orderBy("vec_a", "vec_b")),
+
+    // The actionable end of the vector near-dup modality: banded pairs →
+    // transitive clusters → keep/drop verdicts, through the SAME
+    // [[Dedup.clusters]] propagation the token-Jaccard pipeline uses —
+    // one component algorithm, three edge sources (Jaccard, k-NN, LSH).
+    "dedup_embed_clusters" -> ((s, d) =>
+      graft.sim.Dedup.clusters(
+          nearDupPairs(Tables.embeddings(s, d), 64)
+            .select(col("vec_a"), col("vec_b")),
+          "vec_a", "vec_b")
+        .orderBy("member"))
   )
 
   /** The oracle's plane table as a VALUES CTE — one row per plane, the
@@ -167,6 +178,21 @@ object EmbedFp {
         |  CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
         |FROM fp a JOIN fp b ON a.vec_id < b.vec_id
         |WHERE bit_count(xor(a.fp, b.fp)) <= $DeclaredRadius
-        |ORDER BY vec_a, vec_b""".stripMargin
+        |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // brute-force pairs + recursive reachability to fixpoint — the
+    // dedup_clusters oracle pattern over the fingerprint edge source
+    "dedup_embed_clusters" ->
+      s"""WITH RECURSIVE $fpCteSql,
+        |good AS (SELECT a.vec_id AS u, b.vec_id AS v
+        |  FROM fp a JOIN fp b ON a.vec_id < b.vec_id
+        |  WHERE bit_count(xor(a.fp, b.fp)) <= $DeclaredRadius),
+        |edges AS (SELECT u, v FROM good UNION ALL SELECT v, u FROM good),
+        |reach(id, root) AS (
+        |  SELECT DISTINCT u, u FROM edges
+        |  UNION
+        |  SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.id)
+        |SELECT id AS member, MIN(root) AS cluster, (id = MIN(root)) AS keep
+        |FROM reach GROUP BY id ORDER BY member""".stripMargin
   )
 }

@@ -108,6 +108,23 @@ class GraphSpec extends SparkSpec {
       11L -> 10L))
   }
 
+  test("clustering coefficient: exact fractions on a known graph, " +
+      "degree-1 nodes excluded, triangle-free nodes at 0") {
+    import spark.implicits._
+    // triangle {1,2,3} + pendant 3→4 + a path node 5—6—7 (no triangles)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (5L, 6L),
+      (6L, 7L)).toDF("src", "dst")
+    val got = Graph.clusteringCoef(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got(1L) === ((2L, 1L, 1.0)))
+    assert(got(2L) === ((2L, 1L, 1.0)))
+    assert(got(3L) === ((3L, 1L, 2.0 / 6.0)))
+    assert(got(6L) === ((2L, 0L, 0.0)), "triangle-free hub scores 0")
+    assert(!got.contains(4L) && !got.contains(5L) && !got.contains(7L),
+      "degree-1 nodes have no defined coefficient")
+  }
+
   test("declared keys run non-trivially on the testdata graph") {
     val pr = Graph.queries("graph_pagerank")(spark, sfDir)
     val rows = pr.collect()
