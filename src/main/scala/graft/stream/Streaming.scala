@@ -611,6 +611,24 @@ object Streaming {
       }
     }
 
+  /** Online weighted-sample admission (B10.36) — the frozen-threshold
+    * form of the Efraimidis–Spirakis draw: the release corpus publishes
+    * its k-th score once ([[graft.text.TextOps.weightedThreshold]]),
+    * each micro-batch admits documents clearing that bar — a STATELESS
+    * map-side filter (no tally, no top-k per batch), re-read per batch
+    * so a republished price takes effect at the next boundary; replays
+    * are idempotent per doc_id (pure function of the row). */
+  def streamWeightedFill(docs: DataFrame, thresholdPath: String,
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      if (!batch.isEmpty) {
+        val thr = batch.sparkSession.read.parquet(thresholdPath)
+        sink(graft.text.TextOps.weightedSampleWith(batch, thr), id)
+      }
+    }
+
   /** CDC log ingestion (B10.35) — the merge-on-read write path: each
     * micro-batch of change rows (full replacement values + `op` + `seq`)
     * APPENDS to the delta log; the target is never rewritten in-stream.

@@ -477,7 +477,7 @@ object TextOps {
 
   /** The ES score column: ln((b16+1)/65536)/w with w = whitespace token
     * count — longer documents proportionally likelier. */
-  def weightedSample(docs: DataFrame, k: Int): DataFrame = {
+  private def esScored(docs: DataFrame): DataFrame = {
     val b16 = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
       16, 10).cast("long")
     docs.select(col("doc_id"), col("lang"),
@@ -485,9 +485,26 @@ object TextOps {
       .withColumn("score",
         log((b16 + lit(1L)).cast("double") / lit(65536.0))
           / col("n_tokens").cast("double"))
-      .orderBy(desc("score"), asc("doc_id"))
-      .limit(k)
   }
+
+  def weightedSample(docs: DataFrame, k: Int): DataFrame =
+    esScored(docs).orderBy(desc("score"), asc("doc_id")).limit(k)
+
+  /** The release draw's admission price: the k-th best score, as a
+    * one-row table — the frozen-model form's published constant. */
+  def weightedThreshold(docs: DataFrame, k: Int): DataFrame =
+    weightedSample(docs, k).agg(min(col("score")).as("threshold"))
+
+  /** The draw against a FROZEN threshold (the qualityBucketByCuts
+    * posture): on the pricing corpus this reproduces the top-k exactly
+    * (generic score distinctness — TextOpsSpec pins it); on NEW shards
+    * it is a stateless map-side filter that admits documents clearing
+    * the release's bar — the draw stays exactly as selective as the
+    * release, without a global top-k per shard. */
+  def weightedSampleWith(docs: DataFrame, threshold: DataFrame): DataFrame =
+    esScored(docs).crossJoin(broadcast(threshold))
+      .filter(col("score") >= col("threshold"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("score"))
 
   /** The per-language quota as a CASE column — one constants source
     * ([[mixWeights]]) for the batch fill, the oracle, and the streaming

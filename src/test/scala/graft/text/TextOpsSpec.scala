@@ -249,6 +249,34 @@ class TextOpsSpec extends SparkSpec {
       .sortBy { case (id, u) => (-u, id) }.take(k).map(_._1).toSet
     assert(got.map(_._1).toSet !== unweighted,
       "the token-mass weight must shift the selection")
+
+    // frozen-threshold form reproduces the top-k on the pricing corpus
+    val thr = TextOps.weightedThreshold(docs, k)
+    val viaThr = TextOps.weightedSampleWith(docs, thr).collect()
+      .map(_.getLong(0)).toSet
+    assert(viaThr === got.map(_._1).toSet)
+
+    // streaming admission ≡ the batch filter over everything delivered
+    {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      val base2 = java.nio.file.Files
+        .createTempDirectory("graft_wfill").toString + "/thr"
+      thr.write.parquet(base2)
+      val all = docs.select("doc_id", "lang", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      val sunk = scala.collection.mutable.Set[Long]()
+      val stream = MemoryStream[(Long, String, String)](183, spark, None)
+      val q = graft.stream.Streaming.streamWeightedFill(
+          stream.toDF().toDF("doc_id", "lang", "text"), base2,
+          (df, _) => sunk ++= df.collect().map(_.getLong(0)))
+        .start()
+      val half = all.length / 2
+      Seq(all.take(half), all.drop(half)).foreach { b =>
+        stream.addData(b); q.processAllAvailable() }
+      q.stop()
+      assert(sunk.toSet === viaThr)
+    }
   }
 
   test("subword token estimate: exact arithmetic, bracketed by ws tokens and chars") {
