@@ -123,6 +123,40 @@ object Graph {
     ranks
   }
 
+  /** Weighted PageRank: edges carry a positive weight and each source
+    * distributes its rank proportionally — rₜ₊₁(v) = (1-d)/n +
+    * d·Σ_{u→v} rₜ(u)·w(u→v)/W(u) with W(u) = Σ w(u→·). Both the
+    * per-source outflow W and the per-target inflow are folded in
+    * neighbor order (dst order and src order respectively — both
+    * degree-bounded), so every iteration stays bit-exact cross-engine.
+    * `edges` is (src, dst, w) with w > 0 (the declared key maps cosine
+    * to 1 + cos ∈ (0, 2] — one mirrored IEEE add). */
+  def pageRankWeighted(edges: DataFrame, iters: Int,
+      d: Double = Damping): DataFrame = {
+    val (nodes, cnt) = nodesAndCount(edges)
+    val outW = edges.groupBy("src").agg(
+      aggregate(
+        transform(array_sort(collect_list(struct(col("dst"), col("w")))),
+          x => x.getField("w")),
+        lit(0.0), (acc, x) => acc + x).as("wout"))
+    var ranks = nodes.crossJoin(broadcast(cnt))
+      .select(col("id"), (lit(1.0) / col("n").cast("double")).as("pr"))
+    for (_ <- 1 to iters) {
+      val contribs = edges
+        .join(outW, "src")
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"), col("src"),
+          (col("pr") * col("w") / col("wout")).as("contrib"))
+      val inflow = contribs.groupBy("dst").agg(inflowFold)
+      ranks = nodes.crossJoin(broadcast(cnt))
+        .join(inflow.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id"),
+          (teleport(col("n"), d) +
+            lit(d) * coalesce(col("inflow"), lit(0.0))).as("pr"))
+    }
+    ranks
+  }
+
   /** Production PageRank: plain SUM in-flows (mergeable partial
     * aggregates, map-side combine, no per-node list — the hub-safe
     * shape) + `localCheckpoint` every 5 iterations to bound lineage on
@@ -223,6 +257,30 @@ object Graph {
       .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
   }
 
+  /** The weighted declared edge set: [[knnEdges]] keeping the cosine,
+    * mapped to w = 1 + cos ∈ (0, 2] (one mirrored IEEE add — PageRank
+    * weights must be positive and label-blocked k-NN cosines can go
+    * negative). */
+  private[graph] def knnEdgesW(s: SparkSession, d: String): DataFrame = {
+    val dot = graft.sim.VectorMath.dot _
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(desc("cosine"), asc("nbr_id"))
+    emb.alias("a").join(emb.alias("b"),
+        col("a.label") === col("b.label")
+          && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
+        (dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")))
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("vec_id").as("src"), col("nbr_id").as("dst"),
+        (lit(1.0) + col("cosine")).as("w"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // 3 power iterations of deterministic PageRank over the k-NN
@@ -265,6 +323,14 @@ object Graph {
       clusteringCoef(knnEdges(s, d))
         .select(col("id").as("vec_id"), col("deg"), col("n_tri"),
           col("coef"))
+        .orderBy("vec_id")),
+
+    // Similarity-weighted PageRank: each vector distributes rank in
+    // proportion to edge cosine (mapped positive) — nearer neighbors
+    // carry more centrality mass than the unweighted walk.
+    "graph_pagerank_weighted" -> ((s, d) =>
+      pageRankWeighted(knnEdgesW(s, d), iters = 3)
+        .select(col("id").as("vec_id"), col("pr"))
         .orderBy("vec_id"))
   )
 
@@ -292,6 +358,41 @@ object Graph {
       |nodes AS (SELECT DISTINCT src AS id FROM edges
       |  UNION SELECT DISTINCT dst FROM edges),
       |cnt AS (SELECT COUNT(*) AS n FROM nodes)""".stripMargin
+
+  /** The weighted edge-set prefix: the same chain keeping the cosine,
+    * w = 1 + cos, plus the dst-ordered per-source outflow fold. */
+  private val edgeCtesW =
+    """WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |normed AS (SELECT vec_id, label, v,
+      |    sqrt(list_reduce(list_transform(list_zip(v, v), z -> z[1] * z[2]),
+      |      (acc, x) -> acc + x)) AS norm FROM emb),
+      |pairsw AS (
+      |  SELECT a.vec_id AS src, b.vec_id AS dst,
+      |    list_reduce(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]),
+      |      (acc, x) -> acc + x) / (a.norm * b.norm) AS cos
+      |  FROM normed a JOIN normed b
+      |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+      |prsw AS (SELECT src, dst, cos, row_number() OVER (
+      |    PARTITION BY src ORDER BY cos DESC, dst ASC) AS rank
+      |  FROM pairsw),
+      |edges AS (SELECT src, dst, CAST(1 AS DOUBLE) + cos AS w
+      |  FROM prsw WHERE rank <= 3),
+      |outw AS (SELECT src, list_reduce(list(w ORDER BY dst),
+      |    (acc, x) -> acc + x) AS wout FROM edges GROUP BY src),
+      |nodes AS (SELECT DISTINCT src AS id FROM edges
+      |  UNION SELECT DISTINCT dst FROM edges),
+      |cnt AS (SELECT COUNT(*) AS n FROM nodes)""".stripMargin
+
+  /** The weighted iteration template — contrib = r·w/W(u). */
+  private def iterCtesW(i: Int, rankExpr: String): String =
+    s"""c$i AS (SELECT e.dst, e.src, r${i - 1}.pr * e.w / o.wout AS contrib
+       |  FROM edges e JOIN outw o ON e.src = o.src
+       |  JOIN r${i - 1} ON e.src = r${i - 1}.id),
+       |i$i AS (SELECT dst, list_reduce(list(contrib ORDER BY src),
+       |    (acc, x) -> acc + x) AS inflow FROM c$i GROUP BY dst),
+       |r$i AS (SELECT id, ${rankExpr} AS pr
+       |  FROM base LEFT JOIN i$i ON base.id = i$i.dst)""".stripMargin
 
   /** One unrolled iteration (contribs → src-ordered fold → rank update)
     * reading r${i-1}, producing r$i; `rank` is the per-node update
@@ -334,6 +435,17 @@ object Graph {
          |  CROSS JOIN scnt),
          |r0 AS (SELECT id, t AS pr FROM base),
          |${(1 to 3).map(i => iterCtes(i, upd)).mkString(",\n")}
+         |SELECT id AS vec_id, pr FROM r3 ORDER BY vec_id""".stripMargin
+    },
+
+    "graph_pagerank_weighted" -> {
+      val upd = "(CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / CAST(n AS DOUBLE)" +
+        s" + CAST(0.85 AS DOUBLE) * $In"
+      s"""$edgeCtesW,
+         |base AS (SELECT id, n FROM nodes CROSS JOIN cnt),
+         |r0 AS (SELECT id, CAST(1 AS DOUBLE) / CAST(n AS DOUBLE) AS pr
+         |  FROM base),
+         |${(1 to 3).map(i => iterCtesW(i, upd)).mkString(",\n")}
          |SELECT id AS vec_id, pr FROM r3 ORDER BY vec_id""".stripMargin
     },
 

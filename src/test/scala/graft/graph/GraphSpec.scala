@@ -85,6 +85,39 @@ class GraphSpec extends SparkSpec {
     assert(got === replay(es, 20, 0.85, t, tele))
   }
 
+  test("weighted pageRank ≡ a driver replay bit-for-bit; weights steer " +
+      "mass where the unweighted walk splits it evenly") {
+    import spark.implicits._
+    // 1 splits 9:1 between 2 and 3; both return everything to 1
+    val es = Seq((1L, 2L, 9.0), (1L, 3L, 1.0), (2L, 1L, 1.0),
+      (3L, 1L, 1.0))
+    val got = Graph.pageRankWeighted(es.toDF("src", "dst", "w"), 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // driver replay: same fold orders (outflow in dst order, inflow in
+    // src order), same IEEE trees
+    val outW = es.groupBy(_._1).view.mapValues { xs =>
+      var acc = 0.0; xs.sortBy(_._2).foreach(acc += _._3); acc }.toMap
+    val n = 3
+    var r = (1L to 3L).map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 3) {
+      val inflow = es.groupBy(_._2).view.mapValues { xs =>
+        var acc = 0.0
+        xs.sortBy(_._1).foreach { case (u, _, w) => acc += r(u) * w / outW(u) }
+        acc
+      }.toMap
+      r = (1L to 3L).map { v =>
+        v -> ((1.0 - 0.85) / n + 0.85 * inflow.getOrElse(v, 0.0))
+      }.toMap
+    }
+    assert(got === r)
+    assert(got(2L) > got(3L), "the heavy edge must carry more mass")
+    // non-vacuity: the unweighted walk ties 2 and 3 exactly
+    val un = Graph.pageRank(
+        es.map(e => (e._1, e._2)).toDF("src", "dst"), 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(un(2L) === un(3L))
+  }
+
   test("triangles: exact per-node counts on a known graph — shared " +
       "edges credit all member triangles, bridges credit none") {
     import spark.implicits._
