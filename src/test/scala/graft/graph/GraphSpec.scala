@@ -118,6 +118,21 @@ class GraphSpec extends SparkSpec {
     assert(un(2L) === un(3L))
   }
 
+  test("reduction theorem: weighted pageRank at w = 1 equals the " +
+      "uniform walk bit-for-bit") {
+    import spark.implicits._
+    // r·1.0/Σ1.0 and r/outdeg are the same IEEE division when the
+    // outflow fold of small integers is exact — equal weights MUST
+    // reduce to the uniform walk exactly, not approximately
+    val es = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (3L, 2L))
+    val uni = Graph.pageRank(es.toDF("src", "dst"), 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val w1 = Graph.pageRankWeighted(
+        es.map(e => (e._1, e._2, 1.0)).toDF("src", "dst", "w"), 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w1 === uni)
+  }
+
   test("triangles: exact per-node counts on a known graph — shared " +
       "edges credit all member triangles, bridges credit none") {
     import spark.implicits._
