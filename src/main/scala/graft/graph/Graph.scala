@@ -157,6 +157,53 @@ object Graph {
     ranks
   }
 
+  /** Degree-bounded deterministic fold of `contrib` over each group,
+    * ordered by `orderKey` (unique per group — one edge per endpoint
+    * pair). */
+  private def orderedFold(orderKey: String): Column =
+    aggregate(
+      transform(
+        array_sort(collect_list(struct(col(orderKey), col("contrib")))),
+        x => x.getField("contrib")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** HITS (Kleinberg 1999): authority(v) = Σ hub of in-neighbors,
+    * hub(u) = Σ authority of out-neighbors, renormalized each step. The
+    * determinism recipe: per-node sums are degree-bounded neighbor-
+    * ordered folds (src order into authorities, dst order into hubs),
+    * and normalization is L∞ — MAX is order-independent and exact
+    * where the textbook L1/L2 norms are corpus-sized float sums with
+    * no canonical order, so the L∞ choice is what keeps every
+    * iteration bit-exact cross-engine (scores land in [0, 1] with the
+    * top node at exactly 1; the RANKING is the same as under any
+    * positive rescaling). Returns (id, hub, auth). */
+  def hits(edges: DataFrame, iters: Int): DataFrame = {
+    val (nodes, _) = nodesAndCount(edges)
+    var hubs = nodes.select(col("id"), lit(1.0).as("hub"))
+    var auths = nodes.select(col("id"), lit(1.0).as("auth"))
+    for (_ <- 1 to iters) {
+      val aRaw = edges
+        .join(hubs.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"), col("src"), col("hub").as("contrib"))
+        .groupBy("dst").agg(orderedFold("src").as("raw"))
+      val aN = nodes
+        .join(aRaw.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id"), coalesce(col("raw"), lit(0.0)).as("raw"))
+      auths = aN.crossJoin(broadcast(aN.agg(max("raw").as("mx"))))
+        .select(col("id"), (col("raw") / col("mx")).as("auth"))
+      val hRaw = edges
+        .join(auths.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src"), col("dst"), col("auth").as("contrib"))
+        .groupBy("src").agg(orderedFold("dst").as("raw"))
+      val hN = nodes
+        .join(hRaw.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .select(col("id"), coalesce(col("raw"), lit(0.0)).as("raw"))
+      hubs = hN.crossJoin(broadcast(hN.agg(max("raw").as("mx"))))
+        .select(col("id"), (col("raw") / col("mx")).as("hub"))
+    }
+    hubs.join(auths, "id")
+  }
+
   /** Production PageRank: plain SUM in-flows (mergeable partial
     * aggregates, map-side combine, no per-node list — the hub-safe
     * shape) + `localCheckpoint` every 5 iterations to bound lineage on
@@ -331,6 +378,14 @@ object Graph {
     "graph_pagerank_weighted" -> ((s, d) =>
       pageRankWeighted(knnEdgesW(s, d), iters = 3)
         .select(col("id").as("vec_id"), col("pr"))
+        .orderBy("vec_id")),
+
+    // HITS hubs/authorities — on a k-NN graph authorities are the
+    // vectors many neighborhoods point AT (cluster centers), hubs the
+    // vectors whose out-neighborhood is authoritative.
+    "graph_hits" -> ((s, d) =>
+      hits(knnEdges(s, d), iters = 3)
+        .select(col("id").as("vec_id"), col("hub"), col("auth"))
         .orderBy("vec_id"))
   )
 
@@ -447,6 +502,39 @@ object Graph {
          |  FROM base),
          |${(1 to 3).map(i => iterCtesW(i, upd)).mkString(",\n")}
          |SELECT id AS vec_id, pr FROM r3 ORDER BY vec_id""".stripMargin
+    },
+
+    // HITS unrolled: per-iteration authority fold (src order) → L∞
+    // normalize → hub fold (dst order) → L∞ normalize. Two
+    // blowup-avoidance rules learned the hard way (the first cut of
+    // this oracle re-evaluated the all-pairs k-NN chain combinatorially
+    // — 2 references per level over 12 levels — and filled the disk
+    // with DuckDB spill): the expensive prefix is AS MATERIALIZED, and
+    // normalization is MAX() OVER () (one scan) instead of a scalar
+    // subquery (a second reference per level).
+    "graph_hits" -> {
+      def it(i: Int): String =
+        s"""ar$i AS (SELECT e.dst, list_reduce(list(h.hub ORDER BY e.src),
+           |    (acc, x) -> acc + x) AS raw
+           |  FROM edges e JOIN h${i - 1} h ON e.src = h.id GROUP BY e.dst),
+           |a$i AS MATERIALIZED (SELECT id,
+           |    COALESCE(raw, CAST(0 AS DOUBLE))
+           |      / MAX(COALESCE(raw, CAST(0 AS DOUBLE))) OVER () AS auth
+           |  FROM nodes LEFT JOIN ar$i ON nodes.id = ar$i.dst),
+           |hr$i AS (SELECT e.src, list_reduce(list(a.auth ORDER BY e.dst),
+           |    (acc, x) -> acc + x) AS raw
+           |  FROM edges e JOIN a$i a ON e.dst = a.id GROUP BY e.src),
+           |h$i AS MATERIALIZED (SELECT id,
+           |    COALESCE(raw, CAST(0 AS DOUBLE))
+           |      / MAX(COALESCE(raw, CAST(0 AS DOUBLE))) OVER () AS hub
+           |  FROM nodes LEFT JOIN hr$i ON nodes.id = hr$i.src)""".stripMargin
+      s"""${edgeCtes
+            .replace("edges AS (", "edges AS MATERIALIZED (")
+            .replace("nodes AS (", "nodes AS MATERIALIZED (")},
+         |h0 AS (SELECT id, CAST(1 AS DOUBLE) AS hub FROM nodes),
+         |${(1 to 3).map(it).mkString(",\n")}
+         |SELECT h3.id AS vec_id, h3.hub, a3.auth
+         |FROM h3 JOIN a3 ON h3.id = a3.id ORDER BY vec_id""".stripMargin
     },
 
     // reachability to fixpoint — the Dedup oracle pattern on the k-NN

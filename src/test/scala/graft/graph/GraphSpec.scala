@@ -133,6 +133,40 @@ class GraphSpec extends SparkSpec {
     assert(w1 === uni)
   }
 
+  test("HITS ≡ a driver replay bit-for-bit; the star center takes " +
+      "authority 1.0 and the spokes are the unit hubs") {
+    import spark.implicits._
+    val es = Seq((1L, 4L), (2L, 4L), (3L, 4L), (4L, 1L))
+    val got = Graph.hits(es.toDF("src", "dst"), 3).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+
+    // driver replay: same fold orders, same L∞ normalization
+    val nodes = (1L to 4L)
+    var hub = nodes.map(_ -> 1.0).toMap
+    var auth = nodes.map(_ -> 1.0).toMap
+    for (_ <- 1 to 3) {
+      val araw = nodes.map { v =>
+        var acc = 0.0
+        es.filter(_._2 == v).sortBy(_._1).foreach(e => acc += hub(e._1))
+        v -> acc
+      }.toMap
+      val amax = araw.values.max
+      auth = araw.view.mapValues(_ / amax).toMap
+      val hraw = nodes.map { u =>
+        var acc = 0.0
+        es.filter(_._1 == u).sortBy(_._2).foreach(e => acc += auth(e._2))
+        u -> acc
+      }.toMap
+      val hmax = hraw.values.max
+      hub = hraw.view.mapValues(_ / hmax).toMap
+    }
+    assert(got === nodes.map(v => v -> ((hub(v), auth(v)))).toMap)
+    assert(got(4L)._2 === 1.0, "the star center is THE authority")
+    assert(Seq(1L, 2L, 3L).forall(got(_)._1 === 1.0),
+      "the spokes are the unit hubs")
+    assert(got(4L)._1 < 1.0 && got(1L)._2 < 1.0)
+  }
+
   test("triangles: exact per-node counts on a known graph — shared " +
       "edges credit all member triangles, bridges credit none") {
     import spark.implicits._
