@@ -117,7 +117,11 @@ object GraphVolume {
     def num(k: String): Double =
       ("\"" + k + "\":([0-9.eE+\\-]+)").r.findFirstMatchIn(line).get
         .group(1).toDouble
+    // cc/tri node counts must equal the graph's n — without this the
+    // wrong-count checks pass vacuously on an empty result (ADVICE r14)
     if (num("cc_wrong") != 0 || num("tri_wrong") != 0 ||
+        num("cc_nodes") != num("n_nodes") ||
+        num("tri_nodes") != num("n_nodes") ||
         num("parity_max_abs_diff") > 1e-9) {
       System.err.println("[graphvol] THEOREM CHECK VIOLATED")
       sys.exit(1)

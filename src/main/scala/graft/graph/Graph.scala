@@ -46,7 +46,17 @@ object Graph {
     (lit(1.0) - lit(d)) / nCol.cast("double")
 
   /** src-ordered deterministic fold of per-edge contributions into each
-    * dst's in-flow. */
+    * dst's in-flow.
+    *
+    * PRECONDITION (ADVICE r14): the edge table must be (src, dst)-DISTINCT
+    * for the cross-engine bit-exactness claim — the sort key is
+    * struct(src, contrib), so duplicate (src, dst) edges tie-break by
+    * contrib VALUE here while the DuckDB mirror `list(contrib ORDER BY
+    * src)` leaves tie order unspecified. The declared k-NN edge sets are
+    * (src, dst)-distinct by construction (one ranked edge per ordered
+    * pair); a caller bringing a multigraph must `distinct()` (or
+    * pre-aggregate parallel edges) first. This binds [[pageRank]],
+    * [[personalizedPageRank]] and [[pageRankWeighted]] alike. */
   private def inflowFold: Column =
     aggregate(
       transform(array_sort(collect_list(struct(col("src"), col("contrib")))),
@@ -66,7 +76,8 @@ object Graph {
     * the sum folded in src order. Returns (id, pr). Per iteration: one
     * broadcast-able (outdeg, rank) attach on src, one groupBy(dst) fold,
     * one left join back to nodes — shuffle ∝ |E| on dst, never
-    * all-pairs. */
+    * all-pairs. `edges` must be (src, dst)-distinct — see [[inflowFold]]'s
+    * precondition. */
   def pageRank(edges: DataFrame, iters: Int,
       d: Double = Damping): DataFrame = {
     val es = edges.localCheckpoint() // one edge materialization per run
@@ -132,7 +143,8 @@ object Graph {
     * neighbor order (dst order and src order respectively — both
     * degree-bounded), so every iteration stays bit-exact cross-engine.
     * `edges` is (src, dst, w) with w > 0 (the declared key maps cosine
-    * to 1 + cos ∈ (0, 2] — one mirrored IEEE add). */
+    * to 1 + cos ∈ (0, 2] — one mirrored IEEE add) and must be
+    * (src, dst)-distinct — see [[inflowFold]]'s precondition. */
   def pageRankWeighted(edges: DataFrame, iters: Int,
       d: Double = Damping): DataFrame = {
     val es = edges.localCheckpoint() // one edge materialization per run

@@ -82,15 +82,44 @@ object Relational {
     * with a small delta (the normal CDC regime) the anti-join broadcasts
     * and the TARGET NEVER SHUFFLES; `broadcastDelta = false` is the
     * large-backfill fallback (plain shuffled anti-join, AQE handles
-    * skew). Exactly-once per key requires the delta be key-distinct —
-    * upstream compaction's contract, not re-checked here. */
+    * skew).
+    *
+    * The broadcast hedge is SIZE-GUARDED (ADVICE r14): a caller applying
+    * a large backfill under the default flag must not drive a
+    * driver-OOM-sized key broadcast, so when `broadcastDelta` is set the
+    * delta's key count is probed with one bounded job on the slim side
+    * ([[MergeBroadcastKeyCap]]+1-limited count — delta-sized, the CDC
+    * regime's cheap side) and the plan degrades gracefully to the
+    * shuffled anti-join above the cap instead of OOMing.
+    *
+    * Exactly-once per key requires the delta be key-distinct — upstream
+    * compaction's contract. `validateDelta = true` re-checks it (one
+    * aggregate over the delta: total vs distinct key count) for
+    * debug/test paths; the default leaves the contract to the caller. */
   def mergeUpsert(target: DataFrame, changes: DataFrame, key: String,
-      broadcastDelta: Boolean = true): DataFrame = {
+      broadcastDelta: Boolean = true,
+      validateDelta: Boolean = false,
+      broadcastKeyCap: Long = MergeBroadcastKeyCap): DataFrame = {
+    if (validateDelta) {
+      val r = changes.agg(count(lit(1)).as("n"),
+        count_distinct(col(key)).as("nd")).head()
+      require(r.getLong(0) == r.getLong(1),
+        s"mergeUpsert delta is not key-distinct on '$key': " +
+          s"${r.getLong(0)} rows over ${r.getLong(1)} keys")
+    }
     val keys = changes.select(key).distinct()
+    val doBroadcast = broadcastDelta &&
+      keys.limit((broadcastKeyCap + 1).toInt).count() <= broadcastKeyCap
     val untouched = target.join(
-      if (broadcastDelta) broadcast(keys) else keys, Seq(key), "left_anti")
+      if (doBroadcast) broadcast(keys) else keys, Seq(key), "left_anti")
     untouched.unionByName(changes.filter(col("op") =!= "D").drop("op"))
   }
+
+  /** Distinct-key count above which [[mergeUpsert]] refuses the broadcast
+    * hedge and falls back to the shuffled anti-join — sized well under
+    * the driver-memory regime a key-only broadcast can carry (5M slim
+    * keys ≈ tens of MB). */
+  val MergeBroadcastKeyCap: Long = 5000000L
 
   /** Merge-on-read view (the Hudi MoR / Delta change-feed-apply
     * semantics): the delta LOG may carry several versions of a key —

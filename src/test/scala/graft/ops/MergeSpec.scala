@@ -57,6 +57,44 @@ class MergeSpec extends SparkSpec {
     assert(dup === 0L, "merge must preserve key uniqueness")
   }
 
+  test("broadcast size guard: a delta over the key cap degrades to the " +
+      "shuffled anti-join (same rows, no broadcast left-anti); " +
+      "validateDelta rejects a duplicate-key delta") {
+    import spark.implicits._
+    val (target, changes) = fixture()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        .toSet
+    // over-cap: keys=200 > cap=10 — must fall back, result unchanged
+    val guarded = Relational.mergeUpsert(target, changes, "id",
+      broadcastKeyCap = 10L)
+    assert(rows(guarded) === rows(Relational.mergeUpsert(target, changes,
+      "id")))
+    // the guard drops the unconditional broadcast HINT — AQE may still
+    // choose a broadcast from its own measured size (desired: the
+    // runtime decision is size-aware where the hint was not), so the
+    // assertion targets the hint, not the physical join pick
+    val hinted = Relational.mergeUpsert(target, changes, "id")
+      .queryExecution.analyzed.toString
+    val unhinted = guarded.queryExecution.analyzed.toString
+    assert(hinted.contains("ResolvedHint"),
+      "under-cap delta must carry the broadcast hint")
+    assert(!unhinted.contains("ResolvedHint"),
+      s"over-cap delta must not carry the broadcast hint:\n$unhinted")
+    // validateDelta: a duplicate-key delta violates the exactly-once
+    // contract and must fail loudly instead of emitting duplicate rows
+    val dupDelta = changes.unionByName(
+      Seq((1L, "name_1", 999.0, "U")).toDF("id", "name", "amount", "op"))
+    val e = intercept[IllegalArgumentException] {
+      Relational.mergeUpsert(target, dupDelta, "id", validateDelta = true)
+    }
+    assert(e.getMessage.contains("key-distinct"))
+    // and the clean fixture passes validation untouched
+    assert(rows(Relational.mergeUpsert(target, changes, "id",
+      validateDelta = true)) === rows(Relational.mergeUpsert(target,
+      changes, "id")))
+  }
+
   test("merge-on-read view: latest version wins, update-then-delete " +
       "deletes, delete-then-reinsert reinserts, replayed appends collapse") {
     import spark.implicits._
