@@ -198,10 +198,18 @@ object Graph {
     // this the k-NN subtree re-evaluates ~19 times inside one action
     // (measured: 5.8 s -> checkpointed, the Dedup discipline)
     val es = edges.localCheckpoint()
-    val (nodes, _) = nodesAndCount(es)
+    val (nodes0, _) = nodesAndCount(es)
+    val nodes = nodes0.localCheckpoint()
     var hubs = nodes.select(col("id"), lit(1.0).as("hub"))
     var auths = nodes.select(col("id"), lit(1.0).as("auth"))
     for (_ <- 1 to iters) {
+      // each L∞ normalization references its raw table TWICE (the max
+      // aggregate and the divide), so the raw table is checkpointed
+      // per half-iteration: without this the plan DOUBLES per
+      // normalization (~2^iters subtree growth — the r14 verdict's one
+      // watch-item); with it the per-iteration plan is CONSTANT-size
+      // and hits(edges, 20) is as safe as pageRankFast. Values are
+      // untouched (a checkpoint replays nothing).
       val aRaw = es
         .join(hubs.withColumnRenamed("id", "src"), "src")
         .select(col("dst"), col("src"), col("hub").as("contrib"))
@@ -209,6 +217,7 @@ object Graph {
       val aN = nodes
         .join(aRaw.withColumnRenamed("dst", "id"), Seq("id"), "left")
         .select(col("id"), coalesce(col("raw"), lit(0.0)).as("raw"))
+        .localCheckpoint()
       auths = aN.crossJoin(broadcast(aN.agg(max("raw").as("mx"))))
         .select(col("id"), (col("raw") / col("mx")).as("auth"))
       val hRaw = es
@@ -218,6 +227,44 @@ object Graph {
       val hN = nodes
         .join(hRaw.withColumnRenamed("src", "id"), Seq("id"), "left")
         .select(col("id"), coalesce(col("raw"), lit(0.0)).as("raw"))
+        .localCheckpoint()
+      hubs = hN.crossJoin(broadcast(hN.agg(max("raw").as("mx"))))
+        .select(col("id"), (col("raw") / col("mx")).as("hub"))
+    }
+    hubs.join(auths, "id")
+  }
+
+  /** Production HITS: the [[pageRankFast]] discipline applied to
+    * [[hits]] — plain mergeable SUMs (map-side combine, no per-node
+    * list — the hub-safe shape on graphs where in-degree doesn't
+    * concentrate) with the same per-half-iteration checkpoint keeping
+    * the plan constant-size at any iteration count. Float-accumulation
+    * order is engine-chosen, so this form is TEST-gated (§7.5.7):
+    * GraphSpec pins it to [[hits]] within accumulation noise and
+    * rank-identical on the fixtures. */
+  def hitsFast(edges: DataFrame, iters: Int): DataFrame = {
+    val es = edges.localCheckpoint()
+    val (nodes0, _) = nodesAndCount(es)
+    val nodes = nodes0.localCheckpoint()
+    var hubs = nodes.select(col("id"), lit(1.0).as("hub"))
+    var auths = nodes.select(col("id"), lit(1.0).as("auth"))
+    for (_ <- 1 to iters) {
+      val aRaw = es
+        .join(hubs.withColumnRenamed("id", "src"), "src")
+        .groupBy("dst").agg(sum(col("hub")).as("raw"))
+      val aN = nodes
+        .join(aRaw.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id"), coalesce(col("raw"), lit(0.0)).as("raw"))
+        .localCheckpoint()
+      auths = aN.crossJoin(broadcast(aN.agg(max("raw").as("mx"))))
+        .select(col("id"), (col("raw") / col("mx")).as("auth"))
+      val hRaw = es
+        .join(auths.withColumnRenamed("id", "dst"), "dst")
+        .groupBy("src").agg(sum(col("auth")).as("raw"))
+      val hN = nodes
+        .join(hRaw.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .select(col("id"), coalesce(col("raw"), lit(0.0)).as("raw"))
+        .localCheckpoint()
       hubs = hN.crossJoin(broadcast(hN.agg(max("raw").as("mx"))))
         .select(col("id"), (col("raw") / col("mx")).as("hub"))
     }

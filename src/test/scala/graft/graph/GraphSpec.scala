@@ -167,6 +167,47 @@ class GraphSpec extends SparkSpec {
     assert(got(4L)._1 < 1.0 && got(1L)._2 < 1.0)
   }
 
+  test("hitsFast agrees with the oracled hits within accumulation noise " +
+      "and ranks identically; deep runs keep a constant-size plan") {
+    import spark.implicits._
+    // the star fixture plus a second cluster so raw sums have real
+    // accumulation work: 5,6,7 -> 8, 8 -> 5, cross-link 4 -> 8
+    val es = Seq((1L, 4L), (2L, 4L), (3L, 4L), (4L, 1L), (5L, 8L),
+      (6L, 8L), (7L, 8L), (8L, 5L), (4L, 8L)).toDF("src", "dst")
+    def toMapHA(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val det = toMapHA(Graph.hits(es, 3))
+    val fast = toMapHA(Graph.hitsFast(es, 3))
+    assert(det.keySet === fast.keySet)
+    det.foreach { case (k, (h, a)) =>
+      assert(math.abs(fast(k)._1 - h) < 1e-12, s"hub drifted at $k")
+      assert(math.abs(fast(k)._2 - a) < 1e-12, s"auth drifted at $k")
+    }
+    assert(det.toSeq.sortBy { case (k, (h, _)) => (-h, k) }.map(_._1) ===
+      fast.toSeq.sortBy { case (k, (h, _)) => (-h, k) }.map(_._1))
+    assert(det.toSeq.sortBy { case (k, (_, a)) => (-a, k) }.map(_._1) ===
+      fast.toSeq.sortBy { case (k, (_, a)) => (-a, k) }.map(_._1))
+
+    // the r14 watch-item closed: per-half-iteration checkpoints keep the
+    // logical plan CONSTANT-size in the iteration count (pre-fix it
+    // doubled per normalization), so a 20-iteration run is safe
+    def planSize(iters: Int) =
+      Graph.hits(es, iters).queryExecution.logical
+        .collect { case p => p }.size
+    assert(planSize(6) === planSize(2),
+      "hits plan must not grow with iteration count")
+    val deep = toMapHA(Graph.hits(es, 20))
+    // at convergence node 8 (4 in-edges) out-authorities node 4 (3)
+    assert(deep(8L)._2 === 1.0, "the max-in-degree hub converges to " +
+      "authority 1 under L-inf normalization")
+    val deepFast = toMapHA(Graph.hitsFast(es, 20))
+    assert(deep.keySet === deepFast.keySet)
+    deep.foreach { case (k, (h, a)) =>
+      assert(math.abs(deepFast(k)._1 - h) < 1e-9 &&
+        math.abs(deepFast(k)._2 - a) < 1e-9, s"deep drift at $k")
+    }
+  }
+
   test("triangles: exact per-node counts on a known graph — shared " +
       "edges credit all member triangles, bridges credit none") {
     import spark.implicits._
