@@ -20,6 +20,7 @@ object SparkEntry {
     text.TextOps.queries,
     text.Classify.queries,
     text.Bpe.queries,
+    text.ByteBpe.queries,
     text.Unigram.queries,
     text.WordPiece.queries,
     text.LexIndex.queries,
@@ -43,6 +44,7 @@ object SparkEntry {
     text.TextOps.oracleSql,
     text.Classify.oracleSql,
     text.Bpe.oracleSql,
+    text.ByteBpe.oracleSql,
     text.Unigram.oracleSql,
     text.WordPiece.oracleSql,
     text.LexIndex.oracleSql,

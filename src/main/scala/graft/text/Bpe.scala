@@ -105,11 +105,19 @@ object Bpe {
   /** Train a model of ≤ `numMerges` merges; stops early when the best
     * remaining pair's weighted count drops below `minCount` (merging
     * singletons memorizes noise — the paper's frequency threshold). */
-  def train(docs: DataFrame, numMerges: Int, minCount: Long = 2L): Model = {
+  def train(docs: DataFrame, numMerges: Int, minCount: Long = 2L): Model =
+    trainLoop(wordFreq(docs).withColumn("seg", charSeg(col("word"))),
+      numMerges, minCount)
+
+  /** The merge loop over an arbitrary initial (word, freq, seg) table —
+    * shared by the char-level trainer above and the byte-level one
+    * ([[ByteBpe.train]]): the machinery is segmentation-agnostic (any
+    * space-free symbol alphabet), only the initial segmentation
+    * differs between the families. */
+  private[text] def trainLoop(vocab0: DataFrame, numMerges: Int,
+      minCount: Long): Model = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
-    var vocab = wordFreq(docs)
-      .withColumn("seg", charSeg(col("word")))
-      .localCheckpoint()
+    var vocab = vocab0.localCheckpoint()
     val merges = mutable.ArrayBuffer.empty[(String, String)]
     var done = false
     while (!done && merges.length < numMerges) {
@@ -171,11 +179,17 @@ object Bpe {
     * take the identical expression path — there is no "unknown" token,
     * unseen words just segment further (the paper's open-vocabulary
     * property). */
-  def encode(docs: DataFrame, model: Model): DataFrame = {
+  def encode(docs: DataFrame, model: Model): DataFrame =
+    encodeBy(docs, encodeWord(_, model))
+
+  /** The distinct-word + broadcast-fan-back encode plumbing over an
+    * arbitrary per-word encoder — shared with [[ByteBpe.encode]]. */
+  private[text] def encodeBy(docs: DataFrame,
+      encoder: Column => Column): DataFrame = {
     val occ = docs
       .select(col("doc_id"), posexplode(tokens).as(Seq("pos", "word")))
     val vocab = occ.select("word").distinct()
-      .withColumn("subs", encodeWord(col("word"), model))
+      .withColumn("subs", encoder(col("word")))
     occ.join(broadcast(vocab), "word")
       .select(col("doc_id"), col("pos"), col("word"), col("subs"),
         size(col("subs")).as("n_subs"))

@@ -236,6 +236,23 @@ object TextOps {
       .na.fill(0L, Seq("n_tokens")))
   }
 
+  /** The budget fill metered by the BYTE-level BPE ([[ByteBpe]], B9.74)
+    * — the bill of the GPT-2/LLaMA-style byte vocabulary, same selection
+    * mechanics. The byte family's bill diverges from the char-level
+    * BPE's on any corpus with multi-byte characters (a char-level model
+    * starts one symbol per code point, the byte model one per UTF-8
+    * byte, and merge tables learned over different alphabets compress
+    * differently) — TextOpsSpec proves the divergence on the same
+    * corpus and model budgets, so "fill B tokens" is priced in the
+    * tokenizer the trainer actually runs. */
+  def budgetSampleByteBpe(docs: DataFrame, model: Bpe.Model): DataFrame = {
+    val perDoc = ByteBpe.encode(docs, model)
+      .groupBy("doc_id").agg(sum("n_subs").cast("long").as("n_tokens"))
+    budgetSelect(docs.select(col("doc_id"), col("lang"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_tokens")))
+  }
+
   /** The budget fill metered by the UNIGRAM-LM tokenizer ([[Unigram]],
     * B9.62) — the second tokenizer family's bill, same selection
     * mechanics (docs with no tokens cost 0, OOV chars still tokenize —

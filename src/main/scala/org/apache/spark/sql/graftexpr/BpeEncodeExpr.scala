@@ -38,9 +38,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Null word → NULL. Symbols are the word's code points plus the final
   * `</w>` sentinel (the charSeg contract — Java regex `.` is
-  * code-point-aware, so the split here is too). */
+  * code-point-aware, so the split here is too) — or, with
+  * `byteLevel = true`, the word's UTF-8 BYTES as uppercase hex pairs
+  * (the [[graft.text.ByteBpe.byteSeg]] contract: a 256-symbol initial
+  * alphabet, so any byte sequence is representable and the round trip
+  * is lossless without an unknown token). The heap replay itself is
+  * segmentation-agnostic; only the initial symbol split differs. */
 case class BpeEncodeExpr(child: Expression,
-    merges: Seq[(String, String)])
+    merges: Seq[(String, String)],
+    byteLevel: Boolean = false)
     extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
@@ -51,7 +57,7 @@ case class BpeEncodeExpr(child: Expression,
     BpeEncodeExpr.MergeTable(merges)
 
   override protected def nullSafeEval(w: Any): Any =
-    BpeEncodeExpr.encode(w.asInstanceOf[UTF8String], table)
+    BpeEncodeExpr.encode(w.asInstanceOf[UTF8String], table, byteLevel)
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode = {
@@ -64,7 +70,7 @@ case class BpeEncodeExpr(child: Expression,
     nullSafeCodeGen(ctx, ev, w => {
       s"""
          |${ev.value} = org.apache.spark.sql.graftexpr.BpeEncodeExpr
-         |  .encode($w, $ref);
+         |  .encode($w, $ref, $byteLevel);
        """.stripMargin
     })
   }
@@ -100,18 +106,34 @@ object BpeEncodeExpr {
     }
   }
 
+  /** Uppercase hex pair per byte value — the byte-level initial
+    * alphabet, precomputed once. */
+  private val HexSym: Array[String] =
+    Array.tabulate(256)(b => f"$b%02X")
+
   /** The heap replay. Kept allocation-lean: linked list via int arrays,
     * one heap of packed (rank, pos) longs. */
-  def encode(word: UTF8String, table: MergeTable): GenericArrayData = {
-    val s = word.toString
-    // symbols: code points + sentinel
-    val cps = new java.util.ArrayList[String](s.length + 1)
-    var ci = 0
-    while (ci < s.length) {
-      val cp = s.codePointAt(ci)
-      val n = Character.charCount(cp)
-      cps.add(s.substring(ci, ci + n))
-      ci += n
+  def encode(word: UTF8String, table: MergeTable,
+      byteLevel: Boolean = false): GenericArrayData = {
+    // symbols: code points + sentinel (char level) or uppercase hex
+    // pairs of the UTF-8 bytes + sentinel (byte level)
+    val cps = new java.util.ArrayList[String](word.numBytes + 1)
+    if (byteLevel) {
+      val bytes = word.getBytes
+      var bi = 0
+      while (bi < bytes.length) {
+        cps.add(HexSym(bytes(bi) & 0xFF))
+        bi += 1
+      }
+    } else {
+      val s = word.toString
+      var ci = 0
+      while (ci < s.length) {
+        val cp = s.codePointAt(ci)
+        val nc = Character.charCount(cp)
+        cps.add(s.substring(ci, ci + nc))
+        ci += nc
+      }
     }
     cps.add(Eow)
     val n = cps.size
@@ -171,7 +193,8 @@ object BpeEncodeExpr {
     new GenericArrayData(out.toArray)
   }
 
-  def column(word: Column, merges: Seq[(String, String)]): Column =
+  def column(word: Column, merges: Seq[(String, String)],
+      byteLevel: Boolean = false): Column =
     ExpressionUtils.column(BpeEncodeExpr(
-      ExpressionUtils.expression(word), merges))
+      ExpressionUtils.expression(word), merges, byteLevel))
 }
