@@ -593,6 +593,33 @@ object Streaming {
       }
     }
 
+  /** Online TOKENIZER-METERED temperature fill (B10.37) —
+    * [[streamTemperatureFill]] with the bill in the trainer's unit: the
+    * release prices languages once in its frozen tokenizer's subwords
+    * ([[graft.text.TextOps.temperatureQuotasBpe]] & siblings), and each
+    * micro-batch is billed by the SAME frozen model — re-resolved per
+    * batch from the [[graft.text.TokenizerStore]] at `modelDir` (the
+    * streamEncodeBpe pointer discipline: a republished model takes
+    * effect at the next batch boundary, in lockstep with a republished
+    * quota table). `byteLevel` picks the [[graft.text.ByteBpe]] encode
+    * for a byte-trained model. Replay safety = the shard form's
+    * monotonic-id guard. */
+  def streamTemperatureFillBpe(docs: DataFrame, statePath: String,
+      quotaPath: String, modelDir: String, sink: (DataFrame, Long) => Unit,
+      byteLevel: Boolean = false)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      if (!batch.isEmpty) {
+        val quotas = batch.sparkSession.read.parquet(quotaPath)
+        val m = graft.text.TokenizerStore.readBpe(batch.sparkSession,
+          modelDir)
+        sink(graft.text.TextOps.temperatureFillShardMetered(batch,
+          statePath, quotas,
+          graft.text.TextOps.shardBillBpe(m, byteLevel)), id)
+      }
+    }
+
   /** Online multi-epoch fill (B10.34) — [[streamTemperatureFill]]'s
     * posture for the upsampling form: the frozen pricing table (lang, c,
     * quota, full_epochs, rem from [[graft.text.TextOps.epochQuotas]]) is

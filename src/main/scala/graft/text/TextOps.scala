@@ -229,11 +229,7 @@ object TextOps {
     * tokenizer ([[org.apache.spark.sql.graftexpr.BpeEncodeExpr.encode]])
     * and the quota selection. */
   def budgetSampleBpe(docs: DataFrame, model: Bpe.Model): DataFrame = {
-    val perDoc = Bpe.encode(docs, model)
-      .groupBy("doc_id").agg(sum("n_subs").cast("long").as("n_tokens"))
-    budgetSelect(docs.select(col("doc_id"), col("lang"))
-      .join(perDoc, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("n_tokens")))
+    budgetSelect(meteredBy(docs, perDocBill(Bpe.encode(docs, model))))
   }
 
   /** The budget fill metered by the BYTE-level BPE ([[ByteBpe]], B9.74)
@@ -246,11 +242,7 @@ object TextOps {
     * corpus and model budgets, so "fill B tokens" is priced in the
     * tokenizer the trainer actually runs. */
   def budgetSampleByteBpe(docs: DataFrame, model: Bpe.Model): DataFrame = {
-    val perDoc = ByteBpe.encode(docs, model)
-      .groupBy("doc_id").agg(sum("n_subs").cast("long").as("n_tokens"))
-    budgetSelect(docs.select(col("doc_id"), col("lang"))
-      .join(perDoc, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("n_tokens")))
+    budgetSelect(meteredBy(docs, perDocBill(ByteBpe.encode(docs, model))))
   }
 
   /** The budget fill metered by the UNIGRAM-LM tokenizer ([[Unigram]],
@@ -263,11 +255,7 @@ object TextOps {
     * budgets). */
   def budgetSampleUnigram(docs: DataFrame,
       model: Unigram.Model): DataFrame = {
-    val perDoc = Unigram.encode(docs, model)
-      .groupBy("doc_id").agg(sum("n_subs").cast("long").as("n_tokens"))
-    budgetSelect(docs.select(col("doc_id"), col("lang"))
-      .join(perDoc, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("n_tokens")))
+    budgetSelect(meteredBy(docs, perDocBill(Unigram.encode(docs, model))))
   }
 
   /** The budget fill metered by WORDPIECE ([[WordPiece]], B9.65) — the
@@ -278,16 +266,30 @@ object TextOps {
     * meter stays bill-what-runs by construction. */
   def budgetSampleWordPiece(docs: DataFrame,
       model: WordPiece.Model): DataFrame = {
-    val perDoc = WordPiece.encode(docs, model)
-      .groupBy("doc_id").agg(sum("n_subs").cast("long").as("n_tokens"))
-    budgetSelect(docs.select(col("doc_id"), col("lang"))
-      .join(perDoc, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("n_tokens")))
+    budgetSelect(meteredBy(docs, perDocBill(WordPiece.encode(docs, model))))
   }
 
   private def budgetSampleBy(docs: DataFrame, meter: Column): DataFrame =
     budgetSelect(docs.select(col("doc_id"), col("lang"),
       meter.as("n_tokens")))
+
+  /** The whitespace meter as a (doc_id, lang, n_tokens) projection —
+    * the default unit of the fill family. */
+  private def whitespaceMetered(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+      size(tokens).cast("long").as("n_tokens"))
+
+  /** Per-doc bill of a tokenizer encode table — the rollup every
+    * metered sampler shares. */
+  private def perDocBill(enc: DataFrame): DataFrame =
+    enc.groupBy("doc_id").agg(sum("n_subs").cast("long").as("n_tokens"))
+
+  /** Attach a per-doc bill to the corpus as the selection meter (docs
+    * with no tokens cost 0 — the encode table has no rows for them). */
+  private def meteredBy(docs: DataFrame, perDoc: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_tokens"))
 
   // --------------------------------------------- temperature sampling
   // The multilingual-mixture recipe (Conneau & Lample 2019's XLM; XLM-R
@@ -311,10 +313,17 @@ object TextOps {
     * denominator folds in lang order (lang-count-bounded list, never a
     * SQL SUM), the eval_ndcg discipline. Scale shape: one corpus
     * aggregate to lang granularity; everything after is lang-bounded. */
-  def temperatureQuotas(docs: DataFrame, budget: Long): DataFrame = {
-    val counts = docs.groupBy("lang")
-      .agg(sum(size(tokens)).cast("long").as("c"))
-      .withColumn("s", sqrt(col("c").cast("double")))
+  def temperatureQuotas(docs: DataFrame, budget: Long): DataFrame =
+    quotasFromCounts(docs.groupBy("lang")
+      .agg(sum(size(tokens)).cast("long").as("c")), budget)
+
+  /** The α=½ quota arithmetic over an arbitrary per-language mass table
+    * (lang, c) — shared by the whitespace pricing above and the
+    * tokenizer-metered pricings below: the pricing formula is
+    * meter-agnostic, only the mass unit differs. */
+  private def quotasFromCounts(counts0: DataFrame,
+      budget: Long): DataFrame = {
+    val counts = counts0.withColumn("s", sqrt(col("c").cast("double")))
     val total = counts.agg(aggregate(
       transform(array_sort(collect_list(struct(col("lang"), col("s")))),
         x => x.getField("s")),
@@ -357,16 +366,97 @@ object TextOps {
     * posture). Languages absent from the quota table select nothing
     * (inner join — an unknown language has no budget, the conservative
     * default). */
-  def temperatureSampleWith(docs: DataFrame, quotas: DataFrame): DataFrame = {
+  def temperatureSampleWith(docs: DataFrame, quotas: DataFrame): DataFrame =
+    temperatureFill(docs.select(col("doc_id"), col("lang"),
+      size(tokens).cast("long").as("n_tokens")), quotas)
+
+  /** The quota fill over an arbitrary pre-metered (doc_id, lang,
+    * n_tokens) table — the meter-agnostic body shared by the whitespace
+    * form above and the tokenizer-metered forms below. */
+  private def temperatureFill(metered: DataFrame,
+      quotas: DataFrame): DataFrame = {
     val wWin = Window.partitionBy("lang").orderBy("doc_id")
-    docs.select(col("doc_id"), col("lang"),
-        size(tokens).cast("long").as("n_tokens"))
+    metered
       .withColumn("cum_tokens", sum(col("n_tokens")).over(wWin))
       .join(broadcast(quotas.select(col("lang"), col("quota"))), Seq("lang"))
       .filter(col("cum_tokens") <= col("quota"))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         col("cum_tokens"), col("quota"))
   }
+
+  // ------------------------------- tokenizer-metered temperature pricing
+  // The r14 verdict's observation made operational: `sample_temperature`
+  // prices per-language masses with the whitespace meter, but a trainer
+  // consumes SUBWORDS — a mixture priced in the wrong unit systematically
+  // misallocates budget toward languages whose tokenizer fertility
+  // (subwords per whitespace token) is low. These variants price the α=½
+  // quotas AND meter the fill in the SAME trained-tokenizer unit the
+  // budget-fill family already bills in (budgetSampleBpe & siblings) —
+  // frozen-model forms throughout: the model is an argument, so a
+  // TokenizerStore-read release model prices shards and streams
+  // identically (the qualityBucketByCuts posture). TEST-gated (§7.5.7,
+  // like the budget meters: the merge replay needs lookarounds RE2
+  // lacks); TextOpsSpec pins quotas + fill against an independent driver
+  // replay of the kernel bill and proves the pricing diverges from the
+  // whitespace quotas on the same corpus and budget.
+
+  /** α=½ quotas priced in a per-doc bill's unit: mass c_l = the
+    * language's total TOKENIZER bill. One doc-level rollup + one
+    * lang-level aggregate — the corpus-sized work is the encode the bill
+    * came from. */
+  def temperatureQuotasMetered(docs: DataFrame, budget: Long,
+      perDoc: DataFrame): DataFrame =
+    quotasFromCounts(
+      meteredBy(docs, perDoc).groupBy("lang")
+        .agg(sum("n_tokens").cast("long").as("c")),
+      budget)
+
+  def temperatureQuotasBpe(docs: DataFrame, budget: Long,
+      model: Bpe.Model): DataFrame =
+    temperatureQuotasMetered(docs, budget,
+      perDocBill(Bpe.encode(docs, model)))
+
+  def temperatureQuotasByteBpe(docs: DataFrame, budget: Long,
+      model: Bpe.Model): DataFrame =
+    temperatureQuotasMetered(docs, budget,
+      perDocBill(ByteBpe.encode(docs, model)))
+
+  def temperatureQuotasUnigram(docs: DataFrame, budget: Long,
+      model: Unigram.Model): DataFrame =
+    temperatureQuotasMetered(docs, budget,
+      perDocBill(Unigram.encode(docs, model)))
+
+  def temperatureQuotasWordPiece(docs: DataFrame, budget: Long,
+      model: WordPiece.Model): DataFrame =
+    temperatureQuotasMetered(docs, budget,
+      perDocBill(WordPiece.encode(docs, model)))
+
+  /** Temperature fill PRICED AND METERED in the same tokenizer unit:
+    * the per-doc bill is computed once (localCheckpoint — it feeds both
+    * the quota subtree and the fill meter; without the checkpoint the
+    * encode would run twice inside one plan), quotas derive from it,
+    * and the selection spends against them in the identical unit. The
+    * frozen-quota production form is
+    * `temperatureFillMetered(docs, frozenQuotas, perDoc)`. */
+  def temperatureSampleMetered(docs: DataFrame, budget: Long,
+      perDoc: DataFrame): DataFrame = {
+    val bill = perDoc.localCheckpoint()
+    temperatureFill(meteredBy(docs, bill),
+      temperatureQuotasMetered(docs, budget, bill))
+  }
+
+  def temperatureSampleBpe(docs: DataFrame, budget: Long,
+      model: Bpe.Model): DataFrame =
+    temperatureSampleMetered(docs, budget,
+      perDocBill(Bpe.encode(docs, model)))
+
+  /** The frozen-quota metered fill — shards/streams spend a RELEASE
+    * price in the release's unit: `quotas` from a
+    * `temperatureQuotas*`-family call on the pricing corpus, `perDoc`
+    * from the SAME frozen model over the rows being filled. */
+  def temperatureFillMetered(docs: DataFrame, quotas: DataFrame,
+      perDoc: DataFrame): DataFrame =
+    temperatureFill(meteredBy(docs, perDoc), quotas)
 
   /** SHARD form of the temperature fill — [[budgetFillShard]]'s carried-
     * tally mechanics against a FROZEN quota table: the release corpus
@@ -378,6 +468,30 @@ object TextOps {
   def temperatureFillShard(shard: DataFrame, statePath: String,
       quotas: DataFrame): DataFrame =
     fillShardWith(shard, statePath, quotas)
+
+  /** The shard form of the METERED temperature fill — the carried-tally
+    * mechanics with the tokenizer bill as the meter: `quotas` is the
+    * frozen release pricing (a `temperatureQuotas*`-family table),
+    * `perDocOf` bills a shard under the SAME frozen model (e.g.
+    * `b => perDocBill(Bpe.encode(b, model))` via
+    * [[shardBillBpe]]). The tally advances in the metered unit, so
+    * per-shard selection ≡ [[temperatureFillMetered]] over the union of
+    * all shards so far (TextOpsSpec pins it — same growth-stability
+    * argument as [[temperatureFillShard]]: the meter is a pure function
+    * of the row under a frozen model). */
+  def temperatureFillShardMetered(shard: DataFrame, statePath: String,
+      quotas: DataFrame, perDocOf: DataFrame => DataFrame): DataFrame =
+    fillShardWith(shard, statePath, quotas,
+      b => meteredBy(b, perDocOf(b)))
+
+  /** The per-shard BPE bill as a meter closure for
+    * [[temperatureFillShardMetered]] / the streaming twin — works for
+    * char-level AND byte-level models (same [[Bpe.Model]] shape; pass
+    * `byteLevel = true` for a [[ByteBpe]]-trained model). */
+  def shardBillBpe(model: Bpe.Model,
+      byteLevel: Boolean = false): DataFrame => DataFrame =
+    b => perDocBill(
+      if (byteLevel) ByteBpe.encode(b, model) else Bpe.encode(b, model))
 
   // --------------------------------------------------- multi-epoch fill
   // Upsampling: when α-sampling prices a low-resource language ABOVE its
@@ -565,7 +679,8 @@ object TextOps {
     * table prices them from a frozen model (the temperature fill — inner
     * join, unknown languages select nothing). */
   private def fillShardWith(shard: DataFrame, statePath: String,
-      quotas: DataFrame): DataFrame = {
+      quotas: DataFrame,
+      meter: DataFrame => DataFrame = whitespaceMetered): DataFrame = {
     val spark = shard.sparkSession
     val exists = graft.core.IndexLifecycle.pathExists(spark, statePath)
     val st =
@@ -578,15 +693,13 @@ object TextOps {
     val bounds = shard.agg(min(col("doc_id").cast("long")),
       max(col("doc_id").cast("long"))).head()
     if (bounds.isNullAt(0)) {
-      val metered0 = shard.select(col("doc_id"), col("lang"),
-        size(tokens).cast("long").as("n_tokens"))
+      val metered0 = meter(shard)
       return if (quotas == null) budgetSelect(metered0)
-      else temperatureSampleWith(shard, quotas)
+      else temperatureFill(metered0, quotas)
     }
     graft.core.IndexLifecycle.requireMonotonic(bounds.getLong(0), maxSeen,
       "doc_id")
-    val metered = shard.select(col("doc_id"), col("lang"),
-      size(tokens).cast("long").as("n_tokens")).localCheckpoint()
+    val metered = meter(shard).localCheckpoint()
     val carried =
       if (exists) st.groupBy("lang").agg(sum("c").cast("long").as("base"))
       else null

@@ -529,4 +529,109 @@ class TextOpsSpec extends SparkSpec {
     assert(sunk.reduce(_ ++ _) === rows(TextOps.temperatureSample(docs,
       12000L)))
   }
+
+  test("tokenizer-metered temperature pricing: quotas ≡ a driver replay " +
+      "of the kernel bill + α=½ arithmetic, DIVERGE from whitespace " +
+      "pricing, and the metered fill spends the same unit") {
+    import org.apache.spark.sql.graftexpr.BpeEncodeExpr
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val B = 12000L
+    val model = Bpe.train(docs, 30)
+
+    // driver bill: the kernel's pure-JVM entry point, per word, per doc
+    val table = BpeEncodeExpr.MergeTable(model.merges)
+    def bill(text: String): Long =
+      text.split(" ", -1).map(w => BpeEncodeExpr.encode(
+        org.apache.spark.unsafe.types.UTF8String.fromString(w), table)
+        .numElements().toLong).sum
+    val all = docs.select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), bill(r.getString(2))))
+
+    // driver pricing: per-lang masses, sqrt shares folded lang-ascending
+    // (the engine's exact IEEE tree), floored quota
+    val masses = all.groupBy(_._2).view
+      .mapValues(_.map(_._3).sum).toSeq.sortBy(_._1)
+    val roots = masses.map { case (l, c) => (l, math.sqrt(c.toDouble)) }
+    var total = 0.0
+    roots.foreach { case (_, s) => total += s }
+    val wantQuota = roots.map { case (l, s) =>
+      (l, math.floor(s * B.toDouble / total).toLong) }.toMap
+
+    val got = TextOps.temperatureQuotasBpe(docs, B, model).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(got.map(x => (x._1, x._3)).toMap === wantQuota)
+    assert(got.map(x => (x._1, x._2)).toMap ===
+      masses.toMap.view.mapValues(identity).toMap,
+      "per-lang masses must be the tokenizer bill, not whitespace")
+
+    // the divergence that motivates the family: pricing in subwords
+    // reallocates quota vs the whitespace pricing on this corpus
+    val ws = TextOps.temperatureQuotas(docs, B).collect()
+      .map(r => (r.getString(0), r.getLong(3))).toMap
+    assert(wantQuota.exists { case (l, q) => ws(l) != q },
+      "metered quotas must diverge from whitespace quotas somewhere")
+
+    // the metered fill: respects quotas, bills in the metered unit,
+    // ≡ a driver replay of the selection
+    val fill = TextOps.temperatureSampleBpe(docs, B, model).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(fill.nonEmpty)
+    fill.foreach { case (_, _, _, cum, quota) => assert(cum <= quota) }
+    val expected = all.groupBy(_._2).toSeq.flatMap { case (lang, rows) =>
+      val quota = wantQuota(lang)
+      var cum = 0L
+      rows.sortBy(_._1).flatMap { case (id, _, n) =>
+        cum += n
+        if (cum <= quota) Some((id, lang, n, cum, quota)) else None
+      }
+    }
+    assert(fill.sortBy(_._1) === expected.sortBy(_._1),
+      "metered fill must equal the driver replay row for row")
+  }
+
+  test("streaming tokenizer-metered temperature fill: frozen model + " +
+      "frozen quotas + carried tallies ≡ the metered batch fill") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "text")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_tempfill_met").toString
+    val statePath = base + "/state"; val quotaPath = base + "/quotas"
+    val modelDir = base + "/model"
+    val model = Bpe.train(docs, 30)
+    TokenizerStore.writeBpe(model, modelDir, spark)
+    TextOps.temperatureQuotasBpe(docs, 12000L, model)
+      .select("lang", "quota").write.parquet(quotaPath)
+    val frozen = spark.read.parquet(quotaPath)
+
+    type Row5 = (Long, String, Long, Long, Long)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Row5] =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val all = docs.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    val half = all.length / 2
+    val batches = Seq(all.take(half), all.drop(half))
+
+    val sunk = scala.collection.mutable.ArrayBuffer[Set[Row5]]()
+    val stream = MemoryStream[(Long, String, String)](181, spark, None)
+    val q = graft.stream.Streaming.streamTemperatureFillBpe(
+        stream.toDF().toDF("doc_id", "lang", "text"), statePath, quotaPath,
+        modelDir, (df, _) => sunk += rows(df))
+      .start()
+    batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+    q.stop()
+    assert(sunk.size === 2)
+    val batch = rows(TextOps.temperatureFillMetered(docs, frozen,
+      Bpe.encode(docs, model).groupBy("doc_id")
+        .agg(sum("n_subs").cast("long").as("n_tokens"))))
+    assert(sunk.reduce(_ ++ _) === batch,
+      "per-batch metered selections must union to the metered batch fill")
+    // and ≡ the one-shot metered sample on the same corpus/model/budget
+    assert(batch === rows(TextOps.temperatureSampleBpe(docs, 12000L,
+      model)))
+  }
 }
