@@ -128,4 +128,77 @@ object Layout {
       .sortWithinPartitions("__h")
       .drop("__h")
       .write.mode("overwrite").parquet(dir)
+
+  // --------------------------------------- file-level statistics skipping
+
+  /** Write the per-file min/max manifest that turns a clustered layout
+    * into a FILE-SKIPPING table ([[readClustered]] — SURVEY B1.9): for
+    * each data file, each of `cols`' min/max aggregated over the
+    * parquet FOOTER's row-group statistics — metadata-only, no data
+    * re-read (the row-group stats the writer already computed, lifted
+    * one level). One manifest line per (file, col) at
+    * `dir/_graft_stats/stats.tsv` (underscore-prefixed: invisible to
+    * every normal read). Driver-side footer loop — at real scale the
+    * same loop rides the cluster once per layout build (a
+    * files-count-sized job, amortized over every query thereafter);
+    * restartable by delete-and-rerun like the layout write itself.
+    * Only integer-typed (INT32/INT64) columns are manifested — exactly
+    * the layout-dimension contract ([[zValueN]] takes bucketed
+    * non-negative ints) — and files whose footer lacks usable stats
+    * are omitted, which the reader treats as never-prunable. */
+  def writeStatsManifest(spark: org.apache.spark.sql.SparkSession,
+      dir: String, cols: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.column.statistics.{IntStatistics, LongStatistics}
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val files = fs.listStatus(root)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val lines = files.flatMap { st =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
+      val blocks =
+        try reader.getFooter.getBlocks
+        finally reader.close()
+      import scala.jdk.CollectionConverters._
+      cols.flatMap { c =>
+        val perBlock = blocks.asScala.toSeq.flatMap { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == c)
+            .flatMap(cc => cc.getStatistics match {
+              case s: LongStatistics if s.hasNonNullValue =>
+                Some((s.getMin, s.getMax))
+              case s: IntStatistics if s.hasNonNullValue =>
+                Some((s.getMin.toLong, s.getMax.toLong))
+              case _ => None
+            })
+        }
+        // every row group must carry stats, or the file-level bound is
+        // not a bound — omit (reader keeps the file)
+        if (perBlock.size == blocks.size && perBlock.nonEmpty)
+          Some(s"${st.getPath.getName}\t$c\t${perBlock.map(_._1).min}" +
+            s"\t${perBlock.map(_._2).max}")
+        else None
+      }
+    }
+    val out = new Path(root,
+      org.apache.spark.sql.graftsrc.StatsFileIndex.ManifestPath)
+    fs.mkdirs(out.getParent)
+    val os = fs.create(out, true)
+    try os.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally os.close()
+  }
+
+  /** Read a clustered layout through the FILE-SKIPPING DSv2 provider
+    * ([[org.apache.spark.sql.graftsrc.ClusteredParquet]]): statistically
+    * excluded files prune BEFORE task creation; the data path is the
+    * stock v2 vectorized parquet reader. Identical results to
+    * `spark.read.parquet(dir)` on any query (LayoutDsv2Spec pins it) —
+    * the manifest only ever removes provably-empty work. */
+  def readClustered(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    spark.read
+      .format(classOf[org.apache.spark.sql.graftsrc.ClusteredParquet].getName)
+      .load(dir)
 }

@@ -1,0 +1,125 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftsrc.StatsFileIndex
+import graft.SparkSpec
+
+/** File-level statistics skipping ([[Layout.readClustered]] over the
+  * graftsrc.ClusteredParquet DSv2 provider): results identical to
+  * vanilla parquet reads under every query shape, files provably prune
+  * BEFORE task creation on clustered layouts, and pruning is
+  * conservative — no manifest, uncovered columns, and non-prunable
+  * predicate shapes all read everything. */
+class LayoutDsv2Spec extends SparkSpec {
+
+  private val side = 256L
+  private val files = 16
+  private lazy val bits = java.lang.Long.numberOfTrailingZeros(side)
+
+  private def grid = spark.range(side * side).select(col("id"),
+    (col("id") % side).as("a"), (col("id") / side).cast("long").as("b"))
+
+  /** One z-clustered layout + manifest, shared by the tests. */
+  private lazy val zDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_dsv2_z").toString
+    Layout.writeZOrdered(grid, d, col("a"), col("b"), files, bits)
+    Layout.writeStatsManifest(spark, d, Seq("a", "b"))
+    d
+  }
+
+  /** Same layout, NO manifest — the degraded-gracefully control. */
+  private lazy val bareDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_dsv2_bare").toString
+    Layout.writeZOrdered(grid, d, col("a"), col("b"), files, bits)
+    d
+  }
+
+  private def rows(df: DataFrame): Set[(Long, Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  private def pruneCounts(dir: String): (Int, Int) = {
+    val k = StatsFileIndex.lastPrune.keySet().toArray
+      .map(_.toString).find(_.contains(new java.io.File(dir).getName))
+    assert(k.isDefined, s"no prune record for $dir in " +
+      StatsFileIndex.lastPrune.keySet())
+    StatsFileIndex.lastPrune.get(k.get)
+  }
+
+  private val w = side / 64
+  private val lo = side / 2
+
+  test("v2 results ≡ vanilla parquet under every query shape — stripe, " +
+      "box, equality, no filter, uncovered column, disjunction, empty") {
+    val vanilla = spark.read.parquet(zDir)
+    val v2 = Layout.readClustered(spark, zDir)
+    val shapes: Seq[DataFrame => DataFrame] = Seq(
+      df => df.filter(col("b") >= lo && col("b") < lo + w),
+      df => df.filter(col("a") >= 64 && col("a") < 80
+        && col("b") >= 64 && col("b") < 80),
+      df => df.filter(col("a") === 17L),
+      df => df,
+      df => df.filter(col("id") % 97 === 0), // uncovered shape + column
+      df => df.filter(col("a") < 4 || col("b") > side - 4),
+      df => df.filter(col("a") >= side * 2)) // provably empty
+    shapes.zipWithIndex.foreach { case (q, i) =>
+      assert(rows(q(v2)) === rows(q(vanilla)), s"shape $i diverged")
+    }
+  }
+
+  test("a b-stripe on the z-layout prunes FILES before task creation; " +
+      "an unfiltered read keeps all of them") {
+    val v2 = Layout.readClustered(spark, zDir)
+    v2.filter(col("b") >= lo && col("b") < lo + w).collect()
+    val (total, kept) = pruneCounts(zDir)
+    assert(total === files, s"manifest must cover all $files files")
+    assert(kept < total / 2,
+      s"b-stripe must skip most files on a z-layout ($kept of $total)")
+    assert(kept > 0, "the stripe is non-empty — some file must survive")
+
+    Layout.readClustered(spark, zDir).collect()
+    val (t2, k2) = pruneCounts(zDir)
+    assert(t2 === files && k2 === files,
+      "no filter, no pruning — every file read")
+  }
+
+  test("an equality probe prunes to the one curve neighborhood; a " +
+      "provably-empty range keeps zero files") {
+    val v2 = Layout.readClustered(spark, zDir)
+    v2.filter(col("a") === 17L && col("b") === 200L).collect()
+    val (_, kept) = pruneCounts(zDir)
+    assert(kept <= 2, s"a point probe must touch at most a couple of " +
+      s"files, touched $kept")
+
+    Layout.readClustered(spark, zDir)
+      .filter(col("a") >= side * 2).collect()
+    val (_, kEmpty) = pruneCounts(zDir)
+    assert(kEmpty === 0, "out-of-domain range must prune everything")
+  }
+
+  test("conservative degradation: no manifest → no pruning; filters on " +
+      "uncovered columns never prune") {
+    val bare = Layout.readClustered(spark, bareDir)
+    assert(rows(bare.filter(col("b") >= lo && col("b") < lo + w)) ===
+      rows(spark.read.parquet(bareDir)
+        .filter(col("b") >= lo && col("b") < lo + w)))
+
+    // covered layout, uncovered column: id is not in the manifest
+    Layout.readClustered(spark, zDir)
+      .filter(col("id") >= 0L && col("id") < 10L).collect()
+    val (t, k) = pruneCounts(zDir)
+    assert(t === k, "uncovered column must not prune")
+  }
+
+  test("the v2 plan still pushes filters to the parquet reader — file " +
+      "skipping composes with row-group pruning, not replaces it") {
+    val q = Layout.readClustered(spark, zDir)
+      .filter(col("b") >= lo && col("b") < lo + w)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BatchScan"), "the v2 read path must be in play")
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(b,"),
+      s"pushed filters must reach the scan:\n$plan")
+  }
+}
