@@ -72,6 +72,10 @@ object LayoutVolume {
     val (_, hSec) = timed {
       Layout.writeHilbert(grid, hDir, col("a"), col("b"), files, bits)
     }
+    // the file-skipping manifests (round 15) — footer-lifted min/max,
+    // measured below as files-read fractions through the DSv2 path
+    Seq(aDir, zDir, hDir).foreach(d =>
+      Layout.writeStatsManifest(spark, d, Seq("a", "b")))
 
     // stripe width side/64 (≈1.6% of rows), box side/16 on each dim
     val w = side / 64; val lo = side / 2; val boxLo = side / 4
@@ -97,11 +101,39 @@ object LayoutVolume {
       }
     }
 
+    // files-read through the file-skipping DSv2 path (round 15): the
+    // same queries over Layout.readClustered — v2 counts must equal the
+    // vanilla counts (correctness first), files-kept from the index's
+    // prune record
+    import org.apache.spark.sql.graftsrc.StatsFileIndex
+    def pruneOf(dir: String): (Int, Int) = {
+      val key = StatsFileIndex.lastPrune.keySet().toArray.map(_.toString)
+        .find(_.endsWith(new java.io.File(dir).getName))
+        .getOrElse(sys.error(s"no prune record for $dir"))
+      StatsFileIndex.lastPrune.get(key)
+    }
+    val filesMeasured = queries.map { case (qName, q) =>
+      qName -> layouts.map { case (lName, dir) =>
+        val v2 = q(Layout.readClustered(spark, dir))
+        val v2Count = v2.count()
+        val v1Count = q(spark.read.parquet(dir)).count()
+        require(v2Count == v1Count,
+          s"$qName/$lName: v2 $v2Count != vanilla $v1Count rows")
+        val (total, kept) = pruneOf(dir)
+        require(total == files, s"$qName/$lName: manifest covers $total" +
+          s" of $files files")
+        lName -> kept
+      }
+    }
+
     def rowsOf(q: String, l: String): Long =
       measured.find(_._1 == q).get._2.find(_._1 == l).get._2
     val parts = measured.flatMap { case (qName, ls) =>
       ls.map { case (lName, rows) =>
         f""""${qName}_${lName}_frac":${rows.toDouble / n}%.4f""" }
+    } ++ filesMeasured.flatMap { case (qName, ls) =>
+      ls.map { case (lName, kept) =>
+        f""""${qName}_${lName}_file_frac":${kept.toDouble / files}%.4f""" }
     }
 
     f"""{"metric":"layout_volume_rows","value":$n,"unit":"rows",""" +
@@ -138,6 +170,22 @@ object LayoutVolume {
       frac("a_stripe_z_frac") <= 0.35 && frac("a_stripe_h_frac") <= 0.35
     if (!ok) {
       System.err.println("[layoutvol] PRUNING CLAIM VIOLATED")
+      sys.exit(1)
+    }
+    // file-level skipping (round 15): a b-stripe cannot skip any FILE
+    // of a single-column a-sort (every file spans all of b) but skips
+    // most files under both curves; the a-stripe skips under all three
+    // (the a-sort's home game included — its per-file a ranges are
+    // tight)
+    val fOk = frac("b_stripe_a_sort_file_frac") >= 0.99 &&
+      frac("b_stripe_z_file_frac") <= 0.35 &&
+      frac("b_stripe_h_file_frac") <= 0.35 &&
+      frac("a_stripe_a_sort_file_frac") <= 0.10 &&
+      frac("a_stripe_z_file_frac") <= 0.35 &&
+      frac("a_stripe_h_file_frac") <= 0.35 &&
+      frac("box_z_file_frac") <= 0.35 && frac("box_h_file_frac") <= 0.35
+    if (!fOk) {
+      System.err.println("[layoutvol] FILE-SKIPPING CLAIM VIOLATED")
       sys.exit(1)
     }
   }

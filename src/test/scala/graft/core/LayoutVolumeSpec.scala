@@ -24,5 +24,17 @@ class LayoutVolumeSpec extends SparkSpec {
     assert(frac("a_stripe_h_frac") <= 0.40, line)
     assert(frac("box_z_frac") <= 0.40, line)
     assert(frac("box_h_frac") <= 0.40, line)
+    // file-level skipping (round 15): the DSv2 path drops FILES before
+    // task creation — the b-stripe cannot skip a file of the a-sort
+    // (every file spans all of b) but skips most under both curves; the
+    // a-stripe skips under all three layouts
+    assert(frac("b_stripe_a_sort_file_frac") >= 0.99, line)
+    assert(frac("b_stripe_z_file_frac") <= 0.40, line)
+    assert(frac("b_stripe_h_file_frac") <= 0.40, line)
+    assert(frac("a_stripe_a_sort_file_frac") <= 0.15, line)
+    assert(frac("a_stripe_z_file_frac") <= 0.40, line)
+    assert(frac("a_stripe_h_file_frac") <= 0.40, line)
+    assert(frac("box_z_file_frac") <= 0.40, line)
+    assert(frac("box_h_file_frac") <= 0.40, line)
   }
 }
