@@ -612,8 +612,11 @@ object Streaming {
     docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       if (!batch.isEmpty) {
         val quotas = batch.sparkSession.read.parquet(quotaPath)
-        val m = graft.text.TokenizerStore.readBpe(batch.sparkSession,
-          modelDir)
+        val m =
+          if (byteLevel) graft.text.TokenizerStore
+            .readByteBpe(batch.sparkSession, modelDir)
+          else graft.text.TokenizerStore.readBpe(batch.sparkSession,
+            modelDir)
         sink(graft.text.TextOps.temperatureFillShardMetered(batch,
           statePath, quotas,
           graft.text.TextOps.shardBillBpe(m, byteLevel)), id)

@@ -38,20 +38,49 @@ import graft.core.Versioned
 object TokenizerStore {
 
   def writeBpe(model: Bpe.Model, dir: String,
-      spark: SparkSession): Unit = {
+      spark: SparkSession): Unit =
+    writeBpeFamily(model, dir, spark, "char")
+
+  /** BYTE-level BPE models ([[ByteBpe]], round 15) share [[Bpe.Model]]'s
+    * shape but NOT its alphabet — a byte model read as a char model (or
+    * vice versa) would silently tokenize garbage. The store therefore
+    * tags every BPE table with its `family` and the readers enforce it:
+    * a family mismatch fails loudly at model-load time, not as corrupt
+    * output three stages later. */
+  def writeByteBpe(model: Bpe.Model, dir: String,
+      spark: SparkSession): Unit =
+    writeBpeFamily(model, dir, spark, "byte")
+
+  private def writeBpeFamily(model: Bpe.Model, dir: String,
+      spark: SparkSession, family: String): Unit = {
     import spark.implicits._
     val version = Versioned.nextVersion(spark, dir)
     model.merges.zipWithIndex
-      .map { case ((x, y), r) => (r, x, y) }
-      .toDF("rank", "x", "y")
+      .map { case ((x, y), r) => (r, x, y, family) }
+      .toDF("rank", "x", "y", "family")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/$version")
     Versioned.publish(spark, dir, version)
   }
 
-  def readBpe(spark: SparkSession, dir: String): Bpe.Model = {
+  def readBpe(spark: SparkSession, dir: String): Bpe.Model =
+    readBpeFamily(spark, dir, "char")
+
+  def readByteBpe(spark: SparkSession, dir: String): Bpe.Model =
+    readBpeFamily(spark, dir, "byte")
+
+  private def readBpeFamily(spark: SparkSession, dir: String,
+      want: String): Bpe.Model = {
     val root = Versioned.resolveRoot(spark, dir)
-    Bpe.Model(spark.read.parquet(root)
-      .orderBy("rank").collect()
+    val df = spark.read.parquet(root)
+    if (df.columns.contains("family")) {
+      val fams = df.select("family").distinct().collect()
+        .map(_.getString(0)).toSeq
+      require(fams.isEmpty || fams == Seq(want),
+        s"BPE family mismatch at $dir: stored ${fams.mkString(",")}, " +
+          s"asked for $want")
+    } else require(want == "char",
+      s"legacy (untagged) BPE table at $dir cannot satisfy a $want read")
+    Bpe.Model(df.orderBy("rank").collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq)
   }
 

@@ -40,6 +40,40 @@ class TokenizerStoreSpec extends SparkSpec {
       "WordPiece vocab + merges must round-trip in order")
   }
 
+  test("BPE family tagging: byte models round-trip via their own " +
+      "reader, a family mismatch fails loudly, legacy untagged tables " +
+      "read as char only") {
+    val dir = tmp()
+    val byteModel = ByteBpe.train(docs, 20)
+    TokenizerStore.writeByteBpe(byteModel, s"$dir/bbpe", spark)
+    assert(TokenizerStore.readByteBpe(spark, s"$dir/bbpe") === byteModel,
+      "byte merge list must round-trip in training order")
+    // reading a byte table as a char model must fail at load time —
+    // not tokenize garbage three stages later
+    val e1 = intercept[IllegalArgumentException] {
+      TokenizerStore.readBpe(spark, s"$dir/bbpe") }
+    assert(e1.getMessage.contains("family mismatch"))
+    // and the converse
+    val charModel = Bpe.train(docs, 20)
+    TokenizerStore.writeBpe(charModel, s"$dir/cbpe", spark)
+    val e2 = intercept[IllegalArgumentException] {
+      TokenizerStore.readByteBpe(spark, s"$dir/cbpe") }
+    assert(e2.getMessage.contains("family mismatch"))
+    // legacy table (pre-r15: no family column): char read accepted,
+    // byte read refused
+    import graft.core.Versioned
+    val legacy = s"$dir/legacy"
+    val v = Versioned.nextVersion(spark, legacy)
+    charModel.merges.zipWithIndex.map { case ((x, y), r) => (r, x, y) }
+      .toDF("rank", "x", "y")
+      .coalesce(1).write.mode("overwrite").parquet(s"$legacy/$v")
+    Versioned.publish(spark, legacy, v)
+    assert(TokenizerStore.readBpe(spark, legacy) === charModel)
+    val e3 = intercept[IllegalArgumentException] {
+      TokenizerStore.readByteBpe(spark, legacy) }
+    assert(e3.getMessage.contains("legacy"))
+  }
+
   test("WordPiece streaming encode re-resolves the published model " +
       "per batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
