@@ -107,7 +107,11 @@ object Relational {
         s"mergeUpsert delta is not key-distinct on '$key': " +
           s"${r.getLong(0)} rows over ${r.getLong(1)} keys")
     }
-    val keys = changes.select(key).distinct()
+    // when probing, materialize the key set ONCE (localCheckpoint) so
+    // the size probe and the anti-join share it — the probe then costs
+    // the materialization the join needed anyway, not a second distinct
+    val keys0 = changes.select(key).distinct()
+    val keys = if (broadcastDelta) keys0.localCheckpoint() else keys0
     val doBroadcast = broadcastDelta &&
       keys.limit((broadcastKeyCap + 1).toInt).count() <= broadcastKeyCap
     val untouched = target.join(
