@@ -3,7 +3,7 @@ package org.apache.spark.sql.graftsrc
 import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.connector.catalog.Table
 import org.apache.spark.sql.execution.datasources.{FileFormat, InMemoryFileIndex, PartitionDirectory, PartitioningAwareFileIndex}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -146,8 +146,10 @@ object StatsFileIndex {
     * keeps it invisible to every normal parquet read. */
   val ManifestPath = "_graft_stats/stats.tsv"
 
-  /** One simple comparison bound: op ∈ {>=, >, <=, <, =}. */
-  final case class Bound(col: String, op: String, v: Long)
+  /** One simple comparison bound: op ∈ {>=, >, <=, <, =}, or an IN
+    * list (op "in", values in `vs`). */
+  final case class Bound(col: String, op: String, v: Long,
+      vs: Seq[Long] = Seq.empty)
 
   /** (rootPath → (files listed, files kept)) of the most recent
     * listFiles call per root — the measurement hook LayoutVolume reads
@@ -194,6 +196,12 @@ object StatsFileIndex {
       longOf(v).map(Bound(a.name, ">", _))
     case EqualTo(Literal(v, _), a: AttributeReference) =>
       longOf(v).map(Bound(a.name, "=", _))
+    // IN over integer literals: survives iff ANY value lands in range
+    case In(a: AttributeReference, list) if list.nonEmpty &&
+        list.forall { case Literal(v, _) => longOf(v).isDefined
+                      case _ => false } =>
+      Some(Bound(a.name, "in", 0L,
+        list.map { case Literal(v, _) => longOf(v).get }))
     case _ => None
   }
 
@@ -212,6 +220,7 @@ object StatsFileIndex {
           case "<=" => mn <= b.v
           case "<"  => mn < b.v
           case "="  => mn <= b.v && b.v <= mx
+          case "in" => b.vs.exists(v => mn <= v && v <= mx)
         }
       }
     }

@@ -97,6 +97,26 @@ class LayoutDsv2Spec extends SparkSpec {
     assert(kEmpty === 0, "out-of-domain range must prune everything")
   }
 
+  test("IN-list pruning: a small integer IN list prunes to its curve " +
+      "neighborhoods; results ≡ vanilla") {
+    val v2 = Layout.readClustered(spark, zDir)
+    val q = (df: DataFrame) => df.filter(col("a").isin(3L, 250L))
+    assert(rows(q(v2)) === rows(q(spark.read.parquet(zDir))))
+    q(v2).collect()
+    val (total, kept) = pruneCounts(zDir)
+    // two a-values hit two block columns of the z-layout — ~half the
+    // files plus range-boundary straddles; the point is files DID prune
+    assert(kept < total,
+      s"a 2-value IN must skip some files ($kept of $total)")
+    assert(kept > 0)
+
+    // a point IN (both coords constrained) prunes to a neighborhood
+    Layout.readClustered(spark, zDir)
+      .filter(col("a").isin(17L) && col("b").isin(200L, 201L)).collect()
+    val (_, keptPt) = pruneCounts(zDir)
+    assert(keptPt <= 2, s"point IN probe touched $keptPt files")
+  }
+
   test("conservative degradation: no manifest → no pruning; filters on " +
       "uncovered columns never prune") {
     val bare = Layout.readClustered(spark, bareDir)
