@@ -697,6 +697,23 @@ object Streaming {
       }
     }
 
+  /** [[streamEncodeBpe]] for the BYTE-level family (B10.38, round 15) —
+    * same pointer re-resolution and idempotence argument, resolved via
+    * the family-checked [[graft.text.TokenizerStore.readByteBpe]] so a
+    * char model republished at a byte pointer fails at batch time, not
+    * as silent garbage tokens. */
+  def streamEncodeByteBpe(docs: DataFrame, dir: String,
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      if (!batch.isEmpty) {
+        val m = graft.text.TokenizerStore
+          .readByteBpe(batch.sparkSession, dir)
+        sink(graft.text.ByteBpe.encode(batch, m), id)
+      }
+    }
+
   /** [[streamEncodeBpe]] for the unigram-LM family (B10.29) — same
     * pointer re-resolution, same idempotence argument. */
   def streamEncodeUnigram(docs: DataFrame, dir: String,

@@ -126,6 +126,32 @@ class TokenizerStoreSpec extends SparkSpec {
       "the republish must serve the new model after the pointer flip")
   }
 
+  test("byte-level streaming encode twin: per-batch ≡ the batch " +
+      "encoder under the published byte model") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def rows(df: DataFrame): Set[(Long, Int, String, Seq[String])] =
+      df.select("doc_id", "pos", "word", "subs").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+          r.getSeq[String](3))).toSet
+    val m = ByteBpe.train(docs, 20)
+    val dir = tmp()
+    TokenizerStore.writeByteBpe(m, dir, spark)
+    val all = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val (b1, b2) = all.splitAt(all.length / 2)
+    val sunk = scala.collection.mutable.ArrayBuffer[
+      Set[(Long, Int, String, Seq[String])]]()
+    val stream = MemoryStream[(Long, String)](187, spark, None)
+    val q = graft.stream.Streaming.streamEncodeByteBpe(
+        stream.toDF().toDF("doc_id", "text"), dir,
+        (df, _) => sunk += rows(df))
+      .start()
+    Seq(b1, b2).foreach { b => stream.addData(b); q.processAllAvailable() }
+    q.stop()
+    assert(sunk.size === 2)
+    assert(sunk.reduce(_ ++ _) === rows(ByteBpe.encode(docs, m)),
+      "streamed byte encodings must union to the batch encode")
+  }
+
   test("streaming encode twins: per-batch ≡ the batch encoder, and a " +
       "mid-stream republish is visible to exactly the next batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
