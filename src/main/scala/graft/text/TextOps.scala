@@ -1039,27 +1039,56 @@ object TextOps {
     // per-doc reduce keys on doc_id — no skew (bigram count per doc is
     // bounded by doc length). Ratios are single divisions of exact counts
     // — bit-identical cross-engine.
+    // Round 15 completes the Gopher word-level repetition family (Rae
+    // et al. 2021 §A1.1) with the DUPLICATE-TRIGRAM occurrence share
+    // beside the existing duplicate-token and top-bigram signals (the
+    // line/paragraph members are the text_line_dedup modality). Docs
+    // too short for a gram contribute 0.0 for that signal (left join +
+    // coalesce) instead of vanishing. All integers to one division per
+    // signal — bit-exact cross-engine.
     "text_repetition" -> ((s, d) => {
       val toks = col("toks")
-      Tables.documents(s, d)
+      val base = Tables.documents(s, d)
         .select(col("doc_id"), tokens.as("toks"))
-        .select(col("doc_id"), size(toks).as("n_toks"),
-          size(array_distinct(toks)).as("n_distinct"),
+        .select(col("doc_id"), toks, size(toks).as("n_toks"),
+          size(array_distinct(toks)).as("n_distinct"))
+      val bg = base
+        .select(col("doc_id"),
           slice(toks, lit(1), size(toks) - 1).as("a"),
           slice(toks, lit(2), size(toks) - 1).as("b"))
-        .select(col("doc_id"), col("n_toks"), col("n_distinct"),
-          explode(arrays_zip(col("a"), col("b"))).as("p"))
-        .select(col("doc_id"), col("n_toks"), col("n_distinct"),
-          concat(col("p.a"), lit(" "), col("p.b")).as("bigram"))
-        .groupBy("doc_id", "n_toks", "n_distinct", "bigram")
-        .agg(count(lit(1)).as("n"))
-        .groupBy("doc_id", "n_toks", "n_distinct")
+        .select(col("doc_id"), explode(arrays_zip(col("a"), col("b")))
+          .as("p"))
+        .select(col("doc_id"),
+          concat(col("p.a"), lit(" "), col("p.b")).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
+        .groupBy("doc_id")
         .agg(max(col("n")).as("top_n"), sum(col("n")).as("n_bg"))
+      val tlen = greatest(size(toks) - 2, lit(0))
+      val tg = base
+        .select(col("doc_id"),
+          slice(toks, lit(1), tlen).as("a"),
+          slice(toks, lit(2), tlen).as("b"),
+          slice(toks, lit(3), tlen).as("c"))
+        .select(col("doc_id"),
+          explode(arrays_zip(col("a"), col("b"), col("c"))).as("p"))
+        .select(col("doc_id"), concat_ws(" ", col("p.a"), col("p.b"),
+          col("p.c")).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("n") >= 2, col("n")).otherwise(lit(0L)))
+          .as("dup_tg"), sum(col("n")).as("n_tg"))
+      base.select(col("doc_id"), col("n_toks"), col("n_distinct"))
+        .join(bg, Seq("doc_id"), "left")
+        .join(tg, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_toks"),
           (lit(1) - col("n_distinct").cast("double") / col("n_toks"))
             .as("dup_token_ratio"),
-          (col("top_n").cast("double") / col("n_bg")).as("top_bigram_ratio"),
-          (col("top_n").cast("double") / col("n_bg") >= 0.1).as("repetitive"))
+          coalesce(col("top_n").cast("double") / col("n_bg"), lit(0.0))
+            .as("top_bigram_ratio"),
+          coalesce(col("dup_tg").cast("double") / col("n_tg"), lit(0.0))
+            .as("dup_trigram_ratio"),
+          coalesce(col("top_n").cast("double") / col("n_bg") >= 0.1,
+            lit(false)).as("repetitive"))
         .orderBy("doc_id")
     }),
 
@@ -1755,20 +1784,33 @@ object TextOps {
         |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
         |      AS n_distinct
         |  FROM documents),
-        |bg AS (SELECT doc_id, n_toks, n_distinct,
-        |    unnest(list_transform(range(1, len(toks)),
-        |      i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        |bg0 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i + 1])) AS g
         |  FROM base),
-        |cnt AS (SELECT doc_id, n_toks, n_distinct, bigram, COUNT(*) AS n
-        |  FROM bg GROUP BY 1, 2, 3, 4),
-        |agg AS (SELECT doc_id, n_toks, n_distinct, MAX(n) AS top_n,
-        |    SUM(n) AS n_bg
-        |  FROM cnt GROUP BY 1, 2, 3)
-        |SELECT doc_id, n_toks,
+        |bgc AS (SELECT doc_id, g, COUNT(*) AS n FROM bg0 GROUP BY 1, 2),
+        |bg AS (SELECT doc_id, MAX(n) AS top_n, SUM(n) AS n_bg
+        |  FROM bgc GROUP BY 1),
+        |tg0 AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+        |      AS g
+        |  FROM base),
+        |tgc AS (SELECT doc_id, g, COUNT(*) AS n FROM tg0 GROUP BY 1, 2),
+        |tg AS (SELECT doc_id,
+        |    SUM(CASE WHEN n >= 2 THEN n ELSE 0 END) AS dup_tg,
+        |    SUM(n) AS n_tg
+        |  FROM tgc GROUP BY 1)
+        |SELECT base.doc_id, n_toks,
         |  1 - CAST(n_distinct AS DOUBLE) / n_toks AS dup_token_ratio,
-        |  CAST(top_n AS DOUBLE) / n_bg AS top_bigram_ratio,
-        |  CAST(top_n AS DOUBLE) / n_bg >= 0.1 AS repetitive
-        |FROM agg ORDER BY doc_id""".stripMargin,
+        |  COALESCE(CAST(top_n AS DOUBLE) / n_bg, CAST(0 AS DOUBLE))
+        |    AS top_bigram_ratio,
+        |  COALESCE(CAST(dup_tg AS DOUBLE) / n_tg, CAST(0 AS DOUBLE))
+        |    AS dup_trigram_ratio,
+        |  COALESCE(CAST(top_n AS DOUBLE) / n_bg >= 0.1, FALSE)
+        |    AS repetitive
+        |FROM base LEFT JOIN bg ON base.doc_id = bg.doc_id
+        |LEFT JOIN tg ON base.doc_id = tg.doc_id
+        |ORDER BY base.doc_id""".stripMargin,
 
     "text_tokenize_tf" ->
       """SELECT token, COUNT(*) AS tf

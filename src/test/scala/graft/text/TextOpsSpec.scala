@@ -530,6 +530,35 @@ class TextOpsSpec extends SparkSpec {
       12000L)))
   }
 
+  test("Gopher repetition signals: hand-computed fractions on known " +
+      "docs, short docs coalesce to 0 instead of vanishing") {
+    import spark.implicits._
+    // doc 1: "a b a b a b" — 6 tokens, 2 distinct; bigrams: "a b"×3,
+    // "b a"×2 (top 3 of 5); trigrams: "a b a"×2, "b a b"×2 (all 4 dup)
+    // doc 2: "x y z w" — all unique, no repeated gram anywhere
+    // doc 3: "q" — one token: no bigrams, no trigrams
+    // doc 4: "p p" — one bigram "p p" (top 1/1), no trigram
+    val docs = Seq((1L, "a b a b a b"), (2L, "x y z w"), (3L, "q"),
+      (4L, "p p")).toDF("doc_id", "text")
+    val out = {
+      // run the declared key's body on the fixture via a temp dir table
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_rep").toString
+      docs.withColumn("lang", lit("en")).withColumn("source", lit("t"))
+        .withColumn("n_chars", length(col("text")))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      TextOps.queries("text_repetition")(spark, dir).collect()
+        .map(r => r.getLong(0) -> ((r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getBoolean(5)))).toMap
+    }
+    assert(out.keySet === Set(1L, 2L, 3L, 4L),
+      "short docs must appear, not vanish")
+    assert(out(1L) === ((1.0 - 2.0 / 6.0, 3.0 / 5.0, 4.0 / 4.0, true)))
+    assert(out(2L) === ((0.0, 1.0 / 3.0, 0.0, true)))
+    assert(out(3L) === ((0.0, 0.0, 0.0, false)))
+    assert(out(4L) === ((0.5, 1.0, 0.0, true)))
+  }
+
   test("tokenizer-metered temperature pricing: quotas ≡ a driver replay " +
       "of the kernel bill + α=½ arithmetic, DIVERGE from whitespace " +
       "pricing, and the metered fill spends the same unit") {
