@@ -1042,50 +1042,63 @@ object TextOps {
     // Round 15 completes the Gopher word-level repetition family (Rae
     // et al. 2021 §A1.1) with the DUPLICATE-TRIGRAM occurrence share
     // beside the existing duplicate-token and top-bigram signals (the
-    // line/paragraph members are the text_line_dedup modality). Docs
-    // too short for a gram contribute 0.0 for that signal (left join +
-    // coalesce) instead of vanishing. All integers to one division per
-    // signal — bit-exact cross-engine.
+    // line/paragraph members are the text_line_dedup modality). Plan
+    // shape — ONE fan-out, ZERO joins: bigrams and trigrams ride the
+    // same explode as TAG-PREFIXED gram strings ("2:"/"3:" — tokens
+    // can't collide across n since the gram token counts differ), plus
+    // a per-doc "0:" sentinel row so docs too short for any gram keep a
+    // row (0.0 ratios) instead of vanishing; n_toks/n_distinct ride the
+    // aggregation keys (constant per doc), so the whole key is two
+    // partial-aggregated shuffles and no doc-level join-back — the
+    // first cut's two broadcast join-backs would have been corpus-sized
+    // shuffle joins at 100 TB. All integers to one correctly-rounded
+    // division per signal — bit-exact cross-engine.
     "text_repetition" -> ((s, d) => {
       val toks = col("toks")
       val base = Tables.documents(s, d)
         .select(col("doc_id"), tokens.as("toks"))
         .select(col("doc_id"), toks, size(toks).as("n_toks"),
           size(array_distinct(toks)).as("n_distinct"))
+      val keep = Seq(col("doc_id"), col("n_toks"), col("n_distinct"))
+      // lambda-free fan-outs (the text_ngrams idiom: slice + arrays_zip
+      // + codegen'd concat AFTER the explode — no interpreted HOF)
+      val blen = size(toks) - 1
       val bg = base
-        .select(col("doc_id"),
-          slice(toks, lit(1), size(toks) - 1).as("a"),
-          slice(toks, lit(2), size(toks) - 1).as("b"))
-        .select(col("doc_id"), explode(arrays_zip(col("a"), col("b")))
-          .as("p"))
-        .select(col("doc_id"),
-          concat(col("p.a"), lit(" "), col("p.b")).as("g"))
-        .groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
-        .groupBy("doc_id")
-        .agg(max(col("n")).as("top_n"), sum(col("n")).as("n_bg"))
+        .select(keep :+ slice(toks, lit(1), blen).as("a")
+          :+ slice(toks, lit(2), blen).as("b"): _*)
+        .select(keep :+ explode(arrays_zip(col("a"), col("b"))).as("p"): _*)
+        .select(keep :+ concat(lit("2:"), col("p.a"), lit(" "),
+          col("p.b")).as("g"): _*)
       val tlen = greatest(size(toks) - 2, lit(0))
       val tg = base
-        .select(col("doc_id"),
-          slice(toks, lit(1), tlen).as("a"),
-          slice(toks, lit(2), tlen).as("b"),
-          slice(toks, lit(3), tlen).as("c"))
-        .select(col("doc_id"),
-          explode(arrays_zip(col("a"), col("b"), col("c"))).as("p"))
-        .select(col("doc_id"), concat_ws(" ", col("p.a"), col("p.b"),
-          col("p.c")).as("g"))
-        .groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
-        .groupBy("doc_id")
-        .agg(sum(when(col("n") >= 2, col("n")).otherwise(lit(0L)))
-          .as("dup_tg"), sum(col("n")).as("n_tg"))
-      base.select(col("doc_id"), col("n_toks"), col("n_distinct"))
-        .join(bg, Seq("doc_id"), "left")
-        .join(tg, Seq("doc_id"), "left")
+        .select(keep :+ slice(toks, lit(1), tlen).as("a")
+          :+ slice(toks, lit(2), tlen).as("b")
+          :+ slice(toks, lit(3), tlen).as("c"): _*)
+        .select(keep
+          :+ explode(arrays_zip(col("a"), col("b"), col("c"))).as("p"): _*)
+        .select(keep :+ concat(lit("3:"), col("p.a"), lit(" "),
+          col("p.b"), lit(" "), col("p.c")).as("g"): _*)
+      val sentinel = base.select(keep :+ lit("0:").as("g"): _*)
+      sentinel.unionByName(bg).unionByName(tg)
+        .groupBy("doc_id", "n_toks", "n_distinct", "g")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("doc_id", "n_toks", "n_distinct")
+        .agg(
+          max(when(col("g").startsWith("2:"), col("n"))).as("top_n"),
+          sum(when(col("g").startsWith("2:"), col("n"))
+            .otherwise(lit(0L))).as("n_bg"),
+          sum(when(col("g").startsWith("3:") && col("n") >= 2, col("n"))
+            .otherwise(lit(0L))).as("dup_tg"),
+          sum(when(col("g").startsWith("3:"), col("n"))
+            .otherwise(lit(0L))).as("n_tg"))
         .select(col("doc_id"), col("n_toks"),
           (lit(1) - col("n_distinct").cast("double") / col("n_toks"))
             .as("dup_token_ratio"),
-          coalesce(col("top_n").cast("double") / col("n_bg"), lit(0.0))
+          when(col("n_bg") > 0,
+            col("top_n").cast("double") / col("n_bg")).otherwise(lit(0.0))
             .as("top_bigram_ratio"),
-          coalesce(col("dup_tg").cast("double") / col("n_tg"), lit(0.0))
+          when(col("n_tg") > 0,
+            col("dup_tg").cast("double") / col("n_tg")).otherwise(lit(0.0))
             .as("dup_trigram_ratio"),
           coalesce(col("top_n").cast("double") / col("n_bg") >= 0.1,
             lit(false)).as("repetitive"))
