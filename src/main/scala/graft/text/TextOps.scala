@@ -431,6 +431,44 @@ object TextOps {
     temperatureQuotasMetered(docs, budget,
       perDocBill(WordPiece.encode(docs, model)))
 
+  /** Per-language tokenizer FERTILITY report — subwords billed per
+    * whitespace token (the unit-conversion factor between the
+    * whitespace and metered pricings, and the number multilingual
+    * tokenizer papers report per language: a high-fertility language
+    * pays more subwords per word, which is exactly why
+    * [[temperatureQuotasMetered]] exists). One doc-level attach + one
+    * lang-bounded aggregate over any family's per-doc bill; the single
+    * division runs once per language. TEST-gated like the meters
+    * (TextOpsSpec: ≡ a driver replay of the kernel bill, and the byte
+    * family's fertility strictly exceeds the char family's on a
+    * multi-byte corpus while the whitespace meter pins 1.0). */
+  def fertilityReport(docs: DataFrame, perDoc: DataFrame): DataFrame =
+    meteredBy(docs, perDoc)
+      .join(docs.select(col("doc_id"),
+        size(tokens).cast("long").as("ws")), Seq("doc_id"))
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"),
+        sum("ws").cast("long").as("ws_tokens"),
+        sum("n_tokens").cast("long").as("subword_tokens"))
+      .select(col("lang"), col("n_docs"), col("ws_tokens"),
+        col("subword_tokens"),
+        (col("subword_tokens").cast("double") / col("ws_tokens"))
+          .as("fertility"))
+
+  def fertilityReportBpe(docs: DataFrame, model: Bpe.Model): DataFrame =
+    fertilityReport(docs, perDocBill(Bpe.encode(docs, model)))
+
+  def fertilityReportByteBpe(docs: DataFrame,
+      model: Bpe.Model): DataFrame =
+    fertilityReport(docs, perDocBill(ByteBpe.encode(docs, model)))
+
+  def fertilityReportUnigram(docs: DataFrame,
+      model: Unigram.Model): DataFrame =
+    fertilityReport(docs, perDocBill(Unigram.encode(docs, model)))
+
+  def fertilityReportWordPiece(docs: DataFrame,
+      model: WordPiece.Model): DataFrame =
+    fertilityReport(docs, perDocBill(WordPiece.encode(docs, model)))
+
   /** Temperature fill PRICED AND METERED in the same tokenizer unit:
     * the per-doc bill is computed once (localCheckpoint — it feeds both
     * the quota subtree and the fill meter; without the checkpoint the

@@ -559,6 +559,45 @@ class TextOpsSpec extends SparkSpec {
     assert(out(4L) === ((0.5, 1.0, 0.0, true)))
   }
 
+  test("fertility report: ≡ a driver replay of the kernel bill; byte " +
+      "fertility strictly exceeds char on a multi-byte corpus") {
+    import org.apache.spark.sql.graftexpr.BpeEncodeExpr
+    import spark.implicits._
+    val texts = Seq.fill(6)(("café crème", "fr")) ++
+      Seq.fill(4)(("日本語 テスト", "ja")) ++
+      Seq.fill(7)(("plain ascii words here", "en"))
+    val docs = texts.zipWithIndex
+      .map { case ((t, l), i) => (i.toLong, t, l) }
+      .toDF("doc_id", "text", "lang")
+    val model = Bpe.train(docs, 20)
+    val got = TextOps.fertilityReportBpe(docs, model).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+
+    // driver replay via the kernel's pure-JVM entry point
+    val table = BpeEncodeExpr.MergeTable(model.merges)
+    def bill(t: String): Long = t.split(" ", -1).map(w =>
+      BpeEncodeExpr.encode(
+        org.apache.spark.unsafe.types.UTF8String.fromString(w), table)
+        .numElements().toLong).sum
+    val want = texts.groupBy(_._2).map { case (l, rows) =>
+      val ws = rows.map(_._1.split(" ", -1).length.toLong).sum
+      val subs = rows.map(r => bill(r._1)).sum
+      l -> ((rows.size.toLong, ws, subs, subs.toDouble / ws))
+    }
+    assert(got === want)
+
+    // the byte family bills more subwords per word on multi-byte text
+    // at the same merge budget; the whitespace meter is 1.0 by def
+    val byteF = TextOps.fertilityReportByteBpe(docs,
+        ByteBpe.train(docs, 20)).collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    Seq("fr", "ja").foreach { l =>
+      assert(byteF(l) > got(l)._4,
+        s"$l: byte fertility ${byteF(l)} must exceed char ${got(l)._4}")
+    }
+  }
+
   test("tokenizer-metered temperature pricing: quotas ≡ a driver replay " +
       "of the kernel bill + α=½ arithmetic, DIVERGE from whitespace " +
       "pricing, and the metered fill spends the same unit") {
