@@ -232,4 +232,48 @@ object GraftProps extends Properties("graft") {
         } yield (sid, cid, h)).toSet
         got == want
     }
+
+  // Byte-level BPE round trip on RANDOM valid Unicode (surrogate range
+  // excluded — an unpaired surrogate is not UTF-8-encodable and Java
+  // substitutes '?', which is a fact about strings, not the codec):
+  // decode ∘ encode must be the identity under a trained model, for
+  // in-vocabulary and fully-OOV words alike, and the heap kernel must
+  // agree with the regex chain on every sample.
+  private val uniCpGen: Gen[Int] = Gen.frequency(
+    4 -> Gen.chooseNum(0x20, 0x7E),       // ASCII
+    3 -> Gen.chooseNum(0xA0, 0x2FFF),     // 2–3-byte BMP
+    1 -> Gen.chooseNum(0x1F300, 0x1F64F), // astral (4-byte)
+    1 -> Gen.chooseNum(0x00, 0x1F))       // control
+  private val uniWordGen: Gen[String] =
+    Gen.listOfN(12, uniCpGen)
+      .map(_.flatMap(Character.toChars(_).toSeq).mkString)
+
+  private lazy val byteBpeModel: graft.text.Bpe.Model = {
+    import spark.implicits._
+    val texts = Seq.fill(5)("café crème naïve") ++
+      Seq.fill(4)("日本語 テスト 🚀") ++ Seq.fill(6)("plain ascii words")
+    graft.text.ByteBpe.train(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text"), 25)
+  }
+
+  property("byte-BPE: decode∘encode = id and kernel = chain on random " +
+      "valid Unicode") =
+    forAll(Gen.listOfN(6, uniWordGen)) { ws =>
+      import spark.implicits._
+      val df = ws.toDF("word")
+      val rows = df.select(col("word"),
+          graft.text.ByteBpe.decodeSubs(
+            graft.text.ByteBpe.encodeWordChain(col("word"), byteBpeModel))
+            .as("rt"),
+          concat_ws(" ", graft.text.ByteBpe
+            .encodeWordChain(col("word"), byteBpeModel)).as("chain"),
+          concat_ws(" ", graft.text.ByteBpe
+            .encodeWordKernel(col("word"), byteBpeModel)).as("kernel"))
+        .collect()
+      rows.forall { r =>
+        r.getString(1) == r.getString(0) &&
+          r.getString(2) == r.getString(3)
+      }
+    }
 }
