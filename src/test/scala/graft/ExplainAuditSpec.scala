@@ -225,6 +225,36 @@ class ExplainAuditSpec extends SparkSpec {
       case (q, why) => s"  $q: $why" }.mkString("\n"))
   }
 
+  // Detector unit coverage on synthetic plans — each invariant class
+  // fires on exactly its violation and stays quiet on legal re-plans
+  // (SMJ→BHJ promotion, exchange coalescing).
+  test("aqeViolations flags cartesian drift both directions and banned " +
+      "nodes; stays quiet on legal promotions") {
+    val static = "SortMergeJoin LeftOuter\nExchange hashpartitioning(x)\n"
+    val promoted = "BroadcastHashJoin LeftOuter\nBroadcastExchange\n"
+    assert(ExplainAudit.aqeViolations(
+      Seq("k" -> static), Seq("k" -> promoted)).isEmpty,
+      "SMJ→BHJ promotion is a legal re-plan")
+
+    val withCart = promoted + "CartesianProduct\n"
+    val v1 = ExplainAudit.aqeViolations(Seq("k" -> static),
+      Seq("k" -> withCart))
+    assert(v1.exists(_._2.contains("CartesianProduct")),
+      "an introduced cartesian must flag")
+    // ...and a LOST cartesian (join_cross shaped statics) also flags —
+    // the key's semantics changed shape
+    val v2 = ExplainAudit.aqeViolations(Seq("k" -> withCart),
+      Seq("k" -> promoted))
+    assert(v2.exists(_._2.contains("CartesianProduct")))
+    // banned node in the adaptive final plan
+    val v3 = ExplainAudit.aqeViolations(Seq("k" -> static),
+      Seq("k" -> (promoted + "BatchEvalPython\n")))
+    assert(v3.exists(_._2.contains("banned node")))
+    // the floor exemption carries over: a cartesian on join_cross is fine
+    assert(ExplainAudit.aqeViolations(Seq("join_cross" -> withCart),
+      Seq("join_cross" -> withCart)).isEmpty)
+  }
+
   // ...and the demotion detector is not vacuous: execute an (unhinted,
   // auto-broadcast-eligible) dim join under a runtime regime with
   // broadcasts disabled — the final adaptive plan lands an SMJ where the
