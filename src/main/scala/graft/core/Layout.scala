@@ -155,8 +155,19 @@ object Layout {
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
-    val files = fs.listStatus(root)
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val qRoot = fs.makeQualified(root)
+    // recursive: partitioned layouts keep their per-partition files;
+    // manifest keys are ROOT-RELATIVE paths (bare names would collide
+    // across partition directories — every one has a part-00000)
+    val it = fs.listFiles(qRoot, true)
+    val files = Iterator.continually(it)
+      .takeWhile(_.hasNext).map(_.next()).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
+        !s.getPath.toString.substring(qRoot.toString.length)
+          .split('/').exists(seg => seg.startsWith("_") ||
+            seg.startsWith(".")))
+    def relKey(p: Path): String =
+      p.toString.stripPrefix(qRoot.toString + "/")
     val lines = files.flatMap { st =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
       val blocks =
@@ -177,7 +188,7 @@ object Layout {
         // every row group must carry stats, or the file-level bound is
         // not a bound — omit (reader keeps the file)
         if (perBlock.size == blocks.size && perBlock.nonEmpty)
-          Some(s"${st.getPath.getName}\t$c\t${perBlock.map(_._1).min}" +
+          Some(s"${relKey(st.getPath)}\t$c\t${perBlock.map(_._1).min}" +
             s"\t${perBlock.map(_._2).max}")
         else None
       }

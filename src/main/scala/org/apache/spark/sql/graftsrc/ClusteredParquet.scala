@@ -121,6 +121,23 @@ class StatsFileIndex(
     }
   }
 
+  /** Scheme-qualified roots for relative-key lookups. */
+  private lazy val qualifiedRoots: Seq[String] = {
+    val conf = spark.sessionState.newHadoopConf()
+    roots.map(r => r.getFileSystem(conf).makeQualified(r).toString)
+  }
+
+  /** Manifest key of a listed file: its path relative to the owning
+    * root (partition subdirectories included). Pre-r15 manifests keyed
+    * by bare file name still resolve via the fallback. */
+  private def statsOf(p: Path): Option[Map[String, (Long, Long)]] = {
+    val full = p.toString
+    qualifiedRoots.collectFirst {
+      case r if full.startsWith(r + "/") =>
+        full.substring(r.length + 1)
+    }.flatMap(stats.get).orElse(stats.get(p.getName))
+  }
+
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val dirs = super.listFiles(partitionFilters, dataFilters)
@@ -131,7 +148,7 @@ class StatsFileIndex(
       if (bounds.isEmpty || stats.isEmpty) dirs
       else dirs
         .map(pd => pd.copy(files = pd.files.filter(f =>
-          StatsFileIndex.survives(stats.get(f.getPath.getName), bounds))))
+          StatsFileIndex.survives(statsOf(f.getPath), bounds))))
         .filter(_.files.nonEmpty)
     val kept = pruned.map(_.files.size).sum
     StatsFileIndex.lastPrune.put(

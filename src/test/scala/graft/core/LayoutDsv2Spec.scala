@@ -131,6 +131,38 @@ class LayoutDsv2Spec extends SparkSpec {
     assert(t === k, "uncovered column must not prune")
   }
 
+  test("partitioned layouts: the relative-key manifest prunes files " +
+      "INSIDE partition directories (bare names would collide), and " +
+      "composes with partition pruning") {
+    val d = java.nio.file.Files
+      .createTempDirectory("graft_dsv2_part").toString
+    grid.withColumn("pt", (col("a") / 64).cast("long"))
+      .repartitionByRange(16, col("pt"), col("b"))
+      .sortWithinPartitions("pt", "b")
+      .write.mode("overwrite").partitionBy("pt").parquet(d)
+    Layout.writeStatsManifest(spark, d, Seq("b"))
+
+    def rows3(df: DataFrame) = df.select("id", "a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val v2 = Layout.readClustered(spark, d)
+    val q = (df: DataFrame) =>
+      df.filter(col("b") >= lo && col("b") < lo + w)
+    assert(rows3(q(v2)) === rows3(q(spark.read.parquet(d))))
+    q(v2).collect()
+    val (total, kept) = pruneCounts(d)
+    assert(total > 4, s"partitioned layout should have many files, " +
+      s"got $total")
+    assert(kept < total && kept > 0,
+      s"b-filter must prune inside partition dirs ($kept of $total)")
+
+    // a partition-column filter stacks on top: fewer files listed
+    // before the stats even look
+    q(v2).filter(col("pt") === 1L).collect()
+    val (t2, k2) = pruneCounts(d)
+    assert(t2 < total, "partition pruning must shrink the listing first")
+    assert(k2 <= kept)
+  }
+
   test("the v2 plan still pushes filters to the parquet reader — file " +
       "skipping composes with row-group pruning, not replaces it") {
     val q = Layout.readClustered(spark, zDir)
