@@ -641,6 +641,34 @@ object Streaming {
       }
     }
 
+  /** Online TOKENIZER-METERED multi-epoch fill (B10.39, round 16) —
+    * [[streamEpochFill]] with the bill in the trainer's unit: the
+    * release prices the upsampler once in its frozen tokenizer's
+    * subwords ([[graft.text.TextOps.epochQuotasBpe]] & siblings), and
+    * each micro-batch's full passes AND partial-pass tally are billed by
+    * the SAME frozen model — re-resolved per batch from the
+    * [[graft.text.TokenizerStore]] at `modelDir` in lockstep with the
+    * quota table (the streamTemperatureFillBpe discipline). `byteLevel`
+    * picks the [[graft.text.ByteBpe]] encode for a byte-trained model.
+    * Replay safety = the shard form's monotonic-id guard. */
+  def streamEpochFillBpe(docs: DataFrame, statePath: String,
+      quotaPath: String, modelDir: String, sink: (DataFrame, Long) => Unit,
+      byteLevel: Boolean = false)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      if (!batch.isEmpty) {
+        val quotas = batch.sparkSession.read.parquet(quotaPath)
+        val m =
+          if (byteLevel) graft.text.TokenizerStore
+            .readByteBpe(batch.sparkSession, modelDir)
+          else graft.text.TokenizerStore.readBpe(batch.sparkSession,
+            modelDir)
+        sink(graft.text.TextOps.epochFillShardMetered(batch, statePath,
+          quotas, graft.text.TextOps.shardBillBpe(m, byteLevel)), id)
+      }
+    }
+
   /** Online weighted-sample admission (B10.36) — the frozen-threshold
     * form of the Efraimidis–Spirakis draw: the release corpus publishes
     * its k-th score once ([[graft.text.TextOps.weightedThreshold]]),

@@ -558,10 +558,17 @@ object TextOps {
     * floor. full_epochs = min(quota div c, cap); rem = quota mod c while
     * the cap is not binding, else 0 (a capped language runs exactly cap
     * full passes and no partial). Everything past the floor is integer. */
-  def epochQuotas(docs: DataFrame, factor: Long, cap: Long): DataFrame = {
-    val counts = docs.groupBy("lang")
-      .agg(sum(size(tokens)).cast("long").as("c"))
-      .withColumn("s", sqrt(col("c").cast("double")))
+  def epochQuotas(docs: DataFrame, factor: Long, cap: Long): DataFrame =
+    epochQuotasFromCounts(docs.groupBy("lang")
+      .agg(sum(size(tokens)).cast("long").as("c")), factor, cap)
+
+  /** The epoch-pricing arithmetic over an arbitrary per-language mass
+    * table (lang, c) — shared by the whitespace pricing above and the
+    * tokenizer-metered pricings below (the [[quotasFromCounts]]
+    * discipline: the formula is meter-agnostic, only the unit differs). */
+  private def epochQuotasFromCounts(counts0: DataFrame, factor: Long,
+      cap: Long): DataFrame = {
+    val counts = counts0.withColumn("s", sqrt(col("c").cast("double")))
     val total = counts.agg(
       sum(col("c")).cast("long").as("mass"),
       aggregate(
@@ -590,10 +597,17 @@ object TextOps {
     * then a ≤cap-wide `sequence` explode — no shuffle beyond the window
     * sort, fan-out bounded per row. Unknown languages select nothing
     * (inner join). */
-  def epochSampleWith(docs: DataFrame, quotas: DataFrame): DataFrame = {
+  def epochSampleWith(docs: DataFrame, quotas: DataFrame): DataFrame =
+    epochFill(whitespaceMetered(docs), quotas)
+
+  /** The epoch fill over an arbitrary pre-metered (doc_id, lang,
+    * n_tokens) table — the meter-agnostic body shared by the whitespace
+    * form above and the tokenizer-metered forms below (the
+    * [[temperatureFill]] discipline). */
+  private def epochFill(metered: DataFrame,
+      quotas: DataFrame): DataFrame = {
     val wWin = Window.partitionBy("lang").orderBy("doc_id")
-    docs.select(col("doc_id"), col("lang"),
-        size(tokens).cast("long").as("n_tokens"))
+    metered
       .withColumn("cum_tokens", sum(col("n_tokens")).over(wWin))
       .join(broadcast(quotas.select(col("lang"), col("full_epochs"),
         col("rem"))), Seq("lang"))
@@ -612,12 +626,20 @@ object TextOps {
     * [[epochSampleWith]] on the union (TextOpsSpec pins it row for row);
     * replay safety is the shared monotonic-id guard. */
   def epochFillShard(shard: DataFrame, statePath: String,
-      quotas: DataFrame): DataFrame = {
-    val metered = shard.select(col("doc_id"), col("lang"),
-      size(tokens).cast("long").as("n_tokens"))
+      quotas: DataFrame): DataFrame =
+    epochFillShardBy(shard, statePath, quotas, whitespaceMetered)
+
+  /** The shared shard-fill body with the meter as an argument: the
+    * full-pass fan-out and the partial-pass carried tally bill in the
+    * SAME unit (one `meter` materialization feeds both — for a tokenizer
+    * meter the encode runs once per shard, not twice). */
+  private def epochFillShardBy(shard: DataFrame, statePath: String,
+      quotas: DataFrame, meter: DataFrame => DataFrame): DataFrame = {
+    val metered = meter(shard).localCheckpoint()
     val partial = fillShardWith(shard, statePath,
         quotas.filter(col("rem") > 0L)
-          .select(col("lang"), col("rem").as("quota")))
+          .select(col("lang"), col("rem").as("quota")),
+        (_: DataFrame) => metered)
       .join(broadcast(quotas.select(col("lang"), col("full_epochs"))),
         Seq("lang"))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
@@ -629,6 +651,87 @@ object TextOps {
         explode(sequence(lit(1L), col("full_epochs"))).as("epoch"))
     full.unionByName(partial)
   }
+
+  // --------------------------------- tokenizer-metered epoch pricing
+  // The completion of the metered α-sampling arc (round 15 priced the
+  // temperature family in tokenizer subwords; these price the UPSAMPLER
+  // in the same unit): a trainer consuming BPE tokens whose repeat
+  // counts were computed from whitespace masses over- or under-repeats
+  // every language whose tokenizer fertility differs from 1 — the
+  // full_epochs integer itself can change, not just the partial-pass
+  // boundary. Frozen-model forms throughout; TEST-gated like the other
+  // meters (§7.5.7), TextOpsSpec pins quotas + fill against a driver
+  // replay of the kernel bill and proves divergence from the whitespace
+  // pricing on the testdata corpus.
+
+  /** Epoch pricing in a per-doc bill's unit: mass c_l = the language's
+    * total TOKENIZER bill; the budget B = factor·Σc rescales with the
+    * corpus IN THE METERED UNIT, so the cap/partial regime split is
+    * decided by subword masses end to end. */
+  def epochQuotasMetered(docs: DataFrame, factor: Long, cap: Long,
+      perDoc: DataFrame): DataFrame =
+    epochQuotasFromCounts(
+      meteredBy(docs, perDoc).groupBy("lang")
+        .agg(sum("n_tokens").cast("long").as("c")),
+      factor, cap)
+
+  def epochQuotasBpe(docs: DataFrame, factor: Long, cap: Long,
+      model: Bpe.Model): DataFrame =
+    epochQuotasMetered(docs, factor, cap,
+      perDocBill(Bpe.encode(docs, model)))
+
+  def epochQuotasByteBpe(docs: DataFrame, factor: Long, cap: Long,
+      model: Bpe.Model): DataFrame =
+    epochQuotasMetered(docs, factor, cap,
+      perDocBill(ByteBpe.encode(docs, model)))
+
+  def epochQuotasUnigram(docs: DataFrame, factor: Long, cap: Long,
+      model: Unigram.Model): DataFrame =
+    epochQuotasMetered(docs, factor, cap,
+      perDocBill(Unigram.encode(docs, model)))
+
+  def epochQuotasWordPiece(docs: DataFrame, factor: Long, cap: Long,
+      model: WordPiece.Model): DataFrame =
+    epochQuotasMetered(docs, factor, cap,
+      perDocBill(WordPiece.encode(docs, model)))
+
+  /** Epoch fill priced AND metered in the same tokenizer unit — the
+    * [[temperatureSampleMetered]] posture: one bill (localCheckpoint —
+    * it feeds the quota subtree and the fill meter), quotas from it,
+    * the partial-pass cumsum spent against them in the identical unit. */
+  def epochSampleMetered(docs: DataFrame, factor: Long, cap: Long,
+      perDoc: DataFrame): DataFrame = {
+    val bill = perDoc.localCheckpoint()
+    epochFill(meteredBy(docs, bill),
+      epochQuotasMetered(docs, factor, cap, bill))
+  }
+
+  def epochSampleBpe(docs: DataFrame, factor: Long, cap: Long,
+      model: Bpe.Model): DataFrame =
+    epochSampleMetered(docs, factor, cap,
+      perDocBill(Bpe.encode(docs, model)))
+
+  /** The frozen-pricing metered fill — shards/streams repeat against a
+    * RELEASE pricing in the release tokenizer's unit: `quotas` from an
+    * `epochQuotas*`-family call on the pricing corpus, `perDoc` from the
+    * SAME frozen model over the rows being filled. */
+  def epochFillMetered(docs: DataFrame, quotas: DataFrame,
+      perDoc: DataFrame): DataFrame =
+    epochFill(meteredBy(docs, perDoc), quotas)
+
+  /** SHARD form of the METERED epoch fill — [[epochFillShard]]'s
+    * two-pass decomposition with the tokenizer bill as the meter:
+    * `quotas` is the frozen release pricing (an `epochQuotas*`-family
+    * table), `perDocOf` bills a shard under the SAME frozen model (e.g.
+    * [[shardBillBpe]]). Full passes stay stateless map-side fan-out;
+    * the partial-pass tally advances in the metered unit, so the union
+    * over shards ≡ [[epochFillMetered]] on the union (TextOpsSpec pins
+    * it — the growth-stability argument carries because the meter is a
+    * pure row function under a frozen model). */
+  def epochFillShardMetered(shard: DataFrame, statePath: String,
+      quotas: DataFrame, perDocOf: DataFrame => DataFrame): DataFrame =
+    epochFillShardBy(shard, statePath, quotas,
+      b => meteredBy(b, perDocOf(b)))
 
   // ------------------------------------------ weighted sampling (WOR)
   // Efraimidis & Spirakis 2006: weighted sampling WITHOUT replacement —

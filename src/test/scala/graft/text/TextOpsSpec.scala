@@ -702,4 +702,134 @@ class TextOpsSpec extends SparkSpec {
     assert(batch === rows(TextOps.temperatureSampleBpe(docs, 12000L,
       model)))
   }
+
+  test("tokenizer-metered epoch pricing: quotas ≡ a driver replay of " +
+      "the kernel bill + epoch arithmetic, DIVERGE from whitespace " +
+      "pricing, and the metered fill repeats in the same unit") {
+    import org.apache.spark.sql.graftexpr.BpeEncodeExpr
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val F = TextOps.epochRepeatFactor; val CAP = TextOps.epochCap
+    val model = Bpe.train(docs, 30)
+
+    // driver bill: the kernel's pure-JVM entry point, per word, per doc
+    val table = BpeEncodeExpr.MergeTable(model.merges)
+    def bill(text: String): Long =
+      text.split(" ", -1).map(w => BpeEncodeExpr.encode(
+        org.apache.spark.unsafe.types.UTF8String.fromString(w), table)
+        .numElements().toLong).sum
+    val all = docs.select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), bill(r.getString(2))))
+
+    // driver pricing: metered masses, B = F·Σc, sqrt shares folded
+    // lang-ascending (the engine's exact IEEE tree), floored quota,
+    // then the integer epoch split
+    val masses = all.groupBy(_._2).view
+      .mapValues(_.map(_._3).sum).toSeq.sortBy(_._1)
+    val mass = masses.map(_._2).sum
+    val roots = masses.map { case (l, c) => (l, math.sqrt(c.toDouble)) }
+    var total = 0.0
+    roots.foreach { case (_, s) => total += s }
+    val want = masses.zip(roots).map { case ((l, c), (_, s)) =>
+      val quota = math.floor(s * (mass * F).toDouble / total).toLong
+      val fe = math.min(quota / c, CAP)
+      val rem = if (fe >= CAP) 0L else quota % c
+      l -> ((c, quota, fe, rem))
+    }.toMap
+
+    val got = TextOps.epochQuotasBpe(docs, F, CAP, model).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got === want,
+      "metered epoch pricing must equal the driver replay")
+
+    // the divergence that motivates the family: the whitespace pricing
+    // computes DIFFERENT quotas (and hence repeats) on the same corpus
+    val ws = TextOps.epochQuotas(docs, F, CAP).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(ws.exists { case (l, q) => want(l) != q },
+      "metered epoch pricing must diverge from whitespace pricing")
+
+    // the metered fill ≡ a driver replay: full passes for every doc of a
+    // priced language, partial pass by metered-cumsum prefix on rem
+    type R = (Long, String, Long, Long)
+    val fill: Set[R] = TextOps.epochSampleBpe(docs, F, CAP, model)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val expected: Set[R] = all.groupBy(_._2).toSeq.flatMap {
+      case (lang, rows) =>
+        val (_, _, fe, rem) = want(lang)
+        var cum = 0L
+        rows.sortBy(_._1).flatMap { case (id, _, n) =>
+          cum += n
+          val ne = fe + (if (cum <= rem) 1L else 0L)
+          (1L to ne).map(e => (id, lang, n, e))
+        }
+    }.toSet
+    assert(fill === expected,
+      "metered epoch fill must equal the driver replay row for row")
+
+    // and it differs from the whitespace fill on this corpus — the
+    // repeats genuinely move when the unit changes
+    val wsFill: Set[R] = TextOps.epochSample(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(fill !== wsFill,
+      "metered and whitespace epoch fills must differ on the testdata")
+  }
+
+  test("metered epoch shard fill + stream twin: frozen model + frozen " +
+      "pricing + carried tallies ≡ the metered batch fill") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "text")
+    val F = TextOps.epochRepeatFactor; val CAP = TextOps.epochCap
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_epochfill_met").toString
+    val statePath = base + "/state"; val quotaPath = base + "/quotas"
+    val streamState = base + "/stream_state"
+    val modelDir = base + "/model"
+    val model = Bpe.train(docs, 30)
+    TokenizerStore.writeBpe(model, modelDir, spark)
+    TextOps.epochQuotasBpe(docs, F, CAP, model).write.parquet(quotaPath)
+    val frozen = spark.read.parquet(quotaPath)
+
+    type R = (Long, String, Long, Long)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[R] =
+      df.select("doc_id", "lang", "n_tokens", "epoch").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSet
+    val all = docs.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    val half = all.length / 2
+    val batches = Seq(all.take(half), all.drop(half))
+
+    // shard form: union over shards ≡ the metered batch fill
+    val sharded = batches.map { b =>
+      rows(TextOps.epochFillShardMetered(
+        b.toSeq.toDF("doc_id", "lang", "text"), statePath, frozen,
+        TextOps.shardBillBpe(model)))
+    }.reduce(_ ++ _)
+    val perDoc = Bpe.encode(docs, model).groupBy("doc_id")
+      .agg(sum("n_subs").cast("long").as("n_tokens"))
+    val batch = rows(TextOps.epochFillMetered(docs, frozen, perDoc))
+    assert(sharded === batch,
+      "per-shard metered epoch fills must union to the batch fill")
+    assert(batch === rows(TextOps.epochSampleBpe(docs, F, CAP, model)))
+
+    // stream twin: same frozen pointers, fresh tally state
+    val sunk = scala.collection.mutable.ArrayBuffer[Set[R]]()
+    val stream = MemoryStream[(Long, String, String)](187, spark, None)
+    val q = graft.stream.Streaming.streamEpochFillBpe(
+        stream.toDF().toDF("doc_id", "lang", "text"), streamState,
+        quotaPath, modelDir, (df, _) => sunk += rows(df))
+      .start()
+    batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+    q.stop()
+    assert(sunk.size === 2)
+    assert(sunk.reduce(_ ++ _) === batch,
+      "per-batch metered epoch fills must union to the batch fill")
+  }
 }
