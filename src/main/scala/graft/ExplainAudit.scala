@@ -498,6 +498,21 @@ object ExplainAudit {
         f.contains("from_xml") && !f.contains("Join") &&
           "Exchange".r.findAllIn(f).size == 1
       }),
+    // the CSV round-trip is a per-row kernel: from_csv present, no
+    // join, nothing before the declared ORDER BY's range exchange
+    ("fn_csv", "map-only from_csv round-trip",
+      p => {
+        val f = finalPlan(p)
+        f.contains("from_csv") && !f.contains("Join") &&
+          "Exchange".r.findAllIn(f).size == 1
+      }),
+    // same posture for the JSON serialize→parse pair
+    ("fn_json_rt", "map-only to_json/from_json round-trip",
+      p => {
+        val f = finalPlan(p)
+        f.contains("from_json") && !f.contains("Join") &&
+          "Exchange".r.findAllIn(f).size == 1
+      }),
     // VARIANT access must stay the typed variant_get path (a rewrite
     // back to string get_json_object would re-parse per access) and the
     // per-type rollup must partial+final

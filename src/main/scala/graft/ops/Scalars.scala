@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, MapType, StringType}
+import scala.jdk.CollectionConverters._
 
 import graft.core.Tables
 
@@ -171,6 +172,91 @@ object Scalars {
         .orderBy("event_id")
     }),
 
+    // CSV parse (B1.2 — the scan path a real user hits second, after
+    // parquet, finally ORACLED): serialize typed row fields to ONE CSV
+    // line in-query (to_csv) and parse them BACK through from_csv under
+    // an explicit schema — the fn_xml round-trip posture. The tag column
+    // embeds a LITERAL COMMA so the line genuinely exercises quoting
+    // (to_csv quotes it, from_csv must unquote), and the timestamp
+    // round-trips at MICROSECOND precision via an explicit
+    // timestampFormat on both sides (the default millis format would
+    // silently truncate). The oracle is the identity on the source
+    // columns plus a roundtrip_ok flag the Spark side must EARN — a
+    // quoting bug, type coercion drift, or format truncation yields
+    // false/NULL and the hash diverges. Map-only, codegen-friendly.
+    "fn_csv" -> ((s, d) => {
+      val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      val opts = Map("timestampFormat" -> fmt)
+      val line = to_csv(struct(
+        col("l_orderkey").as("k"),
+        col("l_linenumber").as("ln"),
+        concat(col("l_returnflag"), lit(","), col("l_linestatus"))
+          .as("tag"),
+        col("l_quantity").as("qty"),
+        col("l_shipdate").cast("timestamp").as("ship")), opts.asJava)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ln", IntegerType),
+        org.apache.spark.sql.types.StructField("tag",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("qty",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("ship",
+          org.apache.spark.sql.types.TimestampType)))
+      val p = from_csv(line, schema, opts)
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        p.getField("k").as("k_rt"),
+        p.getField("ln").as("ln_rt"),
+        p.getField("tag").as("tag_rt"),
+        p.getField("qty").as("qty_rt"),
+        p.getField("ship").as("ship_rt"),
+        (p.getField("k") === col("l_orderkey") &&
+          p.getField("ln") === col("l_linenumber") &&
+          p.getField("tag") === concat(col("l_returnflag"), lit(","),
+            col("l_linestatus")) &&
+          p.getField("qty") === col("l_quantity") &&
+          p.getField("ship") === col("l_shipdate").cast("timestamp"))
+          .as("roundtrip_ok"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // JSON serialize→parse round trip (B1.2's other half — fn_json
+    // covers EXTRACTION from pre-existing JSON; this key covers the
+    // WRITE side feeding the read side): to_json over a struct that
+    // includes the props column — a JSON document EMBEDDED AS A STRING
+    // VALUE, so the serializer must escape its quotes and the parser
+    // must unescape them exactly — then from_json under an explicit
+    // schema. Identity oracle + earned roundtrip_ok, map-only.
+    "fn_json_rt" -> ((s, d) => {
+      val js = to_json(struct(
+        col("event_id").as("id"),
+        col("user_id").as("u"),
+        col("event_type").as("t"),
+        col("props").as("p")))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("u",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("t",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("p",
+          org.apache.spark.sql.types.StringType)))
+      val p = from_json(js, schema)
+      Tables.events(s, d).select(
+        col("event_id"),
+        p.getField("u").as("u_rt"),
+        p.getField("t").as("t_rt"),
+        p.getField("p").as("props_rt"),
+        (p.getField("id") === col("event_id") &&
+          p.getField("u") === col("user_id") &&
+          p.getField("t") === col("event_type") &&
+          p.getField("p") === col("props")).as("roundtrip_ok"))
+        .orderBy("event_id")
+    }),
+
     // Spark 4 VARIANT (B8 + engine surface): parse the JSON props ONCE
     // into the shredded binary form, then every access is a typed
     // variant_get — no per-access string re-parse, the semi-structured
@@ -335,6 +421,24 @@ object Scalars {
 
     "fn_xml" ->
       """SELECT event_id, user_id AS u_rt, event_type AS t_rt,
+        |  true AS roundtrip_ok
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "fn_csv" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_orderkey AS k_rt,
+        |  l_linenumber AS ln_rt,
+        |  l_returnflag || ',' || l_linestatus AS tag_rt,
+        |  l_quantity AS qty_rt,
+        |  l_shipdate AS ship_rt,
+        |  true AS roundtrip_ok
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "fn_json_rt" ->
+      """SELECT event_id,
+        |  user_id AS u_rt,
+        |  event_type AS t_rt,
+        |  props AS props_rt,
         |  true AS roundtrip_ok
         |FROM events ORDER BY event_id""".stripMargin,
 
