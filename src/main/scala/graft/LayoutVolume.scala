@@ -146,6 +146,61 @@ object LayoutVolume {
           math.max(rowsOf("b_stripe", "z"), 1L)}%.3f}"""
   }
 
+  /** 3-D section (round 16 — [[Layout.hValueN]]/[[Layout.writeHilbertN]],
+    * the Skilling curve): Morton-3D vs Hilbert-3D over the identical
+    * side³ grid, one stripe query per dimension plus the 3-D box, row
+    * fractions from the scan metric. No single-column baseline here —
+    * the 2-D section already establishes that an unclustered dimension
+    * reads ~100%; this section measures what the N-dim generalization
+    * buys on every axis at once. */
+  def run3d(spark: SparkSession, side: Long, files: Int): String = {
+    require((side & (side - 1)) == 0, s"side must be a power of two: $side")
+    val bits = java.lang.Long.numberOfTrailingZeros(side)
+    val n = side * side * side
+    val grid = spark.range(n).select(col("id"),
+      (col("id") % side).as("a"),
+      ((col("id") / side) % side).cast("long").as("b"),
+      (col("id") / (side * side)).cast("long").as("c"))
+    val dims = Seq(col("a"), col("b"), col("c"))
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val zDir = tmp("z3"); val hDir = tmp("h3")
+    val (_, zSec) = timed {
+      Layout.writeZOrderedN(grid, zDir, dims, files, bits.toInt) }
+    val (_, hSec) = timed {
+      Layout.writeHilbertN(grid, hDir, dims, files, bits.toInt) }
+
+    val w = math.max(side / 64, 1L); val lo = side / 2
+    val boxLo = side / 4; val boxW = math.max(side / 16, 1L)
+    val queries: Seq[(String, DataFrame => DataFrame)] =
+      Seq("a", "b", "c").map { dim =>
+        s"${dim}_stripe" -> ((df: DataFrame) =>
+          df.filter(col(dim) >= lo && col(dim) < lo + w))
+      } :+ ("box" -> ((df: DataFrame) =>
+        df.filter(col("a") >= boxLo && col("a") < boxLo + boxW
+          && col("b") >= boxLo && col("b") < boxLo + boxW
+          && col("c") >= boxLo && col("c") < boxLo + boxW)))
+    val layouts = Seq("z" -> zDir, "h" -> hDir)
+
+    val parts = queries.flatMap { case (qName, q) =>
+      val counts = layouts.map { case (_, dir) =>
+        q(spark.read.parquet(dir)).count() }
+      require(counts.distinct.size == 1,
+        s"$qName row counts diverge across 3-D layouts: $counts")
+      layouts.map { case (lName, dir) =>
+        f""""${qName}_${lName}_frac":${
+          scanRows(q(spark.read.parquet(dir))).toDouble / n}%.4f"""
+      }
+    }
+    f"""{"metric":"layout_volume_3d_rows","value":$n,"unit":"rows",""" +
+      f""""side":$side,"files":$files,"bits":$bits,""" +
+      f""""write_sec_z":$zSec%.1f,"write_sec_h":$hSec%.1f,""" +
+      parts.mkString(",") + "}"
+  }
+
   def main(args: Array[String]): Unit = {
     val side = args.headOption.map(_.toLong).getOrElse(4096L)
     val files = args.drop(1).headOption.map(_.toInt).getOrElse(128)
@@ -160,6 +215,11 @@ object LayoutVolume {
     val line = run(spark, side, files)
     println(line)
     Artifacts.write("layout_volume.json", line)
+
+    // 3-D: side 256 → the same 16.7M rows with three clustered dims
+    val line3 = run3d(spark, 256L, files)
+    println(line3)
+    Artifacts.write("layout_volume_3d.json", line3)
     spark.stop()
 
     def frac(k: String): Double =
@@ -186,6 +246,18 @@ object LayoutVolume {
       frac("box_z_file_frac") <= 0.35 && frac("box_h_file_frac") <= 0.35
     if (!fOk) {
       System.err.println("[layoutvol] FILE-SKIPPING CLAIM VIOLATED")
+      sys.exit(1)
+    }
+
+    def frac3(k: String): Double =
+      ("\"" + k + "\":([0-9.]+)").r.findFirstMatchIn(line3).get
+        .group(1).toDouble
+    val ok3 = Seq("a", "b", "c").forall { d =>
+      frac3(s"${d}_stripe_z_frac") <= 0.35 &&
+        frac3(s"${d}_stripe_h_frac") <= 0.35
+    } && frac3("box_z_frac") <= 0.10 && frac3("box_h_frac") <= 0.10
+    if (!ok3) {
+      System.err.println("[layoutvol] 3-D PRUNING CLAIM VIOLATED")
       sys.exit(1)
     }
   }

@@ -119,11 +119,38 @@ object Layout {
     s"SELECT $cs, hd AS $out FROM ($chained)"
   }
 
+  /** Hilbert index of an N-dim cell — Skilling's transpose transform
+    * ([[org.apache.spark.sql.graftexpr.HilbertNExpr]], round 16): the
+    * N-dim generalization matching [[zValueN]]'s arity, closing the gap
+    * where a 3-column clustered layout previously had only the Morton
+    * curve. At n = 2 the Skilling curve is BIT-IDENTICAL to [[hValue]]'s
+    * classic xy2d loop (LayoutSpec pins it exhaustively), so the two
+    * entry points agree wherever they overlap. Same range/width contract
+    * as [[zValueN]]: caller buckets into [0, 2^bits), n·bits ≤ 62. */
+  def hValueN(dims: Seq[Column], bits: Int): Column = {
+    val n = dims.length
+    require(n >= 2, s"need at least 2 dimensions, got $n")
+    require(bits >= 1 && n * bits <= 62,
+      s"need 1 <= bits and n*bits <= 62, got $n x $bits")
+    org.apache.spark.sql.graftexpr.HilbertNExpr.column(lit(bits),
+      dims.map(_.cast("long")))
+  }
+
   /** Write `df` Hilbert-clustered on (x, y): [[writeZOrderedN]] with the
     * continuous curve as the range-partition + sort key. */
   def writeHilbert(df: DataFrame, dir: String, x: Column, y: Column,
       nFiles: Int, bits: Int = 16): Unit =
     df.withColumn("__h", hValue(x, y, bits))
+      .repartitionByRange(nFiles, col("__h"))
+      .sortWithinPartitions("__h")
+      .drop("__h")
+      .write.mode("overwrite").parquet(dir)
+
+  /** Write `df` Hilbert-clustered on N dims — [[writeHilbert]]'s shape
+    * with the Skilling curve as the range-partition + sort key. */
+  def writeHilbertN(df: DataFrame, dir: String, dims: Seq[Column],
+      nFiles: Int, bits: Int): Unit =
+    df.withColumn("__h", hValueN(dims, bits))
       .repartitionByRange(nFiles, col("__h"))
       .sortWithinPartitions("__h")
       .drop("__h")
