@@ -106,6 +106,7 @@ object LayoutVolume {
     // vanilla counts (correctness first), files-kept from the index's
     // prune record
     import org.apache.spark.sql.graftsrc.StatsFileIndex
+    StatsFileIndex.recordPrunes = true
     def pruneOf(dir: String): (Int, Int) = {
       val key = StatsFileIndex.lastPrune.keySet().toArray.map(_.toString)
         .find(_.endsWith(new java.io.File(dir).getName))

@@ -112,8 +112,14 @@ object Relational {
     // the materialization the join needed anyway, not a second distinct
     val keys0 = changes.select(key).distinct()
     val keys = if (broadcastDelta) keys0.localCheckpoint() else keys0
+    // clamp the probe limit: a caller-supplied cap near Int.MaxValue
+    // must degrade to the shuffled anti-join, not overflow to a
+    // negative limit (ADVICE r15)
+    val probeLimit =
+      if (broadcastKeyCap >= Int.MaxValue.toLong) Int.MaxValue
+      else (broadcastKeyCap + 1).toInt
     val doBroadcast = broadcastDelta &&
-      keys.limit((broadcastKeyCap + 1).toInt).count() <= broadcastKeyCap
+      keys.limit(probeLimit).count() <= broadcastKeyCap
     val untouched = target.join(
       if (doBroadcast) broadcast(keys) else keys, Seq(key), "left_anti")
     untouched.unionByName(changes.filter(col("op") =!= "D").drop("op"))

@@ -5,7 +5,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.connector.catalog.Table
-import org.apache.spark.sql.execution.datasources.{FileFormat, InMemoryFileIndex, PartitionDirectory, PartitioningAwareFileIndex}
+import org.apache.spark.sql.execution.datasources.{DataSource, FileFormat, FileStatusCache, InMemoryFileIndex, NoopCache, PartitionDirectory, PartitioningAwareFileIndex}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.FileDataSourceV2
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
@@ -83,8 +83,21 @@ class ClusteredParquetTable(
 
   override lazy val fileIndex: PartitioningAwareFileIndex = {
     import scala.jdk.CollectionConverters._
-    new StatsFileIndex(sparkSession, paths.map(new Path(_)),
-      options.asCaseSensitiveMap.asScala.toMap, userSpecifiedSchema)
+    // mirror FileTable's path resolution (round 16, ADVICE): glob
+    // expansion + existence checks + the shared FileStatusCache, so
+    // glob paths and missing-path errors behave exactly like the
+    // vanilla v2 parquet path; only the index CLASS differs
+    val caseSensitiveMap = options.asCaseSensitiveMap.asScala.toMap
+    val hadoopConf =
+      sparkSession.sessionState.newHadoopConfWithOptions(caseSensitiveMap)
+    val enableGlobbing = caseSensitiveMap
+      .getOrElse(DataSource.GLOB_PATHS_KEY, "true") == "true"
+    val rootPathsSpecified = DataSource.checkAndGlobPathIfNecessary(
+      paths, hadoopConf, checkEmptyGlobPath = true, checkFilesExist = true,
+      enableGlobbing = enableGlobbing)
+    new StatsFileIndex(sparkSession, rootPathsSpecified,
+      caseSensitiveMap, userSpecifiedSchema,
+      FileStatusCache.getOrCreate(sparkSession))
   }
 }
 
@@ -95,8 +108,10 @@ class StatsFileIndex(
     spark: SparkSession,
     roots: Seq[Path],
     parameters: Map[String, String],
-    schemaOpt: Option[StructType])
-  extends InMemoryFileIndex(spark, roots, parameters, schemaOpt) {
+    schemaOpt: Option[StructType],
+    fileStatusCache: FileStatusCache = NoopCache)
+  extends InMemoryFileIndex(spark, roots, parameters, schemaOpt,
+    fileStatusCache) {
 
   /** fileName → column → (min, max); loaded once per index instance
     * from every root's `_graft_stats/stats.tsv` (absent → empty). */
@@ -127,15 +142,24 @@ class StatsFileIndex(
     roots.map(r => r.getFileSystem(conf).makeQualified(r).toString)
   }
 
+  /** True only for a genuinely legacy (pre-r15, flat) manifest: no
+    * '/'-keyed entry anywhere. Gates the bare-name fallback below so a
+    * root-relative manifest can never mis-attach another directory's
+    * stats through a colliding basename (round 16, ADVICE). */
+  private lazy val legacyFlatManifest: Boolean =
+    stats.nonEmpty && !stats.keysIterator.exists(_.contains('/'))
+
   /** Manifest key of a listed file: its path relative to the owning
     * root (partition subdirectories included). Pre-r15 manifests keyed
-    * by bare file name still resolve via the fallback. */
+    * by bare file name still resolve via the fallback — but only when
+    * the whole manifest is flat (legacy); a mixed lookup is refused. */
   private def statsOf(p: Path): Option[Map[String, (Long, Long)]] = {
     val full = p.toString
     qualifiedRoots.collectFirst {
       case r if full.startsWith(r + "/") =>
         full.substring(r.length + 1)
-    }.flatMap(stats.get).orElse(stats.get(p.getName))
+    }.flatMap(stats.get)
+      .orElse(if (legacyFlatManifest) stats.get(p.getName) else None)
   }
 
   override def listFiles(partitionFilters: Seq[Expression],
@@ -151,8 +175,9 @@ class StatsFileIndex(
           StatsFileIndex.survives(statsOf(f.getPath), bounds))))
         .filter(_.files.nonEmpty)
     val kept = pruned.map(_.files.size).sum
-    StatsFileIndex.lastPrune.put(
-      roots.headOption.map(_.toString).getOrElse(""), (total, kept))
+    if (StatsFileIndex.recordPrunes)
+      StatsFileIndex.lastPrune.put(
+        roots.headOption.map(_.toString).getOrElse(""), (total, kept))
     pruned
   }
 }
@@ -169,11 +194,17 @@ object StatsFileIndex {
       vs: Seq[Long] = Seq.empty)
 
   /** (rootPath → (files listed, files kept)) of the most recent
-    * listFiles call per root — the measurement hook LayoutVolume reads
-    * (the harness is sequential; planning may call listFiles more than
-    * once per query with identical results, last write wins). */
+    * listFiles call per root — the measurement hook LayoutVolume and
+    * the specs read (the harness is sequential; planning may call
+    * listFiles more than once per query with identical results, last
+    * write wins). Recording is OPT-IN (round 16): production reads
+    * never touch shared mutable state — only a measurement harness
+    * that sets [[recordPrunes]] pays for (and sees) the record. */
   val lastPrune =
     new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+
+  /** Enable [[lastPrune]] recording (measurement harnesses only). */
+  @volatile var recordPrunes: Boolean = false
 
   private[graftsrc] def conjuncts(e: Expression): Seq[Expression] =
     e match {

@@ -38,6 +38,8 @@ class LayoutDsv2Spec extends SparkSpec {
   private def rows(df: DataFrame): Set[(Long, Long, Long)] =
     df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
 
+  org.apache.spark.sql.graftsrc.StatsFileIndex.recordPrunes = true
+
   private def pruneCounts(dir: String): (Int, Int) = {
     val k = StatsFileIndex.lastPrune.keySet().toArray
       .map(_.toString).find(_.contains(new java.io.File(dir).getName))
@@ -161,6 +163,69 @@ class LayoutDsv2Spec extends SparkSpec {
     val (t2, k2) = pruneCounts(d)
     assert(t2 < total, "partition pruning must shrink the listing first")
     assert(k2 <= kept)
+  }
+
+  test("incremental manifest append: appended files prune without a " +
+      "rebuild, existing entries byte-untouched") {
+    import org.apache.hadoop.fs.Path
+    val d = java.nio.file.Files
+      .createTempDirectory("graft_dsv2_append").toString
+    val lowHalf = grid.filter(col("b") < side / 2)
+    val highHalf = grid.filter(col("b") >= side / 2)
+    Layout.writeZOrdered(lowHalf, d, col("a"), col("b"), 8, bits)
+    Layout.writeStatsManifest(spark, d, Seq("a", "b"))
+
+    val mPath = new Path(d, StatsFileIndex.ManifestPath)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = mPath.getFileSystem(conf)
+    def readLines(): Seq[String] = {
+      val in = fs.open(mPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toList
+      finally in.close()
+    }
+    // plant a sentinel edit in one existing row (widened min — still
+    // conservative): a full rebuild would erase it, a true append must
+    // carry it through verbatim
+    val before = readLines()
+    val Array(f0, c0, _, mx0) = before.head.split('\t')
+    val sentinel = s"$f0\t$c0\t-7777\t$mx0"
+    val edited = sentinel +: before.tail
+    val os = fs.create(mPath, true)
+    try os.write((edited.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally os.close()
+
+    // append a new clustered shard (its own z-sort, new part files)
+    highHalf.withColumn("__z",
+        Layout.zValueN(Seq(col("a"), col("b")), bits))
+      .repartitionByRange(8, col("__z")).sortWithinPartitions("__z")
+      .drop("__z").write.mode("append").parquet(d)
+    Layout.appendStatsManifest(spark, d, Seq("a", "b"))
+
+    val after = readLines()
+    assert(after.take(edited.size) === edited,
+      "append must leave existing rows (incl. the sentinel) verbatim")
+    assert(after.size > edited.size, "appended files must gain rows")
+    // every data file is now covered
+    val it = fs.listFiles(fs.makeQualified(new Path(d)), true)
+    val nFiles = Iterator.continually(it).takeWhile(_.hasNext)
+      .map(_.next()).count(s => s.isFile &&
+        s.getPath.getName.endsWith(".parquet") &&
+        !s.getPath.getName.startsWith("_"))
+    assert(after.map(_.split('\t')(0)).distinct.size === nFiles)
+
+    // correctness ≡ vanilla, and a query into the APPENDED range prunes
+    val v2 = Layout.readClustered(spark, d)
+    val q = (df: DataFrame) => df.filter(col("b") >= side - 4)
+    assert(rows(q(v2)) === rows(q(spark.read.parquet(d))))
+    q(v2).collect()
+    val (total, kept) = pruneCounts(d)
+    assert(total === nFiles)
+    assert(kept < total && kept > 0,
+      s"appended-range query must prune ($kept of $total)")
+    // restartability: a second append is a no-op
+    Layout.appendStatsManifest(spark, d, Seq("a", "b"))
+    assert(readLines() === after)
   }
 
   test("the v2 plan still pushes filters to the parquet reader — file " +
