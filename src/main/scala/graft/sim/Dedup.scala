@@ -69,6 +69,87 @@ object Dedup {
     labels
   }
 
+  /** Connected components in O(log n) ROUNDS — the large-star/small-star
+    * alternation (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC 2014): the production twin for HIGH-DIAMETER graphs,
+    * where [[connectedComponents]]'s one-hop min-label loop pays
+    * diameter-many shuffles (a path of length L needs ~L rounds; this
+    * needs ~log L — the pageRankFast/hitsFast pattern applied to the
+    * component family, closing the r15 verdict's gap #6). Per round:
+    * LARGE-STAR connects every strictly-larger neighbor of u to
+    * m = min(Γ(u) ∪ {u}) (one symmetrized groupBy-min + one broadcast-free
+    * co-keyed join), SMALL-STAR re-hangs each node's smaller neighbors
+    * (and itself) under their collective minimum. Both steps strictly
+    * reduce a monovariant (the paper's potential argument), every
+    * intermediate edge is oriented hi→lo, and at the fixpoint the edge
+    * set IS the star graph node → component-min. Convergence is detected
+    * by an order-independent checksum (count + XOR of row hashes), so
+    * the check is one scan of the checkpointed round result. Labels are
+    * identical to [[connectedComponents]] by construction (same ordering,
+    * same representative — GraphSpec pins it on cliquish dedup graphs,
+    * the declared k-NN graph, AND a planted 64-chain where the round
+    * counts measurably diverge). Works for any ordered id type (no
+    * numeric cast — string ids cluster under lexicographic min). */
+  def componentsFast(pairs: DataFrame, src: String,
+      dst: String): DataFrame =
+    componentsFastWithRounds(pairs, src, dst)._1
+
+  private[graft] def componentsFastWithRounds(pairs: DataFrame,
+      src: String, dst: String): (DataFrame, Int) = {
+    val p = pairs.select(col(src).as("u"), col(dst).as("v"))
+      .localCheckpoint()
+    val nodes = p.select(col("u").as("id"))
+      .union(p.select(col("v").as("id"))).distinct().localCheckpoint()
+    var edges = p.filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct().localCheckpoint()
+    // order-independent, overflow-free fixpoint fingerprint: row count
+    // + XOR-fold of per-edge hashes (partial-aggregable, one scan)
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var prev = checksum(edges)
+    var rounds = 0
+    var converged = prev._1 == 0L
+    while (!converged) {
+      rounds += 1
+      // large-star: hang strictly-larger neighbors under the local min
+      val sym = edges
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u")
+        .agg(least(col("u"), min(col("v"))).as("m"))
+      val large = sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct().localCheckpoint()
+      // small-star: re-hang each hi-node's lo-neighbors (and itself)
+      // under their collective minimum; edges stay oriented hi→lo
+      val lomins = large.groupBy("u").agg(min(col("v")).as("m"))
+      val small = large.join(lomins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(large.select(col("u"), col("v")).join(lomins, "u")
+          .select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct().localCheckpoint()
+      val cur = checksum(small)
+      converged = cur == prev || cur._1 == 0L
+      prev = cur
+      edges = small
+    }
+    // at the fixpoint the edges are the star graph; isolated nodes
+    // (self-pairs only) label themselves
+    val labels = nodes
+      .join(edges.select(col("u").as("id"), col("v").as("label")),
+        Seq("id"), "left")
+      .groupBy("id")
+      .agg(coalesce(min(col("label")), min(col("id"))).as("label"))
+    (labels, rounds)
+  }
+
   /** Pairs → clusters → keep/drop: the actionable form of a dedup run.
     * `keep` marks the component's canonical member (min id); a pipeline
     * drops every `keep = false` row from the corpus. Members absent from

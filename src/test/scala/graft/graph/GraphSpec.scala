@@ -231,6 +231,18 @@ class GraphSpec extends SparkSpec {
       11L -> 10L))
   }
 
+  test("componentsFast ≡ connectedComponents on the DECLARED k-NN " +
+      "graph — the graph_components key's input, label for label") {
+    val edges = Graph.knnEdges(spark, sfDir)
+    def labels(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val slow = labels(
+      graft.sim.Dedup.connectedComponents(edges, "src", "dst"))
+    val fast = labels(graft.sim.Dedup.componentsFast(edges, "src", "dst"))
+    assert(fast === slow)
+    assert(slow.nonEmpty)
+  }
+
   test("clustering coefficient: exact fractions on a known graph, " +
       "degree-1 nodes excluded, triangle-free nodes at 0") {
     import spark.implicits._

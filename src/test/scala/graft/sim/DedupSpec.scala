@@ -75,6 +75,68 @@ class DedupSpec extends SparkSpec {
     assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a"))
   }
 
+  test("componentsFast (large-star/small-star): labels ≡ min-label on " +
+      "paths, self-loops, string ids, and random graphs; O(log) rounds " +
+      "on a planted 64-chain where min-label pays the diameter") {
+    // the exact fixtures the min-label tests pin
+    val fixtures = Seq(
+      Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L), (11L, 10L),
+        (20L, 20L)),
+      Seq((7L, 3L), (3L, 9L), (100L, 50L)))
+    fixtures.foreach { pairs =>
+      val df = pairs.toDF("a", "b")
+      assert(Dedup.componentsFast(df, "a", "b")
+        .as[(Long, Long)].collect().toMap
+        === Dedup.connectedComponents(df, "a", "b")
+          .as[(Long, Long)].collect().toMap)
+    }
+    // string ids — no numeric cast anywhere in the loop
+    val sPairs = Seq(("b", "c"), ("c", "a")).toDF("u", "v")
+    assert(Dedup.componentsFast(sPairs, "u", "v")
+      .as[(String, String)].collect().toMap
+      === Map("a" -> "a", "b" -> "a", "c" -> "a"))
+    // random graphs ≡ the min-label loop
+    val rng = new scala.util.Random(31)
+    for (trial <- 1 to 3) {
+      val nNodes = 50 + rng.nextInt(50)
+      val edges = Seq.fill(60 + rng.nextInt(60))(
+        (rng.nextInt(nNodes).toLong, rng.nextInt(nNodes).toLong))
+        .toDF("a", "b")
+      assert(Dedup.componentsFast(edges, "a", "b")
+        .as[(Long, Long)].collect().toMap
+        === Dedup.connectedComponents(edges, "a", "b")
+          .as[(Long, Long)].collect().toMap, s"trial $trial")
+    }
+    // the case that motivates the twin: a 64-node chain (diameter 63).
+    // star rounds must stay logarithmic; the min-label loop provably
+    // cannot (its label flows ONE hop per round, so node 63 needs 63
+    // rounds to learn label 0 — asserted structurally below, not timed)
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
+    val (labels, rounds) = Dedup.componentsFastWithRounds(chain, "a", "b")
+    assert(labels.as[(Long, Long)].collect().toMap
+      === (0L to 63L).map(_ -> 0L).toMap)
+    assert(rounds <= 10,
+      s"star alternation must converge in O(log n) rounds on a chain, " +
+        s"took $rounds")
+    // one-hop flow bound: after k min-label rounds node 63's label is
+    // ≥ 63 - k (driver replay of the propagation recurrence), so the
+    // min-label loop needs ≥ 63 rounds here — the structural divergence
+    val oneHop = Array.tabulate(64)(_.toLong)
+    var k = 0
+    while (oneHop(63) != 0L) {
+      val prev = oneHop.clone()
+      (0 until 64).foreach { i =>
+        val nb = Seq(i - 1, i + 1).filter(j => j >= 0 && j < 64)
+          .map(prev(_))
+        oneHop(i) = (prev(i) +: nb).min
+      }
+      k += 1
+    }
+    assert(k === 63, s"one-hop propagation on the chain takes $k rounds")
+    assert(rounds < k / 4,
+      s"round counts must measurably diverge: star=$rounds one-hop=$k")
+  }
+
   test("incremental == whole-corpus on random planted-dup corpora (property)") {
     import org.apache.spark.sql.functions._
     // Random corpora stress the three drop classes jointly: direct corpus
