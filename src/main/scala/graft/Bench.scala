@@ -35,8 +35,8 @@ object Bench {
     // timing: round 10's Verify lost 38 queries to silent throws, and a
     // bench that times the exception path would under-report them as
     // suspiciously fast successes
-    val failed = scala.collection.mutable.ArrayBuffer[String]()
-    val results = ordered.map { case (name, fn) =>
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
+    def runPass(): Seq[(String, Double)] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case e: Throwable =>
         failed += name
@@ -44,16 +44,38 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // LOAD-ROBUST PROTOCOL (round 16 — the r15 verdict's bench-noise
+    // item): the whole suite runs `reps` FULL PASSES and each key
+    // reports its per-pass MEDIAN (lower-middle order statistic). Whole
+    // passes, not back-to-back repeats, because box-load spikes are
+    // temporally correlated: a co-tenant burst inflates a contiguous
+    // window of ONE pass, so each key's samples are separated by a full
+    // suite length and at most one of three absorbs the spike — the
+    // median then reads through it. Back-to-back repeats would hand all
+    // three samples of the burst window to the noise. Pass 1 additionally
+    // absorbs per-query first-read/codegen warmup, which the median
+    // drops — the artifact times the REPEATED action.
+    val reps = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    val passes = (1 to reps).map(_ => runPass())
+    val results = ordered.map { case (name, _) =>
+      val samples = passes.map(_.find(_._1 == name).get._2).sorted
+      name -> samples((samples.size - 1) / 2)
+    }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val passTotals = passes.map(_.map(_._2).sum)
+    val passTotalsJson = passTotals
+      .map(t => String.format(java.util.Locale.ROOT, "%.3f",
+        Double.box(t))).mkString("[", ",", "]")
     // the start-of-run load average goes INTO the artifact: the r7/r8
     // variance protocol (BASELINE.md) showed load is the dominant term of
     // bench drift (±30% band at load ~2), so a judge normalizing across
     // rounds needs the load of THIS run, not forensics over uptime logs
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","load_avg":$loadAvg,"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","load_avg":$loadAvg,"reps":$reps,"pass_totals":$passTotalsJson,"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // stderr too: the two channels truncate independently, doubling the
     // chance a log-tail parse finds the line
@@ -93,10 +115,12 @@ object Bench {
       .mkString("{", ",", "}")
     val compact = String.format(root,
       "{\"metric\":\"total\",\"value\":%.3f,\"unit\":\"sec\"," +
-        "\"load_avg\":%.3f,\"n_queries\":%d,\"n_failed\":%d," +
+        "\"load_avg\":%.3f,\"reps\":%d,\"pass_totals\":%s," +
+        "\"n_queries\":%d,\"n_failed\":%d," +
         "\"failed\":%s,\"queries\":%s," +
         "\"full\":\"BENCH_FULL.json\",\"sf\":\"%s\"}",
       Double.box(total), Double.box(loadAvg),
+      Integer.valueOf(reps), passTotalsJson,
       Integer.valueOf(results.size), Integer.valueOf(failed.size),
       failedJson, slow, sfDir)
     println(compact)
