@@ -1073,6 +1073,53 @@ object TextOps {
           lit("")).as("cleaned"))
   }
 
+  /** [[cleanAgainstBoilerplate]] for membership sets BEYOND broadcast
+    * (round 16 — the B9.55 scaladoc's promised swap, implemented): a
+    * pathological crawl can mine a chrome vocabulary too large for the
+    * driver, and then the broadcast flagging join is off the table. The
+    * [[DecontIndex.probeShardBloom]] shape applied to lines: a Bloom
+    * filter over the boilerplate set (MBs regardless of set size, built
+    * by one aggregate over `bp`) kills clean lines MAP-SIDE; only the
+    * candidate trickle (true boilerplate occurrences + the fpp rate)
+    * pays the exact left-semi verify against `bp` — the boilerplate set
+    * SHUFFLES (it is the too-big-for-broadcast side; that is the point),
+    * the corpus stream never exchanges on the line key. The verified
+    * (doc_id, ord) drop list then rides the SAME per-doc reassembly
+    * aggregate as the broadcast form via a union (flag rows carry bp =
+    * true; the aggregate drops any ord with a flagged twin) — ONE
+    * corpus-sized exchange total, identical to the broadcast form's
+    * reassembly shuffle. A Bloom probe never false-negatives and the
+    * semi-join is exact, so LineDedupSpec pins this EQUAL to
+    * [[cleanAgainstBoilerplate]] row for row — including under a
+    * deliberately saturated filter where false candidates flood the
+    * verify step. */
+  def cleanAgainstBoilerplateBloom(docs: DataFrame, bp: DataFrame,
+      estItems: Long = 1000000L, numBits: Long = 1L << 23): DataFrame = {
+    val lines = docLines(docs)
+    val bpLines = bp.select(col("line")).distinct()
+    val candidates = graft.ops.JoinPrefilter.bloomReduce(
+      lines, col("line"), bpLines, col("line"), estItems, numBits)
+    val flagged = candidates.join(bpLines, Seq("line"), "left_semi")
+      .select(col("doc_id"), col("ord"))
+    lines.select(col("doc_id"), col("ord"), col("line"),
+        lit(false).as("bp"))
+      .unionByName(flagged.select(col("doc_id"), col("ord"),
+        lit(null).cast("string").as("line"), lit(true).as("bp")))
+      .groupBy("doc_id")
+      .agg(count(when(!col("bp"), 1)).as("n_lines"),
+        collect_set(when(col("bp"), col("ord"))).as("__dropped"),
+        sort_array(collect_list(when(!col("bp"),
+          struct(col("ord"), col("line"))))).as("__lines"))
+      .select(col("doc_id"), col("n_lines"),
+        size(filter(col("__lines"),
+          x => !array_contains(col("__dropped"), x.getField("ord"))))
+          .cast("long").as("n_kept"),
+        coalesce(array_join(transform(
+            filter(col("__lines"), x =>
+              !array_contains(col("__dropped"), x.getField("ord"))),
+            x => x.getField("line")), " "), lit("")).as("cleaned"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // PII scan + redaction — the compliance pass every training-data

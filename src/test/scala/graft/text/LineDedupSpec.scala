@@ -91,6 +91,54 @@ class LineDedupSpec extends SparkSpec {
     assert(bpRef.nonEmpty && bpRef.size < dfCount.size)
   }
 
+  test("Bloom-prefiltered cleaning ≡ the broadcast form — fixture, " +
+      "randomized corpus, saturated filter, and with broadcast joins " +
+      "disabled entirely (the beyond-broadcast contract)") {
+    import spark.implicits._
+    type R = (Long, Long, Long, String)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[R] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    def check(docs: org.apache.spark.sql.DataFrame, minDf: Int): Unit = {
+      val bp = boilerplateLines(docs, minDf)
+      val want = rows(TextOps.cleanAgainstBoilerplate(docs, bp))
+      assert(rows(TextOps.cleanAgainstBoilerplateBloom(docs, bp)) === want)
+      // saturated filter: 16 bits ⇒ nearly every line is a candidate —
+      // the exact semi-join must carry correctness alone
+      assert(rows(TextOps.cleanAgainstBoilerplateBloom(docs, bp,
+        numBits = 16L)) === want)
+    }
+    check(corpus, 3)
+    check(corpus, 99) // empty boilerplate set: bloom over zero items
+    val rng = new scala.util.Random(0xb100)
+    val hot = (0 until 15).map(i => s"hot $i")
+    val cold = (0 until 300).map(i => s"cold $i")
+    val rand = (0L until 90L).map { id =>
+      (id, Seq.fill(1 + rng.nextInt(5))(
+        if (rng.nextBoolean()) hot(rng.nextInt(hot.size))
+        else cold(rng.nextInt(cold.size))).mkString("\n"))
+    }.toDF("doc_id", "text")
+    check(rand, 4)
+
+    // the contract that motivates the variant: with broadcast joins
+    // fully unavailable the operator still runs and still agrees — no
+    // node of the plan materializes the membership set on the driver
+    val thr = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(thr)
+    spark.conf.set(thr, "-1")
+    try {
+      val bp = boilerplateLines(corpus, 3)
+      val q = TextOps.cleanAgainstBoilerplateBloom(corpus, bp)
+      assert(rows(q) ===
+        rows(TextOps.cleanAgainstBoilerplate(corpus, bp)))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"map-side Bloom kill must be in the plan:\n$plan")
+      assert(!plan.contains("BroadcastExchange"),
+        s"beyond-broadcast path must not broadcast anything:\n$plan")
+    } finally spark.conf.set(thr, prev)
+  }
+
   test("streaming twin: per-batch cleaning equals the batch body, and a " +
       "republished boilerplate set takes effect at the next batch") {
     import spark.implicits._
