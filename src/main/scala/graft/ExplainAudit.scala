@@ -593,6 +593,14 @@ object ExplainAudit {
         f.contains("hilbert_d") && !f.contains("Join") &&
           (f.contains("WholeStageCodegen") || f.contains("*("))
       }),
+    // the N-dim Hilbert key (round 16): same posture — one fused
+    // Skilling kernel, map-only, inside whole-stage codegen
+    ("fn_hilbert_nd", "hilbert_nd kernel, map-only, inside codegen",
+      p => {
+        val f = finalPlan(p)
+        f.contains("hilbert_nd") && !f.contains("Join") &&
+          (f.contains("WholeStageCodegen") || f.contains("*("))
+      }),
     // IVF serving (round 14): the 16-centroid table broadcasts into the
     // assignment, the nprobe probe-list cut broadcasts into a LeftSemi
     // (at scale: static partition pruning on centroid_id), and the final

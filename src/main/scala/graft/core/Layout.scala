@@ -136,6 +136,68 @@ object Layout {
       dims.map(_.cast("long")))
   }
 
+  /** The N-dim oracle's identical Skilling arithmetic as a generated
+    * chain of nested subqueries ([[hilbertSql]]'s posture — state can't
+    * thread through one SELECT, and the inverse-undo inner loop mutates
+    * x0 PER DIMENSION, so each (level, dim) step is its own subquery).
+    * The gray encode collapses to one SELECT (sequential x_i ^= x_{i-1}
+    * over updated values ≡ cumulative xor of the originals), the
+    * t-computation inlines (it reads only the pre-update x_{n-1}), and
+    * the final interleave is one masked-shift OR tree. DuckDB spells
+    * integer xor as `xor()`. `carry` columns pass through untouched;
+    * `src` provides the dim expressions; result column is `out`. */
+  def hilbertNSql(xs: Seq[String], bits: Int, carry: Seq[String],
+      src: String, out: String): String = {
+    val n = xs.length
+    require(n >= 2, s"need at least 2 dimensions, got $n")
+    val cs = carry.mkString(", ")
+    var acc = s"SELECT $cs, " + xs.zipWithIndex
+      .map { case (x, i) => s"CAST($x AS BIGINT) AS hx$i" }
+      .mkString(", ") + s" FROM $src"
+    // inverse undo: per (level, dim) step, x0 and x_i swap their
+    // P-masked difference unless dim i's Q bit is set (then x0 flips P)
+    for (lvl <- bits - 1 to 1 by -1) {
+      val q = 1L << lvl; val p = q - 1
+      for (i <- 0 until n) {
+        val sel =
+          if (i == 0)
+            (s"CASE WHEN (hx0 & $q) <> 0 THEN xor(hx0, $p) " +
+              s"ELSE hx0 END AS hx0") +
+              (1 until n).map(j => s", hx$j").mkString
+          else {
+            val t = s"(xor(hx0, hx$i) & $p)"
+            (s"CASE WHEN (hx$i & $q) <> 0 THEN xor(hx0, $p) " +
+              s"ELSE xor(hx0, $t) END AS hx0, ") +
+              (1 until n).map { j =>
+                if (j == i)
+                  s"CASE WHEN (hx$i & $q) <> 0 THEN hx$i " +
+                    s"ELSE xor(hx$i, $t) END AS hx$i"
+                else s"hx$j"
+              }.mkString(", ")
+          }
+        acc = s"SELECT $cs, $sel FROM ($acc)"
+      }
+    }
+    // gray encode: cumulative xor of the originals
+    val gray = (0 until n).map { i =>
+      (1 to i).foldLeft("hx0")((e, j) => s"xor($e, hx$j)") + s" AS hx$i"
+    }.mkString(", ")
+    acc = s"SELECT $cs, $gray FROM ($acc)"
+    // t from the (pre-update) last axis, applied to every axis in place
+    val tExpr = (bits - 1 to 1 by -1).map { lvl =>
+      val q = 1L << lvl
+      s"CASE WHEN (hx${n - 1} & $q) <> 0 THEN ${q - 1} ELSE 0 END"
+    }.reduceLeft((a, b) => s"xor($a, $b)")
+    acc = s"SELECT $cs, " + (0 until n)
+      .map(i => s"xor(hx$i, $tExpr) AS hx$i").mkString(", ") +
+      s" FROM ($acc)"
+    // interleave: bit (lvl, dim d) lands at lvl·n + (n-1-d)
+    val hExpr = (for { lvl <- bits - 1 to 0 by -1; d <- 0 until n }
+      yield s"(((hx$d >> $lvl) & 1) * ${1L << (lvl * n + (n - 1 - d))})")
+      .mkString(" | ")
+    s"SELECT $cs, ($hExpr) AS $out FROM ($acc)"
+  }
+
   /** Write `df` Hilbert-clustered on (x, y): [[writeZOrderedN]] with the
     * continuous curve as the range-partition + sort key. */
   def writeHilbert(df: DataFrame, dir: String, x: Column, y: Column,

@@ -426,6 +426,15 @@ object Graph {
         .select(col("id").as("vec_id"), col("label"))
         .orderBy("vec_id")),
 
+    // The O(log n)-round production twin DECLARED in its own right
+    // (round 16): identical labels by construction, identical oracle —
+    // the correctness gate now covers the star-alternation path
+    // end-to-end, not only via the spec equality pin.
+    "graph_components_fast" -> ((s, d) =>
+      graft.sim.Dedup.componentsFast(knnEdges(s, d), "src", "dst")
+        .select(col("id").as("vec_id"), col("label"))
+        .orderBy("vec_id")),
+
     // Per-node triangle counts — density of the similarity neighborhood.
     "graph_triangles" -> ((s, d) =>
       triangles(knnEdges(s, d))
@@ -608,6 +617,19 @@ object Graph {
     // reachability to fixpoint — the Dedup oracle pattern on the k-NN
     // edge set, symmetrized
     "graph_components" ->
+      s"""${edgeCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |und AS (SELECT src AS u, dst AS v FROM edges
+         |  UNION SELECT dst, src FROM edges),
+         |reach(id, root) AS (
+         |  SELECT DISTINCT u, u FROM und
+         |  UNION
+         |  SELECT e.v, r.root FROM reach r JOIN und e ON e.u = r.id)
+         |SELECT id AS vec_id, MIN(root) AS label FROM reach
+         |GROUP BY id ORDER BY vec_id""".stripMargin,
+
+    // same fixpoint oracle as graph_components — the twin must land on
+    // the identical label table
+    "graph_components_fast" ->
       s"""${edgeCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |und AS (SELECT src AS u, dst AS v FROM edges
          |  UNION SELECT dst, src FROM edges),

@@ -323,7 +323,22 @@ object Scalars {
         pmod(col("o_orderkey"), lit(256)).cast("long").as("hb"))
         .withColumn("h",
           graft.core.Layout.hValue(col("ha"), col("hb"), 8))
-        .orderBy("o_orderkey"))
+        .orderBy("o_orderkey")),
+
+    // N-dimensional Hilbert index (round 16, B1.8): the Skilling
+    // transform that clusters a 3-column layout
+    // ([[graft.core.Layout.writeHilbertN]]), oracle-checked bit-exact
+    // against the identical per-step arithmetic generated as SQL
+    // (Layout.hilbertNSql — one source, like fn_hilbert's 2-D chain).
+    "fn_hilbert_nd" -> ((s, d) =>
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        pmod(col("l_orderkey"), lit(64)).cast("long").as("ha"),
+        pmod(col("l_partkey"), lit(64)).cast("long").as("hb"),
+        pmod(col("l_suppkey"), lit(64)).cast("long").as("hc"))
+        .withColumn("h", graft.core.Layout.hValueN(
+          Seq(col("ha"), col("hb"), col("hc")), 6))
+        .orderBy("l_orderkey", "l_linenumber"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -484,6 +499,17 @@ object Scalars {
         Seq("o_orderkey", "ha", "hb"),
         """(SELECT o_orderkey,
           |    o_custkey % 256 AS ha, o_orderkey % 256 AS hb
-          |  FROM orders)""".stripMargin, "h") + " ORDER BY o_orderkey")
+          |  FROM orders)""".stripMargin, "h") + " ORDER BY o_orderkey"),
+
+    // the identical Skilling per-step arithmetic, generated from
+    // Layout.hilbertNSql — one source for the kernel and the oracle
+    "fn_hilbert_nd" ->
+      (graft.core.Layout.hilbertNSql(Seq("ha", "hb", "hc"), 6,
+        Seq("l_orderkey", "l_linenumber", "ha", "hb", "hc"),
+        """(SELECT l_orderkey, l_linenumber,
+          |    l_orderkey % 64 AS ha, l_partkey % 64 AS hb,
+          |    l_suppkey % 64 AS hc
+          |  FROM lineitem)""".stripMargin, "h") +
+        " ORDER BY l_orderkey, l_linenumber")
   )
 }
