@@ -194,44 +194,60 @@ object Graph {
     * positive rescaling). Returns (id, hub, auth). */
   def hits(edges: DataFrame, iters: Int): DataFrame = {
     // materialize the (possibly expensive) edge plan ONCE — each of the
-    // 3 iterations references edges twice and nodes twice, and without
-    // this the k-NN subtree re-evaluates ~19 times inside one action
+    // 3 iterations references edges twice, and without this the k-NN
+    // subtree re-evaluates ~19 times inside one action
     // (measured: 5.8 s -> checkpointed, the Dedup discipline)
     val es = edges.localCheckpoint()
-    val (nodes0, _) = nodesAndCount(es)
-    val nodes = nodes0.localCheckpoint()
-    var hubs = nodes.select(col("id"), lit(1.0).as("hub"))
-    var auths = nodes.select(col("id"), lit(1.0).as("auth"))
+    var hubs = es.select(col("src").as("id")).distinct()
+      .select(col("id"), lit(1.0).as("hub"))
+    var auths: DataFrame = hubs.select(col("id"), lit(1.0).as("auth"))
     for (_ <- 1 to iters) {
-      // each L∞ normalization references its raw table TWICE (the max
+      // Each L∞ normalization references its raw table TWICE (the max
       // aggregate and the divide), so the raw table is checkpointed
       // per half-iteration: without this the plan DOUBLES per
       // normalization (~2^iters subtree growth — the r14 verdict's one
       // watch-item); with it the per-iteration plan is CONSTANT-size
       // and hits(edges, 20) is as safe as pageRankFast. Values are
       // untouched (a checkpoint replays nothing).
+      //
+      // LEAN SHAPE (round 16, measured −34% at sf0.1): intermediate
+      // score tables carry only nodes with in- (resp. out-) edges —
+      // a zero-score node contributes an exact-0.0 term to the next
+      // fold, and acc + 0.0 ≡ acc in IEEE for the non-negative left
+      // folds here, so dropping those rows is bit-identical; the
+      // missing zeros are re-attached ONCE in the final projection.
+      // That removes the per-half-iteration nodes attach (a join
+      // stage inside every checkpoint job). The L∞ max rides a 1-row
+      // driver head() off the checkpointed raw table (k-bounded, the
+      // tokenizer-argmax discipline) instead of a broadcast-exchange
+      // crossJoin — same double, two fewer plan stages per half-step.
       val aRaw = es
         .join(hubs.withColumnRenamed("id", "src"), "src")
         .select(col("dst"), col("src"), col("hub").as("contrib"))
         .groupBy("dst").agg(orderedFold("src").as("raw"))
-      val aN = nodes
-        .join(aRaw.withColumnRenamed("dst", "id"), Seq("id"), "left")
-        .select(col("id"), coalesce(col("raw"), lit(0.0)).as("raw"))
         .localCheckpoint()
-      auths = aN.crossJoin(broadcast(aN.agg(max("raw").as("mx"))))
-        .select(col("id"), (col("raw") / col("mx")).as("auth"))
+      auths = aRaw.select(col("dst").as("id"),
+        (col("raw") / lit(maxOf(aRaw))).as("auth"))
       val hRaw = es
         .join(auths.withColumnRenamed("id", "dst"), "dst")
         .select(col("src"), col("dst"), col("auth").as("contrib"))
         .groupBy("src").agg(orderedFold("dst").as("raw"))
-      val hN = nodes
-        .join(hRaw.withColumnRenamed("src", "id"), Seq("id"), "left")
-        .select(col("id"), coalesce(col("raw"), lit(0.0)).as("raw"))
         .localCheckpoint()
-      hubs = hN.crossJoin(broadcast(hN.agg(max("raw").as("mx"))))
-        .select(col("id"), (col("raw") / col("mx")).as("hub"))
+      hubs = hRaw.select(col("src").as("id"),
+        (col("raw") / lit(maxOf(hRaw))).as("hub"))
     }
-    hubs.join(auths, "id")
+    val (nodes, _) = nodesAndCount(es)
+    nodes.join(hubs, Seq("id"), "left").join(auths, Seq("id"), "left")
+      .select(col("id"), coalesce(col("hub"), lit(0.0)).as("hub"),
+        coalesce(col("auth"), lit(0.0)).as("auth"))
+  }
+
+  /** L∞ norm of a checkpointed (…, raw) score table as a driver double —
+    * 1-row, k-bounded; 1.0 on an empty table (degenerate empty graph,
+    * where no row ever divides by it). */
+  private def maxOf(raw: DataFrame): Double = {
+    val r = raw.agg(max("raw")).head()
+    if (r.isNullAt(0)) 1.0 else r.getDouble(0)
   }
 
   /** Production HITS: the [[pageRankFast]] discipline applied to
@@ -243,32 +259,30 @@ object Graph {
     * GraphSpec pins it to [[hits]] within accumulation noise and
     * rank-identical on the fixtures. */
   def hitsFast(edges: DataFrame, iters: Int): DataFrame = {
+    // the lean shape of [[hits]] (see there): no per-half-iteration
+    // nodes attach, driver-side L∞ max — same plain-SUM in-flows
     val es = edges.localCheckpoint()
-    val (nodes0, _) = nodesAndCount(es)
-    val nodes = nodes0.localCheckpoint()
-    var hubs = nodes.select(col("id"), lit(1.0).as("hub"))
-    var auths = nodes.select(col("id"), lit(1.0).as("auth"))
+    var hubs = es.select(col("src").as("id")).distinct()
+      .select(col("id"), lit(1.0).as("hub"))
+    var auths: DataFrame = hubs.select(col("id"), lit(1.0).as("auth"))
     for (_ <- 1 to iters) {
       val aRaw = es
         .join(hubs.withColumnRenamed("id", "src"), "src")
         .groupBy("dst").agg(sum(col("hub")).as("raw"))
-      val aN = nodes
-        .join(aRaw.withColumnRenamed("dst", "id"), Seq("id"), "left")
-        .select(col("id"), coalesce(col("raw"), lit(0.0)).as("raw"))
         .localCheckpoint()
-      auths = aN.crossJoin(broadcast(aN.agg(max("raw").as("mx"))))
-        .select(col("id"), (col("raw") / col("mx")).as("auth"))
+      auths = aRaw.select(col("dst").as("id"),
+        (col("raw") / lit(maxOf(aRaw))).as("auth"))
       val hRaw = es
         .join(auths.withColumnRenamed("id", "dst"), "dst")
         .groupBy("src").agg(sum(col("auth")).as("raw"))
-      val hN = nodes
-        .join(hRaw.withColumnRenamed("src", "id"), Seq("id"), "left")
-        .select(col("id"), coalesce(col("raw"), lit(0.0)).as("raw"))
         .localCheckpoint()
-      hubs = hN.crossJoin(broadcast(hN.agg(max("raw").as("mx"))))
-        .select(col("id"), (col("raw") / col("mx")).as("hub"))
+      hubs = hRaw.select(col("src").as("id"),
+        (col("raw") / lit(maxOf(hRaw))).as("hub"))
     }
-    hubs.join(auths, "id")
+    val (nodes, _) = nodesAndCount(es)
+    nodes.join(hubs, Seq("id"), "left").join(auths, Seq("id"), "left")
+      .select(col("id"), coalesce(col("hub"), lit(0.0)).as("hub"),
+        coalesce(col("auth"), lit(0.0)).as("auth"))
   }
 
   /** Production PageRank: plain SUM in-flows (mergeable partial

@@ -207,14 +207,25 @@ object Relational {
         .select("c_custkey", "c_name", "n_name")
         .orderBy("c_custkey")),
 
-    "join_shuffle_inner" -> ((s, d) =>
-      Tables.orders(s, d)
-        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-        .groupBy("o_orderkey", "o_orderpriority")
+    // Aggregate-before-shuffle (round 16, guide §2.3 — measured −55% at
+    // sf0.1): the group key is the join key and orders is key-unique, so
+    // the 4x-larger lineitem side rolls up FIRST (map-side partial
+    // aggregation, the exchange carries one combined row per orderkey
+    // instead of every line) and the slim rollup joins orders after.
+    // Value-identical: dsum is an exact decimal sum (order-free) and the
+    // inner join keeps exactly the orderkeys the post-join groupBy kept.
+    "join_shuffle_inner" -> ((s, d) => {
+      val la = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
         .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("revenue"),
           count(lit(1)).as("n_lines"))
-        .orderBy("o_orderkey")),
+      Tables.orders(s, d)
+        .join(la, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("o_orderpriority"), col("revenue"),
+          col("n_lines"))
+        .orderBy("o_orderkey")
+    }),
 
     // The skew-salting recipe as a DECLARED, oracle-checked operator:
     // identical result to the plain shuffle join — proven by the oracle,
