@@ -303,6 +303,34 @@ object OptProbe {
       sim.Dedup.clusters(sim.Similarity.tokenJaccardPairsOf(docs),
         "doc_a", "doc_b"))
     time("curation_report (current)")(q("curation_report")(s, d))
+    time("curation_report (driver-count ledger)")(curationDriverLedger(s, d))
+  }
+
+  /** curation_report with the ledger counts taken as DRIVER values off
+    * the already-checkpointed stage id sets (4 tiny count jobs on cached
+    * blocks) instead of a 6-aggregate crossJoin-union plan (each agg its
+    * own single-partition exchange + AQE wave). Same numbers. */
+  private def curationDriverLedger(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = graft.core.Tables.documents(s, d)
+    val ids1 = docs.groupBy(xxhash64(col("text")).as("th"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id").localCheckpoint()
+    val d1 = docs.join(ids1, Seq("doc_id"), "left_semi")
+    val ids2 = text.SubstringDedup
+      .dedupStats(d1, text.SubstringDedup.declaredK, 0.5)
+      .filter(col("keep")).select("doc_id").localCheckpoint()
+    val d2 = docs.join(ids2, Seq("doc_id"), "left_semi")
+    val drop3 = sim.Dedup
+      .clusters(sim.Similarity.tokenJaccardPairsOf(d2), "doc_a", "doc_b")
+      .filter(!col("keep")).select(col("member").as("doc_id"))
+    val ids3 = ids2.join(drop3, Seq("doc_id"), "left_anti").localCheckpoint()
+    val n0 = docs.count(); val n1 = ids1.count()
+    val n2 = ids2.count(); val n3 = ids3.count()
+    Seq((n0, n0 - n1, n1 - n2, n2 - n3, 0L, n3,
+      n3.toDouble / n0))
+      .toDF("n_docs", "exact_dropped", "substring_dropped",
+        "neardup_dropped", "semantic_dropped", "n_kept", "kept_frac")
   }
 
   // -------------------------------------------------------- components
@@ -512,6 +540,42 @@ object OptProbe {
         .select(col("key"), col("s"), xxhash64(col("v")).as("vh"))
         .distinct())
     time("sim_edit_join (current)")(q("sim_edit_join")(s, d))
+    time("sim_edit_join (slim variants)")(editJoinSlim(c, 1))
     time("dedup_clusters (current)")(q("dedup_clusters")(s, d))
+  }
+
+  /** sim_edit_join with the variant table projected to (key, vh) before
+    * the self-join — the strings rejoin AFTER the candidate distinct (two
+    * joins against the slim base table), so the big variant shuffle
+    * carries 16 bytes/row instead of 16 + a full name. */
+  private def editJoinSlim(base: DataFrame, k: Int): DataFrame = {
+    val b = base.filter(col("name").isNotNull)
+      .select(col("key"), col("name").as("s"))
+    var lvl = b.select(col("key"), col("s").as("v"))
+    var all = lvl
+    for (_ <- 1 to k) {
+      lvl = lvl.filter(length(col("v")) > 0)
+        .withColumn("q", explode(sequence(lit(0), length(col("v")) - 1)))
+        .select(col("key"),
+          concat(col("v").substr(lit(1), col("q")),
+            col("v").substr(col("q") + 2, length(col("v")) - col("q") - 1))
+            .as("v"))
+      all = all.union(lvl)
+    }
+    val variants = all.select(col("key"), xxhash64(col("v")).as("vh"))
+      .distinct()
+    val cand = variants.alias("a").join(variants.alias("b"),
+        col("a.vh") === col("b.vh") && col("a.key") < col("b.key"))
+      .select(col("a.key").as("key_i"), col("b.key").as("key_p"))
+      .distinct()
+    val verified = cand
+      .join(b.select(col("key").as("key_i"), col("s").as("s_i")), "key_i")
+      .join(b.select(col("key").as("key_p"), col("s").as("s_p")), "key_p")
+      .filter(abs(length(col("s_i")) - length(col("s_p"))) <= k)
+      .withColumn("dist", levenshtein(col("s_i"), col("s_p"), k))
+      .filter(col("dist") =!= -1)
+    verified.select(col("key_i").as("key_a"), col("key_p").as("key_b"),
+        col("s_i").as("name_a"), col("s_p").as("name_b"), col("dist"))
+      .orderBy("key_a", "key_b")
   }
 }

@@ -237,17 +237,36 @@ object Curation {
       Seq(("exact", idsC, ids1), ("substring", ids1, ids2),
         ("near_dup", ids2, ids3)) ++
       (if (emb.isDefined) Seq(("semantic", ids3, ids4)) else Nil)
-    val ledger = stages.zipWithIndex.map { case ((name, in, out), i) =>
-      in.agg(count(lit(1)).as("n_in"))
-        .crossJoin(out.agg(count(lit(1)).as("n_out")))
-        .select(lit(i + 1).as("stage_id"), lit(name).as("stage"),
-          col("n_in"), (col("n_in") - col("n_out")).as("n_dropped"),
-          col("n_out"))
-    }.reduce(_ union _).orderBy("stage_id")
+    val ledger = ledgerOf(docs.sparkSession, stages)
 
     // kept text is the text the dedup stages judged — CLEANED when the
     // line stage is on (dl = dd otherwise)
     Result(dcf.join(ids4, Seq("doc_id"), "left_semi"), ledger)
+  }
+
+  /** Assemble the per-stage ledger from DRIVER-side counts of the stage
+    * id sets (round 16, measured −10% on `curation_report` at sf0.1):
+    * every boundary set is already localCheckpointed by its stage, so
+    * each count is one tiny scan of cached blocks — where the previous
+    * crossJoin-union plan re-planned 2 single-partition aggregates per
+    * stage (same set counted twice as out(k)/in(k+1)) plus a union sort,
+    * ~10 AQE waves for 4 driver longs. Counts are k-bounded driver state
+    * (one long per stage — the tokenizer-argmax discipline); each
+    * distinct frame is counted ONCE (reference-keyed memo). */
+  private def ledgerOf(spark: SparkSession,
+      stages: Seq[(String, DataFrame, DataFrame)]): DataFrame = {
+    import spark.implicits._
+    val memo = new java.util.IdentityHashMap[DataFrame, java.lang.Long]()
+    def n(df: DataFrame): Long = {
+      val hit = memo.get(df)
+      if (hit != null) hit.longValue()
+      else { val c = df.count(); memo.put(df, c); c }
+    }
+    stages.zipWithIndex.map { case ((name, in, out), i) =>
+      val (ni, no) = (n(in), n(out))
+      (i + 1, name, ni, ni - no, no)
+    }.toDF("stage_id", "stage", "n_in", "n_dropped", "n_out")
+      .orderBy("stage_id")
   }
 
   /** The one-row release summary: corpus size, per-stage drops, final keep
@@ -597,14 +616,7 @@ object Curation {
       Seq(("exact", idsC, ids1), ("substring", ids1, ids2),
         ("near_dup", ids2, ids3)) ++
       (if (emb.isDefined) Seq(("semantic", ids3, ids4)) else Nil)
-    val ledger = stages.zipWithIndex.map { case ((name, in, out), i) =>
-      in.agg(count(lit(1)).as("n_in"))
-        .crossJoin(out.agg(count(lit(1)).as("n_out")))
-        .select(lit(i + 1).as("stage_id"), lit(name).as("stage"),
-          col("n_in"), (col("n_in") - col("n_out")).as("n_dropped"),
-          col("n_out"))
-    }.reduce(_ union _).orderBy("stage_id")
-    Result(kept, ledger)
+    Result(kept, ledgerOf(spark, stages))
   }
 
   /** Compact the release indexes after an ingest run — the loop's

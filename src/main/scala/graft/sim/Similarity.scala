@@ -318,7 +318,7 @@ object Similarity {
             .as("v"))
       all = all.union(lvl)
     }
-    // two scale moves before anything shuffles: (1) variants travel as
+    // three scale moves before anything shuffles: (1) variants travel as
     // xxhash64 digests — 8-byte exchange keys instead of near-full-length
     // strings, and a (vanishingly rare) digest collision only admits a
     // junk CANDIDATE that the exact verify kills, so exactness is
@@ -327,18 +327,25 @@ object Similarity {
     // 7 zeros but one deletion result), and collapsing those here is what
     // keeps the bucket join from multiplying run-length × run-length rows
     // per true pair on run-heavy corpora (exactly the templated-ID shape
-    // this scheme is declared on)
+    // this scheme is declared on); (3) the SOURCE STRING does not ride
+    // the variant shuffle (round 16, measured −21% at sf0.1): the
+    // self-join and candidate distinct run over slim (key, vh) rows and
+    // the strings re-attach AFTER via two equi-joins against the
+    // base-sized table — the guide §2.3 shuffle-keys-not-payloads move,
+    // which is also what makes the scheme safe for long entity strings.
+    // The ≤2k length gap bound (tightened to k — free given a shared
+    // variant) moves into the post-attach filter, before the verify.
     val variants = all
-      .select(col("key"), col("s"), xxhash64(col("v")).as("vh"))
+      .select(col("key"), xxhash64(col("v")).as("vh"))
       .distinct()
+    val slim = base.select(col("key"), col("s"))
     variants.alias("a").join(variants.alias("b"),
-        col("a.vh") === col("b.vh") && col("a.key") < col("b.key")
-          // a shared variant bounds the length gap at 2k; the tighter k
-          // bound is free here and halves the verify load at k=1
-          && abs(length(col("a.s")) - length(col("b.s"))) <= k)
-      .select(col("a.key").as("key_i"), col("b.key").as("key_p"),
-        col("a.s").as("s_i"), col("b.s").as("s_p"))
+        col("a.vh") === col("b.vh") && col("a.key") < col("b.key"))
+      .select(col("a.key").as("key_i"), col("b.key").as("key_p"))
       .distinct()
+      .join(slim.select(col("key").as("key_i"), col("s").as("s_i")), "key_i")
+      .join(slim.select(col("key").as("key_p"), col("s").as("s_p")), "key_p")
+      .filter(abs(length(col("s_i")) - length(col("s_p"))) <= k)
   }
 
   /** Banded-levenshtein verify + (key_a < key_b) normalization shared by
