@@ -367,8 +367,14 @@ object OptProbe {
         sim.Similarity.tokenJaccardPairs(s, d), "doc_a", "doc_b"))
     time("knn components (fast current)")(
       sim.Dedup.componentsFast(knn, "src", "dst"))
+    time("knn componentsFast (fused small-star)")(
+      componentsFastFused(knn, "src", "dst"))
     time("knn componentsFast (no large ckpt)")(
       componentsFastNoLargeCkpt(knn, "src", "dst"))
+    time("knn componentsFast (fused+nockpt)")(
+      componentsFastCombo(knn, "src", "dst"))
+    time("knn componentsFast (fused+nockpt B)")(
+      componentsFastCombo(knn, "src", "dst"))
     time("jaccard components (current)")(
       sim.Dedup.connectedComponents(
         sim.Similarity.tokenJaccardPairs(s, d), "doc_a", "doc_b"))
@@ -450,6 +456,108 @@ object OptProbe {
     }
     println(s"[probe] ptr-jump rounds: $rounds")
     labels
+  }
+
+  /** componentsFast with the small-star step's TWO join branches fused
+    * into ONE join + explode(array(...)) — each large-star edge (u, m)
+    * re-hangs both u and its lo-neighbor v under m in a single pass, so
+    * the round does one join instead of two plus a union. */
+  private def componentsFastFused(pairs: DataFrame, src: String,
+      dst: String): DataFrame = {
+    val p = pairs.select(col(src).as("u"), col(dst).as("v"))
+      .localCheckpoint()
+    val nodes = p.select(col("u").as("id"))
+      .union(p.select(col("v").as("id"))).distinct().localCheckpoint()
+    var edges = p.filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct().localCheckpoint()
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var prev = checksum(edges)
+    var converged = prev._1 == 0L
+    while (!converged) {
+      val sym = edges
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u")
+        .agg(least(col("u"), min(col("v"))).as("m"))
+      val large = sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct().localCheckpoint()
+      val lomins = large.groupBy("u").agg(min(col("v")).as("m"))
+      val small = large.join(lomins, "u")
+        .select(explode(array(
+          struct(col("v").as("u"), col("m").as("v")),
+          struct(col("u"), col("m").as("v")))).as("x"))
+        .select(col("x.u").as("u"), col("x.v").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct().localCheckpoint()
+      val cur = checksum(small)
+      converged = cur == prev || cur._1 == 0L
+      prev = cur
+      edges = small
+    }
+    nodes
+      .join(edges.select(col("u").as("id"), col("v").as("label")),
+        Seq("id"), "left")
+      .groupBy("id")
+      .agg(coalesce(min(col("label")), min(col("id"))).as("label"))
+  }
+
+  /** componentsFast with BOTH round-structure cuts: no `large`
+    * checkpoint (its distinct exchange is shared by every consumer via
+    * ReuseExchange) and the fused one-join small-star. One eager job +
+    * one join fewer per round. */
+  private def componentsFastCombo(pairs: DataFrame, src: String,
+      dst: String): DataFrame = {
+    val p = pairs.select(col(src).as("u"), col(dst).as("v"))
+      .localCheckpoint()
+    val nodes = p.select(col("u").as("id"))
+      .union(p.select(col("v").as("id"))).distinct().localCheckpoint()
+    var edges = p.filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct().localCheckpoint()
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var prev = checksum(edges)
+    var converged = prev._1 == 0L
+    while (!converged) {
+      val sym = edges
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u")
+        .agg(least(col("u"), min(col("v"))).as("m"))
+      val large = sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      val lomins = large.groupBy("u").agg(min(col("v")).as("m"))
+      val small = large.join(lomins, "u")
+        .select(explode(array(
+          struct(col("v").as("u"), col("m").as("v")),
+          struct(col("u"), col("m").as("v")))).as("x"))
+        .select(col("x.u").as("u"), col("x.v").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct().localCheckpoint()
+      val cur = checksum(small)
+      converged = cur == prev || cur._1 == 0L
+      prev = cur
+      edges = small
+    }
+    nodes
+      .join(edges.select(col("u").as("id"), col("v").as("label")),
+        Seq("id"), "left")
+      .groupBy("id")
+      .agg(coalesce(min(col("label")), min(col("id"))).as("label"))
   }
 
   /** componentsFast with the `large` localCheckpoint dropped: `large`

@@ -135,7 +135,12 @@ object Dedup {
     var converged = prev._1 == 0L
     while (!converged) {
       rounds += 1
-      // large-star: hang strictly-larger neighbors under the local min
+      // large-star: hang strictly-larger neighbors under the local min.
+      // NOT checkpointed (round 16, measured ~2x on the whole loop with
+      // the fused small-star below): `large` ends in distinct() — an
+      // exchange — and both small-star consumers sit above that one
+      // exchange, so ReuseExchange shares the shuffle and the eager
+      // materialization job per round bought nothing.
       val sym = edges
         .union(edges.select(col("v").as("u"), col("u").as("v")))
       val mins = sym.groupBy("u")
@@ -144,14 +149,18 @@ object Dedup {
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
-        .distinct().localCheckpoint()
+        .distinct()
       // small-star: re-hang each hi-node's lo-neighbors (and itself)
-      // under their collective minimum; edges stay oriented hi→lo
+      // under their collective minimum; edges stay oriented hi→lo. ONE
+      // join + explode(array(…)) emits both re-hung rows per large edge
+      // (round 16) — the previous two-branch union joined `large` to
+      // `lomins` twice for the same row set.
       val lomins = large.groupBy("u").agg(min(col("v")).as("m"))
       val small = large.join(lomins, "u")
-        .select(col("v").as("u"), col("m").as("v"))
-        .union(large.select(col("u"), col("v")).join(lomins, "u")
-          .select(col("u"), col("m").as("v")))
+        .select(explode(array(
+          struct(col("v").as("u"), col("m").as("v")),
+          struct(col("u"), col("m").as("v")))).as("x"))
+        .select(col("x.u").as("u"), col("x.v").as("v"))
         .filter(col("u") =!= col("v"))
         .distinct().localCheckpoint()
       val cur = checksum(small)
