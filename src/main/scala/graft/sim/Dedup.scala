@@ -13,20 +13,20 @@ import graft.core.Tables
   * B-grade duplication in the corpus, so standard web-scale dedup clusters
   * transitively and keeps one representative (the min id) per component.
   *
-  * Algorithm: iterative min-label propagation with pointer jumping.
-  * `label(id)` starts at `id`; each round every node takes the min of its
-  * own label, its neighbours' labels, AND its label's label (the
-  * pointer-jump branch — round 16) — converging to the component minimum
-  * in O(log diameter) rounds, the hash-to-min acceleration from Rastogi
-  * et al., "Finding Connected Components in Map-Reduce" (ICDE 2013).
-  * Each round is one shuffle wave (join on the edge endpoint + a label
-  * self-join + min-groupBy on id). Near-dup graphs are cliquish
+  * Algorithm: iterative min-label propagation with deferred pointer
+  * jumping. `label(id)` starts at `id`; each round every node takes the
+  * min of its own label and its neighbours' labels, and FROM ROUND 3 ON
+  * also its label's label (the pointer-jump branch — round 16) —
+  * converging to the component minimum in O(log diameter) rounds, the
+  * hash-to-min acceleration from Rastogi et al., "Finding Connected
+  * Components in Map-Reduce" (ICDE 2013). Near-dup graphs are cliquish
   * (diameter 2–4 — every member of a dup cluster pairs with most
-  * others), so the round count stays small at any corpus size; the
-  * k-NN similarity graphs are the long-diameter case where the jump
-  * branch pays (measured: the declared graph converges in 6 jumped
-  * rounds vs ~30 one-hop rounds). [[componentsFast]] remains the
-  * large-star/small-star alternative from Kiveris et al. (SoCC 2014).
+  * others) and converge before the jump branch activates, so they never
+  * pay its extra self-join; the k-NN similarity graphs are the
+  * long-diameter case where jumping pays (measured: the declared graph
+  * converges in ~8 rounds vs ~30 one-hop rounds). [[componentsFast]]
+  * remains the large-star/small-star alternative from Kiveris et al.
+  * (SoCC 2014).
   *
   * Lineage control: every round ends in `localCheckpoint` (on a real
   * cluster: `checkpoint` to reliable storage) so the physical plan stays
@@ -53,32 +53,42 @@ object Dedup {
       .localCheckpoint()
     val labelType = labels.schema("label").dataType
     var changed = 1L
+    var round = 0
     while (changed > 0) {
+      round += 1
       // neighbour labels flow one hop: u adopts min(label(v)) over edges
       // u-v. The self branch smuggles the previous label through the same
       // aggregate (exactly one non-null prev per id), so the convergence
       // check below is a scan of the checkpointed result — no second
-      // join+shuffle job per round. The POINTER-JUMP branch (round 16,
-      // measured −16% at sf0.1) additionally adopts label(label(u)) —
-      // one |V|-sized self-join on the label value inside the same
-      // aggregate — which collapses the round count from O(diameter) to
-      // O(log diameter): label values are node ids of the same
-      // component, so the extra min never leaves the component and the
-      // fixpoint (stability under the one-hop min) is untouched — the
-      // final labels are the identical component minima. Every label
-      // value is itself a node id with a labels row, so the jump join is
-      // INNER and loses nothing. At scale the jump key inherits the
-      // usual pointer-jumping hot key (most of a converged giant
-      // component points at one label) — a plain equi-join AQE's skew
-      // split handles, unlike an aggregation hot key.
-      val next = edges.join(labels.select(col("id").as("v"), col("label")), "v")
+      // join+shuffle job per round. From round 3 on, the POINTER-JUMP
+      // branch (round 16) additionally adopts label(label(u)) — one
+      // |V|-sized self-join on the label value inside the same
+      // aggregate — which collapses the remaining round count from
+      // O(diameter) to O(log diameter): label values are node ids of
+      // the same component, so the extra min never leaves the component
+      // and the fixpoint (stability under the one-hop min) is untouched
+      // — the final labels are the identical component minima. Every
+      // label value is itself a node id with a labels row, so the jump
+      // join is INNER and loses nothing. The round-3 gate is measured:
+      // cliquish dedup graphs converge in ≤3 one-hop rounds (the fused
+      // init is round one), so they never pay the extra join, while the
+      // long-diameter k-NN graph drops from ~30 rounds to ~8. At scale
+      // the jump key inherits the usual pointer-jumping hot key (most
+      // of a converged giant component points at one label) — a plain
+      // equi-join AQE's skew split handles, unlike an aggregation hot
+      // key.
+      val oneHop = edges
+        .join(labels.select(col("id").as("v"), col("label")), "v")
         .select(col("u").as("id"), col("label"),
           lit(null).cast(labelType).as("prev"))
-        .union(labels
+      val withJump =
+        if (round < 3) oneHop
+        else oneHop.union(labels
           .join(labels.select(col("id").as("label"),
             col("label").as("label2")), Seq("label"))
           .select(col("id"), col("label2").as("label"),
             lit(null).cast(labelType).as("prev")))
+      val next = withJump
         .union(labels.select(col("id"), col("label"), col("label").as("prev")))
         .groupBy("id").agg(min("label").as("label"), max("prev").as("prev"))
         .localCheckpoint()
