@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// BENCH CONTRACT (round 17, VERDICT r16 #3): the driver invokes
+// `sbt "runMain graft.Bench"` and parses the LAST stdout line as the
+// one-line JSON — but sbt's default LoggedOutput wraps forked-program
+// stdout in `[info] …` and appends a `[success] Total time …` line, so
+// every BENCH_r*.json since r13 came back "parsed": null. StdoutOutput
+// passes the forked JVM's streams through verbatim and showSuccess
+// drops the trailer, so the compact JSON Bench prints last IS the final
+// stdout line. Program output only — no timing or methodology change.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

