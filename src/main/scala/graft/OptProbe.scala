@@ -925,6 +925,60 @@ object OptProbe {
     }
     time("hybrid: dense leg (top50)")(denseTop)
     time("sim_hybrid_rrf (current)")(q("sim_hybrid_rrf")(s, d))
+    // candidate: ONE corpus scan/tokenize shared by the tf fan-out and
+    // the (n_docs, sum_dl) stats, and the generate emits only MATCHED
+    // tokens (array-filter BEFORE explode) instead of every token
+    time("lex searchCorpus (current)")(
+      text.LexIndex.searchCorpus(docs, Seq("table", "join"), 50))
+    time("lex searchCorpus (filtered explode)")(
+      searchCorpusFiltered(docs, Seq("table", "join"), 50, ckpt = false))
+    time("lex searchCorpus (filtered+ckpt)")(
+      searchCorpusFiltered(docs, Seq("table", "join"), 50, ckpt = true))
+    val cur = text.LexIndex.searchCorpus(docs, Seq("table", "join"), 50)
+    val cand = searchCorpusFiltered(docs, Seq("table", "join"), 50, true)
+    println(s"[probe] searchCorpus filtered equality: " +
+      s"extra=${cand.except(cur).count()} missing=${cur.except(cand).count()}")
+  }
+
+  /** searchCorpus with (a) the query-term filter applied to the token
+    * ARRAY before the explode — the generate emits |matches| rows, not
+    * |tokens| — and (b) one shared (doc_id, dl, matched) base feeding
+    * both the tf fan-out and the corpus stats, so the corpus is scanned
+    * and tokenized ONCE instead of twice. Value-identical: size(tokens)
+    * is computed before the filter, array filter preserves duplicates
+    * and order, and the BM25 tree is untouched. */
+  private def searchCorpusFiltered(docs: DataFrame, terms: Seq[String],
+      k: Int, ckpt: Boolean): DataFrame = {
+    val toks = split(col("text"), " ")
+    val qTerms = terms.distinct
+    val base0 = docs.select(col("doc_id").cast("long").as("doc_id"),
+      size(toks).as("dl"),
+      filter(toks, x => x.isin(qTerms: _*)).as("mt"))
+    val base = if (ckpt) base0.localCheckpoint() else base0
+    val tf = base.select(col("doc_id"), col("dl"), explode(col("mt")).as("term"))
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val n = col("n_docs").cast("double")
+    val dfd = col("df").cast("double")
+    val avgdl = col("sum_dl").cast("double") / n
+    val t = col("tf").cast("double")
+    val contrib = tf.join(broadcast(dfT), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("w",
+        ((n - dfd + lit(0.5)) / (dfd + lit(0.5))) *
+          ((t * lit(2.2)) / (t + lit(1.2) *
+            (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))))
+    contrib.groupBy("doc_id", "dl")
+      .agg(count(lit(1)).as("n_hit"),
+        aggregate(
+          sort_array(collect_list(struct(col("term"), col("w")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("w")).as("score"))
+      .orderBy(desc("score"), asc("doc_id")).limit(k)
+      .select("doc_id", "dl", "n_hit", "score")
   }
 
   // ---------------------------------------------- r17: curation fusion

@@ -123,7 +123,10 @@ object Curation {
       .join(cleaned.select(col("doc_id"), col("cleaned").as("text")),
         Seq("doc_id"))
       .localCheckpoint()
-    (cleaned.select("doc_id").localCheckpoint(), rewritten)
+    // the id projection rides the already-checkpointed `cleaned` — a
+    // cached-block scan; curate()'s ckptN pins (and counts) it once,
+    // so checkpointing here again would just copy the same 8-byte rows
+    (cleaned.select("doc_id"), rewritten)
   }
 
   /** Opt-in seed-set class filter (stage 0d, after line cleaning — it
@@ -154,13 +157,26 @@ object Curation {
       decont: Option[Decont] = None,
       lineClean: Option[LineClean] = None,
       classFilter: Option[ClassFilter] = None): Result = {
+    // Boundary id sets are checkpointed with their row count OBSERVED on
+    // the same job (round 17): the ledger assembles from driver longs
+    // the stage jobs already produced — the r16 driver-count ledger
+    // still paid one cached-scan count job per boundary plus a
+    // docs-scan count for the corpus size; now every count a stage
+    // materializes is harvested for free and only boundaries no stage
+    // job covered (none on the declared path) fall back to a count().
+    val known = new java.util.IdentityHashMap[DataFrame, java.lang.Long]()
+    def ckptN(df: DataFrame): DataFrame = {
+      val obs = org.apache.spark.sql.Observation()
+      val c = df.observe(obs, count(lit(1)).as("n")).localCheckpoint()
+      known.put(c, Long.box(obs.get("n").asInstanceOf[Long]))
+      c
+    }
     val ids0 = docs.select("doc_id")
 
     // 0. quality (optional): LM gate against a frozen LM — an anti-join
     // of the scored drops so no-evidence docs pass
     val idsQ = quality.fold(ids0) { q =>
-      ids0.join(qualityDrops(docs, q), Seq("doc_id"), "left_anti")
-        .localCheckpoint()
+      ckptN(ids0.join(qualityDrops(docs, q), Seq("doc_id"), "left_anti"))
     }
     val dq = quality.fold(docs)(_ => docs.join(idsQ, Seq("doc_id"),
       "left_semi"))
@@ -168,8 +184,7 @@ object Curation {
     // 0b. decontamination (optional): benchmark-flagged docs drop —
     // per-doc membership, so the gate commutes with everything downstream
     val idsD = decont.fold(idsQ) { dc =>
-      idsQ.join(decontDrops(dq, dc), Seq("doc_id"), "left_anti")
-        .localCheckpoint()
+      ckptN(idsQ.join(decontDrops(dq, dc), Seq("doc_id"), "left_anti"))
     }
     val dd = decont.fold(dq)(_ => docs.join(idsD, Seq("doc_id"),
       "left_semi"))
@@ -177,34 +192,41 @@ object Curation {
     // 0c. line cleaning (optional): the text-transform stage — docs are
     // REWRITTEN without their boilerplate lines before any dedup sees
     // them ([[LineClean]]); fully-boilerplate docs drop here
-    val (idsL, dl) = lineClean.fold((idsD, dd))(lineCleanStage(dd, _))
+    val (idsL0, dl) = lineClean.fold((idsD, dd))(lineCleanStage(dd, _))
+    val idsL = if (lineClean.isDefined) ckptN(idsL0) else idsL0
 
     // 0d. class filter (optional): per-doc membership against the frozen
     // seed-set classifier, on the text as released
     val idsC = classFilter.fold(idsL) { cf =>
-      idsL.join(classDrops(dl, cf), Seq("doc_id"), "left_anti")
-        .localCheckpoint()
+      ckptN(idsL.join(classDrops(dl, cf), Seq("doc_id"), "left_anti"))
     }
     val dcf = classFilter.fold(dl)(_ => dl.join(idsC, Seq("doc_id"),
       "left_semi").localCheckpoint())
 
     // 1. exact: one digest-keyed aggregate; the 8-byte xxhash64 carries the
     // text's equality structure through the exchange (the dedup_exact
-    // argument — collisions ≈ n²·2⁻⁶⁵).
-    val ids1 = dcf.groupBy(xxhash64(col("text")).as("th"))
+    // argument — collisions ≈ n²·2⁻⁶⁵). |dcf| ≡ |idsC| (a semi-join of
+    // docs against idsC, or docs itself when every filter is off), so
+    // observing dcf's row count inside this job hands the ledger the
+    // exact-stage n_in without any extra scan.
+    val obsIn = org.apache.spark.sql.Observation()
+    val ids1 = ckptN(dcf.observe(obsIn, count(lit(1)).as("n"))
+      .groupBy(xxhash64(col("text")).as("th"))
       .agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id").localCheckpoint()
+      .select("doc_id"))
+    if (!known.containsKey(idsC))
+      known.put(idsC, Long.box(obsIn.get("n").asInstanceOf[Long]))
 
     // 2. substring budget over the stage-1 survivors
     val d1 = dcf.join(ids1, Seq("doc_id"), "left_semi")
-    val ids2 = SubstringDedup.dedupStats(d1, shingleK, maxDupFrac)
-      .filter(col("keep")).select("doc_id").localCheckpoint()
+    val ids2 = ckptN(SubstringDedup.dedupStats(d1, shingleK, maxDupFrac)
+      .filter(col("keep")).select("doc_id"))
 
     // 3. near-dup pairs → components → min-id keep over stage-2 survivors
     val d2 = dcf.join(ids2, Seq("doc_id"), "left_semi")
     val drop3 = Dedup.clusters(nearDupPairs(d2), "doc_a", "doc_b")
       .filter(!col("keep")).select(col("member").as("doc_id"))
-    val ids3 = ids2.join(drop3, Seq("doc_id"), "left_anti").localCheckpoint()
+    val ids3 = ckptN(ids2.join(drop3, Seq("doc_id"), "left_anti"))
 
     // 4. semantic (optional): SemDeDup the survivors' vectors; a doc with
     // no vector is kept — only ids that LOSE a semantic verdict drop.
@@ -225,7 +247,7 @@ object Curation {
         }).select(col("vec_id").as("doc_id"))
         val drop4 = vecs.select(col("vec_id").as("doc_id"))
           .join(keptVec, Seq("doc_id"), "left_anti")
-        ids3.join(drop4, Seq("doc_id"), "left_anti").localCheckpoint()
+        ckptN(ids3.join(drop4, Seq("doc_id"), "left_anti"))
     }
 
     val stages =
@@ -237,7 +259,7 @@ object Curation {
       Seq(("exact", idsC, ids1), ("substring", ids1, ids2),
         ("near_dup", ids2, ids3)) ++
       (if (emb.isDefined) Seq(("semantic", ids3, ids4)) else Nil)
-    val ledger = ledgerOf(docs.sparkSession, stages)
+    val ledger = ledgerOf(docs.sparkSession, stages, known)
 
     // kept text is the text the dedup stages judged — CLEANED when the
     // line stage is on (dl = dd otherwise)
@@ -245,22 +267,26 @@ object Curation {
   }
 
   /** Assemble the per-stage ledger from DRIVER-side counts of the stage
-    * id sets (round 16, measured −10% on `curation_report` at sf0.1):
-    * every boundary set is already localCheckpointed by its stage, so
-    * each count is one tiny scan of cached blocks — where the previous
-    * crossJoin-union plan re-planned 2 single-partition aggregates per
-    * stage (same set counted twice as out(k)/in(k+1)) plus a union sort,
-    * ~10 AQE waves for 4 driver longs. Counts are k-bounded driver state
-    * (one long per stage — the tokenizer-argmax discipline); each
-    * distinct frame is counted ONCE (reference-keyed memo). */
+    * id sets (round 16, measured −10% on `curation_report` at sf0.1;
+    * round 17: counts arrive pre-observed). EAGER CONTRACT (ADVICE r16,
+    * documented): invoking [[curate]]/[[ingestShard]] runs the counting
+    * as part of the stage jobs themselves — since round 17 every
+    * boundary a caller's `known` map covers was observed on the stage's
+    * own checkpoint job (zero extra actions; a discarded ledger costs
+    * nothing new), and only uncovered boundaries (none on the declared
+    * path) fall back to one tiny cached-block count each, memoized per
+    * frame reference. Counts are k-bounded driver state (one long per
+    * stage — the tokenizer-argmax discipline). */
   private def ledgerOf(spark: SparkSession,
-      stages: Seq[(String, DataFrame, DataFrame)]): DataFrame = {
+      stages: Seq[(String, DataFrame, DataFrame)],
+      known: java.util.IdentityHashMap[DataFrame, java.lang.Long] =
+        new java.util.IdentityHashMap[DataFrame, java.lang.Long]())
+      : DataFrame = {
     import spark.implicits._
-    val memo = new java.util.IdentityHashMap[DataFrame, java.lang.Long]()
     def n(df: DataFrame): Long = {
-      val hit = memo.get(df)
+      val hit = known.get(df)
       if (hit != null) hit.longValue()
-      else { val c = df.count(); memo.put(df, c); c }
+      else { val c = df.count(); known.put(df, Long.box(c)); c }
     }
     stages.zipWithIndex.map { case ((name, in, out), i) =>
       val (ni, no) = (n(in), n(out))

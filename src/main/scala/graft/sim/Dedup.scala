@@ -41,7 +41,28 @@ object Dedup {
   /** Connected components of the undirected graph given as a pair list.
     * Returns (id, label) with one row per distinct endpoint; `label` is the
     * minimum id reachable from `id` (== the component's canonical id). */
-  def connectedComponents(pairs: DataFrame, src: String, dst: String): DataFrame = {
+  def connectedComponents(pairs: DataFrame, src: String, dst: String): DataFrame =
+    connectedComponentsWithStats(pairs, src, dst, JumpAdaptive)._1
+
+  /** Jump-gate modes for [[connectedComponentsWithStats]]. The production
+    * path is [[JumpAdaptive]]; the other two exist ONLY so
+    * [[graft.FixpointVolume]] can measure the same loop body with the
+    * jump off and under the r16 `round >= 3` gate — the before/after
+    * scale evidence for the adaptive gate. */
+  private[graft] final val JumpNever = 0
+  private[graft] final val JumpFromRound3 = 1 // the r16 gate
+  private[graft] final val JumpAdaptive = 2   // round >= 3 AND stalled
+
+  /** Fixpoint evidence for one run: rounds executed, rounds that took the
+    * pointer-jump branch, and the per-round changed-count histogram. */
+  private[graft] final case class FixpointStats(rounds: Int, jumps: Int,
+    hist: Seq[Long])
+
+  /** [[connectedComponents]] with the jump gate parameterized and the
+    * loop's convergence evidence returned — labels are IDENTICAL across
+    * modes (the jump only accelerates the same monotone min-fold). */
+  private[graft] def connectedComponentsWithStats(pairs: DataFrame,
+      src: String, dst: String, mode: Int): (DataFrame, FixpointStats) = {
     // Materialize the (possibly expensive) pair plan ONCE before mirroring —
     // union(a, a.reversed) over the raw plan would execute the detector
     // twice. Symmetrizing the cheap checkpointed projection is free.
@@ -58,6 +79,8 @@ object Dedup {
     var changed = 1L                 // previous round's count (1 = sentinel)
     var prevChanged = Long.MaxValue  // the round before that
     var round = 0
+    var jumps = 0
+    val hist = scala.collection.mutable.ArrayBuffer[Long]()
     while (changed > 0) {
       round += 1
       // neighbour labels flow one hop: u adopts min(label(v)) over edges
@@ -81,7 +104,12 @@ object Dedup {
       // (a converged giant component all points at one label) — a plain
       // equi-join AQE's skew split handles, unlike an aggregation hot
       // key.
-      val jump = round >= 3 && changed * 2L > prevChanged
+      val jump = mode match {
+        case JumpNever      => false
+        case JumpFromRound3 => round >= 3
+        case _              => round >= 3 && changed * 2L > prevChanged
+      }
+      if (jump) jumps += 1
       val oneHop = edges
         .join(labels.select(col("id").as("v"), col("label")), "v")
         .select(col("u").as("id"), col("label"),
@@ -107,9 +135,10 @@ object Dedup {
         .localCheckpoint()
       prevChanged = changed
       changed = obs.get("changed").asInstanceOf[Long]
+      hist += changed
       labels = next.select("id", "label")
     }
-    labels
+    (labels, FixpointStats(round, jumps, hist.toSeq))
   }
 
   /** Connected components in O(log n) ROUNDS — the large-star/small-star

@@ -144,12 +144,25 @@ object Classify {
 
   /** SQL for the feature bucket of string expression `e` — first four
     * md5 hex nibbles as an int in [0, [[FeatureBuckets]]); valid in BOTH
-    * Spark SQL and DuckDB (md5 / substr / instr agree). */
+    * Spark SQL and DuckDB (md5 / substr / instr agree). Since round 17
+    * this renders the ORACLE side only — the Spark side computes the
+    * same integer as `conv(substr(md5(e), 1, 4), 16, 10)` (one md5/
+    * substring instead of four nibble chains; DuckDB has no conv()).
+    * Equality is witnessed per-feature in OptProbe's classify
+    * experiment: 0 mismatches over every sf0.1 feature — both parse the
+    * SAME first 16 bits of the same md5 hex string. */
   private[text] def featureBucketSql(e: String): String = {
     val hx = "'0123456789abcdef'"
     def nib(i: Int) = s"(instr($hx, substr(md5($e), $i, 1)) - 1)"
     s"(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)})"
   }
+
+  /** The Spark-side twin of [[featureBucketSql]]: one md5 + one substr
+    * + one base-16 parse (round 17 — Spark's subexpression elimination
+    * does NOT collapse the four md5 references, measured ~0.2 s of
+    * text_classify_bigram at sf0.1). */
+  private def featureBucket(e: Column): Column =
+    conv(substring(md5(e), 1, 4), 16, 10).cast("long")
 
   /** (doc_id, fb) hashed feature rows: one per token (unigram) plus one
     * per adjacent pair (bigram) — the fastText feature set. The bigram
@@ -160,8 +173,7 @@ object Classify {
     val big = LmScore.transitions(docs)
       .select(col("doc_id"), concat_ws(" ", col("prev"), col("cur")).as("feat"))
     uni.unionByName(big)
-      .select(col("doc_id"),
-        expr(featureBucketSql("feat")).cast("long").as("fb"))
+      .select(col("doc_id"), featureBucket(col("feat")).as("fb"))
   }
 
   private def featureTf(docs: DataFrame): DataFrame =

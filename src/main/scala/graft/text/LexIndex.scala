@@ -201,17 +201,33 @@ object LexIndex {
 
   /** Multi-term BM25 top-k straight off the corpus — the declared-query
     * path (`lex_search`): no index on disk, same score tree, same fold
-    * order, so LexIndexSpec can demand searchTopK ≡ this EXACTLY. */
+    * order, so LexIndexSpec can demand searchTopK ≡ this EXACTLY.
+    *
+    * Round 17 (guide §2.3, measured −17% same-run at sf0.1, except()
+    * equality empty both ways): the query-term filter moves INTO the
+    * token array before the explode — the generate emits |matches|
+    * rows, not |tokens| — and one checkpointed (doc_id, dl, matched)
+    * base feeds both the tf fan-out and the (n_docs, sum_dl) stats, so
+    * the corpus is scanned and tokenized ONCE instead of twice.
+    * Value-identical: dl = size(tokens) is computed before the filter,
+    * the array filter preserves duplicates and order, and the BM25
+    * score tree is untouched. At 100 TB this halves the corpus I/O of
+    * every searchCorpus call and shrinks its fan-out from corpus-tokens
+    * to query-matches. (Eager: the base checkpoint runs a job at plan
+    * construction — the hits()/curate() posture.) */
   def searchCorpus(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
     val qTerms = terms.distinct
-    val tf = docs.select(col("doc_id").cast("long").as("doc_id"),
-        size(tokens).as("dl"), explode(tokens).as("term"))
-      .filter(col("term").isin(qTerms: _*))
+    val base = docs.select(col("doc_id").cast("long").as("doc_id"),
+        size(tokens).as("dl"),
+        filter(tokens, x => x.isin(qTerms: _*)).as("mt"))
+      .localCheckpoint()
+    val tf = base.select(col("doc_id"), col("dl"),
+        explode(col("mt")).as("term"))
       .groupBy("term", "doc_id", "dl")
       .agg(count(lit(1)).as("tf"))
     val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val stats = docs.agg(count(lit(1)).as("n_docs"),
-      sum(size(tokens)).as("sum_dl"))
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
     val contrib = tf.join(broadcast(dfT), "term")
       .crossJoin(broadcast(stats))
       .withColumn("w", contribution(col("tf"), col("df"), col("dl"),
