@@ -66,16 +66,39 @@ object Dedup {
     // Materialize the (possibly expensive) pair plan ONCE before mirroring —
     // union(a, a.reversed) over the raw plan would execute the detector
     // twice. Symmetrizing the cheap checkpointed projection is free.
-    val p = pairs.select(col(src).as("u"), col(dst).as("v")).localCheckpoint()
+    // the pair count rides an observe on the checkpoint job (free) — it
+    // gates the frontier-broadcast decision below
+    val pObs = org.apache.spark.sql.Observation()
+    val p = pairs.select(col(src).as("u"), col(dst).as("v"))
+      .observe(pObs, count(lit(1)).as("n")).localCheckpoint()
+    val nEdges = 2L * pObs.get("n").asInstanceOf[Long]
     val edges = p.union(p.select(col("v").as("u"), col("u").as("v")))
     // Fused init: label₀(u) = min(u, min neighbour) IS the first propagation
     // round, computed in the same groupBy that enumerates distinct nodes.
     // Dup clusters are usually cliques, where label₀ is already the fixpoint
     // — the loop then runs exactly one (no-change) round.
+    val nObs = org.apache.spark.sql.Observation()
     var labels = edges.groupBy(col("u").as("id"))
       .agg(least(col("u"), min(col("v"))).as("label"))
+      .observe(nObs, count(lit(1)).as("n"))
       .localCheckpoint()
+    val nNodes = nObs.get("n").asInstanceOf[Long]
     val labelType = labels.schema("label").dataType
+    // FRONTIER (round 17, guide §2.3): only labels that CHANGED last
+    // round can improve a neighbour this round — a neighbour v outside
+    // the frontier satisfies label_k(v) = label_{k-1}(v), and round k
+    // already folded label_{k-1}(v) into label_k(u) for every neighbour
+    // u (induction from the full round 1), so its contribution is a
+    // no-op. One-hop therefore joins edges against the FRONTIER instead
+    // of all |V| labels: the per-round aggregate input shrinks from
+    // |E|+|V| rows to |E_frontier|+|V|, and on the convergence-detection
+    // round (frontier ≈ 0) the whole neighbour fan-out vanishes. The
+    // per-round label sequence — and hence rounds, changed counts, and
+    // final labels — is IDENTICAL (the dropped join rows are exactly the
+    // ones the min already absorbed). Round 1 always runs full (every
+    // node "changed" at init); reassigned from the aggregate's
+    // prev-compare at the end of every round before any frontier use.
+    var frontier = labels
     var changed = 1L                 // previous round's count (1 = sentinel)
     var prevChanged = Long.MaxValue  // the round before that
     var round = 0
@@ -110,8 +133,26 @@ object Dedup {
         case _              => round >= 3 && changed * 2L > prevChanged
       }
       if (jump) jumps += 1
+      // frontier sizes are exact driver knowledge (`changed` rows, 16
+      // bytes each; node/edge counts observed for free on the
+      // checkpoints), so the side choice is measured, not estimated —
+      // all bounds data-adaptive ratios, not local[32] tunes:
+      //  - use the FRONTIER only when it is genuinely sparse (< 25% of
+      //    nodes); a 40%-of-|V| frontier (the k-NN graph's early rounds,
+      //    measured +17% position-controlled) saves few bytes but pays
+      //    the filter scan — fall back to the full labels side then;
+      //  - BROADCAST the sparse frontier while it fits in memory
+      //    (absolute 1M-row bound) and is small relative to the edge
+      //    set (the saved shuffle must outweigh the per-round broadcast
+      //    build job — measured +0.24 s over 6 rounds on small graphs).
+      val useFrontier = round > 1 && changed * 4L <= nNodes
+      val fSrc = if (useFrontier) frontier else labels
+      val fSide =
+        if (useFrontier && changed <= (1L << 20) && changed * 64L <= nEdges)
+          broadcast(fSrc.select(col("id").as("v"), col("label")))
+        else fSrc.select(col("id").as("v"), col("label"))
       val oneHop = edges
-        .join(labels.select(col("id").as("v"), col("label")), "v")
+        .join(fSide, "v")
         .select(col("u").as("id"), col("label"),
           lit(null).cast(labelType).as("prev"))
       val withJump =
@@ -136,6 +177,10 @@ object Dedup {
       prevChanged = changed
       changed = obs.get("changed").asInstanceOf[Long]
       hist += changed
+      // next frontier: the rows this round's aggregate changed — a
+      // cached-block filter, no extra job
+      frontier = next.filter(col("label") =!= col("prev"))
+        .select("id", "label")
       labels = next.select("id", "label")
     }
     (labels, FixpointStats(round, jumps, hist.toSeq))
